@@ -1,0 +1,91 @@
+"""PG↔ClickHouse dialect expression library (SURVEY.md §2.8, F1–F9).
+
+The reference's semantic core is its golden translation corpus mapping
+Postgres scalar expressions to ClickHouse equivalents
+(``src/corpus/orm_none.txt``, ``orm_drizzleorm.txt``). Each helper here is
+one of those mappings expressed as a Spark ``Column`` builder, so engine
+queries get the *agreed* semantics (the hard parts in SURVEY §7.4: NULL vs
+empty-string labels, SUM-over-empty, date-trunc return type, deterministic
+ordering) from one place.
+
+All helpers emit built-in Spark expressions — they stay inside
+whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def empty_(c: Column | str) -> Column:
+    """ClickHouse ``empty(s)`` — true for '' (and for replicated NULLs).
+
+    Ref: ``src/corpus/orm_none.txt:464``. CH string replicas store NULL as
+    '', so missing-ness is NULL-or-empty on the Spark side (SURVEY F6).
+    """
+    c = _col(c)
+    return c.isNull() | (c == F.lit(""))
+
+
+def if_(cond: Column, then: Column | str, otherwise: Column | str) -> Column:
+    """ClickHouse ``if(cond, a, b)`` (ref: ``src/corpus/orm_none.txt:464``)."""
+    return F.when(cond, _col(then)).otherwise(_col(otherwise))
+
+
+def if_empty_label(c: Column | str, label: str = "Uncategorized") -> Column:
+    """``if(empty(category),'Uncategorized',category)`` ≡ PG
+    ``COALESCE(category,'Uncategorized')`` over replicated data.
+
+    Treats NULL *and* '' as missing so PG-shaped and CH-shaped groupings
+    agree (SURVEY §7.4 hard part #3).
+    """
+    c = _col(c)
+    return F.when(empty_(c), F.lit(label)).otherwise(c)
+
+
+def month_start(c: Column | str) -> Column:
+    """``toStartOfMonth(date)`` / ``DATE_TRUNC('month', ts)`` (SURVEY F1).
+
+    Canonical engine semantics are CH-shaped (SURVEY §7.4 hard part #1):
+    a DATE at the first of the month, like ``toStartOfMonth``. PG's
+    timestamp-shaped ``DATE_TRUNC`` is a presentation cast away.
+    """
+    return F.date_trunc("month", _col(c)).cast("date")
+
+
+def to_f64(c: Column | str) -> Column:
+    """``toFloat64(x)`` — cast before SUM (ref ``corpus/orm_drizzleorm.txt:453``)."""
+    return _col(c).cast("double")
+
+
+def to_date_(c: Column | str) -> Column:
+    """``toDate(x)`` (ref ``corpus/orm_drizzleorm.txt:491``)."""
+    return F.to_date(_col(c))
+
+
+def coalesce_sum0(c: Column | str) -> Column:
+    """Engine policy for SUM-over-empty: PG returns NULL, CH returns 0;
+    both the app and the corpus coalesce to 0 (SURVEY F3/A10). We make
+    ``COALESCE(SUM(x), 0)`` the single engine behavior."""
+    return F.coalesce(F.sum(to_f64(c)), F.lit(0.0))
+
+
+def total_order(*keys: Column | str, tiebreak: Column | str | None = None) -> list[Column]:
+    """Deterministic ORDER BY: append an id tiebreaker so ties can't flap
+    between runs/engines (SURVEY §7.4 hard part #5; the reference itself
+    rewrote ``created_at`` ties to ``id`` — ``corpus/orm_none.txt:541``)."""
+    cols = [_col(k) for k in keys]
+    if tiebreak is not None:
+        cols.append(_col(tiebreak))
+    return cols
+
+
+def round2(c: Column | str) -> Column:
+    """Canonical presentation/hashing form for double aggregates
+    (BASELINE.md canonicalization: ``round(double_aggs, 2)``)."""
+    return F.round(_col(c), 2)

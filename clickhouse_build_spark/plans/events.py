@@ -1,0 +1,203 @@
+"""Event-stream queries: time windows, JSON props, sessionization, CDC
+latest-row (SURVEY §2.9 + the driver's `events` extension surface).
+
+The reference's only streaming semantics are the CDC replication modes
+(``src/tools/data_migrator.py:10-21``) whose reader-side contract is
+"latest version per key" (ReplacingMergeTree analogue, SURVEY C3). These
+queries express that contract plus the event-time windowing a real events
+table needs. The same builders run unchanged on a Structured Streaming
+DataFrame (``streaming/``) — `F.window` is the shared primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.functions.dialect import round2
+from clickhouse_build_spark.plans.registry import query
+
+
+@query(
+    "events_tumbling_10min",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg", "tumbling"),
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (``F.window(ts, '10 minutes')``).
+
+    Scale/streaming: identical code runs on ``readStream`` with a
+    watermark; in batch it's a groupBy on (bucket, type) with map-side
+    partial aggregation.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), round2(F.sum("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_10min_step5",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT time_bucket(INTERVAL '10 minutes', ts,
+                       TIMESTAMP '2000-01-01 00:05:00') AS window_start,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    tags=("events", "window-agg", "sliding"),
+)
+def events_sliding_10min_step5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 10-minute windows every 5 minutes — each event
+    lands in 2 windows (``F.window(ts, '10 minutes', '5 minutes')``).
+
+    The oracle reproduces the two overlapping bucket phases as a UNION of
+    tumbling bucketings with shifted origins.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: extract a JSON field and aggregate it.
+
+    The events table stores ``props`` as a JSON string (FIXTURES.md §2);
+    ``get_json_object`` stays JVM-side (no Python).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            round2(
+                F.avg(F.get_json_object("props", "$.k").cast("double"))
+            ).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "cdc_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("events", "cdc", "C3"),
+)
+def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC reader contract: latest version per key (SURVEY C3 —
+    ReplacingMergeTree analogue implied by ClickPipes CDC,
+    ``src/tools/data_migrator.py:13-18``). Treating ``events`` as a
+    change stream keyed by user_id, resolve each key to its newest row.
+
+    Scale: one shuffle on the key; at 100 TB the replication writer
+    (sources/replication.py) keeps data hash-bucketed by key so this
+    dedup never reshuffles the full table per batch (SURVEY §7.4 #6).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+@query(
+    "user_sessions_30min",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+    tags=("events", "sessionization"),
+)
+def user_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the classic
+    lag + cumulative-sum session assignment, fully declarative (no
+    stateful UDF needed in batch; the streaming twin uses
+    ``F.session_window``).
+
+    Scale: two windows over the same (user_id, ts) partitioning — Spark
+    reuses one shuffle+sort for both.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag(F.col("ts")).over(w)
+    # Gap in exact epoch microseconds — integer math, no sub-second
+    # truncation ambiguity between engines.
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (gap_us > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,274 @@
+"""Text-analysis queries over ``documents`` (driver-mandated extension
+surface: token counting, quality scoring, language-ID heuristic, document
+fingerprinting, exact + n-gram-Jaccard dedup).
+
+These are the training-data-pipeline operators a 100 TB corpus needs.
+Everything here is built-in Spark SQL expressions (split / higher-order
+lambdas / md5) — no Python in the hot path; the MinHash/SimHash scale
+variants live in ``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.plans.registry import query
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small so the same literal list embeds in the oracle SQL.
+_STOP = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _hits(words_col, lang: str):
+    """Count stopword occurrences (with duplicates) via a higher-order
+    filter — stays in codegen, no UDF."""
+    stop = F.array(*[F.lit(w) for w in _STOP[lang]])
+    return F.size(F.filter(words_col, lambda w: F.array_contains(stop, w)))
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           CAST(floor(CAST(length(replace(text, ' ', '')) AS DOUBLE) * 100
+                      / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS avg_token_len_x100,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "tokenize", "fingerprint"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document fingerprinting per doc.
+
+    Whitespace tokenizer (the corpus is space-separated); fingerprint is
+    md5 of the exact text — the exact-dedup key at scale (hash once,
+    group on the 32-byte digest instead of the full text).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    # avg token length is reported ×100 as an integer via floor(x+0.5):
+    # identical IEEE division + floor on both engines — immune to the
+    # decimal-rounding tie divergence that round(x, 2) has on .xx5 values.
+    avg_len_x100 = F.floor(
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        * 100
+        / F.size(words)
+        + 0.5
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        avg_len_x100.alias("avg_token_len_x100"),
+        F.md5("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w IN ('the', 'a', 'of', 'and', 'to')))
+                      AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS symbol_ratio,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                THEN 1 ELSE 0 END AS length_ok
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band, stopword ratio, non-letter symbol
+    ratio — the standard cheap pre-filters for a training corpus
+    (C4/Gopher-style rules), all as codegen expressions."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.length("text") > 0)
+    words = F.split(F.col("text"), " ")
+    lower_words = F.split(F.lower(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.round(_hits(lower_words, "en").cast("double") / F.size(words), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z ]", "")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("symbol_ratio"),
+        F.when(F.size(words).between(20, 1000), F.lit(1)).otherwise(F.lit(0)).alias(
+            "length_ok"
+        ),
+    )
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ({_sql_list(_STOP['en'])}))) AS en_hits,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ({_sql_list(_STOP['de'])}))) AS de_hits,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ({_sql_list(_STOP['fr'])}))) AS fr_hits,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ({_sql_list(_STOP['es'])}))) AS es_hits
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+                  AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+             WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+             WHEN es_hits > 0 THEN 'es'
+             ELSE 'unknown'
+           END AS pred_lang
+    FROM scored
+    """,
+    tags=("text", "lang-id"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hit counts
+    with a deterministic tie order (en > de > fr > es > unknown)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.lower(F.col("text")), " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        _hits(words, "en").alias("en_hits"),
+        _hits(words, "de").alias("de_hits"),
+        _hits(words, "fr").alias("fr_hits"),
+        _hits(words, "es").alias("es_hits"),
+    )
+    en, de, fr, es = (F.col(c) for c in ("en_hits", "de_hits", "fr_hits", "es_hits"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "dedup", "exact"),
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on the content fingerprint,
+    keep the lowest doc_id per group (deterministic keeper policy).
+
+    Scale: grouping on the 16-byte md5 instead of the document body means
+    the shuffle carries digests, not 100 TB of text.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "doc_near_dup_jaccard",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM docs
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON p.doc_a = ca.doc_id
+    JOIN cnt cb ON p.doc_b = cb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= 0.1
+    """,
+    tags=("text", "dedup", "near-dup", "jaccard"),
+)
+def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection via word-3-gram shingle Jaccard.
+
+    Exact candidate generation: explode distinct shingles, self-join on
+    the shingle, Jaccard = |∩| / (|A| + |B| − |∩|), threshold 0.1.
+
+    Scale: this exact form is the verifier; at 100 TB the shingle
+    self-join explodes on hot shingles, so the production path is
+    MinHash+LSH banding (``operators/dedup.py``) which only pairs
+    documents sharing an LSH band bucket. Kept here because it is the
+    ground truth the probabilistic path is measured against.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    docs = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    jac = F.col("inter").cast("double") / (F.col("ca") + F.col("cb") - F.col("inter"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

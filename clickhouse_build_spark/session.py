@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for both local testing and 100 TB clusters.
+
+The reference delegates physical execution to Postgres/ClickHouse; here
+Catalyst/Tungsten play that role. This module owns the engine-wide
+configuration policy (SURVEY.md §4 "100 TB hygiene"): AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), broadcast joins
+for bounded dimensions, Arrow for any pandas exchange, and shuffle
+partition counts sized to the deployment rather than Spark's default 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configuration applied at every scale. These are the knobs that make the
+# same declarative plan survive a 1000-executor, 100 TB deployment:
+# - AQE re-plans shuffles at runtime (coalesces small partitions, splits
+#   skewed ones, demotes sort-merge joins to broadcast when a side turns
+#   out small).
+# - maxPartitionBytes keeps scan tasks ~128 MB so a 100 TB table fans out
+#   to ~800k tasks instead of a few giant ones.
+# - Arrow makes the (rare) pandas-UDF path batch-columnar instead of
+#   row-pickled.
+_ENGINE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Driver-side result cap: the engine never collect()s large results in
+    # operators, but protect the driver anyway.
+    "spark.driver.maxResultSize": "4g",
+}
+
+
+def get_spark(
+    app_name: str = "clickhouse_build_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be ~2-3x total executor cores; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]`` and one shuffle partition per
+    core so tiny test data doesn't pay 200-task overheads.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(_ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
