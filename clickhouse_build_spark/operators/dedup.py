@@ -1,0 +1,292 @@
+"""Fuzzy-deduplication operators: MinHash+LSH, SimHash, winnowing.
+
+The reference's migration surface has only exact-row semantics (CDC
+latest-per-key, ``src/tools/data_migrator.py:10-21``); near-duplicate
+document detection is driver-mandated extension surface for the
+training-data pipeline. The exact n-gram-Jaccard verifier lives in
+``plans/textops.py``; these are the scale paths that avoid its
+all-pairs shingle join.
+
+All hashing uses a **portable 32-bit hash** — the first 8 hex chars of
+md5 parsed as an integer — so every operator here is bit-for-bit
+reproducible in ANSI SQL (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``)
+and the driver's oracle gate can hash-match the *probabilistic*
+operators exactly, not just statistically.
+
+Scale design (100 TB rules):
+
+- MinHash: one shuffle to group shingles per doc (carrying 8-byte
+  hashes, never text), one to band; candidate pairs only form inside an
+  LSH band bucket, so work is proportional to collisions, not n².
+- SimHash: banded by pigeonhole — two 32-bit signatures within hamming
+  distance d share at least one of b contiguous bands when d < b, so
+  the candidate join is an equi-join on (band_idx, band_bits).
+- Winnowing: per-document only (no shuffle at all until the caller
+  groups fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- hashing
+
+
+def portable_hash(col: Column, seed: int | str) -> Column:
+    """32-bit hash reproducible across Spark and DuckDB/ANSI SQL:
+    ``int(md5(seed ':' x)[:8], 16)``. Murmur (``F.hash``) would be
+    faster but is engine-specific, which would make every probabilistic
+    operator un-oracle-checkable."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def portable_hash_sql(expr: str, seed: int | str) -> str:
+    """The DuckDB-side twin of :func:`portable_hash` (for oracle SQL)."""
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    The explode fans out ~|tokens| rows per doc but carries only the
+    shingle string briefly; every downstream op hashes it immediately.
+    """
+    words = F.split(F.col(text_col), " ")
+    return (
+        df.select(id_col, words.alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, n)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_perm: int = 16
+) -> DataFrame:
+    """(id, shingle) → (id, sig: array<long>[num_perm]).
+
+    One permutation per seed: ``sig[i] = min over shingles of
+    hash_i(shingle)``. A single groupBy computes all components —
+    map-side partial min keeps the shuffle at num_perm longs per doc.
+    """
+    aggs = [
+        F.min(portable_hash(F.col("shingle"), s)).alias(f"__h{s}")
+        for s in range(num_perm)
+    ]
+    sig = shingles.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"__h{s}" for s in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair → (id_a, id_b, est_jaccard).
+
+    est_jaccard is the fraction of agreeing signature components — the
+    unbiased MinHash estimate of true Jaccard. Candidates form via an
+    equi-join on (band_idx, band_key): only same-bucket docs ever meet,
+    which is the whole point at 100 TB.
+    """
+    num_perm = bands * rows_per_band
+    band_keys = [
+        F.concat_ws(
+            "-",
+            *[
+                F.element_at("sig", j * rows_per_band + i + 1).cast("string")
+                for i in range(rows_per_band)
+            ],
+        )
+        for j in range(bands)
+    ]
+    banded = signatures.select(
+        id_col, "sig", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(matches.cast("double") / num_perm, 4).alias("est_jaccard"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pairs: shingle → minhash →
+    band → bucket-join → estimate → threshold."""
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    sig = minhash_signatures(sh, id_col, num_perm=bands * rows_per_band)
+    return lsh_candidate_pairs(sig, id_col, bands, rows_per_band).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """32-bit SimHash per document → (id, simhash).
+
+    Classic Charikar construction over the distinct word-n-gram shingle
+    set: each feature votes +1/−1 on every bit of its hash; bit j of
+    the signature is 1 iff the vote sum is positive. Features are
+    shingles, not unigrams — unigram token sets overlap so heavily
+    across ordinary same-language documents that unigram SimHashes
+    cluster within a few bits of each other and the hamming threshold
+    stops meaning "near-duplicate". All codegen — the per-bit vote is
+    ``(hash >> j) & 1`` arithmetic, aggregated with map-side partial
+    sums (``bits`` longs per doc on the shuffle).
+    """
+    tokens = word_shingles(df, id_col, text_col, n=shingle_n).withColumn(
+        "__h", portable_hash(F.col("shingle"), "sim")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(bits)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"__v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+    bands: int = 8,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance → (id_a, id_b, hamming).
+
+    Banded exact search: with ``bands`` contiguous bit-bands, any two
+    signatures within hamming distance < bands must agree on at least
+    one whole band (pigeonhole), so candidates come from an equi-join
+    on (band_idx, band_bits) and the exact hamming filter runs only on
+    collisions. Result is EXACT for ``max_hamming < bands`` — identical
+    to the all-pairs O(n²) scan, without performing it.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded search is only exact for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_vals = [
+        F.shiftright("simhash", j * band_bits).bitwiseAND(F.lit(mask))
+        for j in range(bands)
+    ]
+    banded = sig_df.select(
+        id_col, "simhash", F.posexplode(F.array(*band_vals)).alias("band", "key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hd.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# -------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken) →
+    (id, fingerprint).
+
+    Rolling k-gram hashes; from every window of ``w`` consecutive gram
+    hashes keep the minimum; distinct mins are the document's
+    fingerprint set. Entirely per-row array math (no shuffle) — the
+    caller groups by fingerprint to find sharing documents.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - (k - 1)),
+        lambda i: portable_hash(F.concat_ws(" ", F.slice(F.col("__w"), i, k)), "win"),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__g") - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("__g"), j, w)),
+        )
+    )
+    return (
+        df.select(id_col, words.alias("__w"))
+        .filter(F.size("__w") >= k + w - 1)
+        .select(id_col, grams.alias("__g"))
+        .select(id_col, F.explode(fps).alias("fingerprint"))
+    )

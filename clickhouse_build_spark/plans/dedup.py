@@ -1,0 +1,236 @@
+"""Registered fuzzy-dedup queries over ``documents`` (driver-mandated
+extension surface) — the ``operators/dedup.py`` scale paths wired to
+exact DuckDB oracles.
+
+Because every operator hashes with the portable md5-based 32-bit hash,
+the *probabilistic* structures (MinHash signatures, SimHash bits, LSH
+bands) are bit-identical in ANSI SQL — so the oracle gate checks them
+exactly rather than statistically. The oracle SQL below is generated
+from the same (seeds, bands, thresholds) constants the Spark builders
+use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    portable_hash_sql,
+    simhash,
+    simhash_dup_pairs,
+    winnow_fingerprints,
+)
+from clickhouse_build_spark.plans.registry import query
+
+# Shared constants — Spark builders and oracle SQL must agree.
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+MINHASH_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 5
+SIMHASH_BANDS = 8
+WINNOW_K = 3
+WINNOW_W = 4
+
+# ------------------------------------------------------- oracle generators
+
+_SHINGLES_CTE = """
+    docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM docs
+    )"""
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"min({portable_hash_sql('shingle', s)}) AS h{s}" for s in range(NUM_PERM)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {j} AS band, {key} AS key FROM sig".format(
+            j=j,
+            key=" || '-' || ".join(
+                f"h{j * ROWS_PER_BAND + i}::VARCHAR" for i in range(ROWS_PER_BAND)
+            ),
+        )
+        for j in range(BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY 1
+    ),
+    banded AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(({matches}) / {NUM_PERM}.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig s1 ON c.doc_a = s1.doc_id
+    JOIN sig s2 ON c.doc_b = s2.doc_id
+    WHERE ({matches}) / {NUM_PERM}.0 >= {MINHASH_THRESHOLD}
+    """
+
+
+_SIMHASH_CTE = """
+    sdocs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS tok
+      FROM sdocs
+    ),
+    th AS (
+      SELECT doc_id, {h} AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM th GROUP BY 1
+    ),
+    sim AS (
+      SELECT doc_id, ({bits})::BIGINT AS simhash FROM votes
+    )""".format(
+    h=portable_hash_sql("tok", "sim"),
+    votes=",\n             ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    ),
+    bits=" + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    ),
+)
+
+
+# ------------------------------------------------------------- the queries
+
+
+@query(
+    "doc_minhash_lsh_dedup",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh", "near-dup"),
+)
+def doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: 3-word shingles → 16-perm
+    MinHash → 4 bands × 4 rows → bucket-join → est_jaccard ≥ 0.5.
+
+    The LSH band threshold (1/b)^(1/r) ≈ 0.71 targets the corpus's
+    planted ≥0.9-Jaccard duplicates; candidates only form inside a band
+    bucket, so the join never goes all-pairs (the exact verifier for
+    this query is ``doc_near_dup_jaccard``).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        bands=BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=MINHASH_THRESHOLD,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "est_jaccard",
+    )
+
+
+@query(
+    "doc_simhash",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
+    tags=("dedup", "simhash", "fingerprint"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signature (Charikar) over 3-word
+    shingle features: every distinct shingle votes ±1 on each bit of
+    its hash; the sign vector is the signature. Near-identical
+    documents land within a few bits."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return simhash(docs, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+@query(
+    "doc_simhash_dup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    tags=("dedup", "simhash", "near-dup"),
+)
+def doc_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ 5 via banded exact search
+    (8 bands of 4 bits; pigeonhole guarantees recall for hamming < 8).
+
+    The oracle runs the brute-force all-pairs scan — the Spark side must
+    produce the identical pair set from band-bucket candidates only.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sig = simhash(docs, "doc_id", "text", bits=SIMHASH_BITS)
+    pairs = simhash_dup_pairs(
+        sig,
+        "doc_id",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bands=SIMHASH_BANDS,
+        bits=SIMHASH_BITS,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 1),
+                            i -> {portable_hash_sql("array_to_string(w[i:i+2], ' ')", "win")}) AS h
+      FROM docs
+    )
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(h) - 2),
+                                 j -> list_min(h[j:j+3]))) AS fingerprint
+    FROM g
+    """,
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=3-gram hashes, window w=4): the
+    standard plagiarism/near-dup fingerprint set — position-robust,
+    O(doc) per document with no shuffle; group by fingerprint to find
+    sharing docs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return winnow_fingerprints(docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)

@@ -1,0 +1,103 @@
+"""Unit tests for operators/dedup.py on tiny in-memory corpora —
+the oracle equivalence tests live in test_oracle.py (registry)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash,
+    simhash_dup_pairs,
+    winnow_fingerprints,
+    word_shingles,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog and runs far away home "
+    "while the cat sleeps on the warm mat near the door"
+)
+DOC_EDITED = DOC.replace("runs far away home", "runs very far away")
+DOC_OTHER = (
+    "completely different text about spark engines and columnar storage "
+    "formats with adaptive query execution and shuffle partitioning maybe"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, DOC), (3, DOC_EDITED), (4, DOC_OTHER)],
+        ["doc_id", "text"],
+    )
+
+
+def test_word_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r.shingle for r in word_shingles(df, "doc_id", "text", n=3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_minhash_finds_exact_and_near_dups(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text").collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs agree on every component
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # small edit stays a dup
+    assert not any(4 in p for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_simhash_identical_docs_equal_unrelated_far(corpus):
+    sig = {r.doc_id: r.simhash for r in simhash(corpus, "doc_id", "text").collect()}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < 2**32
+    ham14 = bin(sig[1] ^ sig[4]).count("1")
+    assert ham14 > 5  # unrelated docs must not look like near-dups
+
+
+def test_simhash_banded_matches_brute_force(spark):
+    # 40 synthetic docs; banded candidate search must reproduce the
+    # all-pairs result exactly for max_hamming < bands.
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = simhash(df, "doc_id", "text").cache()
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dup_pairs(sig, "doc_id", max_hamming=5, bands=8).collect()
+    }
+    a, b = sig.alias("a"), sig.alias("b")
+    hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hd.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 5)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_banded_rejects_unsound_threshold(corpus):
+    sig = simhash(corpus, "doc_id", "text")
+    with pytest.raises(ValueError):
+        simhash_dup_pairs(sig, "doc_id", max_hamming=8, bands=8)
+
+
+def test_winnow_fingerprints_overlap_tracks_similarity(corpus):
+    fps = winnow_fingerprints(corpus, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] == by_doc[2]  # identical text → identical fingerprint set
+    near = len(by_doc[1] & by_doc[3]) / len(by_doc[1] | by_doc[3])
+    far = len(by_doc[1] & by_doc[4]) / len(by_doc[1] | by_doc[4])
+    assert near > 0.4
+    assert far == 0.0
