@@ -1,0 +1,181 @@
+"""Similarity-search operators: exact cosine + two bucketed ANN paths.
+
+Driver-mandated extension surface (the reference has no vector ops).
+The exact brute-force top-k baseline lives in ``plans/similarity.py``;
+these are the scale structures:
+
+- **Random-hyperplane LSH**: an ``nbits``-bit signature per vector
+  (bit i = sign of ⟨v, r_i⟩); candidates for a query are vectors whose
+  signature is within a hamming radius (multi-probe). Candidate count
+  shrinks ~2^nbits-fold, and the candidate filter is an integer
+  hamming test — no vector math until the final exact re-rank.
+- **IVF-Flat**: coarse-quantize every vector to its nearest centroid
+  (the inverted file); a query probes only the ``nprobe`` nearest
+  cells and re-ranks exactly inside them. Centroids here come from a
+  deterministic sample of the corpus itself (k-means would be the
+  production trainer; sampling keeps the structure reproducible and
+  oracle-checkable without an iterative fit).
+
+Hyperplanes are deterministic md5-derived literals, so both structures
+are bit-reproducible in ANSI SQL and the driver's DuckDB gate checks
+the ANN results exactly — mechanism and all — not just statistically.
+
+100 TB notes: signatures/cell-ids are computed in one map-only pass
+(no shuffle); the candidate filter broadcasts only the query's
+signature/cell ranking; the exact re-rank touches candidates, never
+the corpus. Centroid training on real data would sample ≤1e6 vectors
+to the driver — never the full corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ vector math
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ via zip_with + aggregate — sequential left-to-right sum,
+    matching the oracle's list_dot_product evaluation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# -------------------------------------------------- random-hyperplane LSH
+
+
+def random_hyperplanes(dim: int, nbits: int, precision: int = 6) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    Component (i, j) derives from md5("hp:i:j") — no RNG state, so the
+    same literals embed in the Spark plan and the oracle SQL.
+    """
+    planes = []
+    for i in range(nbits):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"hp:{i}:{j}".encode()).hexdigest()[:8], 16)
+            row.append(round((h / 2**32) * 2.0 - 1.0, precision))
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(
+    vec: Column, hyperplanes: list[list[float]]
+) -> Column:
+    """nbits-bit LSH signature of a double-array column: bit i is set
+    iff ⟨v, r_i⟩ > 0. Pure codegen arithmetic, one pass per vector."""
+    sig = None
+    for i, plane in enumerate(hyperplanes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, lit_plane) > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    k: int = 10,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k: signature hamming prefilter, then exact cosine
+    re-rank of the surviving candidates.
+
+    ``query`` is a one-row frame with column ``qe`` (the query vector);
+    it broadcasts. The corpus-side work is an integer popcount per
+    vector; only candidates inside the hamming radius pay for the
+    exact cosine.
+    """
+    sig = vectors.withColumn("__sig", lsh_signature(F.col(vec_col), hyperplanes))
+    q = query.withColumn("__qsig", lsh_signature(F.col("qe"), hyperplanes))
+    hd = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__qsig")))
+    return (
+        sig.crossJoin(F.broadcast(q))
+        .withColumn("__hd", hd)
+        .filter(F.col("__hd") <= max_hamming)
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("qe")), 4).alias("cos_sim"),
+            F.col("__hd").alias("sig_hamming"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- IVF-Flat
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Coarse quantization: each vector joins its nearest centroid
+    (max cosine, centroid id as tiebreak) → adds a ``cell`` column.
+
+    Centroids broadcast (they are small by construction); the argmin
+    is a window over the |centroids| candidate rows per vector, so the
+    cost is one map-side pass — no corpus shuffle.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__cdist", cosine(F.col(vec_col), F.col("ce"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cdist"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cdist", "ce")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF search: rank cells by centroid↔query cosine, probe the top
+    ``nprobe`` cells, exact top-k inside them.
+
+    The probed-cell list is tiny and broadcasts as a semi-join filter;
+    with the inverted file partitioned by ``cell`` on disk, the scan
+    prunes to the probed partitions and never touches the rest."""
+    probe = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cell", cosine(F.col("ce"), F.col("qe")).alias("__d"))
+        .orderBy(F.desc("__d"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cell")
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            "cell",
+            F.round(cosine(F.col(vec_col), F.col("qe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,36 +1,65 @@
 """Similarity-search queries over ``embeddings`` (driver-mandated
-extension surface: brute-force cosine top-k baseline + label centroids).
+extension surface): brute-force cosine top-k baseline, label centroids,
+all-pairs near-dup, and the two bucketed ANN paths from
+``operators/similarity.py`` (random-hyperplane LSH and IVF-Flat) wired
+to exact DuckDB oracles.
 
-The scale path (LSH-bucketed ANN) lives in ``operators/similarity.py``;
-these exact queries are its ground truth. All vector math uses built-in
-higher-order functions (``zip_with`` + ``aggregate``) on double-cast
-arrays — JVM-side, no Python.
+All vector math uses built-in higher-order functions (``zip_with`` +
+``aggregate``) on double-cast arrays — JVM-side, no Python. The ANN
+structures hash with deterministic md5-derived hyperplanes / sampled
+centroids, so the oracle checks the approximate indexes *exactly*.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.operators.similarity import (
+    cosine,
+    dot,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+    random_hyperplanes,
+)
 from clickhouse_build_spark.plans.registry import query
 
 QUERY_VEC_ID = 0
 TOP_K = 10
+DIM = 64
+NEAR_DUP_COS = 0.4
+LSH_NBITS = 8
+LSH_MAX_HAMMING = 2
+IVF_CENTROID_STRIDE = 50  # vec_id % stride == 0 → sampled centroid
+IVF_NPROBE = 3
+
+HYPERPLANES = random_hyperplanes(DIM, LSH_NBITS)
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢbᵢ via zip_with + aggregate — sequential left-to-right sum,
-    matching the oracle's list_dot_product evaluation order."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _sig_sql(vec_expr: str) -> str:
+    """nbits-bit LSH signature as a SQL expression (literal hyperplanes)."""
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN list_dot_product({vec_expr}, {_plane_sql(p)}) > 0 "
+            f"THEN {2**i} ELSE 0 END"
+            for i, p in enumerate(HYPERPLANES)
+        )
+        + ")::BIGINT"
+    )
 
 
 @query(
@@ -113,3 +142,139 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `+ 0` normalizes IEEE negative zero so both engines emit +0.0
         .agg((F.round(F.avg("col"), 4) + F.lit(0)).alias("centroid_val"))
     )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+@query(
+    "emb_near_dup_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_cos_sql('a.e', 'b.e')}, 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.e', 'b.e')} >= {NEAR_DUP_COS}
+    """,
+    tags=("similarity", "near-dup", "cosine"),
+)
+def emb_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) — the exact
+    all-pairs verifier for embedding-space dedup.
+
+    Scale: this exact form is the ground truth; at corpus scale the
+    pair join goes through the LSH signature prefilter
+    (``operators/similarity.py``) — two vectors at cos ≥ 0.9 agree on
+    most hyperplane signs, so same-bucket candidates capture them
+    without the n² join.
+    """
+    v = _vectors(spark, sf_dir)
+    a, b = v.alias("a"), v.alias("b")
+    cs = cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cs >= NEAR_DUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cs, 4).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "emb_ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, e, {_sig_sql('e')} AS s FROM v
+    ),
+    q AS (
+      SELECT e AS qe, {_sig_sql('e')} AS qs FROM v WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT vec_id,
+           round({_cos_sql('e', 'qe')}, 4) AS cos_sim,
+           bit_count(xor(s, qs)) AS sig_hamming
+    FROM sig, q
+    WHERE vec_id <> {QUERY_VEC_ID} AND bit_count(xor(s, qs)) <= {LSH_MAX_HAMMING}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: 8-bit signatures, probe
+    hamming radius ≤ 2, exact cosine re-rank of the candidates.
+
+    Scale: the corpus-side filter is an integer popcount per vector
+    (signatures precomputable at ingest and storable as a column); the
+    exact cosine runs only on the ~(probed/2^nbits) surviving fraction.
+    The oracle recomputes the identical index in SQL — the approximate
+    structure itself is checked, not just sampled.
+    """
+    v = _vectors(spark, sf_dir)
+    corpus = v.filter(F.col("vec_id") != QUERY_VEC_ID)
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    return lsh_topk(
+        corpus, q, HYPERPLANES, k=TOP_K, max_hamming=LSH_MAX_HAMMING
+    )
+
+
+@query(
+    "emb_ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ),
+    q AS (
+      SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, c.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_cos_sql('v.e', 'c.ce')} DESC, c.cell
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cell FROM c, q
+      ORDER BY {_cos_sql('ce', 'qe')} DESC, cell
+      LIMIT {IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.cell, round({_cos_sql('a.e', 'qe')}, 4) AS cos_sim
+    FROM assigned a JOIN probe USING (cell), q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF-Flat: deterministic sampled centroids
+    (vec_id % 50 == 0), nearest-centroid cell assignment, probe the 3
+    nearest cells, exact top-k inside them.
+
+    Scale: centroid count grows with the sample stride, not the corpus;
+    assignment is one broadcast-join pass; with the inverted file
+    partitioned by cell on disk the probe prunes to nprobe partitions.
+    """
+    v = _vectors(spark, sf_dir)
+    centroids = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell"), F.col("e").alias("ce")
+    )
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    assigned = ivf_assign(v.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
+    return ivf_topk(assigned, centroids, q, k=TOP_K, nprobe=IVF_NPROBE)

