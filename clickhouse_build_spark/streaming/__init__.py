@@ -1,0 +1,30 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference's only streaming semantics are the CDC replication modes
+(snapshot / cdc / cdc_only, ``src/tools/data_migrator.py:10-21``) —
+ClickPipes handles the change feed opaquely. Here the live path is
+real: file-source ``readStream`` → event-time windows with watermarks →
+sinks, plus a ``foreachBatch`` loop that drives the same
+``Replicator`` merge used by batch CDC (continuous sync, C2), and an
+``applyInPandasWithState`` custom stateful operator.
+"""
+
+from clickhouse_build_spark.streaming.pipeline import (
+    cdc_stream_writer,
+    read_event_stream,
+    running_user_totals,
+    session_aggregates,
+    sliding_counts,
+    stage_event_chunks,
+    tumbling_counts,
+)
+
+__all__ = [
+    "cdc_stream_writer",
+    "read_event_stream",
+    "running_user_totals",
+    "session_aggregates",
+    "sliding_counts",
+    "stage_event_chunks",
+    "tumbling_counts",
+]
