@@ -1,0 +1,216 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (driver-mandated extension surface — the
+reference has no media path at all).
+
+The Spark-side plumbing is real and tested: schemas, partitioning,
+Arrow-batched ``mapInPandas`` signatures, one-row→many-rows frame
+fan-out. The *codec* step is NOT real — this container ships no
+image/audio libraries — so decoding is stubbed two ways, explicitly:
+
+- :func:`decode_media_real` raises ``NotImplementedError`` unless a
+  real codec (PIL) is importable — the clearly-marked seam where
+  production decode plugs in;
+- ``fake=True`` paths derive deterministic pseudo-features from the
+  payload bytes (md5 arithmetic), so every pipeline stage downstream
+  of decode is exercised end-to-end with stable expected values.
+
+100 TB notes: payloads dominate row size, so batches are bounded with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py's
+conf policy, tunable per pipeline); frame fan-out multiplies rows, so
+it repartitions afterwards; feature extraction projects payload-free
+columns as early as possible — never carry binaries through a shuffle
+you don't have to.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real codec seam — absent in this container, present in production
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+# ------------------------------------------------------------------ schema
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def _det_bytes(seed: str, n: int) -> bytes:
+    """Deterministic pseudo-payload: an md5 chain, n bytes."""
+    out = b""
+    block = seed.encode()
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out += block
+    return out[:n]
+
+
+def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA — the test
+    stand-in for an ingested media corpus (payload bytes are md5
+    chains, sized per kind)."""
+    kinds = ("image", "audio", "video")
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        size = {"image": 4096, "audio": 8192, "video": 16384}[kind]
+        meta = {
+            "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+            "width": 64 + (i % 4) * 32 if kind != "audio" else None,
+            "height": 48 + (i % 3) * 16 if kind != "audio" else None,
+            "duration_ms": 1000 * (1 + i % 5) if kind != "image" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+        }
+        rows.append((i, kind, _det_bytes(f"media:{i}", size), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------- decoding
+
+
+def decode_media_real(payload: bytes, fmt: str):
+    """The REAL decode seam. Raises unless a codec library is present —
+    production drops PIL/torchaudio/pyav in here; nothing else in the
+    pipeline changes."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "no codec libraries in this environment — real decode is "
+            "stubbed; use the deterministic fake path (fake=True)"
+        )
+    raise NotImplementedError("real codec wiring is production-only")
+
+
+def _fake_luma(payload: bytes) -> float:
+    # mean of the first 256 payload bytes — a deterministic "pixel mean"
+    head = payload[:256]
+    return round(sum(head) / len(head), 4)
+
+
+def _fake_phash(payload: bytes) -> int:
+    return int(hashlib.md5(payload).hexdigest()[:16], 16) >> 1  # fits signed 64
+
+
+def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Image → feature rows via Arrow-batched ``mapInPandas``.
+
+    Plumbing under test: kind pruning *before* the Python stage, binary
+    round-trip through Arrow, stable output schema, payload dropped on
+    output (features only cross the next shuffle).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_media_real(b"", "")  # raises: marked production seam
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                    "mean_luma": pdf["payload"].map(_fake_luma),
+                    "phash": pdf["payload"].map(_fake_phash),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        kernel, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Image resize: payload → new payload + updated meta, same schema
+    in and out (a transform stage, chainable). The fake path re-derives
+    a deterministic payload keyed by (old payload, target size)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_media_real(b"", "")
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(
+                lambda p: _det_bytes(
+                    f"resize:{hashlib.md5(p).hexdigest()}:{width}x{height}",
+                    width * height // 4,
+                )
+            )
+            out["meta"] = pdf["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield out
+
+    images = media.filter(F.col("kind") == "image")
+    return images.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500, fake: bool = True) -> DataFrame:
+    """Video frame sampling: one row in → ``duration/every_ms`` frame
+    rows out (the row-explosion shape of real frame extraction).
+
+    Scale: fan-out multiplies row count, so callers repartition after
+    this stage; frame payloads derive from (video payload, frame_ms) so
+    the fake is stable across retries/speculative tasks.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_media_real(b"", "")
+            rows = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_payload": []}
+            for _, r in pdf.iterrows():
+                duration = r["meta"]["duration_ms"] or 0
+                digest = hashlib.md5(r["payload"]).hexdigest()
+                for idx, ms in enumerate(range(0, duration, every_ms)):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ms"].append(ms)
+                    rows["frame_payload"].append(
+                        _det_bytes(f"frame:{digest}:{ms}", 1024)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)

@@ -15,5 +15,6 @@ from clickhouse_build_spark.plans import events  # noqa: E402,F401
 from clickhouse_build_spark.plans import textops  # noqa: E402,F401
 from clickhouse_build_spark.plans import similarity  # noqa: E402,F401
 from clickhouse_build_spark.plans import dedup  # noqa: E402,F401
+from clickhouse_build_spark.plans import multimodal  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
