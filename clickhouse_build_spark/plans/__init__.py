@@ -10,6 +10,7 @@ from clickhouse_build_spark.plans.registry import REGISTRY, QuerySpec, query
 # Import for registration side effects — each module adds its QuerySpecs.
 from clickhouse_build_spark.plans import parity  # noqa: E402,F401
 from clickhouse_build_spark.plans import relational  # noqa: E402,F401
+from clickhouse_build_spark.plans import tpch_extra  # noqa: E402,F401
 from clickhouse_build_spark.plans import windows  # noqa: E402,F401
 from clickhouse_build_spark.plans import events  # noqa: E402,F401
 from clickhouse_build_spark.plans import textops  # noqa: E402,F401

@@ -1,0 +1,375 @@
+"""Wider TPC-H-shaped relational coverage (SURVEY §2.3/§2.4 stretch,
+§7.2 phase 4): the operator shapes the first relational set doesn't
+exercise — two-sided dimension joins, correlated scalar subqueries,
+conditional (CASE) aggregation, IN-over-grouped-HAVING, INTERSECT,
+CUBE, and anti-join + scalar-subquery composition.
+
+Classic TPC-H q2/q4/q12/q19 need columns the driver's reduced star
+schema doesn't carry (partsupp, l_commitdate, l_shipmode, containers);
+each query here keeps the *plan shape* of its namesake on the columns
+that exist. Every oracle is plain ANSI SQL so DuckDB hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.functions.dialect import round2
+from clickhouse_build_spark.plans.registry import query
+
+def _rev():
+    # built lazily — classic PySpark Column construction needs a live
+    # SparkContext, which doesn't exist at import time
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q7_nation_trade_flows",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("relational", "tpch", "multi-join"),
+)
+def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under
+    different roles (supplier side vs customer side) — alias-disciplined
+    self-reference plus a 6-way join and year extraction.
+
+    Scale: both nation joins broadcast (25 rows at any SF); the
+    fact-side work is one shuffle on l_orderkey for the orders join.
+    """
+    t = load_tables(spark, sf_dir)
+    sn = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    cn = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        li.join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(sn, F.col("sn_key") == F.col("s_nationkey"))
+        .join(cn, F.col("cn_key") == F.col("c_nationkey"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(round2(F.sum(_rev())).alias("revenue"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(l_shipdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "tpch", "multi-join", "like"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year with a LIKE
+    part filter (supply cost approximated as 0.6·retailprice — the
+    reduced schema has no partsupp).
+
+    Scale: the LIKE filter prunes part before the join; AQE broadcasts
+    the filtered part side when it fits.
+    """
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").like("%widget%"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(round2(F.sum(profit)).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "tpch", "top-k"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking — 4-way join,
+    grouped agg, deterministic top-20 (revenue desc, custkey tiebreak,
+    SURVEY §7.4 #5)."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    return (
+        t["customer"]
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round2(F.sum(_rev())).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_shipping_caseagg",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch", "case-agg"),
+)
+def q12_priority_shipping_caseagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE) aggregation splitting one
+    pass into two counters — no second scan, no self-join."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.trunc("l_shipdate", "month").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-09-01'
+    """,
+    tags=("relational", "tpch", "case-agg", "global-agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage — ratio of two
+    conditional sums in a single global aggregate."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-09-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    return (
+        li.join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .agg(F.round(100.0 * promo / F.sum(rev), 4).alias("promo_share_pct"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    tags=("relational", "tpch", "correlated-subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + re-join — the plan
+    Catalyst produces for the SQL form, written explicitly.
+
+    Scale: the per-part avg is a partial-agg shuffle on l_partkey; the
+    re-join reuses that partitioning, and the brand filter broadcasts.
+    """
+    t = load_tables(spark, sf_dir)
+    brand_parts = F.broadcast(
+        t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    li = t["lineitem"]
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(brand_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(round2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180
+    )
+    GROUP BY 1, 2, 3, 4
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    tags=("relational", "tpch", "in-subquery", "having"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery → semi join
+    against the aggregated key set, then the detail re-aggregation."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 180)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(big, F.col("big_key") == F.col("o_orderkey"), "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(round2(F.sum("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch", "scalar-subquery", "anti-join"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average as
+    a filter bound) composed with NOT EXISTS (anti join).
+
+    Scale: the scalar average is a one-row broadcast, not a collect —
+    the cross join keeps the plan fully distributed/lazy.
+    """
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            round2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "returned_and_urgent_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    """,
+    tags=("relational", "set-op", "intersect"),
+)
+def returned_and_urgent_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set-op surface beyond UNION ALL, SURVEY §2.7):
+    customers with an urgent order AND a returned item."""
+    t = load_tables(spark, sf_dir)
+    urgent = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+    returned = (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey")
+    )
+    return urgent.intersect(returned)
+
+
+@query(
+    "status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "cube"),
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations in one pass (the ROLLUP
+    twin already registered exercises the hierarchy form)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), round2(F.sum("o_totalprice")).alias("total")
+    )
