@@ -107,7 +107,11 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
             "sample_rate": 16000 if kind == "audio" else None,
         }
         rows.append((i, kind, _det_bytes(f"media:{i}", size), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # Few partitions for a tiny corpus: a mapInPandas stage pays one
+    # Python-worker spin-up per partition, so defaulting to the session
+    # parallelism (32) costs ~30 s of pure worker startup for 24 rows.
+    # Real media arrives from parquet with data-sized partitioning.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 # --------------------------------------------------------------- decoding
