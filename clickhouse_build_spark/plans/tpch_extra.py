@@ -373,3 +373,52 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("cnt"), round2(F.sum("o_totalprice")).alias("total")
     )
+
+
+@query(
+    "price_percentiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("relational", "percentile"),
+)
+def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark's
+    ``percentile`` ≡ DuckDB's ``quantile_cont``, so this is
+    hash-matchable unlike the approx sketch variants.
+
+    Scale: exact percentile sorts each group's values; for 100 TB the
+    approx sketch (``approx_distinct_and_percentiles`` below) is the
+    right default and this the verifier."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        round2(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
+        round2(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
+        round2(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99"),
+    )
+
+
+@query(
+    "approx_distinct_and_percentiles",
+    oracle=None,  # sketch outputs are implementation-defined (HLL++ /
+    # KLL digests differ across engines); the exact twins above are the
+    # oracle-checked verifiers, this gets the rows-only check
+    tags=("relational", "approx", "sketch"),
+)
+def approx_distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB defaults: HLL++ distinct count
+    and KLL-style approximate percentile, fixed memory per group
+    regardless of cardinality (exact countDistinct shuffles every
+    distinct value; exact percentile sorts the group)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+    )
