@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_build_spark.catalog import load_tables
 from clickhouse_build_spark.operators.dedup import (
+    minhash_component_sql,
     minhash_lsh_pairs,
     portable_hash_sql,
     simhash,
@@ -54,7 +55,7 @@ _SHINGLES_CTE = """
 
 def _minhash_oracle() -> str:
     mins = ",\n             ".join(
-        f"min({portable_hash_sql('shingle', s)}) AS h{s}" for s in range(NUM_PERM)
+        f"min({minhash_component_sql('shingle', s)}) AS h{s}" for s in range(NUM_PERM)
     )
     bands = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {j} AS band, {key} AS key FROM sig".format(

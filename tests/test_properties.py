@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the cross-engine foundations:
+the portable hash family must agree between Spark and DuckDB on
+arbitrary input — it is the load-bearing trick that lets the oracle
+gate check probabilistic operators exactly — and the skew helpers must
+be result-transparent."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.operators.dedup import (
+    minhash_component,
+    minhash_component_sql,
+    portable_hash,
+    portable_hash_sql,
+)
+from clickhouse_build_spark.operators.skew import salted_group_count, salted_join
+
+# Text without NULs (parquet/duckdb varchar cannot carry \x00) and
+# without surrogates; single quotes excluded because the SQL twin
+# inlines literals in these tests (the engine binds them as columns).
+TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00'"
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(TEXT, min_size=1, max_size=24, unique=True))
+def test_portable_hash_agrees_with_duckdb(spark, con, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = {
+        r.s: (r.h, r.m0, r.m3)
+        for r in df.select(
+            "s",
+            portable_hash(F.col("s"), 7).alias("h"),
+            minhash_component(F.col("s"), 0).alias("m0"),
+            minhash_component(F.col("s"), 3).alias("m3"),
+        ).collect()
+    }
+    for t in texts:
+        lit = "'" + t.replace("'", "''") + "'"
+        sql = (
+            f"SELECT {portable_hash_sql(lit, 7)}, "
+            f"{minhash_component_sql(lit, 0)}, {minhash_component_sql(lit, 3)}"
+        )
+        assert got[t] == con.execute(sql).fetchone(), repr(t)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    hot_n=st.integers(min_value=50, max_value=300),
+    n_keys=st.integers(min_value=2, max_value=10),
+    n_salts=st.integers(min_value=2, max_value=8),
+)
+def test_salted_join_equals_plain_join(spark, hot_n, n_keys, n_salts):
+    # key 0 is hot (hot_n rows), the rest have 3 rows each
+    big_rows = [(0, i) for i in range(hot_n)] + [
+        (k, i) for k in range(1, n_keys) for i in range(3)
+    ]
+    big = spark.createDataFrame(big_rows, ["k", "payload"])
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(n_keys)], ["k", "name"])
+    plain = sorted(
+        (r.k, r.payload, r.name) for r in big.join(small, ["k"]).collect()
+    )
+    salted = sorted(
+        (r.k, r.payload, r.name)
+        for r in salted_join(big, small, ["k"], n_salts=n_salts).collect()
+    )
+    assert salted == plain
+
+
+def test_salted_group_count_equals_plain(spark):
+    rows = [(0,)] * 500 + [(k,) for k in range(1, 20) for _ in range(3)]
+    df = spark.createDataFrame(rows, ["k"])
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r.k: r["count"] for r in salted_group_count(df, "k").collect()}
+    assert salted == plain
+
+
+def test_salted_join_rejects_right_joins(spark):
+    df = spark.createDataFrame([(1, 1)], ["k", "v"])
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="right")
