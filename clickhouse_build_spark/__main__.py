@@ -1,0 +1,123 @@
+"""CLI — the reference's ``main.py`` command surface, deterministic.
+
+Reference commands (``main.py:33-44``): ``scanner``, ``data-migrator``,
+``code-migrator``, ``migrate``, ``eval``. Mapping here:
+
+- ``scanner REPO``          — deterministic analytical-query scan
+  (no LLM), same JSON shape as the reference's scan artifact.
+- ``data-migrator REPO``    — scan → replication plan (the reference's
+  ClickPipe config semantics: database/destination/mode/tableMappings
+  + assumption log).
+- ``migrate REPO``          — chains the two (``main.py:329-390``
+  without the interactive gates; there is no code-migration step —
+  this engine IS the analytical target, so queries run here directly).
+- ``replicate SRC TARGET``  — actually run a table replication between
+  parquet locations in any mode (the step the reference delegates to
+  ClickPipes).
+
+Every command prints one JSON document to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _cmd_scanner(args: argparse.Namespace) -> dict:
+    from clickhouse_build_spark.scanner import scan_repo
+
+    return dataclasses.asdict(scan_repo(args.repo))
+
+
+def _cmd_data_migrator(args: argparse.Namespace) -> dict:
+    from clickhouse_build_spark.migrator import plan_replication
+    from clickhouse_build_spark.scanner import scan_repo
+
+    scan = scan_repo(args.repo)
+    return plan_replication(scan, replication_mode=args.replication_mode).as_config()
+
+
+def _cmd_migrate(args: argparse.Namespace) -> dict:
+    from clickhouse_build_spark.migrator import plan_replication
+    from clickhouse_build_spark.scanner import scan_repo
+
+    scan = scan_repo(args.repo)
+    plan = plan_replication(scan, replication_mode=args.replication_mode)
+    return {"scan": dataclasses.asdict(scan), "replication_plan": plan.as_config()}
+
+
+def _cmd_replicate(args: argparse.Namespace) -> dict:
+    from clickhouse_build_spark.session import get_spark
+    from clickhouse_build_spark.sources.replication import (
+        Replicator,
+        TableMapping,
+    )
+
+    spark = get_spark(app_name="replicate")
+    spark.sparkContext.setLogLevel("ERROR")
+    source = spark.read.parquet(args.source)
+    rep = Replicator(
+        spark=spark,
+        target_root=args.target_root,
+        key_cols=args.key_cols.split(","),
+        version_col=args.version_col,
+        n_buckets=args.buckets,
+    )
+    mapping = TableMapping(args.schema, args.table, args.table)
+    path = rep.replicate(source, mapping, mode=args.mode)
+    return {
+        "target": path,
+        "rows": rep.read(mapping).count(),
+        "mode": args.mode,
+        "assumptions": rep.assumptions,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="clickhouse_build_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("scanner", help="discover analytical queries in a codebase")
+    s.add_argument("repo")
+    s.set_defaults(fn=_cmd_scanner)
+
+    d = sub.add_parser("data-migrator", help="scan → replication plan")
+    d.add_argument("repo")
+    d.add_argument(
+        "--replication-mode",
+        default="cdc",
+        choices=["snapshot", "cdc", "cdc_only"],
+    )
+    d.set_defaults(fn=_cmd_data_migrator)
+
+    m = sub.add_parser("migrate", help="scanner + data-migrator chained")
+    m.add_argument("repo")
+    m.add_argument(
+        "--replication-mode",
+        default="cdc",
+        choices=["snapshot", "cdc", "cdc_only"],
+    )
+    m.set_defaults(fn=_cmd_migrate)
+
+    r = sub.add_parser("replicate", help="run a parquet table replication")
+    r.add_argument("source", help="source parquet path")
+    r.add_argument("target_root", help="replica root directory")
+    r.add_argument("--table", default="table")
+    r.add_argument("--schema", default="public")
+    r.add_argument("--key-cols", required=True, help="comma-separated key columns")
+    r.add_argument("--version-col", required=True)
+    r.add_argument("--mode", default="snapshot", choices=["snapshot", "cdc", "cdc_only"])
+    r.add_argument("--buckets", type=int, default=32)
+    r.set_defaults(fn=_cmd_replicate)
+
+    args = p.parse_args(argv)
+    json.dump(args.fn(args), sys.stdout, indent=2, default=str)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
