@@ -146,3 +146,106 @@ def nation_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
     )
+
+
+@query(
+    "order_value_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution", "ntile"),
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles, percent_rank, cume_dist,
+    and lead — ordered with an orderkey tiebreak so every rank is
+    deterministic (SURVEY §7.4 hard part #5).
+
+    Scale: one shuffle on the partition key; each priority group sorts
+    independently.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "customer_order_span",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderdate) OVER w AS first_order,
+           last_value(o_orderdate) OVER w AS last_order,
+           count(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "first-last", "frame"),
+)
+def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame — the full-span
+    analytic frame (last_value is wrong without the explicit frame; the
+    default frame stops at CURRENT ROW)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_order"),
+        F.last("o_orderdate").over(w).alias("last_order"),
+        F.count("*").over(w).alias("n_orders"),
+    ).distinct()
+
+
+@query(
+    "rolling_30day_customer_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def rolling_30day_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: each order sums the customer's
+    spend in the trailing 30 days — a value-based frame (all rows in
+    the range, regardless of row count), vs the ROWS frames elsewhere.
+
+    Spark range frames need a numeric ordering key, so the date becomes
+    epoch days; ties (same-day orders) are summed together on both
+    engines, which is exactly RANGE semantics.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        round2(F.sum("o_totalprice").over(w)).alias("spend_30d"),
+    )
