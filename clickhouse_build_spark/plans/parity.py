@@ -219,3 +219,36 @@ def list_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
     )
+
+
+@query(
+    "stats_by_month_pg_shape",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE {_RANGE_SQL}
+    GROUP BY 1
+    """,
+    tags=("parity", "dialect", "pg-shape", "F1"),
+)
+def stats_by_month_pg_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PG-dialect presentation of the monthly rollup (SURVEY §7.4
+    hard part #1): PG ``DATE_TRUNC('month', date)`` returns a
+    *timestamp*, CH ``toStartOfMonth`` returns a *Date*. The engine's
+    canonical result is the CH-shaped ``stats_by_month``
+    (``functions.dialect.month_start`` → DateType); this twin is the
+    PG presentation — same groups, same aggregates, timestamp-shaped
+    month — so both dialect surfaces are first-class and both oracle-
+    checked (``month: Date | string`` in the reference's result typing,
+    ``corpus/orm_prismaorm.txt:388-391``)."""
+    return (
+        _orders_in_range(spark, sf_dir)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("cnt"),
+            round2(F.sum("o_totalprice")).alias("total"),
+        )
+        .orderBy(F.desc("month"))
+    )

@@ -30,6 +30,9 @@ _ENGINE_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bound Arrow batch row counts so payload-heavy rows (multimodal
+    # binary columns) don't balloon a single batch past executor memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
