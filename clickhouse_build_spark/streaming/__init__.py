@@ -11,6 +11,7 @@ sinks, plus a ``foreachBatch`` loop that drives the same
 
 from clickhouse_build_spark.streaming.pipeline import (
     cdc_stream_writer,
+    dedup_stream,
     read_event_stream,
     running_user_totals,
     session_aggregates,
@@ -21,6 +22,7 @@ from clickhouse_build_spark.streaming.pipeline import (
 
 __all__ = [
     "cdc_stream_writer",
+    "dedup_stream",
     "read_event_stream",
     "running_user_totals",
     "session_aggregates",

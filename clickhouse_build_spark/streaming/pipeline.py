@@ -126,6 +126,24 @@ def session_aggregates(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: first event per key wins, state
+    bounded by the watermark (keys older than the horizon are evicted —
+    a duplicate arriving later than the watermark delay is NOT caught;
+    that is the documented trade for bounded state).
+
+    The streaming twin of ``doc_exact_dedup``'s hash-groupBy: at 100 TB
+    of stream history you cannot keep every seen key, so the watermark
+    is the retention contract.
+    """
+    keys = key_cols or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
 # ------------------------------------------- custom stateful operator
 
 _STATE_SCHEMA = T.StructType(

@@ -1,0 +1,78 @@
+"""Physical-plan regression guards: the scale properties the engine
+promises (pushdown, pruning, broadcast dims, true top-k, partial
+aggregation, no Python in SQL-expressible hot paths) must be visible in
+the executed plan — a silent regression here costs nothing at sf0.1
+and everything at 100 TB."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from clickhouse_build_spark.plans import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q3_plan(spark):
+    return plan_of(REGISTRY["q3_shipping_priority"].builder(spark, SF_SMOKE))
+
+
+def test_filters_push_into_parquet_scan(q3_plan):
+    assert "PushedFilters:" in q3_plan
+    assert "LessThan(o_orderdate" in q3_plan  # date range reaches the scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in q3_plan
+
+
+def test_column_pruning_reaches_scan(q3_plan):
+    # lineitem has 11 columns; the q3 scan must read only the 4 used
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in q3_plan
+    )
+
+
+def test_topk_plans_as_take_ordered(q3_plan):
+    assert "TakeOrderedAndProject" in q3_plan  # true top-k, no global sort
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(REGISTRY["q5_local_supplier_volume"].builder(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit broadcast at test SF
+
+
+def test_aggregates_are_partial_then_final(spark):
+    plan = plan_of(REGISTRY["q1_pricing_summary"].builder(spark, SF_SMOKE))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_eval_in_sql_expressible_queries(spark):
+    """Python stages (BatchEvalPython/ArrowEvalPython/MapInPandas) may
+    appear ONLY in the deliberately-Python operators (multimodal, the
+    blocked cosine kernel); every SQL-expressible query must stay fully
+    JVM-side."""
+    python_ok = {"media_image_features", "media_video_frame_sample", "emb_near_dup_cosine"}
+    for name, spec in REGISTRY.items():
+        if name in python_ok:
+            continue
+        plan = plan_of(spec.builder(spark, SF_SMOKE))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_whole_stage_codegen_covers_scan_queries(spark):
+    df = REGISTRY["q6_forecast_revenue"].builder(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")  # formatted mode hides codegen under AQE
+    assert "WholeStageCodegen" in buf.getvalue()

@@ -4,6 +4,7 @@ from plans/events.py (the Kappa property)."""
 
 from __future__ import annotations
 
+import pathlib
 import shutil
 import tempfile
 
@@ -155,3 +156,31 @@ def test_cdc_stream_merges_to_latest_per_key(spark, stage, tmp_path):
         for r in REGISTRY["cdc_latest_event_per_user"].builder(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_dedup_stream_drops_replayed_chunks(spark, stage, tmp_path):
+    """Feed the same chunk set twice (a replayed feed); streaming dedup
+    must land each event_id exactly once."""
+    import shutil
+
+    replay = tmp_path / "replay"
+    shutil.copytree(stage, replay)
+    for chunk in list(pathlib.Path(replay).glob("__chunk=*")):
+        shutil.copytree(chunk, replay / (chunk.name + "_dup"))
+    from clickhouse_build_spark.streaming import dedup_stream
+
+    stream = read_event_stream(spark, str(replay))
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").head()
+    from clickhouse_build_spark.catalog import load_tables
+
+    want = load_tables(spark, SF_SMOKE)["events"].count()
+    assert got.n == got.d == want
