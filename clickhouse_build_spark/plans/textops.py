@@ -10,7 +10,7 @@ variants live in ``operators/dedup.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_build_spark.catalog import load_tables
@@ -271,4 +271,149 @@ def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "doc_b")
         .filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "doc_top_tokens",
+    oracle="""
+    SELECT tok, count(*) AS freq
+    FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY 1
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+    tags=("text", "vocabulary", "top-k"),
+)
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 tokens by frequency with a
+    deterministic (freq desc, token asc) order.
+
+    Scale: explode → map-side partial count → shuffle carries one row
+    per distinct token per partition; top-k is TakeOrderedAndProject.
+    The heavy-hitters sketch (count-min) is the alternative when even
+    the distinct-token shuffle is too wide; exact is fine for
+    vocabulary-sized domains.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+      GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (tok), n
+    )
+    SELECT doc_id, tok, tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "window"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1))) — the classic keyword extraction pass.
+
+    Scale: tf is one grouped count on (doc, token); df reuses the tf
+    frame (one extra token-keyed shuffle); idf is a broadcast join of a
+    vocabulary-sized frame; the per-doc top-3 is a window over the
+    doc-partitioned scores with deterministic tiebreaks.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # driver scalar: one number, not data
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+@query(
+    "clean_corpus",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(text) AS fp
+      FROM documents
+      WHERE length(text) > 0
+    ),
+    keepers AS (
+      SELECT fp, min(doc_id) AS keeper FROM stats GROUP BY 1
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens
+    FROM stats s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keeper
+    WHERE s.n_tokens BETWEEN 20 AND 1000
+    """,
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pass as ONE plan:
+    quality stats → length band filter → exact-dedup keeper policy
+    (min doc_id per content fingerprint) — the composition every real
+    pipeline runs before tokenization.
+
+    Scale: one scan feeds everything; the dedup keeper is a
+    fingerprint-keyed aggregate (16-byte digests on the shuffle, not
+    text); the final semi-join is keeper-keyed. No Python anywhere.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.length("text") > 0)
+    words = F.split(F.col("text"), " ")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    keepers = stats.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (
+        stats.join(
+            keepers,
+            (stats["fp"] == keepers["fp"]) & (stats["doc_id"] == keepers["keeper"]),
+        )
+        .filter(F.col("n_tokens").between(20, 1000))
+        .select("doc_id", "lang", "n_tokens")
     )
