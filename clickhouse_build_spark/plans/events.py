@@ -201,3 +201,114 @@ def user_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "signup_purchase_funnel",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conversions AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+      FROM signups s
+      JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > s.signup_ts
+       AND epoch_us(e.ts) - epoch_us(s.signup_ts) <= 86400000000
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_signups,
+           (SELECT count(*) FROM conversions) AS n_converted_24h
+    FROM signups
+    """,
+    tags=("events", "funnel"),
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (ClickHouse ``windowFunnel`` shape): users whose
+    first purchase follows their first signup within 24h.
+
+    Scale: both steps are user-keyed aggregates sharing one shuffle
+    partitioning; the step-2 join is key-local (same user_id
+    partitioning on both sides — no extra shuffle).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    gap_us = F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(
+        F.col("signup_ts").cast("timestamp")
+    )
+    converted = (
+        signups.join(purchases, "user_id")
+        .filter((F.col("p_ts") > F.col("signup_ts")) & (gap_us <= 86_400_000_000))
+        .select("user_id")
+        .distinct()
+    )
+    return signups.agg(F.count("*").alias("n_signups")).crossJoin(
+        converted.agg(F.count("*").alias("n_converted_24h"))
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(time_bucket(INTERVAL '7 days', min(ts),
+                           TIMESTAMP '2024-01-01 00:00:00') AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(time_bucket(INTERVAL '7 days', ts,
+                  TIMESTAMP '2024-01-01 00:00:00') AS DATE) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+           count(*) AS active_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users grouped by first-seen week, counted in
+    every week they were active (offset 0 = the cohort's own week).
+
+    Scale: two user-keyed aggregates + one user-keyed join — one
+    logical shuffle partitioning throughout; the output is
+    |weeks|² rows regardless of event volume.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            # startTime 4 days: epoch (Thu) -> 2024-01-01 (Mon) alignment,
+            # matching the oracle's time_bucket origin
+            F.window("first_ts", "7 days", startTime="4 days").start.cast("date").alias("cohort_week"),
+        )
+    )
+    activity = ev.select(
+        "user_id",
+        F.window("ts", "7 days", startTime="4 days").start.cast("date").alias("active_week"),
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
