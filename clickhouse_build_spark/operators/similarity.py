@@ -80,19 +80,18 @@ def cosine_pairs_blocked(
     the right plan is LSH-prefilter (``lsh_signature`` buckets) with
     this exact kernel applied per bucket, not a bigger broadcast.
     """
+    # Guard BEFORE collecting: head+count are metadata-cheap on parquet,
+    # and the bound exists precisely to stop an oversized collect.
     first = vectors.select(vec_col).head(1)
     if not first:
         return vectors.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cos_sim double"
         )
-    dim = len(first[0][0])
-    n = vectors.count()
-    size_mb = n * dim * 8 / 2**20
+    size_mb = vectors.count() * len(first[0][0]) * 8 / 2**20
     if size_mb > max_broadcast_mb:
         raise ValueError(
             f"corpus matrix ~{size_mb:.0f} MB exceeds the {max_broadcast_mb} MB "
-            "broadcast bound — LSH-bucket the corpus and run the exact "
-            "kernel per bucket instead"
+            "broadcast bound — use lsh_bucketed_cosine_pairs instead"
         )
     rows = vectors.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -118,6 +117,69 @@ def cosine_pairs_blocked(
             )
 
     return vectors.mapInPandas(kernel, "vec_a long, vec_b long, cos_sim double")
+
+
+def lsh_bucketed_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    max_hamming: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-dup pairs at corpus scale: LSH candidate generation, then
+    the exact cosine only on candidates — the path
+    :func:`cosine_pairs_blocked`'s broadcast guard points at.
+
+    Candidates are pairs whose signatures land within ``max_hamming``
+    via banded buckets (split the nbits signature into
+    ``max_hamming + 1`` bands; pigeonhole guarantees any pair within
+    the radius shares a band). RECALL CONTRACT: a pair at cosine ≥
+    threshold but signature distance > max_hamming is missed — that is
+    the probabilistic trade; raise nbits / max_hamming to tighten it.
+    The exact kernel then keeps only true ≥-threshold pairs, so
+    precision is exact.
+
+    Scale: no broadcast of the corpus, no n² join — work is
+    Σ bucket_size² over same-band buckets.
+    """
+    nbits = len(hyperplanes)
+    bands = max_hamming + 1
+    band_bits = nbits // bands
+    mask = (1 << band_bits) - 1
+    sig = vectors.select(
+        id_col, vec_col, lsh_signature(F.col(vec_col), hyperplanes).alias("__sig")
+    )
+    band_vals = [
+        F.shiftright("__sig", j * band_bits).bitwiseAND(F.lit(mask))
+        for j in range(bands)
+    ]
+    banded = sig.select(
+        id_col, vec_col, "__sig", F.posexplode(F.array(*band_vals)).alias("band", "key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hd = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(hd <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cs = cosine(F.col("__va"), F.col("__vb"))
+    return cand.filter(cs >= threshold).select(
+        "vec_a", "vec_b", F.round(cs, round_to).alias("cos_sim")
+    )
 
 
 # -------------------------------------------------- random-hyperplane LSH

@@ -63,3 +63,37 @@ def test_ann_cosines_bounded_by_exact_best(spark, exact_topk):
     for name in ("emb_ann_lsh_topk", "emb_ann_ivf_topk"):
         rows = REGISTRY[name].builder(spark, SF_SMOKE).collect()
         assert all(r.cos_sim <= best + 1e-9 for r in rows), name
+
+
+def test_lsh_bucketed_pairs_subset_of_exact_with_perfect_precision(spark):
+    """The scale path: every pair it reports must be a true >=threshold
+    pair (exact precision); recall is probabilistic, so assert the
+    recall contract on high-cosine pairs only (near-identical vectors
+    agree on almost all hyperplane signs)."""
+    from clickhouse_build_spark.catalog import load_tables
+    from clickhouse_build_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        lsh_bucketed_cosine_pairs,
+    )
+    from clickhouse_build_spark.plans.similarity import HYPERPLANES, NEAR_DUP_COS
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # add one near-identical planted pair so a high-cosine dup exists
+    twin = v.filter(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("e", lambda x: x * 1.000001).alias("e"),
+    )
+    corpus = v.unionByName(twin)
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in cosine_pairs_blocked(corpus, NEAR_DUP_COS).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in lsh_bucketed_cosine_pairs(corpus, NEAR_DUP_COS, HYPERPLANES).collect()
+    }
+    assert set(approx) <= set(exact)  # perfect precision
+    assert (1, 100_001) in approx  # the planted near-identical pair is found
+    for k, cs in approx.items():
+        assert abs(cs - exact[k]) < 1e-3
