@@ -422,3 +422,58 @@ def approx_distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
             "approx_p50"
         ),
     )
+
+
+@query(
+    "status_priority_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("relational", "grouping-sets"),
+)
+def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent single-column rollups
+    in one pass (CUBE/ROLLUP's general form; completes §2.4's
+    grouping-analytics family). Spark's DataFrame API has cube/rollup
+    but arbitrary sets need the SQL form — exercised through
+    ``spark.sql`` over the catalog view, i.e. the engine's S2 path.
+    """
+    load_tables(spark, sf_dir)  # registers the views
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "events_props_as_map",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           sum(len(json_keys(props))) AS total_keys,
+           sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS has_k
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "map", "semi-structured"),
+)
+def events_props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props as a typed MapType: ``from_json`` to
+    map<string,string>, then map_keys/map_contains_key — the
+    map-column surface (SURVEY §1.2 notes MapType enters via event
+    props). Stays JVM-side."""
+    ev = load_tables(spark, sf_dir)["events"]
+    m = F.from_json("props", "map<string,string>")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.size(F.map_keys(m))).alias("total_keys"),
+        F.sum(F.when(m.getItem("k").isNotNull(), 1).otherwise(0)).alias("has_k"),
+    )
