@@ -60,6 +60,9 @@ class TableMapping:
 # _op = 'd' removes the key; anything else upserts.
 OP_COLUMN = "_op"
 DELETE_OP = "d"
+# Table schema sidecar: lets a fully-emptied replica (every key deleted)
+# stay readable as an empty table.
+_SCHEMA_FILE = "_table_schema.json"
 
 
 def latest_per_key(
@@ -143,14 +146,15 @@ class Replicator:
             f"{mapping.target_table}: ordering key = ({', '.join(self.key_cols)}, "
             f"{self.version_col}); {self.n_buckets} hash buckets"
         )
+        bucketed = self._bucketed(source)
         (
-            self._bucketed(source)
-            .repartition("bucket")
+            bucketed.repartition("bucket")
             .sortWithinPartitions(*self.key_cols, self.version_col)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(path)
         )
+        self._persist_schema(bucketed, path)
         return path
 
     def apply_changes(self, changes: DataFrame, mapping: TableMapping) -> str:
@@ -170,7 +174,10 @@ class Replicator:
             f"{self.n_buckets} buckets"
         )
 
-        if os.path.isdir(path):
+        has_data = os.path.isdir(path) and any(
+            d.startswith("bucket=") for d in os.listdir(path)
+        )
+        if has_data:
             state = self.spark.read.parquet(path).filter(F.col("bucket").isin(touched))
             if has_op and OP_COLUMN not in state.columns:
                 state = state.withColumn(OP_COLUMN, F.lit(None).cast("string"))
@@ -204,6 +211,7 @@ class Replicator:
         # covers the case where deletes empty a bucket entirely (dynamic
         # overwrite would silently leave the stale partition in place).
         merged = merged.localCheckpoint(eager=True)
+        self._persist_schema(merged, path)
         _clear_buckets(path, touched)
         (
             merged.repartition("bucket")
@@ -215,8 +223,27 @@ class Replicator:
         return path
 
     def read(self, mapping: TableMapping) -> DataFrame:
-        """Reader view of the replica (already latest-per-key)."""
-        return self.spark.read.parquet(self._target_path(mapping)).drop("bucket")
+        """Reader view of the replica (already latest-per-key).
+
+        A replica whose every key was deleted has no parquet files left
+        (cleared buckets) — serve the empty table from the persisted
+        schema instead of failing the scan."""
+        path = self._target_path(mapping)
+        if not any(d.startswith("bucket=") for d in os.listdir(path)):
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(
+                __import__("json").load(open(os.path.join(path, _SCHEMA_FILE)))
+            )
+            return self.spark.createDataFrame([], schema).drop("bucket")
+        return self.spark.read.parquet(path).drop("bucket")
+
+    def _persist_schema(self, df: DataFrame, path: str) -> None:
+        import json
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, _SCHEMA_FILE), "w") as f:
+            json.dump(df.schema.jsonValue(), f)
 
 
 def _clear_buckets(path: str, buckets: list[int]) -> None:

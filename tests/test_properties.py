@@ -94,3 +94,56 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.createDataFrame([(1, 1)], ["k", "v"])
     with pytest.raises(ValueError):
         salted_join(df, df, ["k"], how="right")
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),  # key
+            st.sampled_from(["u", "d"]),  # upsert / delete
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_batches=st.integers(min_value=1, max_value=3),
+)
+def test_cdc_merge_matches_dict_model(spark, tmp_path_factory, ops, n_batches):
+    """Model-based CDC check: any sequence of upserts/deletes applied in
+    version order must leave the replica equal to a plain dict replay.
+    Catches merge bugs no fixed scenario covers (delete-then-reinsert,
+    same-key repeats within a batch, empty buckets)."""
+    from clickhouse_build_spark.sources.replication import Replicator, TableMapping
+
+    root = tmp_path_factory.mktemp("cdc_model")
+    rep = Replicator(
+        spark=spark,
+        target_root=str(root),
+        key_cols=["k"],
+        version_col="v",
+        n_buckets=4,
+    )
+    mapping = TableMapping("public", "t", "t")
+
+    # versioned op stream; split into batches applied in order
+    versioned = [(k, op, i) for i, (k, op) in enumerate(ops)]
+    model: dict[int, int] = {}
+    for k, op, v in versioned:
+        if op == "d":
+            model.pop(k, None)
+        else:
+            model[k] = v
+
+    size = -(-len(versioned) // n_batches)
+    for b in range(n_batches):
+        chunk = versioned[b * size : (b + 1) * size]
+        if not chunk:
+            continue
+        batch = spark.createDataFrame(
+            [(k, v, "d" if op == "d" else "u") for k, op, v in chunk],
+            "k long, v long, _op string",
+        ).coalesce(1)
+        rep.apply_changes(batch, mapping)
+
+    got = {r.k: r.v for r in rep.read(mapping).collect()}
+    assert got == model
