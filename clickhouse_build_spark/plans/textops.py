@@ -417,3 +417,37 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens").between(20, 1000))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# Subword-ish tokenizer: letter runs | digit runs | single punctuation —
+# the GPT-2-style pre-tokenization regex reduced to its portable core
+# (no \p classes, so Spark's and DuckDB's regex engines agree exactly).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "doc_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(list_distinct(regexp_extract_all(text, '{BPE_ISH_PATTERN}')))
+             AS n_distinct_bpe
+    FROM documents
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer (letter runs, digit
+    runs, single punctuation — the portable core of the GPT-2 split
+    regex) next to the whitespace count — the token-budget estimator a
+    training pipeline runs per document. Pure codegen
+    (``regexp_extract_all``), no Python tokenizer in the hot path."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    )
