@@ -477,3 +477,26 @@ def events_props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.map_keys(m))).alias("total_keys"),
         F.sum(F.when(m.getItem("k").isNotNull(), 1).otherwise(0)).alias("has_k"),
     )
+
+
+@query(
+    "status_priority_profile",
+    oracle="""
+    SELECT o_orderstatus,
+           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("relational", "array-agg"),
+)
+def status_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the distinct priorities seen per status as a
+    SORTED array — ``collect_set`` alone is partition-order-dependent,
+    so ``sort_array`` makes the result deterministic (SURVEY §7.4 #5
+    applies to array outputs too)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count("*").alias("cnt"),
+    )
