@@ -11,6 +11,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
 from clickhouse_build_spark.sources.replication import (
     ReplicationMode,
     Replicator,
@@ -157,3 +158,34 @@ def test_engine_table_mapping_renames_view(spark):
     )
     [row] = eng.sql("SELECT count(*) AS cnt FROM orders_replica").collect()
     assert row["cnt"] > 0
+
+
+def test_engine_to_rows_and_registry(spark):
+    """S9/F9: the result sink returns app-shaped dicts with native
+    int/float/date types; register/run exposes the query inventory."""
+    import datetime as dt
+
+    from clickhouse_build_spark.engine import Engine
+    from pyspark.sql import functions as F
+
+    eng = Engine(SF_SMOKE, spark=spark)
+
+    def monthly(s, sf_dir):
+        return (
+            eng.table("orders")
+            .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+            .agg(F.count("*").alias("count"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy(F.desc("month"))
+        )
+
+    eng.register("monthly_stats", monthly)
+    rows = eng.to_rows(eng.run("monthly_stats"), limit=3)
+    assert len(rows) == 3
+    for r in rows:
+        assert set(r) == {"month", "count", "total"}
+        assert isinstance(r["count"], int)  # F9: counts as native int
+        assert isinstance(r["total"], float)  # F9: totals as native float
+        assert isinstance(r["month"], dt.date)
+    # rows arrive in query order (the app renders them as returned)
+    months = [r["month"] for r in rows]
+    assert months == sorted(months, reverse=True)
