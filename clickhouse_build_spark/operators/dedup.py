@@ -70,15 +70,20 @@ def minhash_component_sql(expr: str, s: int) -> str:
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle).
+    """Word n-gram shingles per document → (id, shingle).
 
     The explode fans out ~|tokens| rows per doc but carries only the
     shingle string briefly; every downstream op hashes it immediately.
+
+    ``distinct`` costs a full shuffle of the shingle text — required
+    when downstream counts set sizes (Jaccard) or votes per feature
+    (SimHash), but skippable for duplicate-invariant consumers: MinHash
+    takes a ``min``, which a repeated shingle cannot change.
     """
     words = F.split(F.col(text_col), " ")
-    return (
+    out = (
         df.select(id_col, words.alias("__w"))
         .filter(F.size("__w") >= n)
         .select(
@@ -90,8 +95,8 @@ def word_shingles(
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------- MinHash
@@ -179,8 +184,10 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pairs: shingle → minhash →
-    band → bucket-join → estimate → threshold."""
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    band → bucket-join → estimate → threshold. Shingles stay
+    non-distinct — min() is duplicate-invariant, so the dedup shuffle
+    the Jaccard/SimHash paths need is pure cost here."""
+    sh = word_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     sig = minhash_signatures(sh, id_col, num_perm=bands * rows_per_band)
     return lsh_candidate_pairs(sig, id_col, bands, rows_per_band).filter(
         F.col("est_jaccard") >= threshold
