@@ -284,6 +284,74 @@ def simhash_dup_pairs(
     )
 
 
+def dedup_keepers(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-dup pairs → survivor assignment: (id, keeper) where keeper
+    is the MINIMUM id in each connected dup-cluster (the deterministic
+    keeper policy exact dedup already uses).
+
+    Min-label propagation over the pair edges: every node repeatedly
+    adopts the smallest keeper among itself and its neighbors until a
+    fixpoint — connected components without GraphX/graphframes. Each
+    iteration is one join + one grouped min on the *edge list* (tiny
+    relative to the corpus: only documents that appear in a dup pair);
+    singleton documents never enter the loop and join back at the end.
+
+    ``max_iter`` bounds worst-case chains; clusters of diameter d
+    converge in ⌈log2(d)⌉-ish rounds under doubling propagation, and
+    real dup clusters are near-cliques that settle in 1-2 rounds. If
+    the fixpoint isn't reached by ``max_iter``, the result is still a
+    valid refinement (keepers may split a long chain) — callers needing
+    exactness on pathological chains raise ``max_iter``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias(id_col),
+            F.least("src", "nbr_min").alias("keeper"),
+        )
+    )
+    for _ in range(max_iter):
+        # propagate: my keeper = min(my keeper, my neighbors' keepers)
+        nbr = (
+            edges.join(labels.withColumnRenamed(id_col, "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("keeper").alias("nbr_keeper"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("src", id_col), id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    "keeper", F.coalesce("nbr_keeper", F.col("keeper"))
+                ).alias("keeper"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        if (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.keeper") != F.col("o.keeper"))
+            .isEmpty()
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+    return ids.select(id_col).join(labels, id_col, "left").select(
+        id_col, F.coalesce("keeper", F.col(id_col)).alias("keeper")
+    )
+
+
 # -------------------------------------------------------------- winnowing
 
 

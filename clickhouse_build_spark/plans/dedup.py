@@ -235,3 +235,22 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing docs."""
     docs = load_tables(spark, sf_dir)["documents"]
     return winnow_fingerprints(docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
+
+
+@query(
+    "doc_fuzzy_dedup_keepers",
+    oracle=None,  # iterative label propagation (connected components) —
+    # the driver's documented rows-only case for iterative algorithms
+    tags=("dedup", "keepers", "iterative"),
+)
+def doc_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup pipeline's final materialization: MinHash+LSH
+    pairs → connected components (min-label propagation) → per-document
+    keeper assignment. Survivor set = distinct keepers; the invariants
+    (every dup pair shares a keeper; survivors = docs − dup partners)
+    are asserted in tests/test_dedup.py."""
+    from clickhouse_build_spark.operators.dedup import dedup_keepers
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    return dedup_keepers(pairs, docs.select("doc_id")).orderBy("doc_id")

@@ -101,3 +101,38 @@ def test_winnow_fingerprints_overlap_tracks_similarity(corpus):
     far = len(by_doc[1] & by_doc[4]) / len(by_doc[1] | by_doc[4])
     assert near > 0.4
     assert far == 0.0
+
+
+def test_dedup_keepers_resolves_clusters(spark):
+    """Pairs forming a chain, a triangle, and a singleton must resolve
+    to min-id keepers per connected component."""
+    from clickhouse_build_spark.operators.dedup import dedup_keepers
+
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        ["id_a", "id_b"],
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20]], ["doc_id"])
+    got = {r.doc_id: r.keeper for r in dedup_keepers(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_dedup_keepers_on_planted_corpus(spark):
+    """End-to-end: minhash pairs on the real corpus -> keepers; every
+    planted dup pair must share a keeper, and survivors is docs minus
+    the duplicate partners."""
+    from clickhouse_build_spark.catalog import load_tables
+    from clickhouse_build_spark.operators.dedup import dedup_keepers, minhash_lsh_pairs
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    keepers = dedup_keepers(pairs, docs.select("doc_id"))
+    k = {r.doc_id: r.keeper for r in keepers.collect()}
+    for r in pairs.collect():
+        assert k[r.id_a] == k[r.id_b], (r.id_a, r.id_b)
+    n_docs = docs.count()
+    n_survivors = len(set(k.values()))
+    n_dup_partners = sum(1 for d, kp in k.items() if kp != d)
+    assert n_survivors == n_docs - n_dup_partners
