@@ -312,6 +312,10 @@ def dedup_keepers(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # materialize once: every iteration joins against edges, and
+        # without this each join replays the upstream pair pipeline
+        # (the full MinHash+LSH plan) from scratch
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.groupBy("src")
