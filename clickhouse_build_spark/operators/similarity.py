@@ -34,7 +34,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------ vector math
@@ -259,21 +259,26 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "e",
 ) -> DataFrame:
-    """Coarse quantization: each vector joins its nearest centroid
+    """Coarse quantization: each vector gets its nearest centroid
     (max cosine, centroid id as tiebreak) → adds a ``cell`` column.
 
-    Centroids broadcast (they are small by construction); the argmin
-    is a window over the |centroids| candidate rows per vector, so the
-    cost is one map-side pass — no corpus shuffle.
+    Centroids broadcast (small by construction); the argmax is a
+    max-of-struct aggregate — (cosine, −cell) compares lexicographically,
+    so the max is highest-cosine with lowest-cell tiebreak. Partial
+    aggregation collapses the |centroids| candidate rows map-side; the
+    shuffle carries ONE row per vector (a windowed rank here would
+    instead shuffle and sort |corpus|×|centroids| rows).
     """
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "__cdist", cosine(F.col(vec_col), F.col("ce"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cdist"), F.asc("cell"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cdist", "ce")
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("__cdist").alias("d"), (-F.col("cell")).alias("negc"))
+        ).alias("__best")
+    )
+    return vectors.join(best, id_col).select(
+        vectors["*"], (-F.col("__best.negc")).cast("long").alias("cell")
     )
 
 

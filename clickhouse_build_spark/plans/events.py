@@ -147,7 +147,7 @@ def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions_30min",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
@@ -157,7 +157,7 @@ def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
       SELECT user_id, ts,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM flagged
@@ -191,9 +191,12 @@ def user_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(prev.isNull() | (gap_us > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
+    # event_id tiebreak on the ROWS cumsum too: with two events at the
+    # same ts, a ts-only ordering makes the prefix sums (and so the
+    # session count) partition-order-dependent (SURVEY §7.4 #5).
     wcum = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"))
+        .orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))

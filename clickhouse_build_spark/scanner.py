@@ -55,7 +55,6 @@ ORM_AGG_RE = re.compile(r"\.(groupBy|aggregate)\s*\(")
 
 # EXCLUDE signals (``src/prompts/scanner.py:32-37``).
 CRUD_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE)\b", re.IGNORECASE)
-SELECT_STAR_RE = re.compile(r"SELECT\s+\*", re.IGNORECASE)
 
 TABLE_RE = re.compile(
     r"\b(?:FROM|JOIN|INTO|UPDATE)\s+([A-Za-z_][\w.]*)", re.IGNORECASE
@@ -102,11 +101,12 @@ def classify(snippet: str) -> tuple[bool, str]:
     has_orm = bool(ORM_AGG_RE.search(snippet))
     analytical = has_agg or has_group or has_trunc or has_window or has_orm
     if not analytical:
+        # also covers the reference's bare-SELECT-* EXCLUDE rule
+        # (src/prompts/scanner.py:34): a plain retrieval query has no
+        # aggregate/group/window signal and stops here
         return False, "no aggregate/group/window signal"
     if CRUD_RE.match(snippet) and not (has_agg or has_group):
         return False, "CRUD statement"
-    if SELECT_STAR_RE.search(snippet) and not analytical:
-        return False, "bare SELECT *"
     reasons = [
         r
         for r, hit in [

@@ -59,8 +59,11 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
     conf = dict(_ENGINE_CONF)
+    # "*" is valid for the master URL (all cores) but not for int();
+    # resolve it to the actual core count for shuffle sizing.
+    n_cores = os.cpu_count() or 8 if cpus == "*" else int(cpus)
     conf["spark.sql.shuffle.partitions"] = str(
-        shuffle_partitions if shuffle_partitions is not None else int(cpus)
+        shuffle_partitions if shuffle_partitions is not None else n_cores
     )
     if extra_conf:
         conf.update(extra_conf)

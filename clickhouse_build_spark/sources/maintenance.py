@@ -51,16 +51,29 @@ def compact_table(
             .repartition(int(n_target))
             .sortWithinPartitions(*sort_cols)
         )
-        tmp = pdir + "__compacting"
+        # Stage OUTSIDE the table root: a temp dir named bucket=N__* inside
+        # the root would be picked up by partition discovery — a crash
+        # mid-compaction (or a concurrent read) would then see duplicated
+        # rows and a string-typed partition column. Outside the root, a
+        # crash just leaves harmless garbage next to the table.
+        tmp = os.path.join(path + "__compacting", part)
         df.write.mode("overwrite").parquet(tmp)
-        # swap: the reader contract is eventual — a concurrent reader
-        # sees either the old or the new file set, never a mix
+        # swap via two renames: the old dir moves aside (readers between
+        # the renames get a transient missing-partition, never a mix of
+        # old+new rows), then the trash is dropped
         import shutil
 
-        shutil.rmtree(pdir)
+        trash = os.path.join(path + "__compacting", part + "__old")
+        os.rename(pdir, trash)
         os.rename(tmp, pdir)
+        shutil.rmtree(trash)
         report[part] = (
             len(files),
             len([f for f in os.listdir(pdir) if f.endswith(".parquet")]),
         )
+    staging = path + "__compacting"
+    if os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)
     return report

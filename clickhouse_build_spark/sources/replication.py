@@ -135,6 +135,13 @@ class Replicator:
         # CDC_ONLY: no backfill — state starts from whatever exists.
         if changes is not None:
             self.apply_changes(changes, mapping)
+        else:
+            # No change batch yet: initialize an empty-but-readable table
+            # (schema sidecar + empty dir) so read() works before the
+            # first sync lands — the CLI's cdc_only mode hits this.
+            path = self._target_path(mapping)
+            if not os.path.isdir(path):
+                self._persist_schema(self._bucketed(source), path)
         return self._target_path(mapping)
 
     def snapshot(self, source: DataFrame, mapping: TableMapping) -> str:
@@ -195,11 +202,21 @@ class Replicator:
                     for c in batch.columns
                 ]
             )
-            merged_input = state.unionByName(batch, allowMissingColumns=True)
+            # Change-marker tiebreak: a change row carrying the SAME
+            # version as the stored row must win deterministically (the
+            # feed is by definition newer) — without it the window's
+            # version-only ordering picks an arbitrary side and a
+            # same-version update/delete can be silently dropped.
+            merged_input = (
+                state.withColumn("__src", F.lit(0))
+                .unionByName(batch.withColumn("__src", F.lit(1)), allowMissingColumns=True)
+            )
         else:
-            merged_input = batch
+            merged_input = batch.withColumn("__src", F.lit(1))
 
-        merged = latest_per_key(merged_input, self.key_cols, self.version_col)
+        merged = latest_per_key(
+            merged_input, self.key_cols, self.version_col, tiebreak_col="__src"
+        ).drop("__src")
         if has_op:
             merged = merged.filter(
                 F.coalesce(F.col(OP_COLUMN), F.lit("")) != DELETE_OP

@@ -136,12 +136,18 @@ def dedup_stream(
     a duplicate arriving later than the watermark delay is NOT caught;
     that is the documented trade for bounded state).
 
+    Uses ``dropDuplicatesWithinWatermark``, NOT plain
+    ``dropDuplicates``: the plain form only evicts state when the
+    event-time column is part of the dedup keys, so keyed on event_id
+    alone it would accumulate one state row per key forever — the
+    watermark would bound nothing.
+
     The streaming twin of ``doc_exact_dedup``'s hash-groupBy: at 100 TB
     of stream history you cannot keep every seen key, so the watermark
     is the retention contract.
     """
     keys = key_cols or ["event_id"]
-    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 # ------------------------------------------- custom stateful operator
