@@ -315,3 +315,31 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@query(
+    "event_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS cnt,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "histogram"),
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (25-unit buckets with
+    per-bucket min/max) — the single-pass distribution profile; at any
+    scale the shuffle carries |types|x|buckets| rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25.0).cast("long").alias("bucket"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
