@@ -89,3 +89,28 @@ def round2(c: Column | str) -> Column:
     """Canonical presentation/hashing form for double aggregates
     (BASELINE.md canonicalization: ``round(double_aggs, 2)``)."""
     return F.round(_col(c), 2)
+
+
+def count_if(cond: Column) -> Column:
+    """ClickHouse ``countIf(cond)`` — the ``-If`` aggregate combinator
+    as a conditional count (ANSI ``COUNT(*) FILTER (WHERE cond)``)."""
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def sum_if(c: Column | str, cond: Column) -> Column:
+    """ClickHouse ``sumIf(x, cond)`` (ANSI ``SUM(x) FILTER (WHERE cond)``)."""
+    return F.sum(F.when(cond, _col(c)).otherwise(F.lit(0.0)))
+
+
+def arg_max(value: Column | str, by: Column | str) -> Column:
+    """ClickHouse ``argMax(value, by)`` — the value belonging to the
+    row with the maximum ``by``. Built as max-of-struct so the whole
+    thing stays one partially-aggregated expression (Spark's ``max_by``
+    exists but gives no tie control; the struct form breaks ties by the
+    value itself, deterministically)."""
+    return F.max(F.struct(_col(by).alias("b"), _col(value).alias("v"))).getField("v")
+
+
+def arg_min(value: Column | str, by: Column | str) -> Column:
+    """ClickHouse ``argMin(value, by)`` (see :func:`arg_max`)."""
+    return F.min(F.struct(_col(by).alias("b"), _col(value).alias("v"))).getField("v")

@@ -252,3 +252,40 @@ def stats_by_month_pg_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("month"))
     )
+
+
+@query(
+    "customer_latest_order_argmax",
+    oracle="""
+    SELECT o_custkey,
+           (max(struct_pack(b := o_orderdate, v := o_orderkey))).v AS latest_orderkey,
+           (min(struct_pack(b := o_orderdate, v := o_orderkey))).v AS first_orderkey,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent_cnt,
+           round(COALESCE(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 0), 2)
+             AS urgent_total
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("parity", "dialect", "argmax", "count-if"),
+)
+def customer_latest_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse aggregate-combinator surface: ``argMax``/``argMin``
+    (value at max/min of another column, struct-max so same-date ties
+    break on the orderkey identically in both engines) and the ``-If``
+    combinators ``countIf``/``sumIf`` — all one partially-aggregated
+    pass (``functions.dialect``)."""
+    from clickhouse_build_spark.functions.dialect import (
+        arg_max,
+        arg_min,
+        count_if,
+        sum_if,
+    )
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return orders.groupBy("o_custkey").agg(
+        arg_max("o_orderkey", "o_orderdate").alias("latest_orderkey"),
+        arg_min("o_orderkey", "o_orderdate").alias("first_orderkey"),
+        count_if(urgent).alias("urgent_cnt"),
+        round2(sum_if("o_totalprice", urgent)).alias("urgent_total"),
+    )
