@@ -58,7 +58,20 @@ def _cmd_replicate(args: argparse.Namespace) -> dict:
 
     spark = get_spark(app_name="replicate")
     spark.sparkContext.setLogLevel("ERROR")
-    source = spark.read.parquet(args.source)
+    if args.source_format == "parquet":
+        source = spark.read.parquet(args.source)
+    else:
+        # non-parquet feeds read with the catalog's declared schema
+        # (sources/formats.py rule: no inferSchema on replicated tables)
+        from clickhouse_build_spark.catalog import SCHEMAS
+        from clickhouse_build_spark.sources.formats import read_source
+
+        if args.table not in SCHEMAS:
+            raise SystemExit(
+                f"--source-format {args.source_format} needs a declared schema; "
+                f"unknown table {args.table!r} (catalog has {sorted(SCHEMAS)})"
+            )
+        source = read_source(spark, args.source, args.source_format, SCHEMAS[args.table])
     rep = Replicator(
         spark=spark,
         target_root=args.target_root,
@@ -111,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--version-col", required=True)
     r.add_argument("--mode", default="snapshot", choices=["snapshot", "cdc", "cdc_only"])
     r.add_argument("--buckets", type=int, default=32)
+    r.add_argument(
+        "--source-format",
+        default="parquet",
+        choices=["parquet", "orc", "csv", "json"],
+        help="non-parquet feeds read with the catalog's declared schema",
+    )
     r.set_defaults(fn=_cmd_replicate)
 
     args = p.parse_args(argv)
