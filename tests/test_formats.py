@@ -16,7 +16,12 @@ from tests.conftest import SF_SMOKE
 def orders(spark):
     from clickhouse_build_spark.catalog import load_tables
 
-    return load_tables(spark, SF_SMOKE)["orders"].cache()
+    df = load_tables(spark, SF_SMOKE)["orders"].cache()
+    yield df
+    # unpersist: Spark's cache manager matches by plan, so a lingering
+    # cached orders scan would silently replace the parquet scan in
+    # OTHER tests' plans (breaking pushed-filter plan assertions)
+    df.unpersist()
 
 
 @pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
