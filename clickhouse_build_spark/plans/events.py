@@ -343,3 +343,46 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+@query(
+    "events_asof_last_error",
+    oracle="""
+    SELECT ev.event_id, ev.user_id, ev.event_type,
+           err.event_id AS err_event_id_asof,
+           err.ts AS err_ts_asof
+    FROM (SELECT * FROM events WHERE event_type <> 'error') ev
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    ) err
+      ON ev.user_id = err.user_id AND ev.ts >= err.ts
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN (the ClickHouse marquee join, SURVEY §2.3 stretch):
+    enrich every non-error event with the user's most recent error at
+    or before it. The oracle is DuckDB's native ASOF LEFT JOIN; the
+    Spark side is the union + ordered carry-forward plan
+    (``operators/asof.py``) — one key shuffle, no range explosion.
+    """
+    from clickhouse_build_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    left = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_event_id")
+    )
+    joined = asof_join(
+        left,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        right_cols=["err_event_id", "err_ts"],
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", "err_event_id_asof", "err_ts_asof"
+    )
