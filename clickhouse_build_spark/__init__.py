@@ -17,8 +17,26 @@ Everything is declarative DataFrame/SQL so Catalyst handles pushdown,
 pruning, join selection, AQE and codegen; Python stays out of the hot path.
 """
 
-from clickhouse_build_spark.session import get_spark
 from clickhouse_build_spark.catalog import Catalog, TABLE_NAMES
+from clickhouse_build_spark.engine import AnalyticalWriteError, Engine
+from clickhouse_build_spark.migrator import ReplicationPlan, plan_replication
+from clickhouse_build_spark.session import get_spark
+from clickhouse_build_spark.sources.replication import (
+    ReplicationMode,
+    Replicator,
+    TableMapping,
+)
 
-__all__ = ["get_spark", "Catalog", "TABLE_NAMES"]
+__all__ = [
+    "AnalyticalWriteError",
+    "Catalog",
+    "Engine",
+    "ReplicationMode",
+    "ReplicationPlan",
+    "Replicator",
+    "TABLE_NAMES",
+    "TableMapping",
+    "get_spark",
+    "plan_replication",
+]
 __version__ = "0.1.0"
