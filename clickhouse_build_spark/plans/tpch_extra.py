@@ -30,7 +30,8 @@ def _rev():
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS revenue
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders   ON o_orderkey = l_orderkey
@@ -47,6 +48,13 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the same dimension (nation) joined twice under
     different roles (supplier side vs customer side) — alias-disciplined
     self-reference plus a 6-way join and year extraction.
+
+    Revenue is integerized to cents PER ROW before the sum: both engines
+    compute the identical IEEE double per row, floor it to the same
+    bigint, and an integer sum is order-independent; dividing the same
+    bigint by the constant 100.0 yields bit-identical doubles. Immune to
+    the round(sum(double),2) accumulation-order ties that hash-failed
+    this query in round 1 (VERDICT.md "What's wrong" #2).
 
     Scale: both nation joins broadcast (25 rows at any SF); the
     fact-side work is one shuffle on l_orderkey for the orders join.
@@ -71,7 +79,11 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(round2(F.sum(_rev())).alias("revenue"))
+        .agg(
+            (F.sum(F.floor(_rev() * 100 + F.lit(0.5)).cast("long")) / 100.0).alias(
+                "revenue"
+            )
+        )
     )
 
 
@@ -79,8 +91,9 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, year(l_shipdate) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.6 * p_retailprice * l_quantity), 2) AS profit
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                - 0.6 * p_retailprice * l_quantity) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -93,7 +106,8 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit per supplier-nation per year with a LIKE
     part filter (supply cost approximated as 0.6·retailprice — the
-    reduced schema has no partsupp).
+    reduced schema has no partsupp). Profit is integerized to cents per
+    row before the sum (order-independent; see q7's docstring).
 
     Scale: the LIKE filter prunes part before the join; AQE broadcasts
     the filtered part side when it fits.
@@ -109,7 +123,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(round2(F.sum(profit)).alias("profit"))
+        .agg(
+            (F.sum(F.floor(profit * 100 + F.lit(0.5)).cast("long")) / 100.0).alias(
+                "profit"
+            )
+        )
     )
 
 
@@ -157,10 +175,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping_caseagg",
     oracle="""
     SELECT date_trunc('month', l_shipdate) AS ship_month,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
     GROUP BY 1
@@ -379,27 +397,43 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_percentiles_by_flag",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+           CAST(round(quantile_cont(CAST(floor(l_extendedprice * 100 + 0.5)
+                                         AS BIGINT), 0.5) * 100) AS BIGINT)
+             / 10000.0 AS p50,
+           CAST(round(quantile_cont(CAST(floor(l_extendedprice * 100 + 0.5)
+                                         AS BIGINT), 0.9) * 100) AS BIGINT)
+             / 10000.0 AS p90,
+           CAST(round(quantile_cont(CAST(floor(l_extendedprice * 100 + 0.5)
+                                         AS BIGINT), 0.99) * 100) AS BIGINT)
+             / 10000.0 AS p99
     FROM lineitem
     GROUP BY 1
     """,
     tags=("relational", "percentile"),
 )
 def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per group — Spark's
-    ``percentile`` ≡ DuckDB's ``quantile_cont``, so this is
-    hash-matchable unlike the approx sketch variants.
+    """Exact percentiles (linear interpolation, R-7) per group — Spark's
+    ``percentile`` ≡ DuckDB's ``quantile_cont``.
+
+    Tie-immunity: percentiles run over integer CENTS; with q in
+    hundredths the R-7 interpolant × 100 is mathematically an integer,
+    so ``round(p*100)`` snaps both engines' ULP-different interpolants
+    to the same bigint (the error is ~1e-6 of the 0.5 rounding margin),
+    and the constant division back to dollars is bit-identical. Plain
+    ``round(quantile, 2)`` hash-failed on a half-cent interpolation tie
+    under the full-precision gate.
 
     Scale: exact percentile sorts each group's values; for 100 TB the
     approx sketch (``approx_distinct_and_percentiles`` below) is the
     right default and this the verifier."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+
+    def pq(q: float):
+        return F.round(F.percentile(cents, F.lit(q)) * 100).cast("long") / 10000.0
+
     return li.groupBy("l_returnflag").agg(
-        round2(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
-        round2(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
-        round2(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99"),
+        pq(0.5).alias("p50"), pq(0.9).alias("p90"), pq(0.99).alias("p99")
     )
 
 
@@ -457,9 +491,9 @@ def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT event_type,
            count(*) AS cnt,
-           sum(len(json_keys(props))) AS total_keys,
-           sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-                    THEN 1 ELSE 0 END) AS has_k
+           CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS has_k
     FROM events
     GROUP BY 1
     """,
@@ -483,7 +517,8 @@ def events_props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "status_priority_profile",
     oracle="""
     SELECT o_orderstatus,
-           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
            count(*) AS cnt
     FROM orders
     GROUP BY 1
@@ -491,12 +526,17 @@ def events_props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "array-agg"),
 )
 def status_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: the distinct priorities seen per status as a
-    SORTED array — ``collect_set`` alone is partition-order-dependent,
-    so ``sort_array`` makes the result deterministic (SURVEY §7.4 #5
-    applies to array outputs too)."""
+    """Array aggregation: the distinct priorities seen per status —
+    ``collect_set`` alone is partition-order-dependent, so ``sort_array``
+    makes the result deterministic (SURVEY §7.4 #5 applies to array
+    outputs too). Emitted as a ','-joined STRING, not an array column:
+    the driver's canonicalizer pandas-sorts result columns and crashes
+    on unhashable lists (round-1 error row, VERDICT.md "What's wrong"
+    #3)."""
     orders = load_tables(spark, sf_dir)["orders"]
     return orders.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count("*").alias("cnt"),
     )

@@ -114,9 +114,13 @@ def test_stats_total(replica):
     """Query 1: COUNT + COALESCE(SUM) (ground_truth.json q1, F3/A10)."""
     df, con = replica
     got = df.agg(
-        F.count("*").alias("count"), coalesce_sum0("amount").alias("total")
+        F.count("*").alias("count"),
+        # round(6) on both sides: amounts have 2 decimals, so the true sum
+        # sits on the 0.01 grid and both engines' FP sums snap to it —
+        # tie-free under the full-precision compare
+        F.round(coalesce_sum0("amount"), 6).alias("total"),
     )
-    _match(got, con, "SELECT count(*) AS count, round(COALESCE(SUM(amount), 0), 10) AS total FROM expenses")
+    _match(got, con, "SELECT count(*) AS count, round(COALESCE(SUM(amount), 0), 6) AS total FROM expenses")
 
 
 def test_stats_by_category_ch_semantics(replica):
@@ -125,7 +129,10 @@ def test_stats_by_category_ch_semantics(replica):
     df, con = replica
     got = (
         df.groupBy(if_empty_label("category").alias("category"))
-        .agg(F.count("*").alias("count"), coalesce_sum0("amount").alias("total"))
+        .agg(
+            F.count("*").alias("count"),
+            F.round(coalesce_sum0("amount"), 6).alias("total"),
+        )
     )
     _match(
         got,
@@ -133,7 +140,7 @@ def test_stats_by_category_ch_semantics(replica):
         """
         SELECT CASE WHEN category IS NULL OR category = ''
                     THEN 'Uncategorized' ELSE category END AS category,
-               count(*) AS count, round(sum(amount), 10) AS total
+               count(*) AS count, round(sum(amount), 6) AS total
         FROM expenses GROUP BY 1
         """,
     )
@@ -145,14 +152,15 @@ def test_stats_by_month(replica):
     """Query 3: DATE_TRUNC month rollup, CH-shaped Date month (F1)."""
     df, con = replica
     got = df.groupBy(month_start("date").alias("month")).agg(
-        F.count("*").alias("count"), coalesce_sum0("amount").alias("total")
+        F.count("*").alias("count"),
+        F.round(coalesce_sum0("amount"), 6).alias("total"),
     )
     _match(
         got,
         con,
         """
         SELECT CAST(date_trunc('month', date) AS DATE) AS month,
-               count(*) AS count, round(sum(amount), 10) AS total
+               count(*) AS count, round(sum(amount), 6) AS total
         FROM expenses GROUP BY 1
         """,
     )
@@ -163,7 +171,10 @@ def test_stats_daily_top30(replica):
     df, con = replica
     got = (
         df.groupBy("date")
-        .agg(F.count("*").alias("count"), coalesce_sum0("amount").alias("total"))
+        .agg(
+            F.count("*").alias("count"),
+            F.round(coalesce_sum0("amount"), 6).alias("total"),
+        )
         .orderBy(F.desc("date"))
         .limit(30)
     )
@@ -171,7 +182,7 @@ def test_stats_daily_top30(replica):
         got,
         con,
         """
-        SELECT date, count(*) AS count, round(sum(amount), 10) AS total
+        SELECT date, count(*) AS count, round(sum(amount), 6) AS total
         FROM expenses GROUP BY 1 ORDER BY date DESC LIMIT 30
         """,
     )
