@@ -99,6 +99,40 @@ def word_shingles(
     return out.distinct() if distinct else out
 
 
+# ---------------------------------------------------------- bucket guard
+
+
+def hot_bucket_filter(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Drop LSH buckets holding more than ``max_bucket`` members before a
+    same-bucket self-join.
+
+    Banded-join work is Σ bucket², so one degenerate bucket (every
+    empty-text document hashes to the same band key) turns the candidate
+    join quadratic at corpus scale. A bucket with b > max_bucket members
+    contributes b² ≈ useless comparisons AND near-zero information —
+    anything that common is not a near-duplicate *pair* relationship
+    worth enumerating pairwise.
+
+    Returns ``(kept, hot)``: the filtered banded frame and the dropped
+    ``(bucket_cols..., bucket_n)`` frame so callers can log/record what
+    was skipped (a pair inside a dropped bucket can still surface via
+    another band — the pigeonhole guarantee weakens to best-effort for
+    members of hot buckets, which is the documented trade).
+
+    Scale: the size count is a partial-aggregated groupBy on the small
+    bucket key; ``hot`` is tiny by construction (count > max_bucket), so
+    the anti-join broadcasts.
+    """
+    sizes = banded.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_n"))
+    hot = sizes.filter(F.col("bucket_n") > max_bucket)
+    kept = banded.join(
+        F.broadcast(hot.select(*bucket_cols)), bucket_cols, "left_anti"
+    )
+    return kept, hot
+
+
 # ---------------------------------------------------------------- MinHash
 
 
@@ -122,7 +156,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair → (id_a, id_b, est_jaccard).
@@ -131,6 +169,12 @@ def lsh_candidate_pairs(
     unbiased MinHash estimate of true Jaccard. Candidates form via an
     equi-join on (band_idx, band_key): only same-bucket docs ever meet,
     which is the whole point at 100 TB.
+
+    The band join carries only (id, band, key) — the signature arrays
+    (num_perm longs each) are re-joined by id AFTER the candidate pairs
+    are deduped, so the bucket-collision fan-out never shuffles them.
+    ``max_bucket`` (optional) drops degenerate buckets before the join
+    via :func:`hot_bucket_filter`.
     """
     num_perm = bands * rows_per_band
     band_keys = [
@@ -144,8 +188,10 @@ def lsh_candidate_pairs(
         for j in range(bands)
     ]
     banded = signatures.select(
-        id_col, "sig", F.posexplode(F.array(*band_keys)).alias("band", "key")
+        id_col, F.posexplode(F.array(*band_keys)).alias("band", "key")
     )
+    if max_bucket is not None:
+        banded, _ = hot_bucket_filter(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -157,20 +203,28 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
     )
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
         )
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(matches.cast("double") / num_perm, 4).alias("est_jaccard"),
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches.cast("double") / num_perm, 4).alias("est_jaccard"),
+        )
     )
 
 
@@ -182,6 +236,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pairs: shingle → minhash →
     band → bucket-join → estimate → threshold. Shingles stay
@@ -189,9 +244,9 @@ def minhash_lsh_pairs(
     the Jaccard/SimHash paths need is pure cost here."""
     sh = word_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     sig = minhash_signatures(sh, id_col, num_perm=bands * rows_per_band)
-    return lsh_candidate_pairs(sig, id_col, bands, rows_per_band).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return lsh_candidate_pairs(
+        sig, id_col, bands, rows_per_band, max_bucket=max_bucket
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- SimHash
@@ -241,6 +296,7 @@ def simhash_dup_pairs(
     max_hamming: int = 6,
     bands: int = 8,
     bits: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance → (id_a, id_b, hamming).
 
@@ -249,7 +305,10 @@ def simhash_dup_pairs(
     one whole band (pigeonhole), so candidates come from an equi-join
     on (band_idx, band_bits) and the exact hamming filter runs only on
     collisions. Result is EXACT for ``max_hamming < bands`` — identical
-    to the all-pairs O(n²) scan, without performing it.
+    to the all-pairs O(n²) scan, without performing it. With
+    ``max_bucket`` set, degenerate buckets are dropped first
+    (:func:`hot_bucket_filter`) and exactness weakens to best-effort for
+    their members.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -265,6 +324,8 @@ def simhash_dup_pairs(
     banded = sig_df.select(
         id_col, "simhash", F.posexplode(F.array(*band_vals)).alias("band", "key")
     )
+    if max_bucket is not None:
+        banded, _ = hot_bucket_filter(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

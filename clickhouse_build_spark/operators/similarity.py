@@ -127,6 +127,7 @@ def lsh_bucketed_cosine_pairs(
     vec_col: str = "e",
     max_hamming: int = 2,
     round_to: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at corpus scale: LSH candidate generation, then
     the exact cosine only on candidates — the path
@@ -142,22 +143,31 @@ def lsh_bucketed_cosine_pairs(
     precision is exact.
 
     Scale: no broadcast of the corpus, no n² join — work is
-    Σ bucket_size² over same-band buckets.
+    Σ bucket_size² over same-band buckets. The band self-join carries
+    (id, signature) only — 16 bytes/row, not the vectors (~8·dim
+    bytes): vectors re-join by id AFTER the candidate pairs are deduped,
+    so bucket-collision fan-out never shuffles payload. ``max_bucket``
+    drops degenerate buckets (e.g. a zero-vector pile-up) before the
+    join via :func:`~clickhouse_build_spark.operators.dedup.hot_bucket_filter`.
     """
+    from clickhouse_build_spark.operators.dedup import hot_bucket_filter
+
     nbits = len(hyperplanes)
     bands = max_hamming + 1
     band_bits = nbits // bands
     mask = (1 << band_bits) - 1
     sig = vectors.select(
-        id_col, vec_col, lsh_signature(F.col(vec_col), hyperplanes).alias("__sig")
+        id_col, lsh_signature(F.col(vec_col), hyperplanes).alias("__sig")
     )
     band_vals = [
         F.shiftright("__sig", j * band_bits).bitwiseAND(F.lit(mask))
         for j in range(bands)
     ]
     banded = sig.select(
-        id_col, vec_col, "__sig", F.posexplode(F.array(*band_vals)).alias("band", "key")
+        id_col, "__sig", F.posexplode(F.array(*band_vals)).alias("band", "key")
     )
+    if max_bucket is not None:
+        banded, _ = hot_bucket_filter(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     hd = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
     cand = (
@@ -171,14 +181,29 @@ def lsh_bucketed_cosine_pairs(
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    cs = cosine(F.col("__va"), F.col("__vb"))
-    return cand.filter(cs >= threshold).select(
-        "vec_a", "vec_b", F.round(cs, round_to).alias("cos_sim")
+    # Precompute each vector's norm ONCE (n rows) instead of per pair
+    # (Σ bucket² rows) — the division tree below matches the oracle's
+    # dot/(sqrt(dot)·sqrt(dot)) bit-for-bit since sqrt is deterministic.
+    vn = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    va = vectors.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__va"),
+        vn.alias("__na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+        vn.alias("__nb"),
+    )
+    cs = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .filter(cs >= threshold)
+        .select("vec_a", "vec_b", F.round(cs, round_to).alias("cos_sim"))
     )
 
 
@@ -205,15 +230,25 @@ def lsh_signature(
     vec: Column, hyperplanes: list[list[float]]
 ) -> Column:
     """nbits-bit LSH signature of a double-array column: bit i is set
-    iff ⟨v, r_i⟩ > 0. Pure codegen arithmetic, one pass per vector."""
-    sig = None
-    for i, plane in enumerate(hyperplanes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(vec, lit_plane) > 0, F.lit(2**i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
-    return sig
+    iff ⟨v, r_i⟩ > 0. Pure JVM-side arithmetic, one pass per vector.
+
+    Expressed as ONE transform/aggregate over an array-of-planes literal
+    rather than nbits unrolled dot expressions: the lambda body compiles
+    once, so plan/codegen size is O(1) in nbits instead of O(nbits) —
+    the unrolled form spent seconds in expression compilation alone at
+    16 bits. Per-plane fold order is unchanged (sequential left-to-right),
+    so signatures stay bit-identical to the SQL oracle's.
+    """
+    planes = F.array(*[F.array(*[F.lit(x) for x in p]) for p in hyperplanes])
+    bits = F.transform(
+        planes,
+        lambda p, i: F.when(
+            dot(vec, p) > 0,
+            # 2^i via double pow — exact for i ≤ 52, cast back to long
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def lsh_topk(

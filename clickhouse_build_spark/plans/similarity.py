@@ -22,6 +22,7 @@ from clickhouse_build_spark.operators.similarity import (
     dot,
     ivf_assign,
     ivf_topk,
+    lsh_bucketed_cosine_pairs,
     lsh_topk,
     random_hyperplanes,
 )
@@ -35,8 +36,14 @@ LSH_NBITS = 8
 LSH_MAX_HAMMING = 2
 IVF_CENTROID_STRIDE = 50  # vec_id % stride == 0 → sampled centroid
 IVF_NPROBE = 3
+# Pair-mining signature family: 16 bits / hamming ≤ 1 → 2 bands of 8
+# bits, 256 bucket keys per band — bucket occupancy stays ~n/256 as the
+# corpus grows, vs 4 keys/band if the 8-bit top-k family were banded.
+PAIR_NBITS = 16
+PAIR_MAX_HAMMING = 1
 
 HYPERPLANES = random_hyperplanes(DIM, LSH_NBITS)
+PAIR_HYPERPLANES = random_hyperplanes(DIM, PAIR_NBITS)
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -50,14 +57,14 @@ def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
-def _sig_sql(vec_expr: str) -> str:
+def _sig_sql(vec_expr: str, planes: list[list[float]] | None = None) -> str:
     """nbits-bit LSH signature as a SQL expression (literal hyperplanes)."""
     return (
         "("
         + " + ".join(
             f"CASE WHEN list_dot_product({vec_expr}, {_plane_sql(p)}) > 0 "
             f"THEN {2**i} ELSE 0 END"
-            for i, p in enumerate(HYPERPLANES)
+            for i, p in enumerate(planes if planes is not None else HYPERPLANES)
         )
         + ")::BIGINT"
     )
@@ -177,6 +184,48 @@ def emb_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n² join.
     """
     return cosine_pairs_blocked(_vectors(spark, sf_dir), NEAR_DUP_COS)
+
+
+@query(
+    "emb_lsh_bucketed_cosine_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, e, {_sig_sql('e', PAIR_HYPERPLANES)} AS s FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_cos_sql('a.e', 'b.e')}, 4) AS cos_sim
+    FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.s, b.s)) <= {PAIR_MAX_HAMMING}
+      AND {_cos_sql('a.e', 'b.e')} >= {NEAR_DUP_COS}
+    """,
+    tags=("similarity", "near-dup", "lsh", "scale-path"),
+)
+def emb_lsh_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path: LSH-banded candidate generation
+    (16-bit hyperplane signatures, pigeonhole bands for hamming ≤ 1),
+    exact cosine only on candidates — no corpus broadcast, no n² join.
+    This is the documented scale successor to ``emb_near_dup_cosine``'s
+    bounded broadcast kernel.
+
+    The oracle recomputes the identical signatures from the same literal
+    hyperplanes and brute-forces the (hamming ≤ 1 ∧ cos ≥ t) pair set —
+    the banded plan must reproduce it exactly (banding is lossless for
+    hamming ≤ bands − 1 by pigeonhole).
+
+    Scale: the band self-join shuffles 16-byte (id, sig) rows bucketed
+    256 ways per band; vectors join back only for deduped candidates.
+    ``max_bucket`` (unset here to stay oracle-exact) guards degenerate
+    buckets.
+    """
+    return lsh_bucketed_cosine_pairs(
+        _vectors(spark, sf_dir),
+        NEAR_DUP_COS,
+        PAIR_HYPERPLANES,
+        max_hamming=PAIR_MAX_HAMMING,
+    )
 
 
 @query(

@@ -375,6 +375,39 @@ def returned_and_urgent_intersect(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "customers_except_returners",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    """,
+    tags=("relational", "set-op", "except"),
+)
+def customers_except_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, completing the UNION/INTERSECT/EXCEPT
+    family, SURVEY §2.7): customers who placed orders but never returned
+    an item. ``DataFrame.subtract`` ≡ SQL EXCEPT (distinct semantics).
+
+    Scale: both sides reduce to distinct o_custkey before the set op —
+    Catalyst plans EXCEPT as a left-anti hash join on the key, one
+    shuffle per side.
+    """
+    t = load_tables(spark, sf_dir)
+    all_cust = t["orders"].select("o_custkey")
+    returners = (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey")
+    )
+    return all_cust.subtract(returners)
+
+
+@query(
     "status_priority_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

@@ -97,3 +97,52 @@ def test_lsh_bucketed_pairs_subset_of_exact_with_perfect_precision(spark):
     assert (1, 100_001) in approx  # the planted near-identical pair is found
     for k, cs in approx.items():
         assert abs(cs - exact[k]) < 1e-3
+
+
+def test_hot_bucket_guard_bounds_degenerate_corpus(spark):
+    """A degenerate corpus (many identical vectors → one LSH bucket)
+    must not go quadratic when max_bucket is set: the hot bucket is
+    dropped (recorded), the pipeline completes, and survivors still
+    pair up (VERDICT.md next-round task #7)."""
+    from clickhouse_build_spark.operators.dedup import hot_bucket_filter
+    from clickhouse_build_spark.operators.similarity import (
+        lsh_bucketed_cosine_pairs,
+        lsh_signature,
+    )
+    from clickhouse_build_spark.plans.similarity import PAIR_HYPERPLANES
+
+    dim = len(PAIR_HYPERPLANES[0])
+    # 500 identical vectors (one degenerate bucket) + 3 distinct ones
+    clones = [(i, [1.0] + [0.5] * (dim - 1)) for i in range(500)]
+    distinct = [
+        (1000 + i, [0.1 * (i + 1) if j == i else -0.3 for j in range(dim)])
+        for i in range(3)
+    ]
+    corpus = spark.createDataFrame(
+        clones + distinct, "vec_id long, e array<double>"
+    ).coalesce(4)
+
+    capped = lsh_bucketed_cosine_pairs(
+        corpus, 0.99, PAIR_HYPERPLANES, max_hamming=1, max_bucket=50
+    )
+    # without the cap the clone bucket alone yields 500·499/2 ≈ 125k pairs
+    assert capped.count() == 0  # the clone pile-up was skipped entirely
+
+    # the guard records exactly what it dropped
+    sig = corpus.select(
+        "vec_id", lsh_signature(F.col("e"), PAIR_HYPERPLANES).alias("__sig")
+    )
+    banded = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                F.col("__sig").bitwiseAND(F.lit(255)),
+                F.shiftright("__sig", 8).bitwiseAND(F.lit(255)),
+            )
+        ).alias("band", "key"),
+    )
+    kept, hot = hot_bucket_filter(banded, ["band", "key"], 50)
+    hot_rows = hot.collect()
+    assert len(hot_rows) == 2  # the clone signature's bucket in each band
+    assert all(r.bucket_n == 500 for r in hot_rows)
+    assert kept.count() == 6  # 3 distinct vectors × 2 bands
