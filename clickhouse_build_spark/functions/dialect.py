@@ -14,7 +14,7 @@ whole-stage codegen; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -114,3 +114,36 @@ def arg_max(value: Column | str, by: Column | str) -> Column:
 def arg_min(value: Column | str, by: Column | str) -> Column:
     """ClickHouse ``argMin(value, by)`` (see :func:`arg_max`)."""
     return F.min(F.struct(_col(by).alias("b"), _col(value).alias("v"))).getField("v")
+
+
+def current_date_() -> Column:
+    """``CURRENT_DATE`` / CH ``today()`` (SURVEY F8) — the DDL-default
+    expression for date columns. Evaluated once per query (Spark fixes
+    ``current_date()`` at plan time), so every row in a batch gets the
+    same value, matching both engines' per-statement semantics."""
+    return F.current_date()
+
+
+def now_() -> Column:
+    """``now()`` / PG ``CURRENT_TIMESTAMP`` (SURVEY F8) — per-statement
+    timestamp, fixed at plan time like :func:`current_date_`."""
+    return F.current_timestamp()
+
+
+def apply_column_defaults(df: DataFrame, defaults: dict[str, Column]) -> DataFrame:
+    """Write-side DDL-default injection (SURVEY F8): the engine has no
+    DDL layer, so ``DEFAULT CURRENT_DATE`` / ``DEFAULT now()`` column
+    clauses are applied at write time — NULLs in a present column are
+    filled with the default expression; an absent column is added
+    outright. Use with :func:`current_date_` / :func:`now_`::
+
+        apply_column_defaults(rows, {"date": current_date_()})
+
+    Pure projection — no shuffle, stays in whole-stage codegen.
+    """
+    for name, default in defaults.items():
+        if name in df.columns:
+            df = df.withColumn(name, F.coalesce(F.col(name), default))
+        else:
+            df = df.withColumn(name, default)
+    return df

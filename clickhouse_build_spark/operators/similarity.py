@@ -288,6 +288,85 @@ def lsh_topk(
 # --------------------------------------------------------------- IVF-Flat
 
 
+def ivf_train(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    sample_cap: int = 1_000_000,
+    iters: int = 5,
+) -> DataFrame:
+    """Production IVF coarse-quantizer: spherical k-means (Lloyd) on a
+    bounded, DETERMINISTIC sample → (cell, ce) centroid frame.
+
+    The deterministic-stride sample used by the oracle-checked
+    ``emb_ann_ivf_topk`` keeps the structure SQL-reproducible; this is
+    the trainer a real corpus wants — centroids that adapt to the data
+    distribution instead of being corpus rows.
+
+    Determinism without an RNG: the sample keeps ids whose portable md5
+    hash falls under ``sample_cap/n`` (stable under repartitioning,
+    unlike ``DataFrame.sample``), inits centroids at evenly-spaced ranks
+    of the id-sorted sample, and Lloyd's iterations are pure numpy.
+    Lloyd monotonically improves quantization error over that init, so
+    the trained centroids are never worse than the sampled baseline on
+    the training sample (tests assert it corpus-wide).
+
+    100 TB: only the ≤ ``sample_cap`` sample is collected to the driver
+    (at 1e6 × 64 dims ≈ 0.5 GB) — the corpus itself is never moved; one
+    ``count()`` for the sampling fraction is the only full-data action,
+    and assignment afterwards is :func:`ivf_assign`'s broadcast pass.
+    Empty cells keep their previous centroid (classic Lloyd fallback).
+    """
+    from clickhouse_build_spark.operators.dedup import portable_hash
+
+    n = vectors.count()
+    sample = vectors
+    if n > sample_cap:
+        scale = 1 << 20
+        cut = int(scale * sample_cap / n)
+        sample = vectors.filter(
+            F.pmod(portable_hash(F.col(id_col).cast("string"), "ivf-sample"), scale)
+            < cut
+        )
+    rows = sample.select(id_col, vec_col).orderBy(id_col).collect()
+    if len(rows) < k:
+        raise ValueError(f"sample of {len(rows)} vectors cannot seed k={k} cells")
+    X = np.vstack([r[1] for r in rows]).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot (unit norm)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[c] = m / norm
+    return vectors.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in C[c]]) for c in range(k)],
+        "cell long, ce array<double>",
+    )
+
+
+def quantization_cost(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "e",
+) -> float:
+    """Mean (1 − max-cosine-to-any-centroid) over the corpus — the
+    spherical k-means objective; lower is a tighter coarse quantizer.
+    One broadcast pass, one scalar back to the driver."""
+    best = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .groupBy(vec_col)
+        .agg(F.max(cosine(F.col(vec_col), F.col("ce"))).alias("__best"))
+    )
+    [row] = best.agg(F.avg(1 - F.col("__best")).alias("cost")).collect()
+    return float(row["cost"])
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

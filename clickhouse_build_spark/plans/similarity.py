@@ -22,6 +22,7 @@ from clickhouse_build_spark.operators.similarity import (
     dot,
     ivf_assign,
     ivf_topk,
+    ivf_train,
     lsh_bucketed_cosine_pairs,
     lsh_topk,
     random_hyperplanes,
@@ -316,6 +317,28 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cell"), F.col("e").alias("ce")
     )
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    assigned = ivf_assign(v.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
+    return ivf_topk(assigned, centroids, q, k=TOP_K, nprobe=IVF_NPROBE)
+
+
+@query(
+    "emb_ann_ivf_trained_topk",
+    oracle=None,  # the trainer is iterative (Lloyd) — not SQL-expressible;
+    # the sampled-centroid twin above is the oracle-checked verifier of
+    # the identical assign/probe machinery, this gets the rows-only check
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def emb_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with the PRODUCTION coarse quantizer: spherical k-means
+    (``ivf_train``, deterministic bounded sample + Lloyd) instead of the
+    stride-sampled corpus rows. Same assignment/probe plan as
+    ``emb_ann_ivf_topk`` — only the centroid frame differs.
+
+    Scale: training collects only the capped sample; everything else is
+    the broadcast assign + nprobe-pruned probe of the sampled twin."""
+    v = _vectors(spark, sf_dir)
+    centroids = ivf_train(v, k=16, iters=5)
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
     assigned = ivf_assign(v.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
     return ivf_topk(assigned, centroids, q, k=TOP_K, nprobe=IVF_NPROBE)

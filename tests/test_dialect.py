@@ -60,3 +60,25 @@ def test_if_and_casts(spark):
     assert row["i"] == "a"
     assert row["f"] == 5.0
     assert row["dd"] == dt.date(2024, 1, 2)
+
+
+def test_apply_column_defaults_fills_and_adds(spark):
+    """F8: DDL-default injection at write time — NULLs filled, absent
+    columns added, present values untouched."""
+    from clickhouse_build_spark.functions.dialect import (
+        apply_column_defaults,
+        current_date_,
+        now_,
+    )
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2020, 5, 5)), (2, None)], "id long, d date"
+    )
+    out = apply_column_defaults(
+        df, {"d": current_date_(), "created_at": now_()}
+    ).collect()
+    today = dt.date.today()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].d == dt.date(2020, 5, 5)  # existing value untouched
+    assert by_id[2].d == today  # NULL filled with the default
+    assert all(r.created_at is not None for r in out)  # column added
