@@ -42,6 +42,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_winnow_fingerprints",
     "doc_fuzzy_dedup_keepers",
     "clean_corpus",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_contamination_screen",
+    "doc_stratified_sample",
+    "doc_token_histogram",
     "emb_knn_cosine",
     "emb_label_centroids",
     "emb_near_dup_cosine",
@@ -63,16 +68,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q22_idle_rich_customers",
     "urgent_order_customers_semi",
-    "customers_without_orders",
     "nation_account_union",
     "returned_and_urgent_intersect",
     "status_priority_rollup",
-    "status_priority_cube",
-    "status_priority_grouping_sets",
     "top3_orders_per_customer",
     "order_value_distribution",
     "rolling_30day_customer_spend",

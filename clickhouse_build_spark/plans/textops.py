@@ -419,6 +419,291 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns, portable core: plain character classes only — no
+# lookarounds (RE2 lacks them) and no \p classes, so Java regex (Spark)
+# and RE2 (DuckDB) match identically.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_URL = "https?://[^ ]+"
+PII_LONGNUM = "[0-9]{7,}"  # phone-ish / account-ish digit runs
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_URL}')) AS n_urls,
+           len(regexp_extract_all(text, '{PII_LONGNUM}')) AS n_longnums,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_URL}', '<URL>', 'g'),
+                 '{PII_LONGNUM}', '<NUM>', 'g')) AS clean_fp,
+           length(text)
+             - length(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{PII_EMAIL}', '', 'g'),
+                 '{PII_URL}', '', 'g'),
+                 '{PII_LONGNUM}', '', 'g')) AS n_chars_redacted
+    FROM documents
+    """,
+    tags=("text", "pii", "scrub", "pipeline"),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails, URLs, and 7+-digit runs replaced with
+    typed placeholders — the mandatory scrub before a corpus ships to
+    training. Reports per-doc match counts, the redacted-char count, and
+    the md5 of the scrubbed text (the post-scrub dedup key).
+
+    Patterns are the lookaround-free portable core so Spark (Java regex)
+    and the oracle (RE2) agree byte-for-byte; the planted-PII unit test
+    (tests/test_textops_pipeline.py) proves the redaction itself since
+    the synthetic corpus contains no PII.
+
+    Scale: pure map-only codegen (``regexp_replace`` ×3 per row), no
+    shuffle, no Python.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>"
+        ),
+        PII_LONGNUM,
+        "<NUM>",
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("text", PII_EMAIL, ""), PII_URL, ""),
+        PII_LONGNUM,
+        "",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_URL), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_LONGNUM), 0)).alias(
+            "n_longnums"
+        ),
+        F.md5(scrubbed).alias("clean_fp"),
+        (F.length("text") - F.length(stripped)).alias("n_chars_redacted"),
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    tok_stats AS (
+      SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_toks
+      FROM tf GROUP BY 1
+    ),
+    bg AS (
+      SELECT doc_id,
+             len(w) - 1 AS n_bigrams,
+             len(list_distinct(list_transform(range(1, len(w)),
+                               i -> array_to_string(w[i:i+1], ' '))))
+               AS n_distinct_bigrams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 2
+    )
+    SELECT t.doc_id,
+           CAST(floor(CAST(t.top_c AS DOUBLE) * 10000 / t.n_toks + 0.5)
+                AS BIGINT) AS top_token_ratio_x10k,
+           CAST(floor((1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams)
+                      * 10000 + 0.5) AS BIGINT) AS dup_bigram_ratio_x10k
+    FROM tok_stats t JOIN bg b ON t.doc_id = b.doc_id
+    """,
+    tags=("text", "quality", "repetition", "pipeline"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: dominance of the
+    single most frequent token and the duplicate-bigram fraction — the
+    standard filters for degenerate/templated text. Ratios are reported
+    ×10000 as integers via the per-row floor(+0.5) trick (tie-immune
+    across engines).
+
+    Scale: one explode + two partial-aggregated groupBys for token
+    dominance (shuffle carries (doc, token) counts, not text); the
+    bigram arithmetic is per-row array math with no shuffle at all.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 2)
+    tf = (
+        base.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tok_stats = tf.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_toks")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 2)),
+    )
+    bg = base.select(
+        "doc_id",
+        (F.size("w") - 1).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    return tok_stats.join(bg, "doc_id").select(
+        "doc_id",
+        F.floor(
+            F.col("top_c").cast("double") * 10000 / F.col("n_toks") + 0.5
+        )
+        .cast("long")
+        .alias("top_token_ratio_x10k"),
+        F.floor(
+            (1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"))
+            * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("dup_bigram_ratio_x10k"),
+    )
+
+
+# Benchmark-contamination screen: the "benchmark" is a deterministic
+# slice of the corpus (doc_id % 100 == 0) standing in for an eval set.
+CONTAM_NGRAM = 5
+CONTAM_BENCH_MOD = 100
+
+
+@query(
+    "doc_contamination_screen",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - {CONTAM_NGRAM - 2}),
+                    i -> array_to_string(w[i:i+{CONTAM_NGRAM - 1}], ' ')))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= {CONTAM_NGRAM}
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    )
+    SELECT s.doc_id, count(*) AS n_contaminated_shingles
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % {CONTAM_BENCH_MOD} <> 0
+    GROUP BY 1
+    """,
+    tags=("text", "contamination", "pipeline"),
+)
+def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag training documents sharing
+    any word-{5}-gram with the benchmark set (here a deterministic
+    doc_id % 100 slice standing in for an external eval suite) — the
+    n-gram-overlap decontamination step every training corpus runs.
+
+    Scale: the benchmark shingle set is eval-suite-sized (tiny next to
+    the corpus) → broadcast hash join against it; corpus shingles
+    stream through map-side, and only matches reach the per-doc count.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", words.alias("w")).filter(
+        F.size("w") >= CONTAM_NGRAM
+    )
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (CONTAM_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, CONTAM_NGRAM)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    bench = (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+    )
+
+
+# Data-mixing rates per language (share of each stratum kept), in
+# basis points so the literal embeds exactly in both engines.
+STRAT_RATES_BP = {"en": 5000, "zh": 7500}  # unlisted languages keep all
+STRAT_SCALE = 10_000
+
+
+def _strat_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}" for lang, bp in STRAT_RATES_BP.items()
+    )
+    return f"CASE {cases} ELSE {STRAT_SCALE} END"
+
+
+@query(
+    "doc_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % {STRAT_SCALE} < {_strat_rate_sql()}
+    """,
+    tags=("text", "sampling", "mixing", "pipeline"),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: keep a
+    per-language share of documents (en 50%, zh 75%, everything else
+    100%) by thresholding a portable md5 hash of the doc id — the
+    reproducible down-weighting step when composing a training mixture.
+    Unlike ``DataFrame.sample``, membership is a pure function of the
+    row, stable across partitioning, retries, and engines.
+
+    Scale: map-only predicate, pushes to the scan, no shuffle.
+    """
+    from clickhouse_build_spark.operators.dedup import portable_hash
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rate = F.lit(STRAT_SCALE)
+    for lang, bp in STRAT_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    keep = (
+        F.pmod(portable_hash(F.col("doc_id").cast("string"), "strat"), STRAT_SCALE)
+        < rate
+    )
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+@query(
+    "doc_token_histogram",
+    oracle="""
+    SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "histogram", "corpus-stats", "pipeline"),
+)
+def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram (10-token buckets): docs and total
+    tokens per bucket — the budget/mixture-planning statistic run over
+    every corpus before training.
+
+    Scale: map-side bucket + partial count/sum; the shuffle carries one
+    row per bucket per partition.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy(
+        (F.floor(n_tok / 10) * 10).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+    )
+
+
 # Subword-ish tokenizer: letter runs | digit runs | single punctuation —
 # the GPT-2-style pre-tokenization regex reduced to its portable core
 # (no \p classes, so Spark's and DuckDB's regex engines agree exactly).

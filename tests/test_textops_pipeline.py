@@ -1,0 +1,148 @@
+"""Unit tests for the training-data-pipeline textops added in round 2.
+
+The synthetic corpus contains no PII, so the oracle gate only proves the
+Spark and DuckDB regexes agree — these tests plant known PII / repeated /
+contaminated text and assert the *semantics* (what gets redacted,
+counted, sampled) are right.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clickhouse_build_spark.plans.textops import (
+    PII_EMAIL,
+    PII_LONGNUM,
+    PII_URL,
+    STRAT_RATES_BP,
+    STRAT_SCALE,
+)
+
+
+def _scrub(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+                PII_URL,
+                "<URL>",
+            ),
+            PII_LONGNUM,
+            "<NUM>",
+        ).alias("clean")
+    ).head()[0]
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    text = (
+        "contact alice.smith+x@example.co.uk or visit "
+        "https://internal.example.com/reset?t=1 and call 5551234567 now"
+    )
+    clean = _scrub(spark, text)
+    assert "<EMAIL>" in clean
+    assert "<URL>" in clean
+    assert "<NUM>" in clean
+    assert "alice" not in clean
+    assert "example.com" not in clean
+    assert "5551234567" not in clean
+
+
+def test_pii_scrub_leaves_clean_text_alone(spark):
+    text = "plain prose with short numbers 123 456 and no links"
+    assert _scrub(spark, text) == text
+
+
+def test_pii_email_not_greedy_over_plain_words(spark):
+    # An '@' with no domain dot must not match.
+    assert _scrub(spark, "user@localhost stays") == "user@localhost stays"
+
+
+def test_repetition_stats_on_degenerate_doc(spark, tmp_path):
+    # "spam spam spam spam" → top token ratio 100%, all bigrams equal.
+    rows = [
+        (1, "spam spam spam spam", "en", "web", 19),
+        (2, "the quick brown fox jumps", "en", "web", 25),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    from clickhouse_build_spark.plans.textops import doc_repetition_stats
+
+    out = {
+        r["doc_id"]: r
+        for r in doc_repetition_stats(spark, d).collect()
+    }
+    assert out[1]["top_token_ratio_x10k"] == 10000
+    assert out[1]["dup_bigram_ratio_x10k"] > 6000  # 3 bigrams, 1 distinct
+    assert out[2]["top_token_ratio_x10k"] == 2000  # 1/5 of tokens
+    assert out[2]["dup_bigram_ratio_x10k"] == 0
+
+
+def test_contamination_screen_flags_copied_benchmark_text(spark, tmp_path):
+    bench_text = "the seven wonders of the ancient world are listed here"
+    rows = [
+        # doc_id 100 → benchmark member (doc_id % 100 == 0)
+        (100, bench_text, "en", "web", 54),
+        # contains a full 5-gram of the benchmark text
+        (1, "prefix words the seven wonders of the ancient suffix", "en", "web", 52),
+        # shares words but no 5-gram
+        (2, "seven ancient wonders exist in the world today", "en", "web", 46),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    from clickhouse_build_spark.plans.textops import doc_contamination_screen
+
+    hits = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in doc_contamination_screen(spark, d).collect()
+    }
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+    assert 100 not in hits  # benchmark rows themselves are excluded
+
+
+def test_stratified_sample_rates_and_determinism(spark, tmp_path):
+    n = 4000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(1).cast("long").alias("n_chars"),
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    from clickhouse_build_spark.plans.textops import doc_stratified_sample
+
+    kept = doc_stratified_sample(spark, d)
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # 'de' is unlisted → keep all 2000.
+    assert counts["de"] == n // 2
+    # 'en' keeps ~50% (hash-uniform; generous tolerance on 2000 docs).
+    rate = STRAT_RATES_BP["en"] / STRAT_SCALE
+    assert abs(counts["en"] / (n // 2) - rate) < 0.05
+    # Deterministic: same membership on a re-run.
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in doc_stratified_sample(spark, d).collect())
+    assert ids1 == ids2
+
+
+def test_token_histogram_buckets(spark, tmp_path):
+    rows = [
+        (1, "a b c", "en", "web", 5),  # 3 tokens → bucket 0
+        (2, " ".join(["t"] * 12), "en", "web", 23),  # 12 tokens → bucket 10
+        (3, " ".join(["t"] * 17), "en", "web", 33),  # 17 tokens → bucket 10
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    from clickhouse_build_spark.plans.textops import doc_token_histogram
+
+    out = {r["bucket"]: r for r in doc_token_histogram(spark, d).collect()}
+    assert out[0]["n_docs"] == 1 and out[0]["total_tokens"] == 3
+    assert out[10]["n_docs"] == 2 and out[10]["total_tokens"] == 29
