@@ -17,6 +17,7 @@ from clickhouse_build_spark.plans import textops  # noqa: E402,F401
 from clickhouse_build_spark.plans import similarity  # noqa: E402,F401
 from clickhouse_build_spark.plans import dedup  # noqa: E402,F401
 from clickhouse_build_spark.plans import multimodal  # noqa: E402,F401
+from clickhouse_build_spark.plans import joinshapes  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order (round 1 stopped at entry 50, leaving every

@@ -1,0 +1,321 @@
+"""Join-shape completion (SURVEY §2.3): the shapes round 1 didn't
+register — LEFT OUTER with a filtered join condition (TPC-H q13), FULL
+OUTER reconciliation, aggregate-view + scalar-max (q15), global-fraction
+scalar subquery (q11 shape), nested semi-join chain (q20 shape), and
+per-group conditional share (q8 shape).
+
+The reference workload itself is single-table (SURVEY §2.3: joins are
+implied in-scope via the scanner's INCLUDE rules, ``src/prompts/
+scanner.py:21,27``), so these follow TPC-H's canonical plan shapes on
+the driver's reduced star schema. Money aggregates are integerized to
+cents per row before summing (order-independent across engines — the
+q7 pattern, VERDICT.md round-1 fix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.plans.registry import query
+
+
+def _rev_cents():
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch", "outer-join"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra predicate *inside
+    the join condition* (not a post-filter — customers with only urgent
+    orders must surface with count 0), then a count-of-counts
+    distribution. The one plan shape where pushing the filter below the
+    join changes semantics on the preserved side only.
+
+    Scale: one shuffle on custkey for the outer join + per-customer
+    count; the distribution re-aggregation is tiny (|distinct counts|
+    rows). ``count(o_orderkey)`` counts non-NULL, so unmatched customers
+    land in the 0 bucket — same as the oracle.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "nation_customer_supplier_balance",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust,
+             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cust_bal_cents
+      FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp,
+             CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS supp_bal_cents
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(cust_bal_cents, 0) AS cust_bal_cents,
+           COALESCE(n_supp, 0) AS n_supp,
+           COALESCE(supp_bal_cents, 0) AS supp_bal_cents
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("relational", "outer-join", "full-outer"),
+)
+def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: per-nation customer vs supplier
+    presence and account balance, keeping nations that have only one
+    side (COALESCE key + zero-fill) — the audit/reconciliation join
+    shape the inner/semi/anti family can't express.
+
+    Scale: both inputs are pre-aggregated to ≤|nation| rows *before*
+    the full-outer join, so the unsplittable full-outer shuffle moves
+    25 rows, not the fact tables.
+    """
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_cust"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cust_bal_cents"),
+    )
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum(
+            F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long")
+        ).alias("supp_bal_cents"),
+    )
+    joined = c.join(s, "nk", "full_outer")
+    return joined.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("cust_bal_cents", F.lit(0)).alias("cust_bal_cents"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("supp_bal_cents", F.lit(0)).alias("supp_bal_cents"),
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_rev_cents
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+    """,
+    tags=("relational", "tpch", "scalar-subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregate view (quarterly revenue per
+    supplier) filtered to its own maximum via a scalar subquery — ties
+    are kept, exactly like the spec's view formulation. Integer-cents
+    revenue makes the max comparison exact on both engines.
+
+    Scale: one partial-aggregated shuffle on l_suppkey builds the view;
+    the 1-row max is broadcast back (cross-join with a single-row frame,
+    no second shuffle of the view).
+    """
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_cents()).alias("total_rev_cents"))
+    )
+    max_rev = rev.agg(F.max("total_rev_cents").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev_cents") == F.col("max_rev"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_cents")
+    )
+
+
+@query(
+    "q11_major_revenue_parts",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS part_rev_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, part_rev_cents
+    FROM pr
+    WHERE part_rev_cents * 1000 >
+          (SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) FROM lineitem)
+    """,
+    tags=("relational", "tpch", "scalar-subquery", "having"),
+)
+def q11_major_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a *fraction of
+    the global total* — the HAVING-against-scalar-subquery pattern.
+    Comparison is ``part_cents * 1000 > total_cents`` in exact bigint
+    arithmetic, so no floating fraction can tie-break differently
+    across engines.
+
+    Scale: the per-part aggregate and the global total are computed
+    from the same scan lineage; the 1-row total broadcasts back. No
+    second pass over the fact table's shuffle output.
+    """
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    li = t["lineitem"]
+    pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("part_rev_cents"))
+    total = li.agg(F.sum(cents).alias("total_cents"))
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("part_rev_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", "part_rev_cents")
+    )
+
+
+@query(
+    "q20_bulk_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+        AND l_shipdate >= DATE '1996-01-01'
+      GROUP BY l_suppkey
+      HAVING CAST(sum(l_quantity) AS BIGINT) > 400
+    )
+    """,
+    tags=("relational", "tpch", "semi-join", "nested-subquery"),
+)
+def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a nested IN chain — suppliers who moved >400
+    units of Brand#3 parts since 1996. Two levels of semi-join: part
+    filter into lineitem, grouped HAVING into supplier.
+
+    Scale: the brand-filtered part keys broadcast into the lineitem
+    scan (semi-join, no fact shuffle for the filter); the per-supplier
+    quantity aggregate shuffles on l_suppkey (|suppliers| rows); the
+    final supplier probe is a broadcast left-semi. Quantities are
+    integral doubles, so the BIGINT-cast sum is exact.
+    """
+    t = load_tables(spark, sf_dir)
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    qualified = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= "1996-01-01")
+        .join(
+            F.broadcast(brand_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return t["supplier"].join(
+        F.broadcast(qualified),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q8_nation_market_share",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                         + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS nation_rev_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS total_rev_cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch", "multi-join", "conditional-agg"),
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of supplier revenue into ASIA
+    customers per order year — the conditional-numerator / full-
+    denominator pair inside one aggregation (the market-share pattern).
+    Both sums are exact integer cents; the caller divides.
+
+    Scale: region+nation broadcast at any SF (fixed cardinality); the
+    customer-side region filter prunes before the fact joins; one
+    orderkey shuffle dominates, identical to q7's profile.
+    """
+    t = load_tables(spark, sf_dir)
+    sn = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    asia_nations = F.broadcast(
+        t["nation"]
+        .join(
+            t["region"].filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cents = _rev_cents()
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sn, F.col("sn_key") == F.col("s_nationkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(asia_nations, F.col("cn_key") == F.col("c_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(0)
+            ).alias("nation_rev_cents"),
+            F.sum(cents).alias("total_rev_cents"),
+        )
+    )

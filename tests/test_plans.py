@@ -76,3 +76,31 @@ def test_whole_stage_codegen_covers_scan_queries(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("codegen")  # formatted mode hides codegen under AQE
     assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_q20_semi_joins_broadcast(spark):
+    """Both levels of the q20 IN-chain must plan as broadcast left-semi
+    joins — a shuffled semi on the lineitem side would move the fact
+    table for what is a dimension-sized probe."""
+    plan = plan_of(REGISTRY["q20_bulk_part_suppliers"].builder(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_full_outer_join_inputs_are_preaggregated(spark):
+    """nation_customer_supplier_balance must aggregate each side to
+    nation granularity BEFORE the full-outer join (partial_count in the
+    plan below the join), so the join moves ≤|nation| rows."""
+    plan = plan_of(
+        REGISTRY["nation_customer_supplier_balance"].builder(spark, SF_SMOKE)
+    )
+    assert "FullOuter" in plan
+    assert "partial_count" in plan  # map-side combine on both agg sides
+
+
+def test_q13_left_outer_keeps_unmatched_customers(spark):
+    plan = plan_of(
+        REGISTRY["q13_order_count_distribution"].builder(spark, SF_SMOKE)
+    )
+    assert "LeftOuter" in plan
