@@ -48,12 +48,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_contamination_screen",
     "doc_stratified_sample",
     "doc_token_histogram",
+    "doc_split_counts",
     "emb_knn_cosine",
     "emb_label_centroids",
     "emb_near_dup_cosine",
     "emb_lsh_bucketed_cosine_pairs",
     "emb_ann_lsh_topk",
     "emb_ann_ivf_topk",
+    "emb_normalize_quantize",
     "media_image_features",
     "media_video_frame_sample",
     # — changed this round: must earn fresh driver rows —
@@ -64,23 +66,22 @@ _DRIVER_WINDOW_PRIORITY = [
     "status_priority_profile",
     "price_percentiles_by_flag",
     "customers_except_returners",
+    # — new join shapes (round 2): first driver verification —
+    "q13_order_count_distribution",
+    "nation_customer_supplier_balance",
+    "q15_top_supplier",
+    "q11_major_revenue_parts",
+    "q20_bulk_part_suppliers",
+    "q8_nation_market_share",
     # — one representative per already-green operator family —
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_volume_customers",
-    "urgent_order_customers_semi",
-    "nation_account_union",
-    "returned_and_urgent_intersect",
-    "status_priority_rollup",
     "top3_orders_per_customer",
-    "order_value_distribution",
     "rolling_30day_customer_spend",
     "events_tumbling_10min",
     "user_sessions_30min",
     "events_asof_last_error",
-    "weekly_retention_cohorts",
 ]
 
 

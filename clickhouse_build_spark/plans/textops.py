@@ -736,3 +736,53 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
     )
+
+
+# Deterministic train/val/test split: hash buckets 0-97 / 98 / 99.
+SPLIT_TRAIN_PCT = 98
+
+
+@query(
+    "doc_split_counts",
+    oracle=f"""
+    SELECT CASE
+             WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+             WHEN b = {SPLIT_TRAIN_PCT} THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS b
+      FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("text", "split", "pipeline"),
+)
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1) by portable
+    hash of the doc id, reported as per-split × per-language doc and
+    character counts — the split manifest every training run records.
+    Membership is a pure function of the row (stable across partitioning,
+    retries, and engines), unlike ``randomSplit``.
+
+    Scale: map-only hash + one partial-aggregated groupBy on a
+    (3 × |langs|)-row result.
+    """
+    from clickhouse_build_spark.operators.dedup import portable_hash
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    b = F.pmod(portable_hash(F.col("doc_id").cast("string"), "split"), 100)
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b == SPLIT_TRAIN_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
