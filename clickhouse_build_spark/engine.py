@@ -52,10 +52,27 @@ class Engine:
 
     # -------------------------------------------------------------- queries
 
-    def sql(self, text: str, params: dict[str, Any] | None = None) -> DataFrame:
+    def sql(
+        self,
+        text: str,
+        params: dict[str, Any] | None = None,
+        dialect: str = "spark",
+    ) -> DataFrame:
         """Parameterized SQL over the registered views (P7: the
         ``{name:Type}`` ClickHouse binding style maps to Spark named
-        parameter markers ``:name``)."""
+        parameter markers ``:name``).
+
+        ``dialect="clickhouse"`` accepts the reference's CH-dialect
+        strings verbatim (``toStartOfMonth``, ``if(empty(...))``, bare
+        ``count()``, ``{name:Type}`` params — the golden-corpus forms)
+        via :func:`clickhouse_build_spark.functions.chsql.translate_ch_sql`.
+        """
+        if dialect == "clickhouse":
+            from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+            text = translate_ch_sql(text)
+        elif dialect != "spark":
+            raise ValueError(f"unknown dialect {dialect!r}")
         if params:
             return self.spark.sql(text, args=params)
         return self.spark.sql(text)

@@ -1,0 +1,307 @@
+"""ClickHouse-SQL → Spark-SQL text translation (SURVEY §2.8 as *SQL*,
+not just Column helpers).
+
+The reference's product promise is that an app's analytical queries can
+target ClickHouse; its golden corpus (``src/corpus/orm_none.txt``,
+``orm_drizzleorm.txt``) fixes the CH dialect forms — ``toStartOfMonth``,
+``if(empty(category), ...)``, bare ``count()``, ``toFloat64``,
+``{name:Type}`` parameter binding. A user switching from the reference
+to this engine holds exactly those CH-dialect strings, so the engine
+accepts them directly: ``Engine.sql(text, dialect="clickhouse")`` runs
+``translate_ch_sql`` and executes the result as Spark SQL.
+
+Design: a small recursive rewriter over the raw SQL text — string
+literals and ``--`` comments are opaque, function calls are located by
+``identifier (`` and rewritten bottom-up (arguments first), parametric
+combinators (``quantile(0.5)(x)``) consume their second argument list.
+Function names NOT in the mapping pass through unchanged: Spark shares
+most ANSI names (count/sum/avg/lower/concat/coalesce/...), and a
+genuinely unsupported name then fails loudly in Spark analysis instead
+of being silently mis-translated.
+
+Known semantic deltas (documented, not hidden):
+- ``toStartOfWeek`` maps to Spark's Monday-based WEEK truncation (ISO,
+  = CH mode 1 / ``toMonday``), not CH's default Sunday mode 0.
+- ``uniq*`` map to ``approx_count_distinct`` (HLL on both engines, but
+  different sketches → different estimates); ``uniqExact`` is exact on
+  both.
+- ``quantile`` maps to ``percentile_approx`` (both approximate,
+  different algorithms); ``quantileExact`` / ``medianExact`` are exact
+  on both.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+# --------------------------------------------------------------- parsing
+
+
+def _scan_string(s: str, i: int) -> int:
+    """i points at the opening quote; return index AFTER the closing
+    quote ('' escapes handled)."""
+    q = s[i]
+    j = i + 1
+    n = len(s)
+    while j < n:
+        if s[j] == q:
+            if j + 1 < n and s[j + 1] == q:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n  # unterminated — treat rest as literal
+
+
+def _parse_args(s: str, i: int) -> tuple[list[str], int]:
+    """i points at '('. Return (top-level args, index of closing ')')."""
+    assert s[i] == "("
+    depth = 0
+    args: list[str] = []
+    start = i + 1
+    j = i
+    n = len(s)
+    while j < n:
+        c = s[j]
+        if c in "'\"":
+            j = _scan_string(s, j)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                last = s[start:j].strip()
+                if last or args:
+                    args.append(last)
+                return args, j
+        elif c == "," and depth == 1:
+            args.append(s[start:j].strip())
+            start = j + 1
+        j += 1
+    raise ValueError(f"unbalanced parentheses in SQL at offset {i}")
+
+
+# ------------------------------------------------------------- mappings
+
+Rule = Callable[[list[str]], str]
+
+
+def _rename(new: str) -> Rule:
+    return lambda args: f"{new}({', '.join(args)})"
+
+
+def _cast(sql_type: str) -> Rule:
+    return lambda args: f"CAST({args[0]} AS {sql_type})"
+
+
+def _trunc(unit: str, to_date: bool) -> Rule:
+    if to_date:
+        return lambda args: f"to_date(date_trunc('{unit}', {args[0]}))"
+    return lambda args: f"date_trunc('{unit}', {args[0]})"
+
+
+def _agg_if(agg: str, zero_fill: bool = False) -> Rule:
+    def rule(args: list[str]) -> str:
+        *vals, cond = args
+        inner = f"{agg}(CASE WHEN {cond} THEN {', '.join(vals)} END)"
+        # CH's -If combinators return 0 for sums over no matching rows.
+        return f"coalesce({inner}, 0)" if zero_fill else inner
+
+    return rule
+
+
+def _multi_if(args: list[str]) -> str:
+    pairs, else_ = args[:-1], args[-1]
+    whens = " ".join(
+        f"WHEN {pairs[k]} THEN {pairs[k + 1]}" for k in range(0, len(pairs), 2)
+    )
+    return f"CASE {whens} ELSE {else_} END"
+
+
+def _date_diff(args: list[str]) -> str:
+    unit = args[0].strip().strip("'\"").upper()
+    return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+
+
+def _add_unit(unit: str, sign: str = "") -> Rule:
+    return lambda args: f"timestampadd({unit}, {sign}({args[1]}), {args[0]})"
+
+
+def _count(args: list[str]) -> str:
+    return "count(*)" if not args else f"count({', '.join(args)})"
+
+
+_NULL_OR_EMPTY: Rule = lambda a: f"(({a[0]}) IS NULL OR ({a[0]}) = '')"
+
+FUNCS: dict[str, Rule] = {
+    # corpus core (SURVEY §2.8 F1-F7)
+    "count": _count,  # bare count() → count(*)
+    "tostartofmonth": _trunc("MONTH", to_date=True),
+    "tostartofyear": _trunc("YEAR", to_date=True),
+    "tostartofquarter": _trunc("QUARTER", to_date=True),
+    "tostartofweek": _trunc("WEEK", to_date=True),  # ISO Monday (see module doc)
+    "tomonday": _trunc("WEEK", to_date=True),
+    "tostartofday": _trunc("DAY", to_date=False),
+    "tostartofhour": _trunc("HOUR", to_date=False),
+    "tostartofminute": _trunc("MINUTE", to_date=False),
+    "empty": _NULL_OR_EMPTY,
+    "notempty": lambda a: f"(({a[0]}) IS NOT NULL AND ({a[0]}) <> '')",
+    "tofloat64": _cast("DOUBLE"),
+    "tofloat32": _cast("FLOAT"),
+    "toint64": _cast("BIGINT"),
+    "toint32": _cast("INT"),
+    "toint16": _cast("SMALLINT"),
+    "toint8": _cast("TINYINT"),
+    "touint64": _cast("BIGINT"),
+    "touint32": _cast("BIGINT"),
+    "tostring": _cast("STRING"),
+    "todate": _rename("to_date"),
+    "todatetime": _rename("to_timestamp"),
+    # date parts
+    "toyear": _rename("year"),
+    "tomonth": _rename("month"),
+    "todayofmonth": _rename("day"),
+    "tohour": _rename("hour"),
+    "tominute": _rename("minute"),
+    "tosecond": _rename("second"),
+    "todayofweek": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",  # CH: Mon=1
+    "toyyyymm": lambda a: f"(year({a[0]}) * 100 + month({a[0]}))",
+    "now": lambda a: "current_timestamp()",
+    "today": lambda a: "current_date()",
+    "datediff": _date_diff,
+    "adddays": _add_unit("DAY"),
+    "addhours": _add_unit("HOUR"),
+    "addminutes": _add_unit("MINUTE"),
+    "addmonths": _add_unit("MONTH"),
+    "addyears": _add_unit("YEAR"),
+    "subtractdays": _add_unit("DAY", sign="-"),
+    "subtracthours": _add_unit("HOUR", sign="-"),
+    "subtractmonths": _add_unit("MONTH", sign="-"),
+    "subtractyears": _add_unit("YEAR", sign="-"),
+    # aggregate combinators / CH aggregate names
+    "countif": _rename("count_if"),
+    "sumif": _agg_if("sum", zero_fill=True),
+    "avgif": _agg_if("avg"),
+    "minif": _agg_if("min"),
+    "maxif": _agg_if("max"),
+    "uniq": _rename("approx_count_distinct"),
+    "uniqcombined": _rename("approx_count_distinct"),
+    "uniqhll12": _rename("approx_count_distinct"),
+    "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "argmax": _rename("max_by"),
+    "argmin": _rename("min_by"),
+    # CH aggregate any(x) → first(x); but `> ANY (SELECT ...)` is a
+    # subquery predicate, not the aggregate — leave those untouched.
+    "any": lambda a: (
+        f"any({', '.join(a)})"
+        if a and a[0].lstrip().lower().startswith("select")
+        else f"first({', '.join(a)})"
+    ),
+    "anylast": _rename("last"),
+    "grouparray": _rename("collect_list"),
+    "groupuniqarray": _rename("collect_set"),
+    "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "medianexact": lambda a: f"percentile({a[0]}, 0.5)",
+    # conditionals / arithmetic
+    "multiif": _multi_if,
+    "intdiv": lambda a: f"(({a[0]}) DIV ({a[1]}))",
+    "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
+    "plus": lambda a: f"(({a[0]}) + ({a[1]}))",
+    "minus": lambda a: f"(({a[0]}) - ({a[1]}))",
+    "multiply": lambda a: f"(({a[0]}) * ({a[1]}))",
+    "divide": lambda a: f"(({a[0]}) / ({a[1]}))",
+    # strings / arrays
+    "replaceall": _rename("replace"),
+    "position": lambda a: f"locate({a[1]}, {a[0]})",  # CH: (haystack, needle)
+    "lengthutf8": _rename("length"),
+    "has": _rename("array_contains"),
+    "arrayelement": _rename("element_at"),
+    "arrayjoin": _rename("explode"),
+    "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",  # CH: (lambda, arr)
+    "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
+    "arraydistinct": _rename("array_distinct"),
+    "arraysort": _rename("array_sort"),
+    "arrayconcat": _rename("concat"),
+    "splitbychar": lambda a: f"split({a[1]}, {a[0]})",  # CH: (sep, s)
+    "splitbystring": lambda a: f"split({a[1]}, {a[0]})",
+}
+
+# name(q...)(x...) combinators: rule receives (param_args, value_args)
+PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
+    "quantile": lambda p, v: f"percentile_approx({v[0]}, {p[0]})",
+    "quantileexact": lambda p, v: f"percentile({v[0]}, {p[0]})",
+    "quantiles": lambda p, v: f"percentile_approx({v[0]}, array({', '.join(p)}))",
+    "quantilesexact": lambda p, v: f"percentile({v[0]}, array({', '.join(p)}))",
+}
+
+_WORD0 = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
+
+
+def _rewrite(s: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            j = _scan_string(s, i)
+            out.append(s[i:j])
+            i = j
+            continue
+        if c == "-" and s[i : i + 2] == "--":
+            j = s.find("\n", i)
+            j = n if j < 0 else j
+            out.append(s[i:j])
+            i = j
+            continue
+        if c in _WORD0:
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            name = s[i:j]
+            k = j
+            while k < n and s[k].isspace():
+                k += 1
+            if k < n and s[k] == "(":
+                raw_args, close = _parse_args(s, k)
+                args = [_rewrite(a) for a in raw_args]
+                lo = name.lower()
+                k2 = close + 1
+                while k2 < n and s[k2].isspace():
+                    k2 += 1
+                if lo in PARAMETRIC and k2 < n and s[k2] == "(":
+                    raw2, close2 = _parse_args(s, k2)
+                    out.append(PARAMETRIC[lo](args, [_rewrite(a) for a in raw2]))
+                    i = close2 + 1
+                    continue
+                rule = FUNCS.get(lo)
+                out.append(
+                    rule(args) if rule else f"{name}({', '.join(args)})"
+                )
+                i = close + 1
+                continue
+            out.append(name)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def translate_ch_sql(text: str) -> str:
+    """Rewrite a ClickHouse-dialect SQL string to Spark SQL.
+
+    ``{name:Type}`` parameter placeholders (the CH client binding style,
+    ``corpus/orm_none.txt:432-438``) become Spark named markers
+    ``:name`` — bind values via ``spark.sql(..., args={...})``.
+    """
+    import re
+
+    text = re.sub(r"\{\s*(\w+)\s*:\s*[A-Za-z0-9() ]+\}", r":\1", text)
+    return _rewrite(text)
+
+
+def run_ch_sql(spark, text: str, params: dict[str, Any] | None = None):
+    """Translate + execute a ClickHouse-dialect query."""
+    sql = translate_ch_sql(text)
+    return spark.sql(sql, args=params) if params else spark.sql(sql)

@@ -18,6 +18,7 @@ from clickhouse_build_spark.plans import similarity  # noqa: E402,F401
 from clickhouse_build_spark.plans import dedup  # noqa: E402,F401
 from clickhouse_build_spark.plans import multimodal  # noqa: E402,F401
 from clickhouse_build_spark.plans import joinshapes  # noqa: E402,F401
+from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order (round 1 stopped at entry 50, leaving every
@@ -73,11 +74,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "q11_major_revenue_parts",
     "q20_bulk_part_suppliers",
     "q8_nation_market_share",
+    # — CH-dialect SQL translation layer (round 2): end-to-end proof —
+    "ch_dialect_monthly_stats",
+    "ch_dialect_status_profile",
     # — one representative per already-green operator family —
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "top3_orders_per_customer",
     "rolling_30day_customer_spend",
     "events_tumbling_10min",
     "user_sessions_30min",

@@ -1,0 +1,105 @@
+"""Queries executed THROUGH the ClickHouse-dialect SQL translator
+(``functions/chsql.py``) — the driver's correctness gate thereby
+verifies the translation layer end-to-end, not just unit-level rewrites.
+
+Each builder holds the CH-dialect string a reference user would have
+(golden-corpus forms: ``toStartOfMonth``, bare ``count()``, ``-If``
+combinators, ``quantileExact(q)(x)``, ``uniqExact``), translates it,
+and runs it as Spark SQL over the catalog views; the oracle is the same
+computation in DuckDB's native dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.functions.chsql import run_ch_sql
+from clickhouse_build_spark.plans.registry import query
+
+
+@query(
+    "ch_dialect_monthly_stats",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("dialect", "clickhouse-sql", "F1"),
+)
+def ch_dialect_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's monthly-rollup CH query (``corpus/orm_none.txt:
+    484-490`` shape: ``toStartOfMonth`` + bare ``count()`` + GROUP BY
+    alias) executed through ``translate_ch_sql``. Money is integerized
+    to cents inside the CH text itself — the translator must compose
+    ``toInt64``/``plus``/``multiply`` correctly for the sums to be
+    order-independent.
+
+    Scale: translation is driver-side string work; the executed plan is
+    the same partial-aggregated scan as ``stats_by_month``.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT toDate(toStartOfMonth(o_orderdate)) AS month,
+               count() AS cnt,
+               sum(toInt64(floor(plus(multiply(o_totalprice, 100), 0.5))))
+                 AS total_cents
+        FROM orders
+        GROUP BY month
+        """,
+    )
+
+
+@query(
+    "ch_dialect_status_profile",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS buyers,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS big_orders,
+           CAST(COALESCE(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT)
+             AS urgent_cents,
+           CAST(round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5)
+                                         AS BIGINT), 0.5), 1) AS DOUBLE)
+             AS p50_cents,
+           max_by(o_orderdate, o_orderkey) AS latest_key_date
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("dialect", "clickhouse-sql", "combinators"),
+)
+def ch_dialect_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH aggregate-combinator suite (``uniqExact``, ``countIf``,
+    ``sumIf``, ``quantileExact(q)(x)``, ``argMax``) in one grouped
+    query, executed through the translator. ``sumIf`` runs over
+    integer cents (exact); the exact median interpolates identically
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), rounded at one
+    decimal to absorb the final-division ulp.
+
+    ``argMax(o_orderdate, o_orderkey)`` keys on the UNIQUE orderkey
+    (the order date of each status's highest-numbered order), so the
+    arg-max row is unambiguous on both engines — keying the other way
+    would tie on shared order dates and hash-flap.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT o_orderstatus,
+               uniqExact(o_custkey) AS buyers,
+               countIf(o_totalprice > 100000) AS big_orders,
+               sumIf(toInt64(floor(plus(multiply(o_totalprice, 100), 0.5))),
+                     o_orderpriority = '1-URGENT') AS urgent_cents,
+               toFloat64(round(quantileExact(0.5)(
+                 toInt64(floor(plus(multiply(o_totalprice, 100), 0.5)))), 1))
+                 AS p50_cents,
+               argMax(o_orderdate, o_orderkey) AS latest_key_date
+        FROM orders
+        GROUP BY o_orderstatus
+        """,
+    )

@@ -1,0 +1,225 @@
+"""ClickHouse-SQL → Spark-SQL translation tests.
+
+String-level: each corpus dialect form rewrites to the expected Spark
+expression. Execution-level: the reference's literal golden-corpus
+queries (``src/corpus/orm_none.txt`` shapes, retargeted at the driver's
+``orders`` table) run through ``Engine.sql(dialect="clickhouse")`` and
+match the same computation written natively in Spark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_build_spark.engine import Engine
+from clickhouse_build_spark.functions.chsql import translate_ch_sql
+from tests.conftest import SF_SMOKE
+
+T = translate_ch_sql
+
+
+# --------------------------------------------------------- string level
+
+
+def test_bare_count_becomes_count_star():
+    assert T("SELECT count() AS count FROM t") == "SELECT count(*) AS count FROM t"
+
+
+def test_tostartofmonth():
+    assert (
+        T("SELECT toStartOfMonth(date) AS month FROM t")
+        == "SELECT to_date(date_trunc('MONTH', date)) AS month FROM t"
+    )
+
+
+def test_if_empty_label_corpus_form():
+    # corpus/orm_none.txt:464 — the F2 mapping.
+    out = T("if(empty(category), 'Uncategorized', category)")
+    assert out == (
+        "if(((category) IS NULL OR (category) = ''), 'Uncategorized', category)"
+    )
+
+
+def test_casts():
+    assert T("toFloat64(amount)") == "CAST(amount AS DOUBLE)"
+    assert T("toInt32(x)") == "CAST(x AS INT)"
+    assert T("toString(x)") == "CAST(x AS STRING)"
+    assert T("toDate(d)") == "to_date(d)"
+
+
+def test_param_placeholder_binding_style():
+    # corpus/orm_none.txt:432-438 — {name:Type} → :name markers.
+    assert (
+        T("WHERE date >= {start_date:String} AND n = {n:UInt32}")
+        == "WHERE date >= :start_date AND n = :n"
+    )
+
+
+def test_agg_combinators():
+    assert T("countIf(x > 0)") == "count_if(x > 0)"
+    assert T("sumIf(amount, x > 0)") == (
+        "coalesce(sum(CASE WHEN x > 0 THEN amount END), 0)"
+    )
+    assert T("avgIf(a, c)") == "avg(CASE WHEN c THEN a END)"
+    assert T("uniq(user_id)") == "approx_count_distinct(user_id)"
+    assert T("uniqExact(user_id)") == "count(DISTINCT user_id)"
+    assert T("argMax(name, ts)") == "max_by(name, ts)"
+    assert T("anyLast(v)") == "last(v)"
+
+
+def test_parametric_quantile_combinators():
+    assert T("quantile(0.5)(x)") == "percentile_approx(x, 0.5)"
+    assert T("quantileExact(0.9)(x)") == "percentile(x, 0.9)"
+    assert T("quantilesExact(0.25, 0.75)(x)") == "percentile(x, array(0.25, 0.75))"
+
+
+def test_multiif_and_arithmetic():
+    assert (
+        T("multiIf(a > 1, 'x', b > 2, 'y', 'z')")
+        == "CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' ELSE 'z' END"
+    )
+    assert T("intDiv(a, b)") == "((a) DIV (b))"
+    assert T("modulo(a, 7)") == "((a) % (7))"
+
+
+def test_date_functions():
+    assert T("toYear(d)") == "year(d)"
+    assert T("toYYYYMM(d)") == "(year(d) * 100 + month(d))"
+    assert T("dateDiff('day', a, b)") == "timestampdiff(DAY, a, b)"
+    assert T("addDays(d, 7)") == "timestampadd(DAY, (7), d)"
+    assert T("subtractDays(d, 7)") == "timestampadd(DAY, -(7), d)"
+    # CH toDayOfWeek: Monday=1 ... Sunday=7 (Spark dayofweek: Sunday=1)
+    assert T("toDayOfWeek(d)") == "(((dayofweek(d) + 5) % 7) + 1)"
+
+
+def test_string_and_array_functions():
+    assert T("position(haystack, needle)") == "locate(needle, haystack)"
+    assert T("has(arr, 3)") == "array_contains(arr, 3)"
+    assert T("arrayFilter(x -> x > 0, arr)") == "filter(arr, x -> x > 0)"
+    assert T("arrayMap(x -> x * 2, arr)") == "transform(arr, x -> x * 2)"
+    assert T("splitByChar(',', s)") == "split(s, ',')"
+    assert T("arrayJoin(tags)") == "explode(tags)"
+
+
+def test_nested_rewrites():
+    assert (
+        T("sum(toFloat64(amount))") == "sum(CAST(amount AS DOUBLE))"
+    )
+    assert T("toYear(toDate(s))") == "year(to_date(s))"
+
+
+def test_string_literals_and_comments_are_opaque():
+    q = "SELECT 'toStartOfMonth(x)' AS s, count() AS c -- count() here\nFROM t"
+    out = T(q)
+    assert "'toStartOfMonth(x)'" in out  # literal untouched
+    assert "count(*) AS c" in out
+    assert "-- count() here" in out  # comment untouched
+
+
+def test_any_subquery_predicate_is_preserved():
+    assert "any(SELECT" in T("WHERE x > any(SELECT y FROM t)")
+    assert T("SELECT any(v) FROM t") == "SELECT first(v) FROM t"
+
+
+def test_unknown_functions_pass_through():
+    assert T("SELECT cityHash64(x) FROM t") == "SELECT cityHash64(x) FROM t"
+
+
+# ------------------------------------------------------ execution level
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(SF_SMOKE, spark=spark)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_corpus_global_stats_shape_executes(engine):
+    """corpus/orm_none.txt:447 — `SELECT count() as count, sum(amount) as
+    total` retargeted at orders."""
+    got = engine.sql(
+        "SELECT count() AS count, sum(toFloat64(o_totalprice)) AS total "
+        "FROM orders",
+        dialect="clickhouse",
+    )
+    want = engine.sql(
+        "SELECT count(*) AS count, sum(CAST(o_totalprice AS DOUBLE)) AS total "
+        "FROM orders"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_corpus_monthly_rollup_executes(engine):
+    """corpus/orm_none.txt:484-490 — toStartOfMonth + GROUP BY alias +
+    ORDER BY alias DESC."""
+    got = engine.sql(
+        "SELECT toStartOfMonth(o_orderdate) AS month, count() AS count, "
+        "sum(o_totalprice) AS total FROM orders GROUP BY month "
+        "ORDER BY month DESC LIMIT 3",
+        dialect="clickhouse",
+    )
+    want = engine.sql(
+        "SELECT to_date(date_trunc('MONTH', o_orderdate)) AS month, "
+        "count(*) AS count, sum(o_totalprice) AS total FROM orders "
+        "GROUP BY month ORDER BY month DESC LIMIT 3"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_corpus_label_grouping_executes(engine):
+    """corpus/orm_none.txt:463-469 shape — if(empty(...)) label + group +
+    order by aggregate."""
+    got = engine.sql(
+        "SELECT if(empty(o_orderpriority), 'None', o_orderpriority) AS label, "
+        "count() AS cnt FROM orders GROUP BY label ORDER BY cnt DESC, label",
+        dialect="clickhouse",
+    )
+    want = engine.sql(
+        "SELECT coalesce(nullif(o_orderpriority, ''), 'None') AS label, "
+        "count(*) AS cnt FROM orders GROUP BY label ORDER BY cnt DESC, label"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_parameterized_ch_query_executes(engine):
+    got = engine.sql(
+        "SELECT count() AS n FROM orders "
+        "WHERE o_orderdate >= {start:String} AND o_orderstatus = {st:String}",
+        params={"start": "1996-01-01", "st": "O"},
+        dialect="clickhouse",
+    )
+    want = engine.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderdate >= '1996-01-01' AND o_orderstatus = 'O'"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_ch_aggregate_suite_executes(engine):
+    got = engine.sql(
+        "SELECT uniqExact(o_custkey) AS buyers, "
+        "countIf(o_totalprice > 100000) AS big, "
+        "sumIf(o_totalprice, o_orderstatus = 'F') AS f_total, "
+        "argMax(o_orderkey, o_orderdate) AS latest_key, "
+        "quantileExact(0.5)(o_totalprice) AS p50 "
+        "FROM orders",
+        dialect="clickhouse",
+    )
+    want = engine.sql(
+        "SELECT count(DISTINCT o_custkey) AS buyers, "
+        "count_if(o_totalprice > 100000) AS big, "
+        "coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0)"
+        " AS f_total, "
+        "max_by(o_orderkey, o_orderdate) AS latest_key, "
+        "percentile(o_totalprice, 0.5) AS p50 "
+        "FROM orders"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_unknown_dialect_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.sql("SELECT 1", dialect="oracle")
