@@ -218,3 +218,60 @@ def sample_frames(media: DataFrame, every_ms: int = 500, fake: bool = True) -> D
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("end_ms", T.IntegerType()),
+        T.StructField("rms_x1e6", T.LongType()),
+    ]
+)
+
+
+def chunk_audio(media: DataFrame, window_ms: int = 250, fake: bool = True) -> DataFrame:
+    """Audio windowing: one audio row → ``ceil(duration/window_ms)``
+    fixed-length chunk rows with a per-chunk RMS energy — the
+    VAD/feature-window stage of a speech pipeline (whisper-style
+    ingest segments exactly like this before transcription).
+
+    The fake path derives each chunk's "energy" from md5(payload digest,
+    window start): deterministic across retries and partitionings. Real
+    decode plugs in at :func:`decode_media_real` — the chunk/window
+    bookkeeping here does not change.
+
+    Scale: fan-out is bounded (duration/window rows per input);
+    payloads are NOT carried into the output — only scalar features
+    cross any later shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_media_real(b"", "")
+            rows = {
+                "media_id": [],
+                "chunk_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "rms_x1e6": [],
+            }
+            for _, r in pdf.iterrows():
+                duration = r["meta"]["duration_ms"] or 0
+                digest = hashlib.md5(r["payload"]).hexdigest()
+                for idx, ms in enumerate(range(0, duration, window_ms)):
+                    rows["media_id"].append(r["media_id"])
+                    rows["chunk_idx"].append(idx)
+                    rows["start_ms"].append(ms)
+                    rows["end_ms"].append(min(ms + window_ms, duration))
+                    rows["rms_x1e6"].append(
+                        int(hashlib.md5(f"rms:{digest}:{ms}".encode()).hexdigest()[:12], 16)
+                        % 1_000_000
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        kernel, AUDIO_CHUNK_SCHEMA
+    )

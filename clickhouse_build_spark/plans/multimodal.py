@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_build_spark.operators.multimodal import (
+    chunk_audio,
     extract_image_features,
     sample_frames,
     synthetic_media,
@@ -33,4 +34,22 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(synthetic_media(spark, n=24), every_ms=500)
     return frames.select("media_id", "frame_idx", "frame_ms").orderBy(
         "media_id", "frame_idx"
+    )
+
+
+@query("media_audio_chunks", oracle=None, tags=("multimodal", "audio", "fan-out"))
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing fan-out (one row → duration/250ms chunk rows)
+    with per-chunk deterministic RMS energy, then a per-media roll-up
+    (chunk count + mean energy) — the ingest-segmentation stage of a
+    speech pipeline plus its QA summary."""
+    chunks = chunk_audio(synthetic_media(spark, n=24), window_ms=250)
+    return (
+        chunks.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("end_ms").alias("duration_ms"),
+            F.floor(F.avg("rms_x1e6")).cast("long").alias("mean_rms_x1e6"),
+        )
+        .orderBy("media_id")
     )

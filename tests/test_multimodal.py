@@ -84,3 +84,30 @@ def test_real_decode_seam_is_marked(media):
     with pytest.raises(Exception):
         # the non-fake path must fail loudly, not silently fake
         extract_image_features(media, fake=False).collect()
+
+
+def test_audio_chunking_fanout_and_determinism(spark):
+    from clickhouse_build_spark.operators.multimodal import chunk_audio, synthetic_media
+
+    media = synthetic_media(spark, n=12)
+    chunks = chunk_audio(media, window_ms=250)
+    rows = chunks.collect()
+    # every audio row fans out to ceil(duration/250) chunks
+    audio = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect() if r["kind"] == "audio"}
+    got = {}
+    for r in rows:
+        got[r["media_id"]] = got.get(r["media_id"], 0) + 1
+        assert r["end_ms"] <= audio[r["media_id"]]
+        assert 0 <= r["rms_x1e6"] < 1_000_000
+    assert got == {mid: -(-dur // 250) for mid, dur in audio.items()}
+    # deterministic across recomputation
+    again = {(r["media_id"], r["chunk_idx"]): r["rms_x1e6"] for r in chunk_audio(media, window_ms=250).collect()}
+    first = {(r["media_id"], r["chunk_idx"]): r["rms_x1e6"] for r in rows}
+    assert first == again
+
+
+def test_audio_chunks_have_no_payload_column(spark):
+    from clickhouse_build_spark.operators.multimodal import chunk_audio, synthetic_media
+
+    chunks = chunk_audio(synthetic_media(spark, n=6))
+    assert "payload" not in chunks.columns  # binaries never cross a shuffle
