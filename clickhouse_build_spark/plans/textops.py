@@ -607,15 +607,22 @@ def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", words.alias("w")).filter(
         F.size("w") >= CONTAM_NGRAM
     )
+    # Dedup WITHIN each doc via array_distinct BEFORE the explode — the
+    # oracle's `SELECT DISTINCT doc_id, shingle` is per-doc dedup too,
+    # but doing it as a .distinct() after explode would shuffle the
+    # entire corpus shingle set; this way there is no shuffle at all on
+    # the corpus side.
     sh = base.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - (CONTAM_NGRAM - 1)),
-                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, CONTAM_NGRAM)),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (CONTAM_NGRAM - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, CONTAM_NGRAM)),
+                )
             )
         ).alias("shingle"),
-    ).distinct()
+    )
     bench = (
         sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
         .select("shingle")
