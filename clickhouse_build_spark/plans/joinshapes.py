@@ -319,3 +319,167 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("total_rev_cents"),
         )
     )
+
+
+@query(
+    "q4_priority_order_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch", "semi-join", "exists"),
+)
+def q4_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-order EXISTS (any returned lineitem) feeding
+    a priority distribution — EXISTS at ORDER granularity, unlike the
+    customer-granularity semi already covered.
+
+    Scale: the order-date filter prunes the probe side before the
+    left-semi; the lineitem side carries only (l_orderkey) after its
+    own returnflag filter pushes to the scan.
+    """
+    t = load_tables(spark, sf_dir)
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_size IN (5, 10, 15, 20)
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "tpch", "count-distinct"),
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group across the part↔lineitem link — grouped COUNT(DISTINCT)
+    after a join, with an exclusion predicate and an IN-list.
+
+    Scale: both part filters push to the part scan; the filtered part
+    side broadcasts; Spark expands count-distinct into a two-phase
+    aggregate (partial per (group, suppkey), then final) so the shuffle
+    carries deduplicated pairs, not raw lineitems.
+    """
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 5 AND 25
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("relational", "tpch", "disjunctive-predicate"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate mixing columns from
+    both join sides — the disjunctive-pushdown stress test. Catalyst
+    extracts the common part-only disjunction (brand/size) below the
+    join and keeps the mixed residual on top; at 100 TB that pre-join
+    part pruning is the difference between scanning 3 brands and all.
+
+    Scale: part side broadcasts after its disjunctive prune; revenue in
+    exact integer cents.
+    """
+    t = load_tables(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(1, 10) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(5, 25) & q.between(20, 40))
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH order_stats AS (
+      SELECT l_orderkey AS ok,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+               AS n_supp_r
+      FROM lineitem GROUP BY 1
+    ),
+    blamed AS (
+      SELECT DISTINCT l.l_suppkey, l.l_orderkey
+      FROM lineitem l JOIN order_stats s ON l.l_orderkey = s.ok
+      WHERE l.l_returnflag = 'R' AND s.n_supp > 1 AND s.n_supp_r = 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch", "exists-not-exists"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for returns in
+    multi-supplier orders — the EXISTS(other supplier) AND NOT
+    EXISTS(other supplier also at fault) composition, decorrelated into
+    per-order supplier stats (n_supp > 1 AND n_supp_r = 1) exactly as
+    Catalyst would rewrite the correlated form.
+
+    Scale: one orderkey-shuffled aggregate builds the stats; the blamed
+    set is DISTINCT (supplier, order) pairs so a supplier with several
+    faulty lines in one order counts once; the supplier dim joins
+    broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    order_stats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(order_stats, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        blamed.join(
+            F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
