@@ -55,7 +55,7 @@ class Engine:
     def sql(
         self,
         text: str,
-        params: dict[str, Any] | None = None,
+        params: dict[str, Any] | list[Any] | None = None,
         dialect: str = "spark",
     ) -> DataFrame:
         """Parameterized SQL over the registered views (P7: the
@@ -66,13 +66,24 @@ class Engine:
         strings verbatim (``toStartOfMonth``, ``if(empty(...))``, bare
         ``count()``, ``{name:Type}`` params — the golden-corpus forms)
         via :func:`clickhouse_build_spark.functions.chsql.translate_ch_sql`.
+
+        ``dialect="postgres"`` accepts the apps' PG strings (``$N``
+        positional params — bind with a list — and ``expr::type``
+        casts; ``eval_repos/pg-expense-direct/app/api/...`` forms) via
+        :func:`clickhouse_build_spark.functions.chsql.translate_pg_sql`.
         """
         if dialect == "clickhouse":
             from clickhouse_build_spark.functions.chsql import translate_ch_sql
 
             text = translate_ch_sql(text)
+        elif dialect == "postgres":
+            from clickhouse_build_spark.functions.chsql import translate_pg_sql
+
+            text = translate_pg_sql(text)
         elif dialect != "spark":
             raise ValueError(f"unknown dialect {dialect!r}")
+        if isinstance(params, (list, tuple)):
+            params = {f"p{i + 1}": v for i, v in enumerate(params)}
         if params:
             return self.spark.sql(text, args=params)
         return self.spark.sql(text)

@@ -305,3 +305,116 @@ def run_ch_sql(spark, text: str, params: dict[str, Any] | None = None):
     """Translate + execute a ClickHouse-dialect query."""
     sql = translate_ch_sql(text)
     return spark.sql(sql, args=params) if params else spark.sql(sql)
+
+
+# ------------------------------------------------- Postgres dialect side
+
+# PG type name → Spark SQL type for `expr::type` casts. `numeric` maps
+# to DOUBLE by engine policy — the same analytical coercion the corpus
+# applies with toFloat64 on the CH side (SURVEY F4) and parseFloat at
+# the app edge (F9).
+PG_TYPES = {
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "integer": "INT",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "real": "FLOAT",
+    "numeric": "DOUBLE",
+    "decimal": "DOUBLE",
+    "text": "STRING",
+    "varchar": "STRING",
+    "char": "STRING",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamptz": "TIMESTAMP",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+}
+
+
+def _cast_operand_start(s: str, i: int) -> int:
+    """``i`` is the index of ':' in '::'. Return the start index of the
+    cast operand ending at i (identifier chain, string literal, or
+    parenthesized expression)."""
+    j = i - 1
+    while j >= 0 and s[j].isspace():
+        j -= 1
+    if j < 0:
+        return i
+    if s[j] == ")":  # parenthesized operand — match backwards
+        depth = 0
+        while j >= 0:
+            if s[j] == ")":
+                depth += 1
+            elif s[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    # include a function name directly before the '('
+                    # (e.g. CAST(...)::int, sum(x)::numeric)
+                    k = j - 1
+                    while k >= 0 and (s[k].isalnum() or s[k] in "._"):
+                        k -= 1
+                    return k + 1
+            j -= 1
+        return 0
+    if s[j] == "'":  # string literal — scan back over '' escapes
+        j -= 1
+        while j >= 0:
+            if s[j] == "'":
+                if j - 1 >= 0 and s[j - 1] == "'":
+                    j -= 2
+                    continue
+                return j
+            j -= 1
+        return 0
+    # identifier chain a.b.c (incl. $ for params already rewritten to :p)
+    while j >= 0 and (s[j].isalnum() or s[j] in "._:$"):
+        j -= 1
+    return j + 1
+
+
+def translate_pg_sql(text: str) -> str:
+    """Rewrite Postgres-dialect SQL to Spark SQL.
+
+    Handles the two PG-isms the reference's app queries actually use
+    that Spark lacks (``eval_repos/pg-expense-direct/app/api/...``):
+    ``$N`` positional parameters (→ named markers ``:pN``) and
+    ``expr::type`` casts (→ ``CAST(expr AS type)``). Everything else in
+    the PG workload (DATE_TRUNC, COALESCE, ILIKE, EXTRACT, FILTER) is
+    native Spark SQL and passes through untouched.
+    """
+    import re
+
+    text = re.sub(r"\$(\d+)", r":p\1", text)
+    # rewrite innermost :: casts repeatedly (supports x::text::int chains)
+    while True:
+        i = text.find("::")
+        if i < 0:
+            return text
+        j = i + 2
+        m = re.match(r"\s*([A-Za-z_]\w*)", text[j:])
+        if not m:
+            return text  # stray '::' — leave as-is
+        pg_type = m.group(1)
+        spark_type = PG_TYPES.get(pg_type.lower(), pg_type.upper())
+        start = _cast_operand_start(text, i)
+        operand = text[start:i].rstrip()
+        text = (
+            text[:start]
+            + f"CAST({operand} AS {spark_type})"
+            + text[j + m.end() :]
+        )
+
+
+def run_pg_sql(spark, text: str, params: list[Any] | dict[str, Any] | None = None):
+    """Translate + execute a Postgres-dialect query. ``params`` may be
+    the PG positional list (``[v1, v2]`` binds ``$1``, ``$2``) or an
+    already-named dict."""
+    sql = translate_pg_sql(text)
+    if isinstance(params, (list, tuple)):
+        params = {f"p{i + 1}": v for i, v in enumerate(params)}
+    return spark.sql(sql, args=params) if params else spark.sql(sql)

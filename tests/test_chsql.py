@@ -223,3 +223,74 @@ def test_ch_aggregate_suite_executes(engine):
 def test_unknown_dialect_rejected(engine):
     with pytest.raises(ValueError):
         engine.sql("SELECT 1", dialect="oracle")
+
+
+# ------------------------------------------------------ postgres dialect
+
+
+def test_pg_positional_params_and_casts():
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql
+
+    out = translate_pg_sql(
+        "SELECT COALESCE(SUM(amount), 0)::float8 AS total FROM expenses "
+        "WHERE date >= $1 AND category = $2"
+    )
+    assert out == (
+        "SELECT CAST(COALESCE(SUM(amount), 0) AS DOUBLE) AS total "
+        "FROM expenses WHERE date >= :p1 AND category = :p2"
+    )
+
+
+def test_pg_cast_operand_forms():
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as T
+
+    assert T("SELECT amount::numeric FROM t") == (
+        "SELECT CAST(amount AS DOUBLE) FROM t"
+    )
+    assert T("SELECT (a + b)::int8 FROM t") == (
+        "SELECT CAST((a + b) AS BIGINT) FROM t"
+    )
+    assert T("SELECT sum(x)::numeric FROM t") == (
+        "SELECT CAST(sum(x) AS DOUBLE) FROM t"
+    )
+    assert T("SELECT '5'::int4") == "SELECT CAST('5' AS INT)"
+    assert T("SELECT x::text::int4 FROM t") == (
+        "SELECT CAST(CAST(x AS STRING) AS INT) FROM t"
+    )
+
+
+def test_pg_corpus_query_executes(engine):
+    """The literal pg-expense-direct stats query shape
+    (…stats/route.ts:27-30), retargeted at orders, positional params."""
+    got = engine.sql(
+        "SELECT COUNT(*) as count, COALESCE(SUM(o_totalprice), 0)::float8 "
+        "as total FROM orders WHERE 1=1 AND o_orderdate >= $1 "
+        "AND o_orderdate <= $2",
+        params=["1996-01-01", "1996-12-31"],
+        dialect="postgres",
+    )
+    want = engine.sql(
+        "SELECT COUNT(*) as count, "
+        "CAST(COALESCE(SUM(o_totalprice), 0) AS DOUBLE) as total "
+        "FROM orders WHERE o_orderdate >= '1996-01-01' "
+        "AND o_orderdate <= '1996-12-31'"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_pg_date_trunc_monthly_executes(engine):
+    """…stats/route.ts:45-54 shape — DATE_TRUNC is native Spark, only
+    $N needs translation."""
+    got = engine.sql(
+        "SELECT DATE_TRUNC('month', o_orderdate) as month, COUNT(*) as count "
+        "FROM orders WHERE o_orderdate >= $1 GROUP BY month ORDER BY month "
+        "LIMIT 5",
+        params=["1997-01-01"],
+        dialect="postgres",
+    )
+    want = engine.sql(
+        "SELECT DATE_TRUNC('month', o_orderdate) as month, COUNT(*) as count "
+        "FROM orders WHERE o_orderdate >= '1997-01-01' GROUP BY month "
+        "ORDER BY month LIMIT 5"
+    )
+    assert _rows(got) == _rows(want)
