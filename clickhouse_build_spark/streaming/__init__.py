@@ -9,6 +9,14 @@ sinks, plus a ``foreachBatch`` loop that drives the same
 ``applyInPandasWithState`` custom stateful operator.
 """
 
+from clickhouse_build_spark.streaming.docs import (
+    admission_counts,
+    batch_clean_twin,
+    clean_doc_stream,
+    quality_gate,
+    read_doc_stream,
+    stage_doc_chunks,
+)
 from clickhouse_build_spark.streaming.pipeline import (
     cdc_stream_writer,
     dedup_stream,
@@ -21,6 +29,12 @@ from clickhouse_build_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "admission_counts",
+    "batch_clean_twin",
+    "clean_doc_stream",
+    "quality_gate",
+    "read_doc_stream",
+    "stage_doc_chunks",
     "cdc_stream_writer",
     "dedup_stream",
     "read_event_stream",
