@@ -386,3 +386,48 @@ def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "event_type", "err_event_id_asof", "err_ts_asof"
     )
+
+
+@query(
+    "events_views_in_error_windows",
+    oracle="""
+    SELECT v.user_id, count(DISTINCT v.event_id) AS n_points
+    FROM events v
+    JOIN events e ON v.user_id = e.user_id AND e.event_type = 'error'
+      AND v.ts BETWEEN e.ts AND e.ts + INTERVAL 5 MINUTE
+    WHERE v.event_type = 'view'
+    GROUP BY 1
+    """,
+    tags=("events", "range-join", "interval"),
+)
+def events_views_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): per user, the distinct views
+    that landed within 5 minutes after any of that user's errors — the
+    blast-radius query. Executed via the bucketed range join
+    (``operators/rangejoin.py``): intervals explode into 300 s buckets
+    and equi-join on (user_id, bucket), NOT the BroadcastNestedLoopJoin
+    Spark would plan for the raw BETWEEN — the non-equi candidate space
+    is |views|×|errors| per user and dies at 100 TB; the bucketed form
+    is linear in points + matches.
+    """
+    from clickhouse_build_spark.operators.rangejoin import point_in_interval_counts
+
+    ev = load_tables(spark, sf_dir)["events"]
+    points = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_end"),
+    )
+    return point_in_interval_counts(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="win_start",
+        end_ts="win_end",
+        on=["user_id"],
+        count_col="event_id",
+        bucket_seconds=300,
+    )

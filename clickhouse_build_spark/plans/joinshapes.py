@@ -483,3 +483,42 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+_PIVOT_ORACLE_COLS = ", ".join(
+    'CAST(COALESCE(count(*) FILTER (WHERE o_orderpriority = ' + repr(p)
+    + "), 0) AS BIGINT) AS \"" + p.split("-")[0] + '_cnt\"'
+    for p in _PRIORITIES
+)
+
+
+@query(
+    "status_priority_pivot",
+    oracle=f"""
+    SELECT o_orderstatus, {_PIVOT_ORACLE_COLS}
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("relational", "pivot"),
+)
+def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts as a wide status × priority matrix via
+    ``groupBy().pivot()`` with an EXPLICIT value list — at 100 TB the
+    implicit form would first run a distinct scan to discover pivot
+    values; pinning them keeps it a single pass. Missing cells are
+    zero-filled (COUNT semantics, matching the oracle's FILTER form).
+    """
+    t = load_tables(spark, sf_dir)
+    wide = (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"{p.split('-')[0]}_cnt")
+        for p in _PRIORITIES
+    ]
+    return wide.select(*cols)
