@@ -58,7 +58,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ann_ivf_topk",
     "emb_normalize_quantize",
     "media_image_features",
-    "media_video_frame_sample",
     # — changed this round: must earn fresh driver rows —
     "q7_nation_trade_flows",
     "q9_product_profit",
@@ -74,12 +73,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "q11_major_revenue_parts",
     "q20_bulk_part_suppliers",
     "q8_nation_market_share",
+    "events_views_in_error_windows",
+    "status_priority_pivot",
     # — CH-dialect SQL translation layer (round 2): end-to-end proof —
     "ch_dialect_monthly_stats",
     "ch_dialect_status_profile",
     # — one representative per already-green operator family —
     "q1_pricing_summary",
-    "q5_local_supplier_volume",
     "rolling_30day_customer_spend",
     "events_tumbling_10min",
     "user_sessions_30min",
