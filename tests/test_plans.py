@@ -62,7 +62,12 @@ def test_no_python_eval_in_sql_expressible_queries(spark):
     appear ONLY in the deliberately-Python operators (multimodal, the
     blocked cosine kernel); every SQL-expressible query must stay fully
     JVM-side."""
-    python_ok = {"media_image_features", "media_video_frame_sample", "emb_near_dup_cosine"}
+    python_ok = {
+        "media_image_features",
+        "media_video_frame_sample",
+        "media_audio_chunks",
+        "emb_near_dup_cosine",
+    }
     for name, spec in REGISTRY.items():
         if name in python_ok:
             continue
