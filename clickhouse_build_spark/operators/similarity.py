@@ -34,7 +34,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------ vector math
@@ -428,4 +428,48 @@ def ivf_topk(
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def lsh_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    qid_col: str = "query_id",
+    qvec_col: str = "qe",
+    k: int = 10,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Batch ANN serving: top-k per query for a FRAME of query vectors
+    (the realistic shape — retrieval runs thousands of queries per
+    trigger, not one).
+
+    The query frame broadcasts with precomputed signatures; the corpus
+    side pays |corpus|·|Q| integer popcounts map-side (no shuffle), the
+    exact cosine only on hamming survivors, and one row_number window
+    partitioned by query id picks each top-k. For query batches too big
+    to broadcast, band the signatures (``lsh_bucketed_cosine_pairs``
+    style) instead of the crossJoin — same downstream re-rank.
+    """
+    sig = vectors.withColumn("__sig", lsh_signature(F.col(vec_col), hyperplanes))
+    q = queries.withColumn("__qsig", lsh_signature(F.col(qvec_col), hyperplanes))
+    hd = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__qsig")))
+    cos4 = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 4)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        sig.crossJoin(F.broadcast(q))
+        .withColumn("__hd", hd)
+        .filter(F.col("__hd") <= max_hamming)
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(
+            qid_col,
+            id_col,
+            cos4.alias("cos_sim"),
+            F.col("__hd").alias("sig_hamming"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )

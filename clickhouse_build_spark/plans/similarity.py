@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from clickhouse_build_spark.catalog import load_tables
 from clickhouse_build_spark.operators.similarity import (
     cosine,
+    lsh_topk_batch,
     cosine_pairs_blocked,
     dot,
     ivf_assign,
@@ -412,4 +413,59 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             ).alias("quant_err_x1e6"),
         )
+    )
+
+
+BATCH_QUERY_MAX_ID = 5  # vec_id 0..4 are the serving batch
+
+
+@query(
+    "emb_ann_lsh_topk_batch",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, e, {{sig}} AS s FROM v
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qe, {{sig}} AS qs
+      FROM v WHERE vec_id < {BATCH_QUERY_MAX_ID}
+    ),
+    ranked AS (
+      SELECT q.query_id, sig.vec_id,
+             round({{cos}}, 4) AS cos_sim,
+             bit_count(xor(sig.s, q.qs)) AS sig_hamming,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round({{cos}}, 4) DESC, sig.vec_id
+             ) AS rn
+      FROM sig, q
+      WHERE sig.vec_id <> q.query_id
+        AND bit_count(xor(sig.s, q.qs)) <= {LSH_MAX_HAMMING}
+    )
+    SELECT query_id, vec_id, cos_sim, sig_hamming
+    FROM ranked WHERE rn <= {TOP_K}
+    """.replace("{sig}", _sig_sql("e")).replace(
+        "{cos}", _cos_sql("sig.e", "q.qe")
+    ),
+    tags=("similarity", "ann", "lsh", "batch-serving"),
+)
+def emb_ann_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving: LSH top-k for a batch of query vectors
+    (vec_id 0-4) in ONE plan — broadcast query signatures, map-side
+    popcount prefilter, exact cosine re-rank, per-query row_number
+    top-k. The single-query twin (``emb_ann_lsh_topk``) verifies the
+    index; this verifies the serving shape retrieval actually runs.
+
+    Scale: corpus work is |corpus|·|Q| integer popcounts with NO
+    shuffle before the per-query top-k window (|Q| partitions of
+    hamming survivors only); signatures are ingest-precomputable.
+    """
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") < BATCH_QUERY_MAX_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return lsh_topk_batch(
+        v, queries, HYPERPLANES, k=TOP_K, max_hamming=LSH_MAX_HAMMING
     )
