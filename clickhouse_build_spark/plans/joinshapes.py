@@ -147,7 +147,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one partial-aggregated shuffle on l_suppkey builds the view;
     the 1-row max is broadcast back (cross-join with a single-row frame,
-    no second shuffle of the view).
+    no second shuffle of the view). The view is PERSISTED because it
+    feeds two consumers (the max and the final filter) and Catalyst
+    does not reuse the exchange across the differing branches —
+    without the cache the quarter's lineitem scan + aggregate runs
+    twice (verified in the executed plan). The cached frame is
+    |suppliers| rows of (key, bigint) — trivial at any SF.
     """
     t = load_tables(spark, sf_dir)
     rev = (
@@ -158,6 +163,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev_cents()).alias("total_rev_cents"))
+        .persist()
     )
     max_rev = rev.agg(F.max("total_rev_cents").alias("max_rev"))
     return (
@@ -192,15 +198,20 @@ def q11_major_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so no floating fraction can tie-break differently
     across engines.
 
-    Scale: the per-part aggregate and the global total are computed
-    from the same scan lineage; the 1-row total broadcasts back. No
-    second pass over the fact table's shuffle output.
+    Scale: ONE lineitem scan — the global total is the sum of the
+    per-part partials (Σ groups ≡ Σ rows for an integer sum), so it
+    re-aggregates the persisted |parts|-row view instead of rescanning
+    the fact table; the 1-row total broadcasts back.
     """
     t = load_tables(spark, sf_dir)
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     li = t["lineitem"]
-    pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("part_rev_cents"))
-    total = li.agg(F.sum(cents).alias("total_cents"))
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).alias("part_rev_cents"))
+        .persist()
+    )
+    total = pr.agg(F.sum("part_rev_cents").alias("total_cents"))
     return (
         pr.crossJoin(F.broadcast(total))
         .filter(F.col("part_rev_cents") * 1000 > F.col("total_cents"))
