@@ -147,3 +147,37 @@ def apply_column_defaults(df: DataFrame, defaults: dict[str, Column]) -> DataFra
         else:
             df = df.withColumn(name, default)
     return df
+
+
+def limit_by(
+    df: DataFrame,
+    n: int,
+    by: list[str] | str,
+    order_by: list[Column] | Column | None = None,
+) -> DataFrame:
+    """ClickHouse ``LIMIT n BY key`` — the first ``n`` rows per key
+    group (a clause Spark SQL lacks; the translator cannot rewrite it
+    function-wise, so it lives as a DataFrame helper).
+
+    ``order_by`` fixes which rows are "first" (CH picks by physical
+    order, which is nondeterministic in a distributed engine — callers
+    must order explicitly for reproducible results).
+
+    Plans as one window (row_number over the group) — a single shuffle
+    on the BY key, no global sort.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if isinstance(by, str) else list(by)
+    if order_by is None:
+        raise ValueError(
+            "limit_by requires order_by: ClickHouse's physical-order "
+            "semantics are nondeterministic under distribution"
+        )
+    orders = [order_by] if isinstance(order_by, Column) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*orders)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

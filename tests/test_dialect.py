@@ -82,3 +82,25 @@ def test_apply_column_defaults_fills_and_adds(spark):
     assert by_id[1].d == dt.date(2020, 5, 5)  # existing value untouched
     assert by_id[2].d == today  # NULL filled with the default
     assert all(r.created_at is not None for r in out)  # column added
+
+
+def test_limit_by_takes_first_n_per_key(spark):
+    from clickhouse_build_spark.functions.dialect import limit_by
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", i) for i in range(2)],
+        "k string, v int",
+    )
+    out = limit_by(df, 3, by="k", order_by=F.desc("v"))
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("a", 4), ("b", 0), ("b", 1)]
+
+
+def test_limit_by_requires_explicit_order(spark):
+    from clickhouse_build_spark.functions.dialect import limit_by
+    import pytest
+
+    df = spark.range(3).withColumn("k", F.lit("x"))
+    with pytest.raises(ValueError):
+        limit_by(df, 1, by="k")
