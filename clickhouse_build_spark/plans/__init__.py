@@ -39,7 +39,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_exact_dedup",
     "doc_near_dup_jaccard",
     "doc_minhash_lsh_dedup",
-    "doc_simhash",
     "doc_simhash_dup_pairs",
     "doc_winnow_fingerprints",
     "doc_fuzzy_dedup_keepers",
@@ -50,11 +49,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_stratified_sample",
     "doc_token_histogram",
     "doc_split_counts",
+    "doc_incremental_dedup",
     "emb_knn_cosine",
     "emb_label_centroids",
     "emb_near_dup_cosine",
     "emb_lsh_bucketed_cosine_pairs",
     "emb_ann_lsh_topk",
+    "emb_ann_lsh_topk_batch",
     "emb_ann_ivf_topk",
     "emb_normalize_quantize",
     "media_image_features",
@@ -81,7 +82,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # — one representative per already-green operator family —
     "q1_pricing_summary",
     "rolling_30day_customer_spend",
-    "events_tumbling_10min",
     "user_sessions_30min",
     "events_asof_last_error",
 ]

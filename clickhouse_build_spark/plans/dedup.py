@@ -54,6 +54,18 @@ _SHINGLES_CTE = """
 
 
 def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pairs_cte()}
+    SELECT doc_a, doc_b, round(est, 4) AS est_jaccard
+    FROM scored_pairs
+    """
+
+
+def _minhash_pairs_cte() -> str:
+    """Shared CTE chain: shingles → signatures → bands → candidate
+    pairs → ``scored_pairs(doc_a, doc_b, est)`` already filtered at
+    MINHASH_THRESHOLD. Used by the whole-corpus and incremental
+    (cross-set) dedup oracles."""
     mins = ",\n             ".join(
         f"min({minhash_component_sql('shingle', s)}) AS h{s}" for s in range(NUM_PERM)
     )
@@ -69,8 +81,7 @@ def _minhash_oracle() -> str:
     matches = " + ".join(
         f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
     )
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     sig AS (
       SELECT doc_id,
              {mins}
@@ -83,14 +94,14 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(({matches}) / {NUM_PERM}.0, 4) AS est_jaccard
-    FROM cand c
-    JOIN sig s1 ON c.doc_a = s1.doc_id
-    JOIN sig s2 ON c.doc_b = s2.doc_id
-    WHERE ({matches}) / {NUM_PERM}.0 >= {MINHASH_THRESHOLD}
-    """
+    ),
+    scored_pairs AS (
+      SELECT c.doc_a, c.doc_b, ({matches}) / {NUM_PERM}.0 AS est
+      FROM cand c
+      JOIN sig s1 ON c.doc_a = s1.doc_id
+      JOIN sig s2 ON c.doc_b = s2.doc_id
+      WHERE ({matches}) / {NUM_PERM}.0 >= {MINHASH_THRESHOLD}
+    )"""
 
 
 _SIMHASH_CTE = """
@@ -254,3 +265,107 @@ def doc_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = minhash_lsh_pairs(docs, "doc_id", "text")
     return dedup_keepers(pairs, docs.select("doc_id")).orderBy("doc_id")
+
+
+# Incremental ingest: doc_id % NEW_BATCH_MOD == NEW_BATCH_REM is
+# "today's crawl", everything else is the existing reference corpus.
+NEW_BATCH_MOD = 10
+NEW_BATCH_REM = 7
+
+
+def _incremental_oracle() -> str:
+    is_new = f"% {NEW_BATCH_MOD} = {NEW_BATCH_REM}"
+    is_ref = f"% {NEW_BATCH_MOD} <> {NEW_BATCH_REM}"
+    return f"""
+    WITH {_minhash_pairs_cte()},
+    near_best AS (
+      SELECT CASE WHEN doc_a {is_new} THEN doc_a ELSE doc_b END AS new_id,
+             min(CASE WHEN doc_a {is_new} THEN doc_b ELSE doc_a END) AS ref_id
+      FROM scored_pairs
+      WHERE (doc_a {is_new}) <> (doc_b {is_new})
+      GROUP BY 1
+    ),
+    exact_best AS (
+      SELECT n.doc_id AS new_id, min(r.doc_id) AS ref_id
+      FROM documents n JOIN documents r ON md5(n.text) = md5(r.text)
+      WHERE n.doc_id {is_new} AND r.doc_id {is_ref}
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.new_id IS NOT NULL THEN 'exact'
+                WHEN nb.new_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict,
+           COALESCE(e.ref_id, nb.ref_id) AS ref_doc_id
+    FROM documents d
+    LEFT JOIN exact_best e ON d.doc_id = e.new_id
+    LEFT JOIN near_best nb ON d.doc_id = nb.new_id
+    WHERE d.doc_id {is_new}
+    """
+
+
+@query(
+    "doc_incremental_dedup",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "incremental", "minhash", "pipeline"),
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify each NEW-batch document
+    (doc_id % 10 == 7, standing in for today's crawl) against the
+    existing reference corpus — 'exact' (fingerprint already present),
+    'near' (MinHash-LSH est_jaccard ≥ 0.5 vs any reference doc, lowest
+    matching ref id reported), or 'new' (admit). This is the shape a
+    production corpus runs daily: dedup the delta against the index,
+    never re-pair the whole corpus.
+
+    Scale: exact matches join on 16-byte digests; near matches reuse
+    the banded LSH candidate machinery (reference signatures are
+    ingest-precomputable and persistable as the "index"); the final
+    verdict is two left joins on the delta only.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        bands=BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=MINHASH_THRESHOLD,
+    )
+    a_new = (F.col("id_a") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    b_new = (F.col("id_b") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    near_best = (
+        pairs.filter(a_new != b_new)
+        .select(
+            F.when(a_new, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"),
+            F.when(a_new, F.col("id_b")).otherwise(F.col("id_a")).alias("rid"),
+        )
+        .groupBy("new_id")
+        .agg(F.min("rid").alias("near_ref"))
+    )
+    fp = F.md5("text").alias("fp")
+    exact_best = (
+        docs.filter(is_new)
+        .select("doc_id", fp)
+        .join(
+            docs.filter(~is_new).select(F.col("doc_id").alias("rid"), fp),
+            "fp",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("rid").alias("exact_ref"))
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(exact_best, "doc_id", "left")
+        .join(near_best, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_ref").isNotNull(), "exact")
+            .when(F.col("near_ref").isNotNull(), "near")
+            .otherwise("new")
+            .alias("verdict"),
+            F.coalesce("exact_ref", "near_ref").alias("ref_doc_id"),
+        )
+    )
