@@ -431,3 +431,26 @@ def events_views_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         count_col="event_id",
         bucket_seconds=300,
     )
+
+
+@query(
+    "events_type_counts_salted",
+    oracle="""
+    SELECT event_type, count(*) AS count
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "skew", "salted-agg"),
+)
+def events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (``operators/skew.py``): counts per
+    event type with the hot key spread over 8 salt partitions before
+    the final combine. Result is salt-independent — the oracle is the
+    plain GROUP BY — so the driver verifies the skew path end-to-end.
+    The 5-type events table isn't actually skewed; the point is the
+    verified plan shape for keys that are (one key = 30% of 100 TB).
+    """
+    from clickhouse_build_spark.operators.skew import salted_group_count
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return salted_group_count(ev, "event_type", n_salts=8)

@@ -533,3 +533,39 @@ def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _PRIORITIES
     ]
     return wide.select(*cols)
+
+
+@query(
+    "part_attributes_unpivot",
+    oracle="""
+    SELECT p_partkey, attr,
+           CAST(floor(val * 100 + 0.5) AS BIGINT) AS val_x100
+    FROM (
+      SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+    )
+    WHERE val IS NOT NULL
+    """,
+    tags=("relational", "unpivot", "melt"),
+)
+def part_attributes_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: part's numeric attributes as long-form
+    (key, attribute, value) rows — the wide→long reshape feeding
+    generic per-attribute statistics and feature pipelines. Uses the
+    native ``DataFrame.unpivot`` (Spark 3.4+), which plans as a
+    map-only Expand — one scan, no shuffle, no UNION re-scan (the
+    oracle's UNION ALL reads the table twice; Spark reads it once).
+    """
+    t = load_tables(spark, sf_dir)
+    wide = t["part"].select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    long = wide.unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+    return long.filter(F.col("val").isNotNull()).select(
+        "p_partkey",
+        "attr",
+        F.floor(F.col("val") * 100 + 0.5).cast("long").alias("val_x100"),
+    )
