@@ -39,11 +39,15 @@ from typing import Any, Callable
 
 def _scan_string(s: str, i: int) -> int:
     """i points at the opening quote; return index AFTER the closing
-    quote ('' escapes handled)."""
+    quote. Handles both '' doubling (ANSI) and backslash escapes
+    (ClickHouse's default string syntax)."""
     q = s[i]
     j = i + 1
     n = len(s)
     while j < n:
+        if s[j] == "\\":
+            j += 2
+            continue
         if s[j] == q:
             if j + 1 < n and s[j + 1] == q:
                 j += 2
@@ -213,7 +217,11 @@ FUNCS: dict[str, Rule] = {
     "divide": lambda a: f"(({a[0]}) / ({a[1]}))",
     # strings / arrays
     "replaceall": _rename("replace"),
-    "position": lambda a: f"locate({a[1]}, {a[0]})",  # CH: (haystack, needle)
+    # CH: position(haystack, needle); the 1-arg ANSI form
+    # position(needle IN haystack) passes through (Spark parses it).
+    "position": lambda a: (
+        f"locate({a[1]}, {a[0]})" if len(a) >= 2 else f"position({a[0]})"
+    ),
     "lengthutf8": _rename("length"),
     "has": _rename("array_contains"),
     "arrayelement": _rename("element_at"),
@@ -223,8 +231,11 @@ FUNCS: dict[str, Rule] = {
     "arraydistinct": _rename("array_distinct"),
     "arraysort": _rename("array_sort"),
     "arrayconcat": _rename("concat"),
-    "splitbychar": lambda a: f"split({a[1]}, {a[0]})",  # CH: (sep, s)
-    "splitbystring": lambda a: f"split({a[1]}, {a[0]})",
+    # CH: (sep, s) with a LITERAL separator; Spark split() takes a
+    # regex, so quote it with \Q...\E ('\\Q' in Spark SQL source is the
+    # two chars \Q) — '.' or '|' separators would otherwise mis-split.
+    "splitbychar": lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+    "splitbystring": lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
 }
 
 # name(q...)(x...) combinators: rule receives (param_args, value_args)
@@ -377,30 +388,65 @@ def _cast_operand_start(s: str, i: int) -> int:
     return j + 1
 
 
+def _literal_spans(s: str) -> list[tuple[int, int]]:
+    spans = []
+    i = 0
+    while i < len(s):
+        if s[i] in "'\"":
+            j = _scan_string(s, i)
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
 def translate_pg_sql(text: str) -> str:
     """Rewrite Postgres-dialect SQL to Spark SQL.
 
     Handles the two PG-isms the reference's app queries actually use
     that Spark lacks (``eval_repos/pg-expense-direct/app/api/...``):
     ``$N`` positional parameters (→ named markers ``:pN``) and
-    ``expr::type`` casts (→ ``CAST(expr AS type)``). Everything else in
+    ``expr::type`` casts (→ ``CAST(expr AS type)``), including
+    parameterized types (``numeric(10,2)`` → ``DECIMAL(10,2)``,
+    ``varchar(255)`` → ``STRING``). String literals are opaque — a
+    ``$1`` or ``::`` inside quotes is left alone. Everything else in
     the PG workload (DATE_TRUNC, COALESCE, ILIKE, EXTRACT, FILTER) is
     native Spark SQL and passes through untouched.
     """
     import re
 
-    text = re.sub(r"\$(\d+)", r":p\1", text)
+    # $N → :pN, outside string literals only (rebuild by segments so
+    # offsets stay consistent).
+    out, i = [], 0
+    for a, b in _literal_spans(text) + [(len(text), len(text))]:
+        out.append(re.sub(r"\$(\d+)", r":p\1", text[i:a]))
+        out.append(text[a:b])
+        i = b
+    text = "".join(out)
+
     # rewrite innermost :: casts repeatedly (supports x::text::int chains)
     while True:
+        spans = _literal_spans(text)
         i = text.find("::")
+        while i >= 0 and any(a <= i < b for a, b in spans):
+            i = text.find("::", i + 2)
         if i < 0:
             return text
         j = i + 2
-        m = re.match(r"\s*([A-Za-z_]\w*)", text[j:])
+        m = re.match(r"\s*([A-Za-z_]\w*)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?", text[j:])
         if not m:
             return text  # stray '::' — leave as-is
-        pg_type = m.group(1)
-        spark_type = PG_TYPES.get(pg_type.lower(), pg_type.upper())
+        pg_type, params = m.group(1), m.group(2)
+        lo = pg_type.lower()
+        if lo in ("numeric", "decimal") and params:
+            spark_type = "DECIMAL" + re.sub(r"\s", "", params)
+        elif lo in ("varchar", "char") and params:
+            spark_type = "STRING"  # Spark strings are unbounded
+        else:
+            spark_type = PG_TYPES.get(lo, pg_type.upper())
+            if params and lo not in PG_TYPES:
+                spark_type += re.sub(r"\s", "", params)
         start = _cast_operand_start(text, i)
         operand = text[start:i].rstrip()
         text = (

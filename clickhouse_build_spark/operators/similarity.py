@@ -330,9 +330,16 @@ def ivf_train(
             < cut
         )
     rows = sample.select(id_col, vec_col).orderBy(id_col).collect()
-    if len(rows) < k:
-        raise ValueError(f"sample of {len(rows)} vectors cannot seed k={k} cells")
     X = np.vstack([r[1] for r in rows]).astype(np.float64)
+    # Drop zero vectors BEFORE normalizing — a single zero row would
+    # become NaN and poison every Lloyd iteration it touches (the same
+    # degenerate input lsh_bucketed_cosine_pairs guards against).
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0]
+    if len(X) < k:
+        raise ValueError(
+            f"sample of {len(X)} nonzero vectors cannot seed k={k} cells"
+        )
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
     for _ in range(iters):
@@ -353,14 +360,19 @@ def ivf_train(
 def quantization_cost(
     vectors: DataFrame,
     centroids: DataFrame,
+    id_col: str = "vec_id",
     vec_col: str = "e",
 ) -> float:
     """Mean (1 − max-cosine-to-any-centroid) over the corpus — the
     spherical k-means objective; lower is a tighter coarse quantizer.
-    One broadcast pass, one scalar back to the driver."""
+    One broadcast pass, one scalar back to the driver.
+
+    Groups by the ROW id, not the vector value: duplicate vectors must
+    each contribute to the per-row mean (grouping on the array would
+    collapse them and shuffle full vectors besides)."""
     best = (
         vectors.crossJoin(F.broadcast(centroids))
-        .groupBy(vec_col)
+        .groupBy(id_col)
         .agg(F.max(cosine(F.col(vec_col), F.col("ce"))).alias("__best"))
     )
     [row] = best.agg(F.avg(1 - F.col("__best")).alias("cost")).collect()
@@ -441,10 +453,17 @@ def lsh_topk_batch(
     qvec_col: str = "qe",
     k: int = 10,
     max_hamming: int = 2,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Batch ANN serving: top-k per query for a FRAME of query vectors
     (the realistic shape — retrieval runs thousands of queries per
     trigger, not one).
+
+    ``exclude_self=True`` drops rows where the corpus id equals the
+    query id — ONLY correct when queries are drawn from the corpus and
+    share its id space (the registered plan's case). For external query
+    frames leave it False: an id collision across unrelated id spaces
+    would silently drop a true neighbor.
 
     The query frame broadcasts with precomputed signatures; the corpus
     side pays |corpus|·|Q| integer popcounts map-side (no shuffle), the
@@ -462,7 +481,9 @@ def lsh_topk_batch(
         sig.crossJoin(F.broadcast(q))
         .withColumn("__hd", hd)
         .filter(F.col("__hd") <= max_hamming)
-        .filter(F.col(id_col) != F.col(qid_col))
+        .filter(
+            (F.col(id_col) != F.col(qid_col)) if exclude_self else F.lit(True)
+        )
         .select(
             qid_col,
             id_col,

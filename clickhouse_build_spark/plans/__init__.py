@@ -79,11 +79,14 @@ _DRIVER_WINDOW_PRIORITY = [
     # — CH-dialect SQL translation layer (round 2): end-to-end proof —
     "ch_dialect_monthly_stats",
     "ch_dialect_status_profile",
-    # — one representative per already-green operator family —
-    "q1_pricing_summary",
-    "rolling_30day_customer_spend",
-    "user_sessions_30min",
-    "events_asof_last_error",
+    # — remaining new TPC-H shapes (round 2): first driver verification.
+    # Round-1-green families (q1, windows, sessions, asof) hold their
+    # CORRECTNESS_r01 rows as evidence and still pass the local sf0.01
+    # gate; new queries that have NEVER seen a driver row outrank them.
+    "q4_priority_order_check",
+    "q16_supplier_count_by_part",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
 ]
 
 

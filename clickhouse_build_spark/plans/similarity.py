@@ -467,5 +467,12 @@ def emb_ann_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     return lsh_topk_batch(
-        v, queries, HYPERPLANES, k=TOP_K, max_hamming=LSH_MAX_HAMMING
+        v,
+        queries,
+        HYPERPLANES,
+        k=TOP_K,
+        max_hamming=LSH_MAX_HAMMING,
+        # queries ARE corpus rows here, sharing the vec_id space — the
+        # one case where self-exclusion is correct.
+        exclude_self=True,
     )

@@ -97,7 +97,7 @@ def test_string_and_array_functions():
     assert T("has(arr, 3)") == "array_contains(arr, 3)"
     assert T("arrayFilter(x -> x > 0, arr)") == "filter(arr, x -> x > 0)"
     assert T("arrayMap(x -> x * 2, arr)") == "transform(arr, x -> x * 2)"
-    assert T("splitByChar(',', s)") == "split(s, ',')"
+    assert T("splitByChar(',', s)") == "split(s, concat('\\\\Q', ',', '\\\\E'))"
     assert T("arrayJoin(tags)") == "explode(tags)"
 
 
@@ -294,3 +294,44 @@ def test_pg_date_trunc_monthly_executes(engine):
         "ORDER BY month LIMIT 5"
     )
     assert _rows(got) == _rows(want)
+
+
+# --------------------------------------------- review-hardening cases
+
+
+def test_split_separator_is_regex_quoted(spark):
+    out = T("splitByChar('.', 'a.b.c')")
+    got = spark.sql(f"SELECT {out} AS parts").head()["parts"]
+    assert got == ["a", "b", "c"]
+    out2 = T("splitByChar('|', 'x|y')")
+    assert spark.sql(f"SELECT {out2} AS p").head()["p"] == ["x", "y"]
+
+
+def test_position_one_arg_form_passes_through():
+    assert T("position('x' IN name)") == "position('x' IN name)"
+
+
+def test_ch_backslash_escaped_literal_is_opaque():
+    q = r"SELECT replaceAll(x, 'don\'t', '') FROM t"
+    out = T(q)
+    assert r"'don\'t'" in out
+    assert out == r"SELECT replace(x, 'don\'t', '') FROM t"
+
+
+def test_pg_parameterized_type_casts():
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    assert P("SELECT total::numeric(10,2)") == (
+        "SELECT CAST(total AS DECIMAL(10,2))"
+    )
+    assert P("SELECT name::varchar(255)") == "SELECT CAST(name AS STRING)"
+
+
+def test_pg_literals_are_opaque():
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    q = "SELECT 'cost: $1 per a::b unit', amount::numeric FROM t WHERE x = $1"
+    out = P(q)
+    assert "'cost: $1 per a::b unit'" in out
+    assert out.endswith("WHERE x = :p1")
+    assert "CAST(amount AS DOUBLE)" in out
