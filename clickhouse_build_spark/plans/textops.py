@@ -793,3 +793,47 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "doc_top_bigrams",
+    oracle="""
+    SELECT bg, count(*) AS freq
+    FROM (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> array_to_string(w[i:i+1], ' '))) AS bg
+      FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+      WHERE len(w) >= 2
+    )
+    GROUP BY 1
+    ORDER BY freq DESC, bg
+    LIMIT 20
+    """,
+    tags=("text", "ngram", "vocabulary", "top-k"),
+)
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram head: top-20 word bigrams by frequency — the
+    first n-gram LM statistic (and the seed list for phrase-level
+    stopword/boilerplate filters). Deterministic (freq desc, bigram
+    asc) order.
+
+    Scale: per-row array math builds the bigrams (no shuffle), then the
+    same partial-count → TakeOrderedAndProject shape as
+    ``doc_top_tokens``; the shuffle carries distinct bigrams per
+    partition, not positions.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.split(F.lower("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 2)),
+    )
+    return (
+        docs.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bg"))
+        .limit(20)
+    )
