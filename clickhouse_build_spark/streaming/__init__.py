@@ -19,6 +19,8 @@ from clickhouse_build_spark.streaming.docs import (
 )
 from clickhouse_build_spark.streaming.pipeline import (
     cdc_stream_writer,
+    enrich_with_static,
+    views_after_errors_stream,
     dedup_stream,
     read_event_stream,
     running_user_totals,
@@ -36,6 +38,8 @@ __all__ = [
     "read_doc_stream",
     "stage_doc_chunks",
     "cdc_stream_writer",
+    "enrich_with_static",
+    "views_after_errors_stream",
     "dedup_stream",
     "read_event_stream",
     "running_user_totals",

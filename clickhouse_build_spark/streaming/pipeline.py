@@ -225,3 +225,49 @@ def cdc_stream_writer(
         .option("checkpointLocation", os.path.join(checkpoint_dir, "cdc"))
         .outputMode("update")
     )
+
+
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch
+    dimension frame. Stateless on the stream side — each micro-batch
+    hash-joins against the (broadcastable) static relation, so there is
+    no watermark and no state store; the static side re-resolves per
+    batch (a replicator-refreshed dim view picks up CDC updates between
+    batches for free).
+    """
+    return stream.join(dim, on=on, how=how)
+
+
+def views_after_errors_stream(
+    views: DataFrame,
+    errors: DataFrame,
+    watermark: str = "30 minutes",
+    horizon_minutes: int = 5,
+) -> DataFrame:
+    """Stream-stream interval join: each view event pairs with the
+    same user's error events in the preceding ``horizon_minutes`` —
+    the streaming twin of the batch bucketed range join
+    (``events_views_in_error_windows``). Both sides carry watermarks so
+    the join state is bounded: a buffered error can be dropped once the
+    view-side watermark passes its ts + horizon.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    ).withWatermark("e_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("e_user"))
+        & (F.col("v_ts") >= F.col("e_ts"))
+        & (F.col("v_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return v.join(e, cond).select(
+        F.col("v_user").alias("user_id"), "view_id", "error_id", "v_ts", "e_ts"
+    )

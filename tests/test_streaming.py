@@ -184,3 +184,85 @@ def test_dedup_stream_drops_replayed_chunks(spark, stage, tmp_path):
 
     want = load_tables(spark, SF_SMOKE)["events"].count()
     assert got.n == got.d == want
+
+
+def test_stream_static_enrich_matches_batch_join(spark, stage):
+    from clickhouse_build_spark.streaming.pipeline import enrich_with_static
+
+    dim = spark.range(200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).cast("string").alias("segment"),
+    )
+    stream = read_event_stream(spark, stage)
+    enriched = enrich_with_static(stream, dim, on="user_id").groupBy(
+        "segment"
+    ).agg(F.count("*").alias("n"))
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        r["segment"]: r["n"]
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    from clickhouse_build_spark.catalog import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    want = {
+        r["segment"]: r["n"]
+        for r in ev.join(dim, "user_id", "left")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stage):
+    from clickhouse_build_spark.streaming.pipeline import views_after_errors_stream
+
+    stream = read_event_stream(spark, stage)
+    views = stream.filter(F.col("event_type") == "view")
+    errors = stream.filter(F.col("event_type") == "error")
+    joined = views_after_errors_stream(views, errors)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r["view_id"], r["error_id"])
+        for r in spark.sql("SELECT view_id, error_id FROM t_ssjoin").collect()
+    }
+    from clickhouse_build_spark.catalog import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.filter(F.col("event_type") == "view")
+    e = ev.filter(F.col("event_type") == "error")
+    want = {
+        (r["view_id"], r["error_id"])
+        for r in v.alias("v")
+        .join(
+            e.alias("e"),
+            (F.col("v.user_id") == F.col("e.user_id"))
+            & (F.col("v.ts") >= F.col("e.ts"))
+            & (F.col("v.ts") <= F.col("e.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("e.event_id").alias("error_id"),
+        )
+        .collect()
+    }
+    # append-mode emits pairs as watermarks permit; availableNow's final
+    # watermark passes max event time, so ALL pairs must be emitted.
+    assert got == want
