@@ -248,18 +248,47 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
 
 
+def _keepers_oracle() -> str:
+    """Connected-components keeper assignment in pure SQL: DuckDB
+    ``WITH RECURSIVE`` transitive closure over the same portable-hash
+    LSH pair edges the Spark side uses. The edge list is tiny relative
+    to the corpus (only docs in a dup pair), so the closure is cheap;
+    keeper = min(doc, min reachable doc) matches the min-label fixpoint
+    of ``operators/dedup.py:dedup_keepers``."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM scored_pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM scored_pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS keeper
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, COALESCE(c.keeper, d.doc_id) AS keeper
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
 @query(
     "doc_fuzzy_dedup_keepers",
-    oracle=None,  # iterative label propagation (connected components) —
-    # the driver's documented rows-only case for iterative algorithms
+    oracle=_keepers_oracle(),
     tags=("dedup", "keepers", "iterative"),
 )
 def doc_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fuzzy-dedup pipeline's final materialization: MinHash+LSH
     pairs → connected components (min-label propagation) → per-document
-    keeper assignment. Survivor set = distinct keepers; the invariants
-    (every dup pair shares a keeper; survivors = docs − dup partners)
-    are asserted in tests/test_dedup.py."""
+    keeper assignment. Oracle = DuckDB recursive-CTE transitive closure
+    over the identical portable-hash edge list, so the iterative Spark
+    fixpoint is hash-checked exactly; the invariants (every dup pair
+    shares a keeper; survivors = docs − dup partners) are additionally
+    asserted in tests/test_dedup.py."""
     from clickhouse_build_spark.operators.dedup import dedup_keepers
 
     docs = load_tables(spark, sf_dir)["documents"]
