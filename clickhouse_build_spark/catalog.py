@@ -120,33 +120,99 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES: tuple[str, ...] = tuple(SCHEMAS)
 
-# The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
-# reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Physical workaround:
-# read the column as raw INT64 nanoseconds (legacy nanosAsLong conf) and
-# convert to microsecond TIMESTAMP_NTZ with *integer* division — float
-# division would lose precision above 2^53 ns. DuckDB truncates ns→µs the
-# same way, so both engines see identical values.
-_READ_SCHEMAS: dict[str, T.StructType] = {
-    "events": T.StructType(
+# Some driver-generated events.parquet files store ts as parquet
+# TIMESTAMP(NANOS), which Spark's reader rejects outright
+# ([PARQUET_TYPE_ILLEGAL]). The physical unit has CHANGED between rounds
+# (round 1: NANOS; round 3+: MICROS), so never assume — probe the parquet
+# footer and branch:
+#   * MICROS / MILLIS → native read with the declared schema.
+#   * NANOS → read the column as raw INT64 nanoseconds (legacy
+#     nanosAsLong conf) and convert to microsecond TIMESTAMP_NTZ with
+#     *integer* division — float division would lose precision above
+#     2^53 ns. DuckDB truncates ns→µs the same way, so both engines see
+#     identical values.
+# A blind div-1000 on micros data collapses every timestamp into ~43
+# minutes of January 1970 (VERDICT.md round 3); ``_check_sane_events_ts``
+# fails loudly if a future unit flip slips past the probe.
+_NANOS_TS_TABLES: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _parquet_nanos_columns(path: str, columns: tuple[str, ...]) -> tuple[str, ...]:
+    """Return the subset of ``columns`` stored as TIMESTAMP(NANOS) in the
+    parquet footer at ``path`` (a file or a directory of part files)."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    schema = ds.dataset(path, format="parquet").schema
+    nanos = []
+    for name in columns:
+        field = schema.field(name) if name in schema.names else None
+        if field is not None and pat.is_timestamp(field.type) and field.type.unit == "ns":
+            nanos.append(name)
+    return tuple(nanos)
+
+
+def _nanos_read_schema(declared: T.StructType, nanos_cols: tuple[str, ...]) -> T.StructType:
+    return T.StructType(
         [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
+            T.StructField(f.name, T.LongType() if f.name in nanos_cols else f.dataType)
+            for f in declared.fields
         ]
-    ),
-}
-
-
-def _post_read_events(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
     )
 
 
-_POST_READ = {"events": _post_read_events}
+def _post_read_nanos(df: DataFrame, nanos_cols: tuple[str, ...]) -> DataFrame:
+    for name in nanos_cols:
+        df = df.withColumn(
+            name,
+            F.expr(f"cast(timestamp_micros({name} div 1000) as timestamp_ntz)"),
+        )
+    return df
+
+
+def _check_sane_events_ts(path: str, nanos_cols: tuple[str, ...]) -> None:
+    """Loud guard against a silent timestamp-unit mismatch.
+
+    Reads the first row-group's footer *statistics* (driver-side, no data
+    scan — footer metadata only, so it stays cheap at any scale) and
+    asserts the minimum ``ts``, after the unit handling we are about to
+    apply, lands in [1990, 2100]. A wrong-unit read lands in 1970 (div
+    applied to micros) or ~year 57000 (micros read as nanos), both far
+    outside the window.
+    """
+    import datetime
+
+    import pyarrow.dataset as ds
+
+    frag = next(iter(ds.dataset(path, format="parquet").get_fragments()), None)
+    if frag is None:
+        return
+    meta = frag.metadata
+    if meta.num_row_groups == 0:
+        return
+    rg = meta.row_group(0)
+    for i in range(rg.num_columns):
+        col = rg.column(i)
+        if col.path_in_schema != "ts" or col.statistics is None:
+            continue
+        lo = col.statistics.min
+        if lo is None:
+            continue
+        if isinstance(lo, int):  # raw INT64 nanoseconds
+            lo = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=lo // 1000 if "ts" in nanos_cols else lo
+            )
+        elif "ts" in nanos_cols:  # decoded timestamp but we'd div again
+            raise AssertionError(
+                f"events ts at {path} decodes as {lo!r} yet was classified "
+                "NANOS — unit probe is wrong"
+            )
+        if isinstance(lo, datetime.datetime) and not (1990 <= lo.year <= 2100):
+            raise AssertionError(
+                f"events ts sanity check failed: min(ts)={lo!r} at {path} — "
+                "parquet timestamp unit changed under us (see catalog.py "
+                "unit probe); refusing to serve corrupted event times"
+            )
 
 # Dimension tables small enough to broadcast at ANY scale factor — region
 # and nation are fixed-cardinality (5 / 25 rows) even at 100 TB. supplier/
@@ -176,13 +242,20 @@ class Catalog:
         if table not in self._frames:
             if table not in SCHEMAS:
                 raise KeyError(f"unknown table {table!r}; catalog has {TABLE_NAMES}")
-            read_schema = _READ_SCHEMAS.get(table, SCHEMAS[table])
-            if table in _READ_SCHEMAS:
+            declared = SCHEMAS[table]
+            nanos_cols: tuple[str, ...] = ()
+            if table in _NANOS_TS_TABLES:
+                nanos_cols = _parquet_nanos_columns(
+                    self.path(table), _NANOS_TS_TABLES[table]
+                )
+                _check_sane_events_ts(self.path(table), nanos_cols)
+            if nanos_cols:
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = self.spark.read.schema(read_schema).parquet(self.path(table))
-            post = _POST_READ.get(table)
-            if post is not None:
-                df = post(df)
+                read_schema = _nanos_read_schema(declared, nanos_cols)
+                df = self.spark.read.schema(read_schema).parquet(self.path(table))
+                df = _post_read_nanos(df, nanos_cols)
+            else:
+                df = self.spark.read.schema(declared).parquet(self.path(table))
             self._frames[table] = df
         return self._frames[table]
 

@@ -21,72 +21,73 @@ from clickhouse_build_spark.plans import joinshapes  # noqa: E402,F401
 from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order (round 1 stopped at entry 50, leaving every
-# doc_*/emb_*/media_* query unverified — VERDICT.md "What's missing"
-# #1). Re-rank the registry so the window covers (a) the whole
-# LLM-data-pipeline surface, (b) queries changed this round, and (c) one
-# representative per relational/window/event operator family; the tail
-# holds redundant twins of shapes already driver-verified green in
-# round 1.
+# iteration order. Round-4 ranking (VERDICT.md r03 "Next round" #2):
+# (a) the 8 event-time queries re-fixed by the catalog timestamp-unit
+# probe — they MUST earn fresh driver rows on current (MICROS) data;
+# (b) the 7 queries never driver-verified in any round;
+# (c) queries changed this round (new oracles / plan swaps);
+# (d) queries whose only driver evidence is r01 — round 3 proved data
+# can change under a green row, so oldest evidence refreshes first.
+# The tail holds r03-green rows (current-data evidence) — the whole
+# LLM-pipeline doc_*/emb_* surface and the round-2 join shapes.
 _DRIVER_WINDOW_PRIORITY = [
-    # — LLM pipeline: text analysis / dedup / similarity / multimodal —
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_top_tokens",
-    "doc_tfidf_top_terms",
-    "doc_bpe_token_counts",
-    "doc_exact_dedup",
-    "doc_near_dup_jaccard",
-    "doc_minhash_lsh_dedup",
-    "doc_simhash_dup_pairs",
-    "doc_winnow_fingerprints",
-    "doc_fuzzy_dedup_keepers",
-    "clean_corpus",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "doc_contamination_screen",
-    "doc_stratified_sample",
-    "doc_token_histogram",
-    "doc_split_counts",
-    "doc_incremental_dedup",
-    "emb_knn_cosine",
-    "emb_label_centroids",
-    "emb_near_dup_cosine",
-    "emb_lsh_bucketed_cosine_pairs",
-    "emb_ann_lsh_topk",
-    "emb_ann_lsh_topk_batch",
-    "emb_ann_ivf_topk",
-    "emb_normalize_quantize",
-    "media_image_features",
-    # — changed this round: must earn fresh driver rows —
-    "q7_nation_trade_flows",
-    "q9_product_profit",
-    "q12_priority_shipping_caseagg",
-    "events_props_as_map",
-    "status_priority_profile",
-    "price_percentiles_by_flag",
-    "customers_except_returners",
-    # — new join shapes (round 2): first driver verification —
-    "q13_order_count_distribution",
-    "nation_customer_supplier_balance",
-    "q15_top_supplier",
-    "q11_major_revenue_parts",
-    "q20_bulk_part_suppliers",
-    "q8_nation_market_share",
+    # — (a) re-fixed event-time queries (catalog ts-unit fix, round 4) —
+    "events_tumbling_10min",
+    "events_sliding_10min_step5",
+    "cdc_latest_event_per_user",
+    "user_sessions_30min",
+    "signup_purchase_funnel",
+    "weekly_retention_cohorts",
+    "events_asof_last_error",
     "events_views_in_error_windows",
-    "status_priority_pivot",
-    # — CH-dialect SQL translation layer (round 2): end-to-end proof —
-    "ch_dialect_monthly_stats",
-    "ch_dialect_status_profile",
-    # — remaining new TPC-H shapes (round 2): first driver verification.
-    # Round-1-green families (q1, windows, sessions, asof) hold their
-    # CORRECTNESS_r01 rows as evidence and still pass the local sf0.01
-    # gate; new queries that have NEVER seen a driver row outrank them.
-    "q4_priority_order_check",
-    "q16_supplier_count_by_part",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
+    # — (b) never driver-verified in r01-r03 —
+    "part_attributes_unpivot",
+    "events_type_counts_salted",
+    "doc_simhash",
+    "doc_top_bigrams",
+    "emb_ann_ivf_trained_topk",
+    "media_video_frame_sample",
+    "media_audio_chunks",
+    # — (c) changed this round —
+    "approx_distinct_and_percentiles",
+    "price_percentiles_by_flag",
+    "media_image_features",
+    # — (d) r01-only evidence, oldest-first refresh: events-adjacent —
+    "events_json_props",
+    "event_value_histogram",
+    # windows family (r01 evidence only)
+    "top3_orders_per_customer",
+    "customer_order_gaps",
+    "running_customer_revenue",
+    "nation_revenue_ranks",
+    "order_value_distribution",
+    "customer_order_span",
+    "rolling_30day_customer_spend",
+    "customer_latest_order_argmax",
+    # TPC-H core (r01 evidence only)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    # parity + aggregate shapes (r01 evidence only)
+    "stats_total",
+    "stats_by_category",
+    "stats_by_month",
+    "stats_daily_top30",
+    "list_filtered",
+    "stats_by_month_pg_shape",
+    "top_customers_by_revenue",
+    "part_stats_min_max_avg",
+    "distinct_counts",
+    "customers_without_orders",
+    "urgent_order_customers_semi",
+    "nation_account_union",
+    "returned_and_urgent_intersect",
 ]
 
 
