@@ -362,12 +362,15 @@ def dedup_keepers(
     relative to the corpus: only documents that appear in a dup pair);
     singleton documents never enter the loop and join back at the end.
 
-    ``max_iter`` bounds worst-case chains; clusters of diameter d
-    converge in ⌈log2(d)⌉-ish rounds under doubling propagation, and
-    real dup clusters are near-cliques that settle in 1-2 rounds. If
-    the fixpoint isn't reached by ``max_iter``, the result is still a
-    valid refinement (keepers may split a long chain) — callers needing
-    exactness on pathological chains raise ``max_iter``.
+    Each round does one-hop edge propagation PLUS a pointer-doubling
+    shortcut (adopt my keeper's keeper), so a chain of diameter d
+    converges in O(log2 d) rounds — ``max_iter=10`` covers diameters
+    ~2^10, far past any real dup cluster (near-cliques settle in 1-2
+    rounds). The oracle for ``doc_fuzzy_dedup_keepers`` computes the
+    EXACT transitive closure, so an unconverged refinement is a wrong
+    answer: if the fixpoint is somehow not reached by ``max_iter``,
+    this raises instead of returning silently-split components
+    (ADVICE r03).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -386,6 +389,7 @@ def dedup_keepers(
             F.least("src", "nbr_min").alias("keeper"),
         )
     )
+    converged = False
     for _ in range(max_iter):
         # propagate: my keeper = min(my keeper, my neighbors' keepers)
         nbr = (
@@ -402,16 +406,39 @@ def dedup_keepers(
                 ).alias("keeper"),
             )
         )
+        # pointer-doubling shortcut: my keeper = my keeper's keeper.
+        # Every keeper is itself an edge node (it's a least() over node
+        # ids), so the self-join always finds it; this halves remaining
+        # chain depth each round → true O(log d) convergence.
+        kk = new_labels.select(
+            F.col(id_col).alias("__kk_id"), F.col("keeper").alias("__kk_keeper")
+        )
+        new_labels = (
+            new_labels.join(kk, new_labels["keeper"] == kk["__kk_id"], "left")
+            .select(
+                id_col,
+                F.least(
+                    "keeper", F.coalesce("__kk_keeper", F.col("keeper"))
+                ).alias("keeper"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
-        if (
-            new_labels.alias("n")
+        changed = (
+            not new_labels.alias("n")
             .join(labels.alias("o"), id_col)
             .filter(F.col("n.keeper") != F.col("o.keeper"))
             .isEmpty()
-        ):
-            labels = new_labels
-            break
+        )
         labels = new_labels
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_keepers did not reach its fixpoint in {max_iter} "
+            "doubling rounds (diameter > 2^max_iter?!) — refusing to "
+            "return silently-split components"
+        )
     return ids.select(id_col).join(labels, id_col, "left").select(
         id_col, F.coalesce("keeper", F.col(id_col)).alias("keeper")
     )

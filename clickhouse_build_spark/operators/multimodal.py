@@ -75,19 +75,35 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_fp", T.LongType()),
         T.StructField("frame_payload", T.BinaryType()),
     ]
 )
 
 
 def _det_bytes(seed: str, n: int) -> bytes:
-    """Deterministic pseudo-payload: an md5 chain, n bytes."""
+    """Deterministic pseudo-payload: an md5 chain, n bytes.
+
+    By construction the first 16 bytes equal ``md5(seed)`` — which is
+    what makes every fake-codec feature oracle-checkable: a SQL engine
+    can recompute ``payload[:16].hex()`` as ``md5(seed)`` without
+    rebuilding the whole chain (see :func:`_payload_digest`).
+    """
     out = b""
     block = seed.encode()
     while len(out) < n:
         block = hashlib.md5(block).digest()
         out += block
     return out[:n]
+
+
+def _payload_digest(payload: bytes) -> str:
+    """Hex digest that identifies a payload for the fake-codec paths:
+    the first md5 block of the chain, read back from the bytes that
+    actually crossed Arrow. For chain payloads seeded ``media:{id}``
+    this equals ``md5('media:' || id)`` — reproducible in DuckDB SQL,
+    so downstream features can be hash-verified by the oracle gate."""
+    return payload[:16].hex()
 
 
 def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
@@ -114,6 +130,55 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media corpus from the ``documents`` table,
+    so media row counts scale with the scale factor instead of being a
+    fixed 24-row synthetic (VERDICT r03 "what's missing" #4/#9).
+
+    Each document becomes one media row: ``media_id = doc_id``, kind by
+    ``doc_id % 3`` (0=image, 1=audio, 2=video), payload an md5-chain
+    keyed ``media:{doc_id}`` sized per kind, metadata derived from
+    ``doc_id`` arithmetic. The payload bytes are REAL binary columns
+    generated in an Arrow-batched ``mapInPandas`` stage — the ingest
+    seam where production would read object-store bytes instead; the
+    whole downstream pipeline (decode, feature-extract, fan-out) is
+    identical either way.
+
+    Scale: generation is embarrassingly parallel (no shuffle); payload
+    size is bounded per kind so Arrow batches stay memory-safe with the
+    session's maxRecordsPerBatch cap.
+    """
+    kinds = ("image", "audio", "video")
+    sizes = {"image": 4096, "audio": 8192, "video": 16384}
+    formats = {"image": "png", "audio": "wav", "video": "mp4"}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            kind = ids.map(lambda i: kinds[i % 3])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kind,
+                    "payload": ids.map(
+                        lambda i: _det_bytes(f"media:{i}", sizes[kinds[i % 3]])
+                    ),
+                    "meta": [
+                        {
+                            "format": formats[k],
+                            "width": 64 + (i % 4) * 32 if k != "audio" else None,
+                            "height": 48 + (i % 3) * 16 if k != "audio" else None,
+                            "duration_ms": 1000 * (1 + i % 5) if k != "image" else None,
+                            "sample_rate": 16000 if k == "audio" else None,
+                        }
+                        for i, k in zip(ids, kind)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 # --------------------------------------------------------------- decoding
 
 
@@ -130,13 +195,17 @@ def decode_media_real(payload: bytes, fmt: str):
 
 
 def _fake_luma(payload: bytes) -> float:
-    # mean of the first 256 payload bytes — a deterministic "pixel mean"
-    head = payload[:256]
-    return round(sum(head) / len(head), 4)
+    # mean of the first 16 payload bytes — a deterministic "pixel mean".
+    # k/16.0 is binary-exact with <=4 decimal digits, so the value is
+    # bit-identical across engines (no rounding needed).
+    head = payload[:16]
+    return sum(head) / 16.0
 
 
 def _fake_phash(payload: bytes) -> int:
-    return int(hashlib.md5(payload).hexdigest()[:16], 16) >> 1  # fits signed 64
+    # 15 hex chars = 60 bits: fits signed 64 without a shift, and a SQL
+    # engine reproduces it as ('0x' || substr(md5(seed),1,15))::BIGINT.
+    return int(_payload_digest(payload)[:15], 16)
 
 
 def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -204,17 +273,25 @@ def sample_frames(media: DataFrame, every_ms: int = 500, fake: bool = True) -> D
         for pdf in batches:
             if not fake:
                 decode_media_real(b"", "")
-            rows = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_payload": []}
+            rows = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ms": [],
+                "frame_fp": [],
+                "frame_payload": [],
+            }
             for _, r in pdf.iterrows():
                 duration = r["meta"]["duration_ms"] or 0
-                digest = hashlib.md5(r["payload"]).hexdigest()
+                digest = _payload_digest(r["payload"])
                 for idx, ms in enumerate(range(0, duration, every_ms)):
+                    seed = f"frame:{digest}:{ms}"
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(idx)
                     rows["frame_ms"].append(ms)
-                    rows["frame_payload"].append(
-                        _det_bytes(f"frame:{digest}:{ms}", 1024)
+                    rows["frame_fp"].append(
+                        int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
                     )
+                    rows["frame_payload"].append(_det_bytes(seed, 1024))
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
@@ -260,7 +337,7 @@ def chunk_audio(media: DataFrame, window_ms: int = 250, fake: bool = True) -> Da
             }
             for _, r in pdf.iterrows():
                 duration = r["meta"]["duration_ms"] or 0
-                digest = hashlib.md5(r["payload"]).hexdigest()
+                digest = _payload_digest(r["payload"])
                 for idx, ms in enumerate(range(0, duration, window_ms)):
                     rows["media_id"].append(r["media_id"])
                     rows["chunk_idx"].append(idx)

@@ -292,7 +292,18 @@ def doc_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_build_spark.operators.dedup import dedup_keepers
 
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    # Constants passed explicitly (not function defaults) so a default
+    # tune can't silently diverge this builder from the oracle CTE,
+    # which is generated from the same module constants (ADVICE r03).
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        bands=BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=MINHASH_THRESHOLD,
+    )
     return dedup_keepers(pairs, docs.select("doc_id")).orderBy("doc_id")
 
 

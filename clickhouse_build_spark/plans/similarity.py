@@ -323,11 +323,35 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, q, k=TOP_K, nprobe=IVF_NPROBE)
 
 
+# Recall floor for the trained IVF index. The driver's embeddings are
+# near-random (max query cosine ~0.37 at sf0.01), so nearest neighbors
+# scatter across cells and perfect recall needs probing every cell;
+# measured: 7/10 at nprobe=3, 8/10 at nprobe=4..8, 10/10 at nprobe=16.
+# The bound is a machinery-regression tripwire (trainer/assign/probe),
+# not an ANN-quality claim about random data: nprobe=4 with floor 0.7
+# leaves one-hit slack on both sides.
+IVF_RECALL_FLOOR = 0.7
+IVF_TRAINED_NPROBE = 4
+
+
 @query(
     "emb_ann_ivf_trained_topk",
-    oracle=None,  # the trainer is iterative (Lloyd) — not SQL-expressible;
-    # the sampled-centroid twin above is the oracle-checked verifier of
-    # the identical assign/probe machinery, this gets the rows-only check
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             {_cos_sql('CAST(e.embedding AS DOUBLE[])', 'q.qe')} AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, round(cos_sim, 4) AS cos_sim, TRUE AS recall_ok
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
     tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def emb_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,13 +360,40 @@ def emb_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride-sampled corpus rows. Same assignment/probe plan as
     ``emb_ann_ivf_topk`` — only the centroid frame differs.
 
+    The Lloyd trainer is iterative and not SQL-expressible, so the
+    oracle checks a RECALL BOUND instead of the ANN rows (VERDICT r03
+    "next" #6): the frame returns the *exact* KNN top-k (DuckDB
+    recomputes it independently) plus ``recall_ok`` — whether the
+    trained index recovered ≥ {IVF_RECALL_FLOOR:.0%} of that exact
+    top-k. The hits count is computed in-plan (1-row aggregate,
+    broadcast) — no driver-side action.
+
     Scale: training collects only the capped sample; everything else is
     the broadcast assign + nprobe-pruned probe of the sampled twin."""
+    import math
+
     v = _vectors(spark, sf_dir)
     centroids = ivf_train(v, k=16, iters=5)
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
-    assigned = ivf_assign(v.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
-    return ivf_topk(assigned, centroids, q, k=TOP_K, nprobe=IVF_NPROBE)
+    corpus = v.filter(F.col("vec_id") != QUERY_VEC_ID)
+    assigned = ivf_assign(corpus, centroids)
+    ann = ivf_topk(
+        assigned, centroids, q, k=TOP_K, nprobe=IVF_TRAINED_NPROBE
+    ).select("vec_id")
+    exact = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+    hits = exact.join(ann, "vec_id").agg(F.count("*").alias("n_hits"))
+    floor = math.ceil(IVF_RECALL_FLOOR * TOP_K)
+    return exact.crossJoin(F.broadcast(hits)).select(
+        "vec_id", "cos_sim", (F.col("n_hits") >= floor).alias("recall_ok")
+    )
 
 
 QUANT_BITS_MAX = 127  # int8 symmetric range
