@@ -10,9 +10,11 @@ pushdown-friendly options (predicate pushdown and column pruning reach
 the remote database automatically when the filter/projection is
 declarative).
 
-No database is reachable in this environment, so the reader
-construction is exercised in tests up to (but not through) the actual
-connection; ``partition_column``/bounds wiring matters at 100 TB — an
+No *network* database is reachable in this environment, but the full
+connection path is exercised live against embedded Apache Derby (ships
+in the pyspark distribution, in-JVM) in ``tests/test_jdbc_live.py``:
+write → env-templated partitioned read → pushdown check → replication
+snapshot. ``partition_column``/bounds wiring matters at 100 TB — an
 unpartitioned JDBC read is a single-task scan.
 """
 
