@@ -130,14 +130,17 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
+def media_from_documents(
+    docs: DataFrame, kinds: tuple[str, ...] | None = None
+) -> DataFrame:
     """Derive a deterministic media corpus from the ``documents`` table,
     so media row counts scale with the scale factor instead of being a
     fixed 24-row synthetic (VERDICT r03 "what's missing" #4/#9).
 
     Each document becomes one media row: ``media_id = doc_id``, kind by
-    ``doc_id % 3`` (0=image, 1=audio, 2=video), payload an md5-chain
-    keyed ``media:{doc_id}`` sized per kind, metadata derived from
+    ``doc_id % 3`` (0=image, 1=audio, 2=video), payload =
+    ``md5('media:{doc_id}')`` tiled to the per-kind size (first block =
+    the digest every fake-codec op keys on), metadata derived from
     ``doc_id`` arithmetic. The payload bytes are REAL binary columns
     generated in an Arrow-batched ``mapInPandas`` stage — the ingest
     seam where production would read object-store bytes instead; the
@@ -146,23 +149,38 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
     Scale: generation is embarrassingly parallel (no shuffle); payload
     size is bounded per kind so Arrow batches stay memory-safe with the
-    session's maxRecordsPerBatch cap.
+    session's maxRecordsPerBatch cap. ``kinds`` prunes BEFORE payload
+    generation — a kind filter after ``mapInPandas`` can't be pushed
+    through the Python stage by Catalyst, so a consumer that wants only
+    videos would otherwise pay for every image/audio payload too (the
+    parquet-side analogue is partition pruning on a kind column).
     """
-    kinds = ("image", "audio", "video")
+    kind_names = ("image", "audio", "video")
     sizes = {"image": 4096, "audio": 8192, "video": 16384}
     formats = {"image": "png", "audio": "wav", "video": "mp4"}
+    if kinds is not None:
+        wanted = [i for i, k in enumerate(kind_names) if k in kinds]
+        docs = docs.filter((F.col("doc_id") % 3).isin(wanted))
+
+    # Payload = one md5 block tiled to size (not the full chain): every
+    # downstream fake-codec op reads only the first block (see
+    # _payload_digest), and tiling is ~500× cheaper to synthesize at
+    # sf0.1+ — the bytes are opaque filler either way. Production
+    # replaces this kernel with an object-store read.
+    def tiled(i: int) -> bytes:
+        n = sizes[kind_names[i % 3]]
+        block = hashlib.md5(f"media:{i}".encode()).digest()
+        return (block * (n // 16 + 1))[:n]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"]
-            kind = ids.map(lambda i: kinds[i % 3])
+            kind = ids.map(lambda i: kind_names[i % 3])
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "kind": kind,
-                    "payload": ids.map(
-                        lambda i: _det_bytes(f"media:{i}", sizes[kinds[i % 3]])
-                    ),
+                    "payload": ids.map(tiled),
                     "meta": [
                         {
                             "format": formats[k],
@@ -260,13 +278,22 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) 
     return images.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 500, fake: bool = True) -> DataFrame:
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 500,
+    fake: bool = True,
+    with_payload: bool = True,
+) -> DataFrame:
     """Video frame sampling: one row in → ``duration/every_ms`` frame
     rows out (the row-explosion shape of real frame extraction).
 
     Scale: fan-out multiplies row count, so callers repartition after
     this stage; frame payloads derive from (video payload, frame_ms) so
-    the fake is stable across retries/speculative tasks.
+    the fake is stable across retries/speculative tasks. Consumers that
+    only need frame metadata/fingerprints pass ``with_payload=False`` —
+    a dropped column after ``mapInPandas`` is NOT free (Catalyst can't
+    prune through the Python stage), so the kernel must skip the bytes
+    itself.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -291,7 +318,9 @@ def sample_frames(media: DataFrame, every_ms: int = 500, fake: bool = True) -> D
                     rows["frame_fp"].append(
                         int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
                     )
-                    rows["frame_payload"].append(_det_bytes(seed, 1024))
+                    rows["frame_payload"].append(
+                        _det_bytes(seed, 1024) if with_payload else None
+                    )
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)

@@ -61,7 +61,8 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_luma, phash) via Arrow-batched mapInPandas over the sf-scaled
     media corpus derived from ``documents``."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return extract_image_features(media_from_documents(docs)).orderBy("media_id")
+    media = media_from_documents(docs, kinds=("image",))
+    return extract_image_features(media).orderBy("media_id")
 
 
 @query(
@@ -83,7 +84,8 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) with a per-frame fingerprint; frame payloads are dropped
     before the sort — binaries never cross the shuffle."""
     docs = load_tables(spark, sf_dir)["documents"]
-    frames = sample_frames(media_from_documents(docs), every_ms=500)
+    media = media_from_documents(docs, kinds=("video",))
+    frames = sample_frames(media, every_ms=500, with_payload=False)
     return frames.select("media_id", "frame_idx", "frame_ms", "frame_fp").orderBy(
         "media_id", "frame_idx"
     )
@@ -114,7 +116,8 @@ def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chunk count + mean energy) — the ingest-segmentation stage of a
     speech pipeline plus its QA summary."""
     docs = load_tables(spark, sf_dir)["documents"]
-    chunks = chunk_audio(media_from_documents(docs), window_ms=250)
+    media = media_from_documents(docs, kinds=("audio",))
+    chunks = chunk_audio(media, window_ms=250)
     return (
         chunks.groupBy("media_id")
         .agg(
