@@ -307,6 +307,119 @@ def doc_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keepers(pairs, docs.select("doc_id")).orderBy("doc_id")
 
 
+@query(
+    "doc_dedup_cluster_sizes",
+    oracle=f"""
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM (
+      SELECT keeper, count(*) AS cluster_size
+      FROM ({_keepers_oracle()})
+      GROUP BY keeper
+    )
+    GROUP BY cluster_size
+    """,
+    tags=("dedup", "keepers", "qa"),
+)
+def doc_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA roll-up: the distribution of dup-cluster sizes
+    (cluster_size → how many clusters) over the keeper assignment — the
+    first sanity chart anyone plots after a dedup pass (a giant cluster
+    means a degenerate bucket or boilerplate flood; all-1 means the
+    thresholds fired on nothing).
+
+    Scale: two tiny grouped counts on top of the keeper frame — the
+    expensive part (pairs + components) is shared machinery, and the
+    roll-up shuffles only (keeper) then (cluster_size)."""
+    from clickhouse_build_spark.operators.dedup import dedup_keepers
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        bands=BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=MINHASH_THRESHOLD,
+    )
+    keepers = dedup_keepers(pairs, docs.select("doc_id"))
+    return (
+        keepers.groupBy("keeper")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+def _semantic_check_oracle() -> str:
+    from clickhouse_build_spark.plans.similarity import NEAR_DUP_COS, _cos_sql
+
+    return f"""
+    WITH {_minhash_pairs_cte()},
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT p.doc_a, p.doc_b, round(p.est, 4) AS est_jaccard,
+           round({_cos_sql('a.e', 'b.e')}, 4) AS cos_sim,
+           {_cos_sql('a.e', 'b.e')} >= {NEAR_DUP_COS} AS semantic_agree
+    FROM scored_pairs p
+    JOIN v a ON p.doc_a = a.vec_id
+    JOIN v b ON p.doc_b = b.vec_id
+    """
+
+
+@query(
+    "doc_emb_semantic_dup_check",
+    oracle=_semantic_check_oracle(),
+    tags=("dedup", "similarity", "cross-modal", "pipeline"),
+)
+def doc_emb_semantic_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup verification: every LEXICAL dup candidate
+    (MinHash+LSH pair over ``documents``) joined against the EMBEDDING
+    cosine of the same ids (``documents.doc_id`` ↔
+    ``embeddings.vec_id``) — the standard production double-check that
+    text-level near-dups are also semantically close before dropping
+    one of them.
+
+    Scale: the candidate pair list is tiny relative to the corpus, so
+    the two embedding joins are hash joins keyed on vec_id against the
+    (bucketable) embeddings table; vectors never join vectors."""
+    from clickhouse_build_spark.operators.similarity import cosine
+    from clickhouse_build_spark.plans.similarity import NEAR_DUP_COS
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        bands=BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=MINHASH_THRESHOLD,
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        pairs.join(
+            emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea")),
+            "id_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb")),
+            "id_b",
+        )
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "est_jaccard",
+            F.round(cos, 4).alias("cos_sim"),
+            (cos >= NEAR_DUP_COS).alias("semantic_agree"),
+        )
+    )
+
+
 # Incremental ingest: doc_id % NEW_BATCH_MOD == NEW_BATCH_REM is
 # "today's crawl", everything else is the existing reference corpus.
 NEW_BATCH_MOD = 10

@@ -231,6 +231,59 @@ def emb_lsh_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "emb_fuzzy_dedup_keepers",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.e', 'b.e')} >= {NEAR_DUP_COS}
+    ),
+    edges AS (
+      SELECT va AS src, vb AS dst FROM p
+      UNION
+      SELECT vb AS src, va AS dst FROM p
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, least(src, min(dst)) AS keeper
+      FROM reach GROUP BY src
+    )
+    SELECT v.vec_id, COALESCE(c.keeper, v.vec_id) AS keeper
+    FROM v LEFT JOIN comp c USING (vec_id)
+    """,
+    tags=("similarity", "dedup", "keepers", "pipeline"),
+)
+def emb_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space fuzzy dedup, end to end: cosine near-dup pairs
+    (cos ≥ NEAR_DUP_COS) → connected components → per-vector keeper —
+    the semantic twin of ``doc_fuzzy_dedup_keepers``'s lexical pipeline,
+    sharing the same pointer-doubling min-label operator.
+
+    Scale: pairs come from the guarded blocked kernel here (small
+    corpus); past the broadcast bound the LSH-bucketed pair generator
+    (``emb_lsh_bucketed_cosine_pairs``) feeds the identical keeper
+    operator — components only ever see the edge list, never vectors.
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    all-pairs cosine edges."""
+    from clickhouse_build_spark.operators.dedup import dedup_keepers
+
+    v = _vectors(spark, sf_dir)
+    pairs = cosine_pairs_blocked(v, NEAR_DUP_COS).select(
+        F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
+    )
+    return dedup_keepers(pairs, v.select("vec_id"), id_col="vec_id").orderBy(
+        "vec_id"
+    )
+
+
+@query(
     "emb_ann_lsh_topk",
     oracle=f"""
     WITH v AS (
