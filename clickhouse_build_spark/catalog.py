@@ -171,14 +171,18 @@ def _post_read_nanos(df: DataFrame, nanos_cols: tuple[str, ...]) -> DataFrame:
 
 
 def _check_sane_events_ts(path: str, nanos_cols: tuple[str, ...]) -> None:
-    """Loud guard against a silent timestamp-unit mismatch.
+    """Loud guard against silently-corrupt event times.
 
-    Reads the first row-group's footer *statistics* (driver-side, no data
-    scan — footer metadata only, so it stays cheap at any scale) and
-    asserts the minimum ``ts``, after the unit handling we are about to
-    apply, lands in [1990, 2100]. A wrong-unit read lands in 1970 (div
-    applied to micros) or ~year 57000 (micros read as nanos), both far
-    outside the window.
+    Reads the first row-group's footer *statistics* (driver-side, no
+    data scan — footer metadata only, so it stays cheap at any scale).
+    pyarrow decodes timestamp stats at the column's declared unit, so
+    the decoded minimum IS the logical wall time the unit probe will
+    serve (NANOS files go down the div-1000 path, which preserves the
+    wall time by construction; µs/ms read natively). Asserting it lands
+    in [1990, 2100] catches a regenerated file with garbage instants
+    AND any future logical-type change the probe mis-handles. The other
+    historical failure mode — a NANOS file sent down the native path —
+    is loud already: Spark's reader throws PARQUET_TYPE_ILLEGAL.
     """
     import datetime
 
@@ -198,19 +202,17 @@ def _check_sane_events_ts(path: str, nanos_cols: tuple[str, ...]) -> None:
         lo = col.statistics.min
         if lo is None:
             continue
-        if isinstance(lo, int):  # raw INT64 nanoseconds
+        if isinstance(lo, int):
+            # Physical INT64 without a timestamp logical type: decode at
+            # the unit the probe chose for the read path.
+            micros = lo // 1000 if "ts" in nanos_cols else lo
             lo = datetime.datetime(1970, 1, 1) + datetime.timedelta(
-                microseconds=lo // 1000 if "ts" in nanos_cols else lo
+                microseconds=micros
             )
-        elif "ts" in nanos_cols:  # decoded timestamp but we'd div again
-            raise AssertionError(
-                f"events ts at {path} decodes as {lo!r} yet was classified "
-                "NANOS — unit probe is wrong"
-            )
-        if isinstance(lo, datetime.datetime) and not (1990 <= lo.year <= 2100):
+        if not (1990 <= lo.year <= 2100):
             raise AssertionError(
                 f"events ts sanity check failed: min(ts)={lo!r} at {path} — "
-                "parquet timestamp unit changed under us (see catalog.py "
+                "timestamp unit/content changed under us (see catalog.py "
                 "unit probe); refusing to serve corrupted event times"
             )
 
