@@ -48,10 +48,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ann_ivf_trained_topk",
     "media_video_frame_sample",
     "media_audio_chunks",
-    # — (c) changed this round —
+    # — (c) changed or NEW this round —
     "approx_distinct_and_percentiles",
     "price_percentiles_by_flag",
     "media_image_features",
+    "emb_fuzzy_dedup_keepers",
+    "doc_dedup_cluster_sizes",
+    "doc_emb_semantic_dup_check",
     # — (d) r01-only evidence, oldest-first refresh: events-adjacent —
     "events_json_props",
     "event_value_histogram",
@@ -85,9 +88,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "part_stats_min_max_avg",
     "distinct_counts",
     "customers_without_orders",
-    "urgent_order_customers_semi",
-    "nation_account_union",
-    "returned_and_urgent_intersect",
+    # (urgent_order_customers_semi / nation_account_union /
+    # returned_and_urgent_intersect hold their still-valid r01 rows —
+    # their input tables never changed — yielding window slots to the
+    # three round-4 queries above, which have never had a driver row.)
 ]
 
 
