@@ -350,6 +350,7 @@ def dedup_keepers(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 10,
+    driver_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup pairs → survivor assignment: (id, keeper) where keeper
     is the MINIMUM id in each connected dup-cluster (the deterministic
@@ -362,13 +363,19 @@ def dedup_keepers(
     relative to the corpus: only documents that appear in a dup pair);
     singleton documents never enter the loop and join back at the end.
 
-    Each round does one-hop edge propagation PLUS a pointer-doubling
+    Adaptive execution: the thresholded dup-pair edge list is tiny
+    relative to the corpus (only documents in a near-dup pair), so when
+    it fits under ``driver_edge_cap`` edges the components run as a
+    driver-side min-root union-find — one collect of 2 longs per edge,
+    zero iterative Spark jobs. Past the cap (billions of edges at
+    extreme dup rates) the distributed min-label loop takes over: each
+    round does one-hop edge propagation PLUS a pointer-doubling
     shortcut (adopt my keeper's keeper), so a chain of diameter d
     converges in O(log2 d) rounds — ``max_iter=10`` covers diameters
-    ~2^10, far past any real dup cluster (near-cliques settle in 1-2
-    rounds). The oracle for ``doc_fuzzy_dedup_keepers`` computes the
-    EXACT transitive closure, so an unconverged refinement is a wrong
-    answer: if the fixpoint is somehow not reached by ``max_iter``,
+    ~2^10. Both paths produce the identical keeper = component minimum.
+    The oracle for ``doc_fuzzy_dedup_keepers`` computes the EXACT
+    transitive closure, so an unconverged refinement is a wrong answer:
+    if the distributed fixpoint is somehow not reached by ``max_iter``,
     this raises instead of returning silently-split components
     (ADVICE r03).
     """
@@ -381,6 +388,32 @@ def dedup_keepers(
         # (the full MinHash+LSH plan) from scratch
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= driver_edge_cap:  # cheap: count on checkpointed frame
+        spark = pairs.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:  # union by min so the root IS the keeper
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        label_rows = [(x, find(x)) for x in parent] + [
+            (x, x) for x in set(parent.values()) if parent.get(x, x) == x
+        ]
+        labels = spark.createDataFrame(
+            label_rows or [], f"{id_col} long, keeper long"
+        )
+        return ids.select(id_col).join(F.broadcast(labels), id_col, "left").select(
+            id_col, F.coalesce("keeper", F.col(id_col)).alias("keeper")
+        )
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))

@@ -103,9 +103,12 @@ def test_winnow_fingerprints_overlap_tracks_similarity(corpus):
     assert far == 0.0
 
 
-def test_dedup_keepers_resolves_clusters(spark):
+@pytest.mark.parametrize("cap", [1_000_000, 0])
+def test_dedup_keepers_resolves_clusters(spark, cap):
     """Pairs forming a chain, a triangle, and a singleton must resolve
-    to min-id keepers per connected component."""
+    to min-id keepers per connected component — identically on BOTH
+    execution paths (cap high → driver union-find; cap 0 → distributed
+    pointer-doubling loop)."""
     from clickhouse_build_spark.operators.dedup import dedup_keepers
 
     # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} isolated
@@ -114,8 +117,24 @@ def test_dedup_keepers_resolves_clusters(spark):
         ["id_a", "id_b"],
     )
     ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20]], ["doc_id"])
-    got = {r.doc_id: r.keeper for r in dedup_keepers(pairs, ids).collect()}
+    got = {
+        r.doc_id: r.keeper
+        for r in dedup_keepers(pairs, ids, driver_edge_cap=cap).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+@pytest.mark.parametrize("cap", [1_000_000, 0])
+def test_dedup_keepers_long_chain_converges(spark, cap):
+    """A 41-node path graph (diameter 40) must fully converge to keeper
+    0 on both paths — the distributed loop's pointer-doubling covers
+    diameters far past its round budget (2^10)."""
+    from clickhouse_build_spark.operators.dedup import dedup_keepers
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a: long, id_b: long")
+    ids = spark.range(41).withColumnRenamed("id", "doc_id")
+    ks = {r.keeper for r in dedup_keepers(pairs, ids, driver_edge_cap=cap).collect()}
+    assert ks == {0}
 
 
 def test_dedup_keepers_on_planted_corpus(spark):
