@@ -147,3 +147,24 @@ def test_cdc_merge_matches_dict_model(spark, tmp_path_factory, ops, n_batches):
 
     got = {r.k: r.v for r in rep.read(mapping).collect()}
     assert got == model
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=16, unique=True))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_media_digest_agrees_with_duckdb_md5(con, ids):
+    """The multimodal oracle foundation: the digest the fake-codec
+    kernels read back from payload bytes (`payload[:16].hex()`) must
+    equal DuckDB's `md5('media:' || id)` for arbitrary ids — this is
+    what lets the mapInPandas media pipeline be hash-verified in SQL.
+    Pure-Python vs DuckDB (no Spark needed: the kernel calls the same
+    hashlib path the executors run)."""
+    from clickhouse_build_spark.operators.multimodal import (
+        _det_bytes,
+        _payload_digest,
+    )
+
+    for i in ids:
+        for size in (64, 4096):
+            py = _payload_digest(_det_bytes(f"media:{i}", size))
+            db = con.execute(f"SELECT md5('media:' || CAST({i} AS VARCHAR))").fetchone()[0]
+            assert py == db, i
