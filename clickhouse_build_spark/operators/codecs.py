@@ -1,0 +1,213 @@
+"""Pure-python media codecs: PNG (grayscale), WAV (8-bit PCM), Y4M video.
+
+This container ships no image/audio libraries (no PIL, no pyav), so the
+"real decode" path is implemented against three genuinely public,
+standard container formats that stdlib + numpy can encode AND decode:
+
+- **PNG** (RFC 2083): 8-bit grayscale, zlib-deflated scanlines. The
+  encoder always emits filter 0; the decoder implements all five PNG
+  filter types (None/Sub/Up/Average/Paeth) so it reads any conforming
+  grayscale-8 stream, not just our own.
+- **WAV** (RIFF/WAVE): 8-bit unsigned PCM mono, read/written with the
+  stdlib ``wave`` module.
+- **Y4M** (YUV4MPEG2, the mjpegtools/ffmpeg uncompressed interchange
+  format): ``Cmono`` colourspace, one luma plane per FRAME.
+
+Compressed codecs (JPEG/H.264/AAC) remain a production seam — decoding
+those requires native libraries this environment does not ship; see
+``decode_media_real`` in operators/multimodal.py for the marked raise.
+
+Reference parity note: the reference system (a migration CLI) has no
+media path at all — this module exists for the driver-mandated
+multimodal extension surface.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as an 8-bit grayscale PNG (filter 0)."""
+    if pixels.ndim != 2 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png_gray expects a 2-D uint8 array")
+    h, w = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_gray(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG into a 2-D uint8 array.
+
+    Supports all five scanline filter types; validates the signature,
+    chunk CRCs, and the IHDR colour type (0 = grayscale, bit depth 8).
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, idat = 8, None, None, []
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, interlace) != (8, 0, 0):
+                raise ValueError("only 8-bit non-interlaced grayscale supported")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.uint8)
+    for r in range(height):
+        ftype = raw[r * stride]
+        line = np.frombuffer(raw, np.uint8, width, r * stride + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(1, width):
+                line[x] = (int(line[x]) + int(line[x - 1])) & 0xFF
+        elif ftype == 2:  # Up
+            line = ((line.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(width):
+                left = int(line[x - 1]) if x else 0
+                line[x] = (line[x] + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(width):
+                left = int(line[x - 1]) if x else 0
+                ul = int(prev[x - 1]) if x else 0
+                line[x] = (line[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = line
+        prev = out[r]
+    return out
+
+
+# ------------------------------------------------------------------- WAV
+
+
+def encode_wav_pcm8(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D uint8 array as an 8-bit unsigned PCM mono WAV."""
+    if samples.ndim != 1 or samples.dtype != np.uint8:
+        raise ValueError("encode_wav_pcm8 expects a 1-D uint8 array")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm8(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode an 8-bit PCM mono WAV → (sample_rate, uint8 samples)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 1:
+            raise ValueError("only 8-bit mono PCM supported")
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return rate, np.frombuffer(frames, dtype=np.uint8)
+
+
+# ------------------------------------------------------------------- Y4M
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m_mono(
+    frames: list[np.ndarray], fps_num: int = 2, fps_den: int = 1
+) -> bytes:
+    """Encode a list of same-shaped 2-D uint8 frames as a Cmono Y4M."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    parts = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, fps_num, fps_den)]
+    for f in frames:
+        if f.shape != (h, w) or f.dtype != np.uint8:
+            raise ValueError("all frames must be same-shape uint8")
+        parts.append(b"FRAME\n")
+        parts.append(f.tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m_mono(
+    payload: bytes,
+) -> tuple[int, int, int, int, list[np.ndarray]]:
+    """Decode a Cmono Y4M → (width, height, fps_num, fps_den, frames)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != _Y4M_MAGIC:
+        raise ValueError("not a Y4M stream")
+    width = height = None
+    fps_num, fps_den = 30, 1
+    mono = False
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C":
+            mono = tok[1:] == b"mono"
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    if not mono:
+        raise ValueError("only Cmono Y4M supported")
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    fsize = width * height
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(payload, np.uint8, fsize, pos).reshape(height, width)
+        )
+        pos += fsize
+    return width, height, fps_num, fps_den, frames

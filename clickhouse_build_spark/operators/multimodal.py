@@ -2,17 +2,25 @@
 columns with typed metadata (driver-mandated extension surface — the
 reference has no media path at all).
 
-The Spark-side plumbing is real and tested: schemas, partitioning,
-Arrow-batched ``mapInPandas`` signatures, one-row→many-rows frame
-fan-out. The *codec* step is NOT real — this container ships no
-image/audio libraries — so decoding is stubbed two ways, explicitly:
+As of round 5 the decode step is REAL for the three shipped container
+formats: payloads are genuine PNG (8-bit grayscale, zlib-deflated),
+WAV (8-bit PCM mono) and Y4M (Cmono) byte streams, and the kernels'
+``fake=False`` paths parse those containers and compute features from
+the decoded pixel/sample arrays (see ``operators/codecs.py``). The
+remaining production seam is *compressed* codecs — JPEG/H.264/AAC need
+native libraries this container does not ship, and
+:func:`decode_media_real` raises for those formats explicitly.
 
-- :func:`decode_media_real` raises ``NotImplementedError`` unless a
-  real codec (PIL) is importable — the clearly-marked seam where
-  production decode plugs in;
-- ``fake=True`` paths derive deterministic pseudo-features from the
-  payload bytes (md5 arithmetic), so every pipeline stage downstream
-  of decode is exercised end-to-end with stable expected values.
+Oracle design: the corpus writer seeds decoded CONTENT from md5 — an
+image's pixel plane is ``md5('media:'||id)`` tiled, an audio window's
+samples are ``md5('rms:'||digest||':'||ms)`` tiled, a video frame is
+``md5('frame:'||digest||':'||ms)`` tiled. Features are honest functions
+of the decoded arrays (mean, sum-of-squares energy, leading-block
+fingerprints), chosen so that on this corpus they are ALSO pure md5/hex
+SQL expressions — which is what lets DuckDB reproduce a real
+decode-and-measure pipeline value-for-value. The legacy ``fake=True``
+paths compute the same features straight from the digest without
+decoding; real-vs-fake parity is pytest-asserted (tests/test_multimodal.py).
 
 100 TB notes: payloads dominate row size, so batches are bounded with
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py's
@@ -27,17 +35,20 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real codec seam — absent in this container, present in production
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+from clickhouse_build_spark.operators.codecs import (
+    decode_png_gray,
+    decode_wav_pcm8,
+    decode_y4m_mono,
+    encode_png_gray,
+    encode_wav_pcm8,
+    encode_y4m_mono,
+)
 
 # ------------------------------------------------------------------ schema
 
@@ -80,6 +91,12 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+# Corpus geometry shared by the writer, the fake paths, and the oracles.
+_KIND_NAMES = ("image", "audio", "video")
+_AUDIO_RATE = 16000
+_AUDIO_SEED_MS = 250  # audio content re-seeds every 250 ms window
+_VIDEO_FRAME_MS = 500  # Y4M corpus is written at 2 fps
+
 
 def _det_bytes(seed: str, n: int) -> bytes:
     """Deterministic pseudo-payload: an md5 chain, n bytes.
@@ -106,22 +123,67 @@ def _payload_digest(payload: bytes) -> str:
     return payload[:16].hex()
 
 
+def _media_geometry(i: int) -> tuple[str, dict]:
+    """(kind, meta) for media row ``i`` — pure doc_id arithmetic, shared
+    by every corpus writer so oracles can re-derive it in SQL."""
+    kind = _KIND_NAMES[i % 3]
+    meta = {
+        "format": {"image": "png", "audio": "wav", "video": "y4m"}[kind],
+        "width": 64 + (i % 4) * 32 if kind != "audio" else None,
+        "height": 48 + (i % 3) * 16 if kind != "audio" else None,
+        "duration_ms": 1000 * (1 + i % 5) if kind != "image" else None,
+        "sample_rate": _AUDIO_RATE if kind == "audio" else None,
+    }
+    return kind, meta
+
+
+def _tile16(block: bytes, n: int) -> np.ndarray:
+    """Tile one 16-byte md5 block to n uint8 values (n % 16 == 0)."""
+    return np.tile(np.frombuffer(block, dtype=np.uint8), n // 16)
+
+
+def _real_payload(i: int) -> bytes:
+    """REAL container bytes for media row ``i``.
+
+    The decoded content is seeded from md5 so that honest features of
+    the decoded arrays (means, energies, leading-block fingerprints)
+    are reproducible as SQL md5/hex expressions — see module docstring.
+    """
+    kind, meta = _media_geometry(i)
+    digest = hashlib.md5(f"media:{i}".encode()).digest()
+    dhex = digest.hex()
+    if kind == "image":
+        w, h = meta["width"], meta["height"]
+        pixels = _tile16(digest, w * h).reshape(h, w)
+        return encode_png_gray(pixels)
+    if kind == "audio":
+        dur = meta["duration_ms"]
+        win = _AUDIO_RATE * _AUDIO_SEED_MS // 1000  # 4000 samples / window
+        chunks = [
+            _tile16(hashlib.md5(f"rms:{dhex}:{ms}".encode()).digest(), win)
+            for ms in range(0, dur, _AUDIO_SEED_MS)
+        ]
+        return encode_wav_pcm8(np.concatenate(chunks), _AUDIO_RATE)
+    w, h, dur = meta["width"], meta["height"], meta["duration_ms"]
+    frames = [
+        _tile16(
+            hashlib.md5(f"frame:{dhex}:{ms}".encode()).digest(), w * h
+        ).reshape(h, w)
+        for ms in range(0, dur, _VIDEO_FRAME_MS)
+    ]
+    return encode_y4m_mono(frames, fps_num=1000, fps_den=_VIDEO_FRAME_MS)
+
+
 def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
     """Deterministic fake media table matching MEDIA_SCHEMA — the test
     stand-in for an ingested media corpus (payload bytes are md5
-    chains, sized per kind)."""
-    kinds = ("image", "audio", "video")
+    chains, sized per kind; NOT real containers — pair with
+    ``fake=True`` kernels)."""
     rows = []
     for i in range(n):
-        kind = kinds[i % 3]
+        kind, meta = _media_geometry(i)
         size = {"image": 4096, "audio": 8192, "video": 16384}[kind]
-        meta = {
-            "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
-            "width": 64 + (i % 4) * 32 if kind != "audio" else None,
-            "height": 48 + (i % 3) * 16 if kind != "audio" else None,
-            "duration_ms": 1000 * (1 + i % 5) if kind != "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-        }
+        meta = {**meta, "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind]}
         rows.append((i, kind, _det_bytes(f"media:{i}", size), meta))
     # Few partitions for a tiny corpus: a mapInPandas stage pays one
     # Python-worker spin-up per partition, so defaulting to the session
@@ -131,21 +193,25 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
 
 
 def media_from_documents(
-    docs: DataFrame, kinds: tuple[str, ...] | None = None
+    docs: DataFrame,
+    kinds: tuple[str, ...] | None = None,
+    real_payloads: bool = True,
 ) -> DataFrame:
     """Derive a deterministic media corpus from the ``documents`` table,
     so media row counts scale with the scale factor instead of being a
-    fixed 24-row synthetic (VERDICT r03 "what's missing" #4/#9).
+    fixed 24-row synthetic.
 
     Each document becomes one media row: ``media_id = doc_id``, kind by
-    ``doc_id % 3`` (0=image, 1=audio, 2=video), payload =
-    ``md5('media:{doc_id}')`` tiled to the per-kind size (first block =
-    the digest every fake-codec op keys on), metadata derived from
-    ``doc_id`` arithmetic. The payload bytes are REAL binary columns
-    generated in an Arrow-batched ``mapInPandas`` stage — the ingest
-    seam where production would read object-store bytes instead; the
-    whole downstream pipeline (decode, feature-extract, fan-out) is
-    identical either way.
+    ``doc_id % 3`` (0=image, 1=audio, 2=video), metadata from ``doc_id``
+    arithmetic. With ``real_payloads=True`` (default) the payload is a
+    REAL container byte stream — PNG / WAV / Y4M, encoded by
+    ``operators/codecs.py`` — whose decoded content is the md5-seeded
+    pattern described in the module docstring. With
+    ``real_payloads=False`` it is the legacy tiled md5 block (cheap
+    opaque filler for fake-path benchmarks). Generation runs in an
+    Arrow-batched ``mapInPandas`` stage — the ingest seam where
+    production reads object-store bytes instead; everything downstream
+    (decode, feature-extract, fan-out) is identical either way.
 
     Scale: generation is embarrassingly parallel (no shuffle); payload
     size is bounded per kind so Arrow batches stay memory-safe with the
@@ -155,61 +221,72 @@ def media_from_documents(
     videos would otherwise pay for every image/audio payload too (the
     parquet-side analogue is partition pruning on a kind column).
     """
-    kind_names = ("image", "audio", "video")
     sizes = {"image": 4096, "audio": 8192, "video": 16384}
-    formats = {"image": "png", "audio": "wav", "video": "mp4"}
     if kinds is not None:
-        wanted = [i for i, k in enumerate(kind_names) if k in kinds]
+        wanted = [i for i, k in enumerate(_KIND_NAMES) if k in kinds]
         docs = docs.filter((F.col("doc_id") % 3).isin(wanted))
 
-    # Payload = one md5 block tiled to size (not the full chain): every
-    # downstream fake-codec op reads only the first block (see
-    # _payload_digest), and tiling is ~500× cheaper to synthesize at
-    # sf0.1+ — the bytes are opaque filler either way. Production
-    # replaces this kernel with an object-store read.
     def tiled(i: int) -> bytes:
-        n = sizes[kind_names[i % 3]]
+        n = sizes[_KIND_NAMES[i % 3]]
         block = hashlib.md5(f"media:{i}".encode()).digest()
         return (block * (n // 16 + 1))[:n]
+
+    make_payload = _real_payload if real_payloads else tiled
+
+    # The generation kernel is CPU-bound per row (container encode), so
+    # its parallelism is the input's partition count — and a small-SF
+    # documents table is ONE parquet file, which would serialize the
+    # whole corpus onto one core. Repartitioning here shuffles only the
+    # 8-byte doc_id column (payloads don't exist yet), so it's cheap at
+    # any scale; at 100 TB the input is already many partitions and the
+    # branch never fires.
+    docs = docs.select("doc_id")
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"]
-            kind = ids.map(lambda i: kind_names[i % 3])
+            geo = [_media_geometry(i) for i in ids]
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "kind": kind,
-                    "payload": ids.map(tiled),
-                    "meta": [
-                        {
-                            "format": formats[k],
-                            "width": 64 + (i % 4) * 32 if k != "audio" else None,
-                            "height": 48 + (i % 3) * 16 if k != "audio" else None,
-                            "duration_ms": 1000 * (1 + i % 5) if k != "image" else None,
-                            "sample_rate": 16000 if k == "audio" else None,
-                        }
-                        for i, k in zip(ids, kind)
-                    ],
+                    "kind": [k for k, _ in geo],
+                    "payload": ids.map(make_payload),
+                    "meta": [m for _, m in geo],
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+    return docs.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
 # --------------------------------------------------------------- decoding
 
 
 def decode_media_real(payload: bytes, fmt: str):
-    """The REAL decode seam. Raises unless a codec library is present —
-    production drops PIL/torchaudio/pyav in here; nothing else in the
-    pipeline changes."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "no codec libraries in this environment — real decode is "
-            "stubbed; use the deterministic fake path (fake=True)"
-        )
-    raise NotImplementedError("real codec wiring is production-only")
+    """The REAL decode dispatch.
+
+    - ``png`` → 2-D uint8 pixel array
+    - ``wav`` → (sample_rate, 1-D uint8 samples)
+    - ``y4m`` → (width, height, frame_interval_ms, [2-D uint8 frames])
+
+    Compressed formats (jpeg/mp4/h264/aac/...) raise — decoding those
+    needs native codec libraries this container does not ship; this is
+    the marked production seam where PIL/pyav/torchaudio plug in.
+    """
+    if fmt == "png":
+        return decode_png_gray(payload)
+    if fmt == "wav":
+        return decode_wav_pcm8(payload)
+    if fmt == "y4m":
+        w, h, fps_num, fps_den, frames = decode_y4m_mono(payload)
+        return w, h, 1000 * fps_den // fps_num, frames
+    raise NotImplementedError(
+        f"no native codec for {fmt!r} in this environment — compressed "
+        "formats are a production seam (PIL/pyav); uncompressed "
+        "png/wav/y4m decode IS implemented (operators/codecs.py)"
+    )
 
 
 def _fake_luma(payload: bytes) -> float:
@@ -226,49 +303,92 @@ def _fake_phash(payload: bytes) -> int:
     return int(_payload_digest(payload)[:15], 16)
 
 
-def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def _block_fp(pixels: np.ndarray, nbytes: int, nhex: int) -> int:
+    """Leading-block content fingerprint: the first ``nbytes`` decoded
+    pixels (row-major) read as hex, truncated to ``nhex`` chars. An
+    honest function of decoded content; on the md5-seeded corpus it
+    coincides with the md5 oracle expression."""
+    return int(pixels.reshape(-1)[:nbytes].tobytes().hex()[:nhex], 16)
+
+
+def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Image → feature rows via Arrow-batched ``mapInPandas``.
 
-    Plumbing under test: kind pruning *before* the Python stage, binary
-    round-trip through Arrow, stable output schema, payload dropped on
-    output (features only cross the next shuffle).
+    ``fake=False`` (default) DECODES the PNG payload and measures the
+    pixel array: width/height from IHDR, ``mean_luma`` = true mean of
+    the luma plane, ``phash`` = leading-16-pixel block fingerprint.
+    ``fake=True`` derives the same features from the payload digest
+    without decoding (legacy chain/tiled corpora).
+
+    Plumbing under test either way: kind pruning *before* the Python
+    stage, binary round-trip through Arrow, stable output schema,
+    payload dropped on output (features only cross the next shuffle).
     """
+
+    def real_row(p: bytes) -> tuple[int, int, float, int]:
+        pix = decode_png_gray(bytes(p))
+        h, w = pix.shape
+        # int sums keep the mean exact: total < 2^53 for any sane image
+        mean = int(pix.sum(dtype=np.int64)) / pix.size
+        return w, h, mean, _block_fp(pix, 16, 15)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                decode_media_real(b"", "")  # raises: marked production seam
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
+            if fake:
+                cols = {
                     "width": pdf["meta"].map(lambda m: m["width"]),
                     "height": pdf["meta"].map(lambda m: m["height"]),
                     "mean_luma": pdf["payload"].map(_fake_luma),
                     "phash": pdf["payload"].map(_fake_phash),
                 }
-            )
+            else:
+                decoded = [real_row(p) for p in pdf["payload"]]
+                cols = {
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                    "phash": [d[3] for d in decoded],
+                }
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         kernel, IMAGE_FEATURES_SCHEMA
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
     """Image resize: payload → new payload + updated meta, same schema
-    in and out (a transform stage, chainable). The fake path re-derives
-    a deterministic payload keyed by (old payload, target size)."""
+    in and out (a transform stage, chainable).
+
+    ``fake=False`` (default) is a REAL resize: decode PNG →
+    nearest-neighbour resample to (width, height) → re-encode PNG.
+    ``fake=True`` re-derives a deterministic placeholder payload keyed
+    by (payload digest, target size) — seeded from ``_payload_digest``
+    for consistency with the digest scheme (this path is outside the
+    oracle-checked surface; it exists for chain-payload fixtures).
+    """
+
+    def real_resize(p: bytes) -> bytes:
+        pix = decode_png_gray(bytes(p))
+        h, w = pix.shape
+        rows = (np.arange(height) * h) // height
+        cols = (np.arange(width) * w) // width
+        return encode_png_gray(pix[np.ix_(rows, cols)])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                decode_media_real(b"", "")
             out = pdf.copy()
-            out["payload"] = pdf["payload"].map(
-                lambda p: _det_bytes(
-                    f"resize:{hashlib.md5(p).hexdigest()}:{width}x{height}",
-                    width * height // 4,
+            if fake:
+                out["payload"] = pdf["payload"].map(
+                    lambda p: _det_bytes(
+                        f"resize:{_payload_digest(p)}:{width}x{height}",
+                        width * height // 4,
+                    )
                 )
-            )
+            else:
+                out["payload"] = pdf["payload"].map(real_resize)
             out["meta"] = pdf["meta"].map(
                 lambda m: {**m, "width": width, "height": height}
             )
@@ -281,47 +401,72 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) 
 def sample_frames(
     media: DataFrame,
     every_ms: int = 500,
-    fake: bool = True,
+    fake: bool = False,
     with_payload: bool = True,
 ) -> DataFrame:
     """Video frame sampling: one row in → ``duration/every_ms`` frame
     rows out (the row-explosion shape of real frame extraction).
 
+    ``fake=False`` (default) decodes the Y4M stream and strides over
+    REAL frames: ``every_ms`` must be a multiple of the container's
+    frame interval; ``frame_fp`` is the leading-4-pixel block
+    fingerprint of the decoded frame; ``frame_payload`` is the raw luma
+    plane. ``fake=True`` derives fingerprints from the payload digest
+    without decoding.
+
     Scale: fan-out multiplies row count, so callers repartition after
-    this stage; frame payloads derive from (video payload, frame_ms) so
-    the fake is stable across retries/speculative tasks. Consumers that
-    only need frame metadata/fingerprints pass ``with_payload=False`` —
-    a dropped column after ``mapInPandas`` is NOT free (Catalyst can't
-    prune through the Python stage), so the kernel must skip the bytes
-    itself.
+    this stage. Consumers that only need frame metadata/fingerprints
+    pass ``with_payload=False`` — a dropped column after
+    ``mapInPandas`` is NOT free (Catalyst can't prune through the
+    Python stage), so the kernel must skip the bytes itself.
     """
 
+    def real_frames(r) -> list[tuple]:
+        w, h, interval_ms, frames = decode_media_real(bytes(r["payload"]), "y4m")
+        if every_ms % interval_ms:
+            raise ValueError(
+                f"every_ms={every_ms} not a multiple of the stream's "
+                f"frame interval {interval_ms} ms"
+            )
+        stride = every_ms // interval_ms
+        out = []
+        for idx, fi in enumerate(range(0, len(frames), stride)):
+            frame = frames[fi]
+            out.append(
+                (
+                    r["media_id"],
+                    idx,
+                    fi * interval_ms,
+                    _block_fp(frame, 4, 8),
+                    frame.tobytes() if with_payload else None,
+                )
+            )
+        return out
+
+    def fake_frames(r) -> list[tuple]:
+        duration = r["meta"]["duration_ms"] or 0
+        digest = _payload_digest(r["payload"])
+        out = []
+        for idx, ms in enumerate(range(0, duration, every_ms)):
+            seed = f"frame:{digest}:{ms}"
+            out.append(
+                (
+                    r["media_id"],
+                    idx,
+                    ms,
+                    int(hashlib.md5(seed.encode()).hexdigest()[:8], 16),
+                    _det_bytes(seed, 1024) if with_payload else None,
+                )
+            )
+        return out
+
+    explode = fake_frames if fake else real_frames
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "frame_ms", "frame_fp", "frame_payload"]
         for pdf in batches:
-            if not fake:
-                decode_media_real(b"", "")
-            rows = {
-                "media_id": [],
-                "frame_idx": [],
-                "frame_ms": [],
-                "frame_fp": [],
-                "frame_payload": [],
-            }
-            for _, r in pdf.iterrows():
-                duration = r["meta"]["duration_ms"] or 0
-                digest = _payload_digest(r["payload"])
-                for idx, ms in enumerate(range(0, duration, every_ms)):
-                    seed = f"frame:{digest}:{ms}"
-                    rows["media_id"].append(r["media_id"])
-                    rows["frame_idx"].append(idx)
-                    rows["frame_ms"].append(ms)
-                    rows["frame_fp"].append(
-                        int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
-                    )
-                    rows["frame_payload"].append(
-                        _det_bytes(seed, 1024) if with_payload else None
-                    )
-            yield pd.DataFrame(rows)
+            rows = [t for _, r in pdf.iterrows() for t in explode(r)]
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
 
@@ -332,51 +477,86 @@ AUDIO_CHUNK_SCHEMA = T.StructType(
         T.StructField("chunk_idx", T.IntegerType()),
         T.StructField("start_ms", T.IntegerType()),
         T.StructField("end_ms", T.IntegerType()),
-        T.StructField("rms_x1e6", T.LongType()),
+        T.StructField("energy", T.LongType()),
     ]
 )
 
 
-def chunk_audio(media: DataFrame, window_ms: int = 250, fake: bool = True) -> DataFrame:
+def chunk_audio(
+    media: DataFrame, window_ms: int = 250, fake: bool = False
+) -> DataFrame:
     """Audio windowing: one audio row → ``ceil(duration/window_ms)``
-    fixed-length chunk rows with a per-chunk RMS energy — the
-    VAD/feature-window stage of a speech pipeline (whisper-style
-    ingest segments exactly like this before transcription).
+    fixed-length chunk rows with a per-chunk energy — the VAD/feature-
+    window stage of a speech pipeline (whisper-style ingest segments
+    exactly like this before transcription).
 
-    The fake path derives each chunk's "energy" from md5(payload digest,
-    window start): deterministic across retries and partitionings. Real
-    decode plugs in at :func:`decode_media_real` — the chunk/window
-    bookkeeping here does not change.
+    ``energy`` is the sum of squared 8-bit samples in the window — an
+    exact integer, so real decode and the SQL oracle agree bit-for-bit
+    (an RMS float would drag both engines through sqrt rounding).
+    ``fake=False`` (default) decodes the WAV container and measures the
+    PCM array; ``fake=True`` derives the same value from the payload
+    digest: each 250 ms seed window tiles one md5 block, so a window's
+    sum-of-squares is ``(samples_per_window/16) * sumsq(digest bytes)``.
 
     Scale: fan-out is bounded (duration/window rows per input);
     payloads are NOT carried into the output — only scalar features
     cross any later shuffle.
     """
+    if window_ms % _AUDIO_SEED_MS:
+        raise ValueError(
+            f"window_ms must be a multiple of the corpus seed window "
+            f"({_AUDIO_SEED_MS} ms) for the fake path to stay exact"
+        )
+
+    def real_chunks(r) -> list[tuple]:
+        rate, samples = decode_media_real(bytes(r["payload"]), "wav")
+        duration = len(samples) * 1000 // rate
+        win = rate * window_ms // 1000
+        sq = samples.astype(np.int64) ** 2
+        out = []
+        for idx, ms in enumerate(range(0, duration, window_ms)):
+            start = ms * rate // 1000
+            seg = sq[start : start + win]
+            out.append(
+                (
+                    r["media_id"],
+                    idx,
+                    ms,
+                    min(ms + window_ms, duration),
+                    int(seg.sum()),
+                )
+            )
+        return out
+
+    def fake_chunks(r) -> list[tuple]:
+        duration = r["meta"]["duration_ms"] or 0
+        rate = r["meta"]["sample_rate"] or _AUDIO_RATE
+        digest = _payload_digest(r["payload"])
+        per_seed = rate * _AUDIO_SEED_MS // 1000
+        out = []
+        for idx, ms in enumerate(range(0, duration, window_ms)):
+            energy = 0
+            for seed_ms in range(ms, min(ms + window_ms, duration), _AUDIO_SEED_MS):
+                block = hashlib.md5(f"rms:{digest}:{seed_ms}".encode()).digest()
+                energy += (per_seed // 16) * sum(b * b for b in block)
+            out.append(
+                (
+                    r["media_id"],
+                    idx,
+                    ms,
+                    min(ms + window_ms, duration),
+                    energy,
+                )
+            )
+        return out
+
+    explode = fake_chunks if fake else real_chunks
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "chunk_idx", "start_ms", "end_ms", "energy"]
         for pdf in batches:
-            if not fake:
-                decode_media_real(b"", "")
-            rows = {
-                "media_id": [],
-                "chunk_idx": [],
-                "start_ms": [],
-                "end_ms": [],
-                "rms_x1e6": [],
-            }
-            for _, r in pdf.iterrows():
-                duration = r["meta"]["duration_ms"] or 0
-                digest = _payload_digest(r["payload"])
-                for idx, ms in enumerate(range(0, duration, window_ms)):
-                    rows["media_id"].append(r["media_id"])
-                    rows["chunk_idx"].append(idx)
-                    rows["start_ms"].append(ms)
-                    rows["end_ms"].append(min(ms + window_ms, duration))
-                    rows["rms_x1e6"].append(
-                        int(hashlib.md5(f"rms:{digest}:{ms}".encode()).hexdigest()[:12], 16)
-                        % 1_000_000
-                    )
-            yield pd.DataFrame(rows)
+            rows = [t for _, r in pdf.iterrows() for t in explode(r)]
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(
         kernel, AUDIO_CHUNK_SCHEMA

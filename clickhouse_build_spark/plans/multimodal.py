@@ -1,14 +1,17 @@
 """Registered multimodal queries.
 
-The decode stage is a deterministic fake (no codec libraries in this
-environment; see ``operators/multimodal.py`` for the marked production
-seam), but everything around it is real and ORACLE-CHECKED: the media
-corpus derives from the driver's ``documents`` table (rows scale with
-the scale factor), payloads are md5 chains whose first block equals
-``md5('media:' || media_id)``, and every fake feature is a pure md5/hex
-function of that digest — so DuckDB reproduces the full pipeline in SQL
-(same portable-hash trick as ``operators/dedup.py:portable_hash_sql``)
-and the driver's hash gate verifies the mapInPandas kernels exactly.
+As of round 5 these run the REAL decode path: the corpus writer emits
+genuine PNG / WAV / Y4M container bytes (``operators/codecs.py``) and
+the kernels parse them and measure the decoded pixel/sample arrays
+(``fake=False``). The corpus seeds decoded CONTENT from md5 — pixels =
+``md5('media:'||id)`` tiled, audio windows = ``md5('rms:'||h||':'||ms)``
+tiled, frames = ``md5('frame:'||h||':'||ms)`` tiled — so honest
+measurements of the decoded arrays (means, sum-of-squares energy,
+leading-block fingerprints) are ALSO pure md5/hex SQL expressions, and
+DuckDB reproduces the full decode-and-measure pipeline value-for-value
+(same portable-hash trick as ``operators/dedup.py:portable_hash_sql``).
+Real-vs-fake kernel parity is separately pytest-asserted
+(tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -37,9 +40,16 @@ _MEDIA_CTE = """
     )
 """
 
-# sum of the first 16 payload bytes == sum of the digest's hex pairs
+# sum of the 16 decoded bytes == sum of the digest's hex pairs
 _LUMA_SUM = " + ".join(
     f"('0x' || substr(h, {2 * i + 1}, 2))::BIGINT" for i in range(16)
+)
+
+# sum of squared bytes of an md5 digest column h2 (hex pairs squared)
+_SUMSQ = " + ".join(
+    f"(('0x' || substr(h2, {2 * i + 1}, 2))::BIGINT"
+    f" * ('0x' || substr(h2, {2 * i + 1}, 2))::BIGINT)"
+    for i in range(16)
 )
 
 
@@ -57,12 +67,15 @@ _LUMA_SUM = " + ".join(
     tags=("multimodal", "mapInPandas"),
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image feature extraction: binary payload → (width, height,
-    mean_luma, phash) via Arrow-batched mapInPandas over the sf-scaled
-    media corpus derived from ``documents``."""
+    """Image feature extraction over REAL PNG bytes: encode the
+    sf-scaled corpus, decode each payload (zlib inflate + unfilter),
+    and measure the pixel plane — (width, height, mean_luma, phash) —
+    via Arrow-batched mapInPandas. The image mean is the true mean of
+    the decoded luma plane; the oracle reproduces it because the
+    corpus tiles md5 bytes into the pixels."""
     docs = load_tables(spark, sf_dir)["documents"]
-    media = media_from_documents(docs, kinds=("image",))
-    return extract_image_features(media).orderBy("media_id")
+    media = media_from_documents(docs, kinds=("image",), real_payloads=True)
+    return extract_image_features(media, fake=False).orderBy("media_id")
 
 
 @query(
@@ -80,12 +93,13 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "fan-out"),
 )
 def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling fan-out (one row → duration/500ms frame
-    rows) with a per-frame fingerprint; frame payloads are dropped
-    before the sort — binaries never cross the shuffle."""
+    """Video frame-sampling fan-out over REAL Y4M streams (one row →
+    duration/500ms decoded frames) with a per-frame content
+    fingerprint; frame payloads are skipped inside the kernel — the
+    binaries never cross the shuffle."""
     docs = load_tables(spark, sf_dir)["documents"]
-    media = media_from_documents(docs, kinds=("video",))
-    frames = sample_frames(media, every_ms=500, with_payload=False)
+    media = media_from_documents(docs, kinds=("video",), real_payloads=True)
+    frames = sample_frames(media, every_ms=500, fake=False, with_payload=False)
     return frames.select("media_id", "frame_idx", "frame_ms", "frame_fp").orderBy(
         "media_id", "frame_idx"
     )
@@ -97,33 +111,40 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_MEDIA_CTE},
     chunks AS (
         SELECT media_id, duration_ms,
-               ('0x' || substr(md5('rms:' || h || ':' || CAST(ms AS VARCHAR)),
-                               1, 12))::BIGINT % 1000000 AS rms
+               md5('rms:' || h || ':' || CAST(ms AS VARCHAR)) AS h2
         FROM media, UNNEST(range(0, duration_ms, 250)) AS t(ms)
         WHERE kind_idx = 1
+    ),
+    energies AS (
+        SELECT media_id, duration_ms, 250 * ({_SUMSQ}) AS energy
+        FROM chunks
     )
     SELECT media_id,
            count(*) AS n_chunks,
            CAST(max(duration_ms) AS INTEGER) AS duration_ms,
-           CAST(floor(avg(rms)) AS BIGINT) AS mean_rms_x1e6
-    FROM chunks GROUP BY media_id
+           CAST(floor(avg(energy)) AS BIGINT) AS mean_energy
+    FROM energies GROUP BY media_id
     """,
     tags=("multimodal", "audio", "fan-out"),
 )
 def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio windowing fan-out (one row → duration/250ms chunk rows)
-    with per-chunk deterministic RMS energy, then a per-media roll-up
-    (chunk count + mean energy) — the ingest-segmentation stage of a
-    speech pipeline plus its QA summary."""
+    """Audio windowing fan-out over REAL WAV payloads (one row →
+    duration/250ms chunk rows): decode the 8-bit PCM stream, compute
+    each window's exact sum-of-squares energy, then a per-media
+    roll-up (chunk count + mean energy) — the ingest-segmentation
+    stage of a speech pipeline plus its QA summary. Energy is an exact
+    integer so the decoded measurement and the md5 oracle agree
+    bit-for-bit (each 250 ms window tiles one md5 block: window sumsq
+    = 250 × sumsq(digest bytes))."""
     docs = load_tables(spark, sf_dir)["documents"]
-    media = media_from_documents(docs, kinds=("audio",))
-    chunks = chunk_audio(media, window_ms=250)
+    media = media_from_documents(docs, kinds=("audio",), real_payloads=True)
+    chunks = chunk_audio(media, window_ms=250, fake=False)
     return (
         chunks.groupBy("media_id")
         .agg(
             F.count("*").alias("n_chunks"),
             F.max("end_ms").alias("duration_ms"),
-            F.floor(F.avg("rms_x1e6")).cast("long").alias("mean_rms_x1e6"),
+            F.floor(F.avg("energy")).cast("long").alias("mean_energy"),
         )
         .orderBy("media_id")
     )

@@ -1,5 +1,6 @@
 """Multimodal plumbing tests: schemas, Arrow batch round-trips, frame
-fan-out, determinism, and the marked real-decode seam."""
+fan-out, determinism, real decode over real container bytes, and
+real-vs-fake feature parity (the oracle seam)."""
 
 from __future__ import annotations
 
@@ -10,8 +11,10 @@ from clickhouse_build_spark.operators.multimodal import (
     FRAME_SCHEMA,
     IMAGE_FEATURES_SCHEMA,
     MEDIA_SCHEMA,
+    chunk_audio,
     decode_media_real,
     extract_image_features,
+    media_from_documents,
     resize_images,
     sample_frames,
     synthetic_media,
@@ -20,7 +23,15 @@ from clickhouse_build_spark.operators.multimodal import (
 
 @pytest.fixture(scope="module")
 def media(spark):
+    # chain-payload synthetic corpus → exercises the fake=True paths
     return synthetic_media(spark, n=24).cache()
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    # real PNG/WAV/Y4M container corpus over 24 synthetic "documents"
+    docs = spark.range(24).select(F.col("id").alias("doc_id"))
+    return media_from_documents(docs, real_payloads=True).cache()
 
 
 def test_media_schema_and_kinds(media):
@@ -35,12 +46,12 @@ def test_media_schema_and_kinds(media):
 
 
 def test_image_features_schema_and_determinism(media):
-    feats = extract_image_features(media)
+    feats = extract_image_features(media, fake=True)
     assert feats.schema == IMAGE_FEATURES_SCHEMA
     rows1 = sorted((r.media_id, r.mean_luma, r.phash) for r in feats.collect())
     rows2 = sorted(
         (r.media_id, r.mean_luma, r.phash)
-        for r in extract_image_features(media).collect()
+        for r in extract_image_features(media, fake=True).collect()
     )
     assert rows1 == rows2  # stable across runs (retry/speculation safety)
     assert len(rows1) == 8  # images only — kind filter prunes before Python
@@ -48,20 +59,92 @@ def test_image_features_schema_and_determinism(media):
     assert all(r[2] >= 0 for r in rows1)
 
 
-def test_resize_preserves_schema_updates_meta(media):
-    out = resize_images(media, 32, 24)
+def test_real_image_features_match_fake(media, real_media):
+    """The oracle seam: honest measurements of the decoded PNG pixels
+    equal the md5-digest features computed without decoding."""
+    real = {
+        r.media_id: (r.width, r.height, r.mean_luma, r.phash)
+        for r in extract_image_features(real_media, fake=False).collect()
+    }
+    fake = {
+        r.media_id: (r.width, r.height, r.mean_luma, r.phash)
+        for r in extract_image_features(media, fake=True).collect()
+    }
+    assert real == fake
+    assert len(real) == 8
+
+
+def test_real_audio_chunks_match_fake(media, real_media):
+    real = {
+        (r.media_id, r.chunk_idx): (r.start_ms, r.end_ms, r.energy)
+        for r in chunk_audio(real_media, window_ms=250, fake=False).collect()
+    }
+    fake = {
+        (r.media_id, r.chunk_idx): (r.start_ms, r.end_ms, r.energy)
+        for r in chunk_audio(media, window_ms=250, fake=True).collect()
+    }
+    assert real == fake
+    assert len({m for m, _ in real}) == 8
+
+
+def test_real_frames_match_fake(media, real_media):
+    real = {
+        (r.media_id, r.frame_idx): (r.frame_ms, r.frame_fp)
+        for r in sample_frames(real_media, every_ms=500, fake=False).collect()
+    }
+    fake = {
+        (r.media_id, r.frame_idx): (r.frame_ms, r.frame_fp)
+        for r in sample_frames(media, every_ms=500, fake=True).collect()
+    }
+    assert real == fake
+
+
+def test_real_frame_payload_is_decoded_plane(real_media):
+    rows = sample_frames(real_media, every_ms=500, fake=False).filter(
+        F.col("media_id") == 2
+    ).orderBy("frame_idx").collect()
+    # media 2: 64+2%4*32=128 wide, 48+2%3*16=80 tall → 10240-byte plane
+    assert all(len(r.frame_payload) == 128 * 80 for r in rows)
+
+
+def test_frame_stride_sampling(real_media):
+    """every_ms larger than the container frame interval strides over
+    decoded frames instead of failing or duplicating."""
+    all_frames = sample_frames(real_media, every_ms=500, fake=False, with_payload=False)
+    strided = sample_frames(real_media, every_ms=1000, fake=False, with_payload=False)
+    n_all = {r.media_id: r.n for r in all_frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    n_str = {r.media_id: r.n for r in strided.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n_str[m] == (n_all[m] + 1) // 2 for m in n_all)
+    with pytest.raises(Exception, match="multiple"):
+        sample_frames(real_media, every_ms=750, fake=False).collect()
+
+
+def test_real_resize_is_a_real_resample(real_media):
+    out = resize_images(real_media, 32, 24, fake=False)
+    assert out.schema == MEDIA_SCHEMA
+    rows = out.select("media_id", "payload", "meta").collect()
+    assert len(rows) == 8
+    from clickhouse_build_spark.operators.codecs import decode_png_gray
+
+    for r in rows:
+        pix = decode_png_gray(bytes(r.payload))
+        assert pix.shape == (24, 32)
+        assert (r.meta.width, r.meta.height) == (32, 24)
+
+
+def test_fake_resize_deterministic(media):
+    out = resize_images(media, 32, 24, fake=True)
     assert out.schema == MEDIA_SCHEMA
     rows = out.select("media_id", "meta.width", "meta.height", F.length("payload").alias("sz")).collect()
     assert len(rows) == 8
     assert all((r.width, r.height, r.sz) == (32, 24, 32 * 24 // 4) for r in rows)
-    # resize is deterministic in (payload, target size)
     a = {r.media_id: bytes(r.payload) for r in out.select("media_id", "payload").collect()}
-    b = {r.media_id: bytes(r.payload) for r in resize_images(media, 32, 24).select("media_id", "payload").collect()}
+    b = {r.media_id: bytes(r.payload) for r in resize_images(media, 32, 24, fake=True).select("media_id", "payload").collect()}
     assert a == b
 
 
 def test_frame_fanout_counts_match_duration(media):
-    frames = sample_frames(media, every_ms=500)
+    frames = sample_frames(media, every_ms=500, fake=True)
     assert frames.schema == FRAME_SCHEMA
     got = {
         r.media_id: r.n for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
@@ -78,19 +161,24 @@ def test_frame_fanout_counts_match_duration(media):
     assert all(r.frame_ms == r.frame_idx * 500 for r in idx)
 
 
-def test_real_decode_seam_is_marked(media):
-    with pytest.raises(NotImplementedError, match="stubbed|production-only"):
-        decode_media_real(b"\x89PNG", "png")
+def test_compressed_codec_seam_is_marked():
+    """Compressed formats remain an explicit production seam; real
+    decode on garbage bytes fails loudly, never silently fakes."""
+    with pytest.raises(NotImplementedError, match="production seam"):
+        decode_media_real(b"\x00\x00\x00\x18ftypmp42", "mp4")
+    with pytest.raises(ValueError):
+        decode_media_real(b"not a png at all", "png")
+
+
+def test_real_kernel_on_chain_payloads_fails_loudly(media):
+    # chain payloads are not PNG containers — the real path must error
     with pytest.raises(Exception):
-        # the non-fake path must fail loudly, not silently fake
         extract_image_features(media, fake=False).collect()
 
 
 def test_audio_chunking_fanout_and_determinism(spark):
-    from clickhouse_build_spark.operators.multimodal import chunk_audio, synthetic_media
-
     media = synthetic_media(spark, n=12)
-    chunks = chunk_audio(media, window_ms=250)
+    chunks = chunk_audio(media, window_ms=250, fake=True)
     rows = chunks.collect()
     # every audio row fans out to ceil(duration/250) chunks
     audio = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect() if r["kind"] == "audio"}
@@ -98,16 +186,15 @@ def test_audio_chunking_fanout_and_determinism(spark):
     for r in rows:
         got[r["media_id"]] = got.get(r["media_id"], 0) + 1
         assert r["end_ms"] <= audio[r["media_id"]]
-        assert 0 <= r["rms_x1e6"] < 1_000_000
+        # 4000-sample window of bytes: 0 <= energy <= 4000*255^2
+        assert 0 <= r["energy"] <= 4000 * 255 * 255
     assert got == {mid: -(-dur // 250) for mid, dur in audio.items()}
     # deterministic across recomputation
-    again = {(r["media_id"], r["chunk_idx"]): r["rms_x1e6"] for r in chunk_audio(media, window_ms=250).collect()}
-    first = {(r["media_id"], r["chunk_idx"]): r["rms_x1e6"] for r in rows}
+    again = {(r["media_id"], r["chunk_idx"]): r["energy"] for r in chunk_audio(media, window_ms=250, fake=True).collect()}
+    first = {(r["media_id"], r["chunk_idx"]): r["energy"] for r in rows}
     assert first == again
 
 
 def test_audio_chunks_have_no_payload_column(spark):
-    from clickhouse_build_spark.operators.multimodal import chunk_audio, synthetic_media
-
-    chunks = chunk_audio(synthetic_media(spark, n=6))
+    chunks = chunk_audio(synthetic_media(spark, n=6), fake=True)
     assert "payload" not in chunks.columns  # binaries never cross a shuffle
