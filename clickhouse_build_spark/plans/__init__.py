@@ -21,84 +21,99 @@ from clickhouse_build_spark.plans import joinshapes  # noqa: E402,F401
 from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-4 ranking (VERDICT.md r03 "Next round" #2):
-# (a) the 8 event-time queries re-fixed by the catalog timestamp-unit
-# probe — they MUST earn fresh driver rows on current (MICROS) data;
-# (b) the 7 queries never driver-verified in any round;
-# (c) queries changed this round (new oracles / plan swaps);
-# (d) queries whose only driver evidence is r01 — round 3 proved data
-# can change under a green row, so oldest evidence refreshes first.
-# The tail holds r03-green rows (current-data evidence) — the whole
-# LLM-pipeline doc_*/emb_* surface and the round-2 join shapes.
+# iteration order. Round-5 ranking — stale-evidence rotation is now
+# POLICY (r03 lesson: data can change under a green row; VERDICT r04
+# "Next round" #6): (a) queries whose CODE changed this round (real
+# media decode, anchor scale-gate, shared dedup artifacts) must earn
+# rows on the new plans; (b) queries whose newest driver row is r01 —
+# three rounds stale; (c) the oldest remaining evidence (r03),
+# oldest-plan-first. Left outside the window: ten r03-green queries,
+# each with a same-machinery cousin inside it (listed at the tail), and
+# the 50 r04-green rows — nothing's latest evidence predates r03 after
+# this rotation.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) re-fixed event-time queries (catalog ts-unit fix, round 4) —
-    "events_tumbling_10min",
-    "events_sliding_10min_step5",
-    "cdc_latest_event_per_user",
-    "user_sessions_30min",
-    "signup_purchase_funnel",
-    "weekly_retention_cohorts",
-    "events_asof_last_error",
-    "events_views_in_error_windows",
-    # — (b) never driver-verified in r01-r03 —
-    "part_attributes_unpivot",
-    "events_type_counts_salted",
-    "doc_simhash",
-    "doc_top_bigrams",
-    "emb_ann_ivf_trained_topk",
+    # — (a) code changed in round 5 —
+    "media_image_features",
     "media_video_frame_sample",
     "media_audio_chunks",
-    # — (c) changed or NEW this round —
     "approx_distinct_and_percentiles",
-    "price_percentiles_by_flag",
-    "media_image_features",
-    "emb_fuzzy_dedup_keepers",
+    "doc_minhash_lsh_dedup",
+    "doc_fuzzy_dedup_keepers",
     "doc_dedup_cluster_sizes",
     "doc_emb_semantic_dup_check",
-    # — (d) r01-only evidence, oldest-first refresh: events-adjacent —
-    "events_json_props",
-    "event_value_histogram",
-    # windows family (r01 evidence only)
-    "top3_orders_per_customer",
-    "customer_order_gaps",
-    "running_customer_revenue",
-    "nation_revenue_ranks",
-    "order_value_distribution",
-    "customer_order_span",
-    "rolling_30day_customer_spend",
-    "customer_latest_order_argmax",
-    # TPC-H core (r01 evidence only)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q22_idle_rich_customers",
-    # parity + aggregate shapes (r01 evidence only)
-    "stats_total",
-    "stats_by_category",
-    "stats_by_month",
-    "stats_daily_top30",
-    "list_filtered",
-    "stats_by_month_pg_shape",
-    "top_customers_by_revenue",
-    "part_stats_min_max_avg",
-    "distinct_counts",
-    "customers_without_orders",
-    # (urgent_order_customers_semi / nation_account_union /
-    # returned_and_urgent_intersect hold their still-valid r01 rows —
-    # their input tables never changed — yielding window slots to the
-    # three round-4 queries above, which have never had a driver row.)
+    "doc_incremental_dedup",
+    # — (b) newest driver row is r01 (three rounds stale) —
+    "big_spender_segments_having",
+    "nation_account_union",
+    "returned_and_urgent_intersect",
+    "status_priority_cube",
+    "status_priority_grouping_sets",
+    "status_priority_rollup",
+    "urgent_order_customers_semi",
+    # — (c) newest driver row is r03: joins + aggregates —
+    "q4_priority_order_check",
+    "q7_nation_trade_flows",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "q11_major_revenue_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q19_disjunctive_revenue",
+    "q20_bulk_part_suppliers",
+    "q21_waiting_suppliers",
+    "nation_customer_supplier_balance",
+    # text-pipeline surface (r03 evidence)
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_exact_dedup",
+    "doc_near_dup_jaccard",
+    "doc_tfidf_top_terms",
+    "clean_corpus",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_contamination_screen",
+    "doc_stratified_sample",
+    "doc_bpe_token_counts",
+    # similarity / ANN surface (r03 evidence)
+    "emb_knn_cosine",
+    "emb_label_centroids",
+    "emb_near_dup_cosine",
+    "emb_lsh_bucketed_cosine_pairs",
+    "emb_ann_lsh_topk",
+    "emb_ann_ivf_topk",
+    # near-dup fingerprints (r03 evidence)
+    "doc_simhash_dup_pairs",
+    "doc_winnow_fingerprints",
+    # dialect endpoint (r03 evidence)
+    "ch_dialect_monthly_stats",
+    "ch_dialect_status_profile",
+    # Held OUT at r03 evidence, each with an in-window cousin exercising
+    # the same machinery: customers_except_returners (set-ops cousins
+    # in (b)), status_priority_profile / status_priority_pivot (cube/
+    # rollup/grouping-sets cousins in (b)), events_props_as_map
+    # (events_json_props r04), doc_top_tokens / doc_token_histogram
+    # (doc_token_stats, doc_tfidf_top_terms), doc_split_counts
+    # (doc_stratified_sample), emb_normalize_quantize (narrow per-row
+    # transform), emb_ann_lsh_topk_batch (emb_ann_lsh_topk),
+    # q12_priority_shipping_caseagg (q4). All r04-green rows also sit
+    # outside — their evidence is one round old.
 ]
 
 
 def _rerank_registry() -> None:
-    ordered = {
-        n: REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY if n in REGISTRY
-    }
+    # A typo'd or renamed priority entry must fail loudly — silently
+    # skipping it would drop the query from the driver's 50-row
+    # verification window with no signal (ADVICE r04).
+    missing = set(_DRIVER_WINDOW_PRIORITY) - REGISTRY.keys()
+    if missing:
+        raise ValueError(
+            f"driver-window priority names not in REGISTRY: {sorted(missing)}"
+        )
+    if len(_DRIVER_WINDOW_PRIORITY) != len(set(_DRIVER_WINDOW_PRIORITY)):
+        raise ValueError("driver-window priority list has duplicates")
+    ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY}
     for n, spec in REGISTRY.items():
         ordered.setdefault(n, spec)
     REGISTRY.clear()

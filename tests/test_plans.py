@@ -109,3 +109,17 @@ def test_q13_left_outer_keeps_unmatched_customers(spark):
         REGISTRY["q13_order_count_distribution"].builder(spark, SF_SMOKE)
     )
     assert "LeftOuter" in plan
+
+
+def test_driver_window_priority_is_valid():
+    """Every driver-window name must resolve (a typo would silently
+    drop a query from the driver's 50-row verification window —
+    _rerank_registry raises, this locks the behavior), the list must be
+    exactly the window size with no duplicates, and the registry must
+    actually lead with it."""
+    from clickhouse_build_spark.plans import _DRIVER_WINDOW_PRIORITY
+
+    assert len(_DRIVER_WINDOW_PRIORITY) == 50
+    assert len(set(_DRIVER_WINDOW_PRIORITY)) == 50
+    assert set(_DRIVER_WINDOW_PRIORITY) <= REGISTRY.keys()
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_PRIORITY
