@@ -89,6 +89,59 @@ def _cmd_replicate(args: argparse.Namespace) -> dict:
     }
 
 
+def _cmd_stream_ingest(args: argparse.Namespace) -> dict:
+    """Drain a file-drip change feed into a replica (C2 live): each
+    invocation consumes only the files that arrived since the last one
+    (the streaming checkpoint under TARGET_ROOT tracks consumption), so
+    this is cron-able continuous sync."""
+    from pyspark.sql import types as T
+
+    from clickhouse_build_spark.catalog import SCHEMAS
+    from clickhouse_build_spark.session import get_spark
+    from clickhouse_build_spark.sources.replication import (
+        OP_COLUMN,
+        Replicator,
+        TableMapping,
+    )
+    from clickhouse_build_spark.streaming.pipeline import stream_ingest
+
+    spark = get_spark(app_name="stream-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.table not in SCHEMAS:
+        raise SystemExit(
+            f"stream-ingest needs a declared schema; unknown table "
+            f"{args.table!r} (catalog has {sorted(SCHEMAS)})"
+        )
+    # Copy the fields — StructType.add would MUTATE the shared catalog
+    # schema object. The feed may carry the _op delete marker.
+    schema = T.StructType(
+        list(SCHEMAS[args.table].fields) + [T.StructField(OP_COLUMN, T.StringType())]
+    )
+    rep = Replicator(
+        spark=spark,
+        target_root=args.target_root,
+        key_cols=args.key_cols.split(","),
+        version_col=args.version_col,
+        n_buckets=args.buckets,
+    )
+    mapping = TableMapping(args.schema, args.table, args.table)
+    path = stream_ingest(
+        spark,
+        args.feed,
+        rep,
+        mapping,
+        schema,
+        checkpoint_dir=args.checkpoint or f"{args.target_root}/_checkpoints/{args.table}",
+        source_format=args.source_format,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    return {
+        "target": path,
+        "rows": rep.read(mapping).count(),
+        "assumptions": rep.assumptions,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="clickhouse_build_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -131,6 +184,22 @@ def main(argv: list[str] | None = None) -> int:
         help="non-parquet feeds read with the catalog's declared schema",
     )
     r.set_defaults(fn=_cmd_replicate)
+
+    si = sub.add_parser(
+        "stream-ingest",
+        help="drain a file-drip change feed into a replica (continuous sync)",
+    )
+    si.add_argument("feed", help="directory a CDC producer drops change files into")
+    si.add_argument("target_root", help="replica root directory")
+    si.add_argument("--table", required=True, help="catalog table (declares the schema)")
+    si.add_argument("--key-cols", required=True, help="comma-separated key columns")
+    si.add_argument("--version-col", required=True)
+    si.add_argument("--schema", default="public")
+    si.add_argument("--buckets", type=int, default=32)
+    si.add_argument("--checkpoint", default=None)
+    si.add_argument("--source-format", default="json", choices=["json", "csv", "parquet"])
+    si.add_argument("--max-files-per-trigger", type=int, default=None)
+    si.set_defaults(fn=_cmd_stream_ingest)
 
     args = p.parse_args(argv)
     json.dump(args.fn(args), sys.stdout, indent=2, default=str)

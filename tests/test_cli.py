@@ -57,3 +57,62 @@ def test_replicate_command(tmp_path):
     )
     assert res["rows"] == 1500
     assert (tmp_path / "orders").is_dir()
+
+
+def test_stream_ingest_command(tmp_path):
+    """Two sequential CLI invocations over a file-drip feed: the second
+    consumes ONLY the file dropped between them (checkpoint under the
+    replica root), and deletes apply."""
+    import json as _json
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rows1 = [
+        {
+            "event_id": i,
+            "ts": f"2024-03-01T00:{i:02d}:00",
+            "user_id": i % 3,
+            "event_type": "view",
+            "value": float(i),
+            "props": "{}",
+            "_op": None,
+        }
+        for i in range(1, 6)
+    ]
+    (feed / "c1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    args = (
+        str(feed),
+        str(tmp_path / "replica"),
+        "--table",
+        "events",
+        "--key-cols",
+        "event_id",
+        "--version-col",
+        "ts",
+    )
+    res = run_cli("stream-ingest", *args)
+    assert res["rows"] == 5
+
+    rows2 = [
+        {
+            "event_id": 2,
+            "ts": "2024-03-02T00:00:00",
+            "user_id": 2,
+            "event_type": "purchase",
+            "value": 9.5,
+            "props": "{}",
+            "_op": None,
+        },
+        {
+            "event_id": 5,
+            "ts": "2024-03-02T00:01:00",
+            "user_id": 2,
+            "event_type": "view",
+            "value": 0.0,
+            "props": "{}",
+            "_op": "d",
+        },
+    ]
+    (feed / "c2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    res = run_cli("stream-ingest", *args)
+    assert res["rows"] == 4  # id 5 deleted, id 2 updated in place
