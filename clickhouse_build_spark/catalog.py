@@ -170,7 +170,9 @@ def _post_read_nanos(df: DataFrame, nanos_cols: tuple[str, ...]) -> DataFrame:
     return df
 
 
-def _check_sane_events_ts(path: str, nanos_cols: tuple[str, ...]) -> None:
+def _check_sane_events_ts(
+    path: str, guarded_cols: tuple[str, ...], nanos_cols: tuple[str, ...]
+) -> None:
     """Loud guard against silently-corrupt event times.
 
     Reads the first row-group's footer *statistics* (driver-side, no
@@ -183,6 +185,11 @@ def _check_sane_events_ts(path: str, nanos_cols: tuple[str, ...]) -> None:
     AND any future logical-type change the probe mis-handles. The other
     historical failure mode — a NANOS file sent down the native path —
     is loud already: Spark's reader throws PARQUET_TYPE_ILLEGAL.
+
+    ``guarded_cols`` is the table's probed-column list from
+    ``_NANOS_TS_TABLES`` (not a hardcoded name, so adding a second
+    probed table/column keeps its sanity guard — ADVICE r04);
+    ``nanos_cols`` is the subset the probe found stored as NANOS.
     """
     import datetime
 
@@ -197,7 +204,8 @@ def _check_sane_events_ts(path: str, nanos_cols: tuple[str, ...]) -> None:
     rg = meta.row_group(0)
     for i in range(rg.num_columns):
         col = rg.column(i)
-        if col.path_in_schema != "ts" or col.statistics is None:
+        name = col.path_in_schema
+        if name not in guarded_cols or col.statistics is None:
             continue
         lo = col.statistics.min
         if lo is None:
@@ -205,14 +213,14 @@ def _check_sane_events_ts(path: str, nanos_cols: tuple[str, ...]) -> None:
         if isinstance(lo, int):
             # Physical INT64 without a timestamp logical type: decode at
             # the unit the probe chose for the read path.
-            micros = lo // 1000 if "ts" in nanos_cols else lo
+            micros = lo // 1000 if name in nanos_cols else lo
             lo = datetime.datetime(1970, 1, 1) + datetime.timedelta(
                 microseconds=micros
             )
         if not (1990 <= lo.year <= 2100):
             raise AssertionError(
-                f"events ts sanity check failed: min(ts)={lo!r} at {path} — "
-                "timestamp unit/content changed under us (see catalog.py "
+                f"timestamp sanity check failed: min({name})={lo!r} at "
+                f"{path} — unit/content changed under us (see catalog.py "
                 "unit probe); refusing to serve corrupted event times"
             )
 
@@ -250,7 +258,9 @@ class Catalog:
                 nanos_cols = _parquet_nanos_columns(
                     self.path(table), _NANOS_TS_TABLES[table]
                 )
-                _check_sane_events_ts(self.path(table), nanos_cols)
+                _check_sane_events_ts(
+                    self.path(table), _NANOS_TS_TABLES[table], nanos_cols
+                )
             if nanos_cols:
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 read_schema = _nanos_read_schema(declared, nanos_cols)

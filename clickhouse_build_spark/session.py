@@ -39,6 +39,11 @@ _ENGINE_CONF = {
     # Driver-side result cap: the engine never collect()s large results in
     # operators, but protect the driver anyway.
     "spark.driver.maxResultSize": "4g",
+    # Embedded Derby (the live-JDBC tests' database) writes its error
+    # log to $derby.system.home/derby.log — default CWD, i.e. a turd at
+    # the repo root. Point it at the JVM temp dir instead.
+    "spark.driver.extraJavaOptions": "-Dderby.stream.error.file="
+    + os.path.join(os.environ.get("TMPDIR", "/tmp"), "derby.log"),
 }
 
 

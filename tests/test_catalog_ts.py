@@ -96,7 +96,7 @@ def test_guard_raises_on_garbage_instants(tmp_path):
     )
     pq.write_table(table, p)
     with pytest.raises(AssertionError, match="sanity"):
-        _check_sane_events_ts(p, ())
+        _check_sane_events_ts(p, ("ts",), ())
 
 
 def test_misrouted_nanos_file_fails_loudly_in_spark(spark, tmp_path):
