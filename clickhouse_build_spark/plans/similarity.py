@@ -37,6 +37,14 @@ NEAR_DUP_COS = 0.4
 LSH_NBITS = 8
 LSH_MAX_HAMMING = 2
 IVF_CENTROID_STRIDE = 50  # vec_id % stride == 0 → sampled centroid
+# Cap the id-sampled cell count: without it centroids grow LINEARLY
+# with the corpus (stride sampling) and the nearest-cell assignment
+# goes quadratic — measured 14.7x wall at 10x data in the sf1
+# rehearsal. 128 cells ≈ inactive below ~6.4k vectors (oracle sf0.01
+# = 10 cells and bench sf0.1 = 100 cells are unchanged) and bounds
+# assignment to n×128 above it. Proper nlist would be ~sqrt(n); a cap
+# keeps the untrained variant deterministic AND SQL-reproducible.
+IVF_MAX_CELLS = 128
 IVF_NPROBE = 3
 # Pair-mining signature family: 16 bits / hamming ≤ 1 → 2 bands of 8
 # bits, 256 bucket keys per band — bucket occupancy stays ~n/256 as the
@@ -330,7 +338,9 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     c AS (
-      SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+      SELECT vec_id AS cell, e AS ce FROM v
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+        AND vec_id < {IVF_CENTROID_STRIDE * IVF_MAX_CELLS}
     ),
     q AS (
       SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}
@@ -360,17 +370,20 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF-Flat: deterministic sampled centroids
-    (vec_id % 50 == 0), nearest-centroid cell assignment, probe the 3
-    nearest cells, exact top-k inside them.
+    (vec_id % 50 == 0, CAPPED at IVF_MAX_CELLS cells), nearest-centroid
+    cell assignment, probe the 3 nearest cells, exact top-k inside them.
 
-    Scale: centroid count grows with the sample stride, not the corpus;
+    Scale: the cell cap bounds assignment to n x 128 cosines at any
+    corpus size (uncapped stride sampling grew cells linearly with the
+    corpus → quadratic assignment, the sf1 rehearsal's one red flag);
     assignment is one broadcast-join pass; with the inverted file
     partitioned by cell on disk the probe prunes to nprobe partitions.
     """
     v = _vectors(spark, sf_dir)
-    centroids = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell"), F.col("e").alias("ce")
-    )
+    centroids = v.filter(
+        (F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        & (F.col("vec_id") < IVF_CENTROID_STRIDE * IVF_MAX_CELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("e").alias("ce"))
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
     assigned = ivf_assign(v.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
     return ivf_topk(assigned, centroids, q, k=TOP_K, nprobe=IVF_NPROBE)
