@@ -32,7 +32,8 @@ from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 # the 50 r04-green rows — nothing's latest evidence predates r03 after
 # this rotation.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) code changed in round 5 —
+    # — (a) NEW or code changed in round 5 —
+    "media_resize_features",
     "media_image_features",
     "media_video_frame_sample",
     "media_audio_chunks",
@@ -88,7 +89,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_winnow_fingerprints",
     # dialect endpoint (r03 evidence)
     "ch_dialect_monthly_stats",
-    "ch_dialect_status_profile",
     # Held OUT at r03 evidence, each with an in-window cousin exercising
     # the same machinery: customers_except_returners (set-ops cousins
     # in (b)), status_priority_profile / status_priority_pivot (cube/
@@ -97,8 +97,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # (doc_token_stats, doc_tfidf_top_terms), doc_split_counts
     # (doc_stratified_sample), emb_normalize_quantize (narrow per-row
     # transform), emb_ann_lsh_topk_batch (emb_ann_lsh_topk),
-    # q12_priority_shipping_caseagg (q4). All r04-green rows also sit
-    # outside — their evidence is one round old.
+    # q12_priority_shipping_caseagg (q4), ch_dialect_status_profile
+    # (ch_dialect_monthly_stats — slot yielded to the brand-new
+    # media_resize_features, which has never had a driver row). All
+    # r04-green rows also sit outside — their evidence is one round old.
 ]
 
 

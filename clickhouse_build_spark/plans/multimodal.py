@@ -24,6 +24,7 @@ from clickhouse_build_spark.operators.multimodal import (
     chunk_audio,
     extract_image_features,
     media_from_documents,
+    resize_images,
     sample_frames,
 )
 from clickhouse_build_spark.plans.registry import query
@@ -76,6 +77,81 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     media = media_from_documents(docs, kinds=("image",), real_payloads=True)
     return extract_image_features(media, fake=False).orderBy("media_id")
+
+
+# ------------------------------------------------ resized-image oracle
+#
+# Corpus images are H=48 rows of the identical 16-byte md5 tile (width
+# is a multiple of 16, so pixel(r,c) = digest[c % 16] for every row).
+# Nearest-neighbour resize to (32, 24) therefore yields, per target
+# column c2, source column (c2*W)//32 — a position in the digest that
+# depends only on W = 64 + (media_id % 4)*32. That makes the resized
+# image's true pixel mean and leading-16-pixel fingerprint exact SQL
+# expressions, CASE'd over the four source widths.
+RESIZE_W, RESIZE_H = 32, 24
+
+
+def _resized_positions(w_src: int, n: int) -> list[int]:
+    return [((c2 * w_src) // RESIZE_W) % 16 for c2 in range(n)]
+
+
+def _resized_mean_sql() -> str:
+    cases = []
+    for k in range(4):
+        w_src = 64 + k * 32
+        s = " + ".join(
+            f"('0x' || substr(h, {2 * p + 1}, 2))::BIGINT"
+            for p in _resized_positions(w_src, RESIZE_W)
+        )
+        cases.append(f"WHEN media_id % 4 = {k} THEN ({s}) / {RESIZE_W}.0")
+    return "CASE " + " ".join(cases) + " END"
+
+
+def _resized_phash_sql() -> str:
+    cases = []
+    for k in range(4):
+        w_src = 64 + k * 32
+        hexcat = " || ".join(
+            f"substr(h, {2 * p + 1}, 2)" for p in _resized_positions(w_src, 16)
+        )
+        cases.append(
+            f"WHEN media_id % 4 = {k} THEN "
+            f"('0x' || substr({hexcat}, 1, 15))::BIGINT"
+        )
+    return "CASE " + " ".join(cases) + " END"
+
+
+@query(
+    "media_resize_features",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id,
+           CAST({RESIZE_W} AS INTEGER) AS width,
+           CAST({RESIZE_H} AS INTEGER) AS height,
+           {_resized_mean_sql()} AS mean_luma,
+           {_resized_phash_sql()} AS phash
+    FROM media WHERE kind_idx = 0
+    """,
+    tags=("multimodal", "transform-chain", "mapInPandas"),
+)
+def media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full REAL image transform chain, every hop through actual
+    container bytes: encode corpus PNG → decode → nearest-neighbour
+    resample to 32×24 → re-encode PNG → decode again → measure the
+    resized pixel plane. The oracle recomputes the resized mean and
+    fingerprint from the tiling geometry (CASE over the four source
+    widths), so the driver hash-verifies that the resample moved the
+    pixels it claims to move — a chained-transform guarantee no
+    single-stage query gives.
+
+    Scale: two Arrow-batched mapInPandas stages back-to-back with no
+    shuffle between them (kind pruning before the first); payloads
+    shrink 4-25x at the resize hop, and only scalar features leave the
+    second stage."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = media_from_documents(docs, kinds=("image",), real_payloads=True)
+    resized = resize_images(media, RESIZE_W, RESIZE_H, fake=False)
+    return extract_image_features(resized, fake=False).orderBy("media_id")
 
 
 @query(
