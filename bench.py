@@ -33,8 +33,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: absorb session/codegen startup cost.
+    # Warmup: absorb session/codegen startup cost — and the Python
+    # runner pool: a mapInPandas stage pays one worker fork per core
+    # the first time one runs in the session, which otherwise lands on
+    # whichever Arrow-kernel query sorts first (~5-9 s of session cost
+    # booked to a random query). An identity kernel over one row per
+    # core spins the pool up front.
     materialize(REGISTRY["q1_pricing_summary"].builder(spark, sf_dir))
+    cores = spark.sparkContext.defaultParallelism
+    materialize(
+        spark.range(0, cores, 1, cores).mapInPandas(lambda it: it, "id long")
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

@@ -44,6 +44,12 @@ _ENGINE_CONF = {
     # the repo root. Point it at the JVM temp dir instead.
     "spark.driver.extraJavaOptions": "-Dderby.stream.error.file="
     + os.path.join(os.environ.get("TMPDIR", "/tmp"), "derby.log"),
+    # Fork Python workers from a daemon that has already imported
+    # pandas/numpy/pyarrow (clickhouse_build_spark/pydaemon.py): workers
+    # inherit the initialized modules via copy-on-write, shaving the
+    # per-worker import storm the first Arrow-kernel stage of a session
+    # otherwise pays (measured ~100 s of CPU across a 32-core pool).
+    "spark.python.daemon.module": "clickhouse_build_spark.pydaemon",
 }
 
 
