@@ -421,37 +421,34 @@ def sample_frames(
     Python stage), so the kernel must skip the bytes itself.
     """
 
-    def real_frames(r) -> list[tuple]:
-        w, h, interval_ms, frames = decode_media_real(bytes(r["payload"]), "y4m")
+    def real_frames(media_id, payload, _meta) -> list[tuple]:
+        w, h, interval_ms, frames = decode_media_real(bytes(payload), "y4m")
         if every_ms % interval_ms:
             raise ValueError(
                 f"every_ms={every_ms} not a multiple of the stream's "
                 f"frame interval {interval_ms} ms"
             )
         stride = every_ms // interval_ms
-        out = []
-        for idx, fi in enumerate(range(0, len(frames), stride)):
-            frame = frames[fi]
-            out.append(
-                (
-                    r["media_id"],
-                    idx,
-                    fi * interval_ms,
-                    _block_fp(frame, 4, 8),
-                    frame.tobytes() if with_payload else None,
-                )
+        return [
+            (
+                media_id,
+                idx,
+                fi * interval_ms,
+                _block_fp(frames[fi], 4, 8),
+                frames[fi].tobytes() if with_payload else None,
             )
-        return out
+            for idx, fi in enumerate(range(0, len(frames), stride))
+        ]
 
-    def fake_frames(r) -> list[tuple]:
-        duration = r["meta"]["duration_ms"] or 0
-        digest = _payload_digest(r["payload"])
+    def fake_frames(media_id, payload, meta) -> list[tuple]:
+        duration = meta["duration_ms"] or 0
+        digest = _payload_digest(payload)
         out = []
         for idx, ms in enumerate(range(0, duration, every_ms)):
             seed = f"frame:{digest}:{ms}"
             out.append(
                 (
-                    r["media_id"],
+                    media_id,
                     idx,
                     ms,
                     int(hashlib.md5(seed.encode()).hexdigest()[:8], 16),
@@ -465,7 +462,13 @@ def sample_frames(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "frame_idx", "frame_ms", "frame_fp", "frame_payload"]
         for pdf in batches:
-            rows = [t for _, r in pdf.iterrows() for t in explode(r)]
+            # zip over columns, not iterrows: per-row Series construction
+            # dominates an iterrows loop at fan-out row counts
+            rows = [
+                t
+                for args in zip(pdf["media_id"], pdf["payload"], pdf["meta"])
+                for t in explode(*args)
+            ]
             yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
@@ -508,30 +511,32 @@ def chunk_audio(
             f"({_AUDIO_SEED_MS} ms) for the fake path to stay exact"
         )
 
-    def real_chunks(r) -> list[tuple]:
-        rate, samples = decode_media_real(bytes(r["payload"]), "wav")
+    def real_chunks(media_id, payload, _meta) -> list[tuple]:
+        rate, samples = decode_media_real(bytes(payload), "wav")
         duration = len(samples) * 1000 // rate
         win = rate * window_ms // 1000
         sq = samples.astype(np.int64) ** 2
-        out = []
-        for idx, ms in enumerate(range(0, duration, window_ms)):
-            start = ms * rate // 1000
-            seg = sq[start : start + win]
-            out.append(
-                (
-                    r["media_id"],
-                    idx,
-                    ms,
-                    min(ms + window_ms, duration),
-                    int(seg.sum()),
-                )
+        n_full = len(sq) // win
+        # vectorized per-window sums: one reshape for the full windows,
+        # one tail sum for a trailing partial window
+        sums = sq[: n_full * win].reshape(n_full, win).sum(axis=1)
+        if len(sq) > n_full * win:
+            sums = np.append(sums, sq[n_full * win :].sum())
+        return [
+            (
+                media_id,
+                idx,
+                ms,
+                min(ms + window_ms, duration),
+                int(sums[idx]),
             )
-        return out
+            for idx, ms in enumerate(range(0, duration, window_ms))
+        ]
 
-    def fake_chunks(r) -> list[tuple]:
-        duration = r["meta"]["duration_ms"] or 0
-        rate = r["meta"]["sample_rate"] or _AUDIO_RATE
-        digest = _payload_digest(r["payload"])
+    def fake_chunks(media_id, payload, meta) -> list[tuple]:
+        duration = meta["duration_ms"] or 0
+        rate = meta["sample_rate"] or _AUDIO_RATE
+        digest = _payload_digest(payload)
         per_seed = rate * _AUDIO_SEED_MS // 1000
         out = []
         for idx, ms in enumerate(range(0, duration, window_ms)):
@@ -541,7 +546,7 @@ def chunk_audio(
                 energy += (per_seed // 16) * sum(b * b for b in block)
             out.append(
                 (
-                    r["media_id"],
+                    media_id,
                     idx,
                     ms,
                     min(ms + window_ms, duration),
@@ -555,7 +560,11 @@ def chunk_audio(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "chunk_idx", "start_ms", "end_ms", "energy"]
         for pdf in batches:
-            rows = [t for _, r in pdf.iterrows() for t in explode(r)]
+            rows = [
+                t
+                for args in zip(pdf["media_id"], pdf["payload"], pdf["meta"])
+                for t in explode(*args)
+            ]
             yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(
