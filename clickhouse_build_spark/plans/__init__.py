@@ -33,6 +33,8 @@ from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 # this rotation.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) NEW or code changed in round 5 —
+    "doc_chunk_text",
+    "doc_pack_sequences",
     "media_resize_features",
     "media_image_features",
     "media_video_frame_sample",
@@ -76,14 +78,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_repetition_stats",
     "doc_contamination_screen",
     "doc_stratified_sample",
-    "doc_bpe_token_counts",
     # similarity / ANN surface (r03 evidence)
     "emb_knn_cosine",
     "emb_label_centroids",
     "emb_near_dup_cosine",
     "emb_lsh_bucketed_cosine_pairs",
     "emb_ann_lsh_topk",
-    "emb_ann_ivf_topk",
     # near-dup fingerprints (r03 evidence)
     "doc_simhash_dup_pairs",
     "doc_winnow_fingerprints",
@@ -99,8 +99,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # transform), emb_ann_lsh_topk_batch (emb_ann_lsh_topk),
     # q12_priority_shipping_caseagg (q4), ch_dialect_status_profile
     # (ch_dialect_monthly_stats — slot yielded to the brand-new
-    # media_resize_features, which has never had a driver row). All
-    # r04-green rows also sit outside — their evidence is one round old.
+    # media_resize_features, which has never had a driver row),
+    # doc_bpe_token_counts (tokenize cousins doc_token_stats /
+    # doc_tfidf_top_terms in-window; slot yielded to the brand-new
+    # doc_chunk_text), emb_ann_ivf_topk (emb_ann_ivf_trained_topk is
+    # r04-green and emb_ann_lsh_topk stays in-window; slot yielded to
+    # the brand-new doc_pack_sequences). All r04-green rows also sit
+    # outside — their evidence is one round old.
 ]
 
 

@@ -837,3 +837,148 @@ def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("bg"))
         .limit(20)
     )
+
+
+# ------------------------------------------- chunking & sequence packing
+#
+# The two context-assembly stages of a training-data pipeline the
+# earlier families don't cover: splitting long documents into
+# fixed-token windows (with overlap) for embedding/pretraining, and
+# packing documents into fixed-token-budget training sequences.
+
+CHUNK_TOKENS = 64
+CHUNK_STEP = 48  # 16-token overlap between consecutive windows
+PACK_BUDGET = 2048
+
+
+@query(
+    "doc_chunk_text",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(s // {CHUNK_STEP} AS INTEGER) AS chunk_idx,
+             CAST(s AS INTEGER) AS start_tok,
+             toks[s + 1 : s + {CHUNK_TOKENS}] AS chunk
+      FROM t, UNNEST(range(0, CAST(n AS BIGINT), {CHUNK_STEP})) AS u(s)
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(chunk) AS INTEGER) AS n_toks,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM c
+    """,
+    tags=("text", "chunking", "fan-out"),
+)
+def doc_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: each doc → overlapping
+    64-token windows at a 48-token stride (the embedding/pretraining
+    context-window cut), with per-chunk token count and content
+    fingerprint (md5 of the reassembled window — the chunk-level dedup
+    key).
+
+    Scale: pure codegen fan-out — ``sequence`` builds the window starts
+    per row, ``slice`` cuts each window out of the token array, and no
+    shuffle happens at all until a consumer aggregates; the chunk text
+    itself never materializes (only its fingerprint leaves the stage).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", w.alias("toks"), F.size(w).alias("n"))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STEP))
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(CHUNK_TOKENS))
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size(chunk).alias("n_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT CAST((cum - n) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("text", "packing", "prefix-sum", "distributed"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in doc_id order) to
+    fixed-token-budget training sequences by their starting offset in
+    the concatenated token stream (bin = offset DIV budget — the
+    standard boundary-at-budget packing approximation), and emit the
+    per-sequence manifest (doc count, token total, id span).
+
+    Scale: the global running token count is a DISTRIBUTED two-phase
+    prefix sum, not a single-reducer global window — docs are bucketed
+    by deterministic doc_id range (bounds from a broadcast min/max
+    scalar, no sampling), each bucket cumsums independently under
+    ``Window.partitionBy(bucket)``, and the tiny per-bucket totals
+    frame (≤ one row per bucket) is the only thing that crosses a
+    global window. A plain ``Window.orderBy(doc_id)`` would funnel the
+    whole corpus through one task at 100 TB; this shape never moves
+    more than one bucket to one task. Uniform doc_id ranges keep the
+    buckets balanced; a skewed id space would swap in a percentile
+    bucketer, same plan downstream.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    nbuckets = spark.sparkContext.defaultParallelism
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    bounds = t.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    part = t.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr(f"(doc_id - lo) * {nbuckets} DIV (hi - lo + 1)"),
+    )
+    bucket_sums = part.groupBy("bucket").agg(F.sum("n").alias("bsum"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_sums.withColumn(
+        "offset", F.coalesce(F.sum("bsum").over(w_off), F.lit(0))
+    ).select("bucket", "offset")
+    w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = part.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum", F.col("offset") + F.sum("n").over(w_in)
+    )
+    return (
+        cum.withColumn("bin_id", F.expr(f"(cum - n) DIV {PACK_BUDGET}"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )

@@ -198,3 +198,29 @@ def test_audio_chunking_fanout_and_determinism(spark):
 def test_audio_chunks_have_no_payload_column(spark):
     chunks = chunk_audio(synthetic_media(spark, n=6), fake=True)
     assert "payload" not in chunks.columns  # binaries never cross a shuffle
+
+
+def test_media_corpus_at_rest_partition_prunes(spark):
+    """The shared media corpus is kind-partitioned parquet; a
+    single-kind consumer's scan must carry a kind partition filter so
+    the other kinds' files are pruned, and the corpus must be written
+    once per session (second call reads the same path)."""
+    from clickhouse_build_spark.plans.multimodal import (
+        drop_media_corpus,
+        shared_media_corpus,
+    )
+
+    try:
+        df1 = shared_media_corpus(spark, "/root/testdata/sf0.001")
+        images = df1.filter(F.col("kind") == "image")
+        plan = images._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "kind" in plan
+        # write-once: the second call serves the cached path
+        df2 = shared_media_corpus(spark, "/root/testdata/sf0.001")
+        assert df1.inputFiles() == df2.inputFiles()
+        # at-rest roundtrip preserves the payload bytes: container
+        # signature survives parquet
+        head = images.select("payload").first()["payload"]
+        assert bytes(head[:8]) == b"\x89PNG\r\n\x1a\n"
+    finally:
+        drop_media_corpus(spark)
