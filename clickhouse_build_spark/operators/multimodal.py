@@ -93,6 +93,9 @@ FRAME_SCHEMA = T.StructType(
 
 # Corpus geometry shared by the writer, the fake paths, and the oracles.
 _KIND_NAMES = ("image", "audio", "video")
+# Max rows per yielded Arrow batch in payload-emitting kernels (each
+# yielded pandas frame becomes one record batch; bound its bytes).
+_PAYLOAD_SLICE_ROWS = 256
 _AUDIO_RATE = 16000
 _AUDIO_SEED_MS = 250  # audio content re-seeds every 250 ms window
 _VIDEO_FRAME_MS = 500  # Y4M corpus is written at 2 fps
@@ -247,16 +250,23 @@ def media_from_documents(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf["doc_id"]
-            geo = [_media_geometry(i) for i in ids]
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "kind": [k for k, _ in geo],
-                    "payload": ids.map(make_payload),
-                    "meta": [m for _, m in geo],
-                }
-            )
+            # Yield in bounded slices: each yielded frame becomes ONE
+            # Arrow record batch, so emitting a whole 4096-row input
+            # batch of ~50-130 KB payloads at once is a ~0.5 GB
+            # allocation per task — at 32 concurrent tasks that blew
+            # the Arrow allocator in the sf1 rehearsal. 256 rows caps
+            # a batch at ~35 MB for the largest (video) payloads.
+            for lo in range(0, len(pdf), _PAYLOAD_SLICE_ROWS):
+                ids = pdf["doc_id"].iloc[lo : lo + _PAYLOAD_SLICE_ROWS]
+                geo = [_media_geometry(i) for i in ids]
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "kind": [k for k, _ in geo],
+                        "payload": ids.map(make_payload),
+                        "meta": [m for _, m in geo],
+                    }
+                )
 
     return docs.mapInPandas(kernel, MEDIA_SCHEMA)
 
@@ -461,15 +471,21 @@ def sample_frames(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "frame_idx", "frame_ms", "frame_fp", "frame_payload"]
+        # fan-out multiplies bytes when payloads are kept: bound each
+        # yielded batch (one Arrow allocation) to a slice of inputs
+        step = _PAYLOAD_SLICE_ROWS if with_payload else 1 << 30
         for pdf in batches:
-            # zip over columns, not iterrows: per-row Series construction
-            # dominates an iterrows loop at fan-out row counts
-            rows = [
-                t
-                for args in zip(pdf["media_id"], pdf["payload"], pdf["meta"])
-                for t in explode(*args)
-            ]
-            yield pd.DataFrame(rows, columns=cols)
+            for lo in range(0, len(pdf), step):
+                sl = pdf.iloc[lo : lo + step]
+                # zip over columns, not iterrows: per-row Series
+                # construction dominates an iterrows loop at fan-out
+                # row counts
+                rows = [
+                    t
+                    for args in zip(sl["media_id"], sl["payload"], sl["meta"])
+                    for t in explode(*args)
+                ]
+                yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
 

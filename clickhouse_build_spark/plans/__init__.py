@@ -35,6 +35,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # — (a) NEW or code changed in round 5 —
     "doc_chunk_text",
     "doc_pack_sequences",
+    "q2_min_cost_supplier",
     "media_resize_features",
     "media_image_features",
     "media_video_frame_sample",
@@ -71,7 +72,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_quality_scores",
     "doc_lang_id",
     "doc_exact_dedup",
-    "doc_near_dup_jaccard",
     "doc_tfidf_top_terms",
     "clean_corpus",
     "doc_pii_scrub",
@@ -104,7 +104,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # doc_tfidf_top_terms in-window; slot yielded to the brand-new
     # doc_chunk_text), emb_ann_ivf_topk (emb_ann_ivf_trained_topk is
     # r04-green and emb_ann_lsh_topk stays in-window; slot yielded to
-    # the brand-new doc_pack_sequences). All r04-green rows also sit
+    # the brand-new doc_pack_sequences), doc_near_dup_jaccard (its
+    # shingle/pair machinery runs in-window via doc_minhash_lsh_dedup;
+    # slot yielded to the brand-new q2_min_cost_supplier). All
+    # r04-green rows also sit
     # outside — their evidence is one round old.
 ]
 

@@ -569,3 +569,101 @@ def part_attributes_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attr",
         F.floor(F.col("val") * 100 + 0.5).cast("long").alias("val_x100"),
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal,
+             cost_cents
+      FROM ps
+      JOIN eu ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 15 AND p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal,
+           cost_cents
+    FROM cand c
+    WHERE cost_cents = (SELECT min(cost_cents) FROM cand c2
+                        WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("relational", "tpch", "correlated-min", "argmin-per-group"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted to the driver schema (no ``partsupp``
+    table — the part-supplier catalog is derived from observed
+    lineitems, cost = cheapest integer-cents sale price per pair): for
+    STANDARD parts of size ≤ 15, the EUROPE supplier(s) achieving each
+    part's minimum cost, richest suppliers first. This is the classic
+    correlated-min-subquery query; ties on the minimum are kept.
+
+    Scale: the correlated subquery decorrelates into a per-part window
+    minimum — ONE shuffle of the candidate frame by p_partkey computes
+    min and filter in place (no self-join, no second scan; Spark's
+    decorrelation of the equivalent SQL builds the same aggregate +
+    rejoin, the window form just skips the join). All three dimension
+    joins (supplier+nation+region, part) broadcast; the only big frame
+    is the lineitem aggregate, partial-aggregated map-side before its
+    (l_partkey, l_suppkey) shuffle. The final ORDER BY ... LIMIT 100
+    is a TakeOrderedAndProject — a total order (acctbal, nation,
+    supplier, part) so the boundary row cannot flap.
+    """
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cost_cents")
+        )
+    )
+    eu = (
+        t["supplier"]
+        .join(
+            t["nation"], F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t["part"].filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            "s_acctbal", "cost_cents",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .drop("min_cost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )

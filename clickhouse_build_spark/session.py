@@ -39,6 +39,13 @@ _ENGINE_CONF = {
     # Driver-side result cap: the engine never collect()s large results in
     # operators, but protect the driver anyway.
     "spark.driver.maxResultSize": "4g",
+    # local-mode heap: driver == all 32 executor threads in ONE JVM, and
+    # the unset default is 1g — payload-heavy stages (32 concurrent
+    # parquet writers buffering ~128 MB row groups of binary media
+    # columns) need real headroom (found by the sf1 rehearsal). On a
+    # cluster spark-submit's --driver-memory/--executor-memory override
+    # this; it only binds when this factory launches the JVM.
+    "spark.driver.memory": "16g",
     # Embedded Derby (the live-JDBC tests' database) writes its error
     # log to $derby.system.home/derby.log — default CWD, i.e. a turd at
     # the repo root. Point it at the JVM temp dir instead.

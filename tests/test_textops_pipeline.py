@@ -146,3 +146,83 @@ def test_token_histogram_buckets(spark, tmp_path):
     out = {r["bucket"]: r for r in doc_token_histogram(spark, d).collect()}
     assert out[0]["n_docs"] == 1 and out[0]["total_tokens"] == 3
     assert out[10]["n_docs"] == 2 and out[10]["total_tokens"] == 29
+
+
+def _docs_dir(spark, tmp_path, rows):
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    return d
+
+
+def test_chunking_window_boundaries(spark, tmp_path):
+    # 64-token windows at 48 stride: boundary cases around one window,
+    # exactly one stride, and one-past-a-stride.
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        (1, words(1), "en", "web", 2),    # single token → one 1-token chunk
+        (2, words(48), "en", "web", 99),  # == stride → exactly one chunk
+        (3, words(49), "en", "web", 99),  # stride+1 → full 49-token first
+        # window (window > stride) plus a 1-token tail chunk
+        (4, words(64), "en", "web", 99),  # == window → 2 chunks (16-tok tail)
+        (5, words(112), "en", "web", 99),  # 64+48 → 3 chunks, full middle
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    from clickhouse_build_spark.plans.textops import doc_chunk_text
+
+    out = doc_chunk_text(spark, d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    sizes = {k: [r["n_toks"] for r in v] for k, v in by_doc.items()}
+    assert sizes[1] == [1]
+    assert sizes[2] == [48]
+    assert sizes[3] == [49, 1]
+    assert sizes[4] == [64, 16]
+    assert sizes[5] == [64, 64, 16]
+    # overlap: doc 5's second chunk starts at token 48, inside chunk 1
+    starts = [r["start_tok"] for r in by_doc[5]]
+    assert starts == [0, 48, 96]
+
+
+def test_pack_sequences_matches_naive_global_window(spark, tmp_path):
+    # The distributed two-phase prefix sum must equal the naive global
+    # cumsum bin assignment, and no bin may exceed budget by more than
+    # one straddling document.
+    rows = [
+        (i, " ".join("w" for _ in range(37 + (i * 131) % 400)),
+         "en", "web", 99)
+        for i in range(300)
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    from clickhouse_build_spark.plans.textops import (
+        PACK_BUDGET,
+        doc_pack_sequences,
+    )
+
+    got = {r["bin_id"]: r for r in doc_pack_sequences(spark, d).collect()}
+
+    # naive reference: driver-side cumsum
+    sizes = [(i, 37 + (i * 131) % 400) for i in range(300)]
+    cum, bins = 0, {}
+    for i, n in sizes:
+        bin_id = cum // PACK_BUDGET
+        cum += n
+        b = bins.setdefault(bin_id, [0, 0, None, None])
+        b[0] += 1
+        b[1] += n
+        b[2] = i if b[2] is None else b[2]
+        b[3] = i
+    assert set(got) == set(bins)
+    for bin_id, (n_docs, total, first, last) in bins.items():
+        r = got[bin_id]
+        assert (r["n_docs"], r["total_tokens"], r["first_doc"], r["last_doc"]) == (
+            n_docs, total, first, last
+        ), bin_id
+    max_doc = max(n for _, n in sizes)
+    for r in got.values():
+        assert r["total_tokens"] < PACK_BUDGET + max_doc

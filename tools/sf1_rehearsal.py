@@ -55,7 +55,15 @@ SF01_BASELINE = {
     "emb_lsh_bucketed_cosine_pairs": 1.0,
     "emb_ann_lsh_topk": 0.9,
     "emb_ann_ivf_topk": 1.2,
+    # round-5b additions (warm sf0.1 walls, media corpus pre-built)
+    "doc_chunk_text": 0.63,
+    "doc_pack_sequences": 1.39,
+    "media_image_features": 1.42,
+    "media_audio_chunks": 1.09,
+    "media_video_frame_sample": 0.99,
+    "media_resize_features": 1.26,
 }
+MEDIA_CORPUS_BUILD_SF01 = 3.59  # encode+write all kinds, sf0.1 warm
 
 
 def make_sf1(spark, out_dir: str, copies: int) -> None:
@@ -215,6 +223,45 @@ def main() -> int:
         "emb_ann_ivf_topk",
     ):
         run(q)
+
+    # ---- context assembly (round 5b) ---------------------------------
+    # doc_chunk_text: codegen fan-out, rows scale with total tokens.
+    # doc_pack_sequences: the distributed two-phase prefix sum — the
+    # probe that matters is that NO single task sees the whole corpus
+    # (the global window never receives more than one bucket).
+    run("doc_chunk_text")
+    run("doc_pack_sequences")
+
+    # ---- media corpus at rest (round 5b) -----------------------------
+    # Build (encode PNG/WAV/Y4M + kind-partitioned parquet write) is
+    # timed apart from the queries, which at steady state are
+    # kind-pruned scans + real decode.
+    from clickhouse_build_spark.plans.multimodal import (
+        drop_media_corpus,
+        shared_media_corpus,
+    )
+
+    t0 = time.time()
+    n_media = shared_media_corpus(spark, args.out).count()
+    t_build = time.time() - t0
+    results["media_corpus_build"] = {
+        "rows": n_media,
+        "sec": round(t_build, 2),
+        "sf01_sec": MEDIA_CORPUS_BUILD_SF01,
+        "ratio_vs_sf01": round(t_build / MEDIA_CORPUS_BUILD_SF01, 2),
+    }
+    print(f"media corpus build: {n_media} rows in {t_build:.2f}s",
+          file=sys.stderr)
+    try:
+        for q in (
+            "media_image_features",
+            "media_audio_chunks",
+            "media_video_frame_sample",
+            "media_resize_features",
+        ):
+            run(q)
+    finally:
+        drop_media_corpus(spark)
 
     worst = max(
         (r["ratio_vs_sf01"] for r in results.values()
