@@ -35,6 +35,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # — (a) NEW or code changed in round 5 —
     "doc_chunk_text",
     "doc_pack_sequences",
+    "doc_oov_rate",
     "q2_min_cost_supplier",
     "media_resize_features",
     "media_image_features",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ann_lsh_topk",
     # near-dup fingerprints (r03 evidence)
     "doc_simhash_dup_pairs",
-    "doc_winnow_fingerprints",
     # dialect endpoint (r03 evidence)
     "ch_dialect_monthly_stats",
     # Held OUT at r03 evidence, each with an in-window cousin exercising
@@ -106,8 +106,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # r04-green and emb_ann_lsh_topk stays in-window; slot yielded to
     # the brand-new doc_pack_sequences), doc_near_dup_jaccard (its
     # shingle/pair machinery runs in-window via doc_minhash_lsh_dedup;
-    # slot yielded to the brand-new q2_min_cost_supplier). All
-    # r04-green rows also sit
+    # slot yielded to the brand-new q2_min_cost_supplier),
+    # doc_winnow_fingerprints (fingerprint-family cousin
+    # doc_simhash_dup_pairs stays in-window; slot yielded to the
+    # brand-new doc_oov_rate). All r04-green rows also sit
     # outside — their evidence is one round old.
 ]
 

@@ -982,3 +982,74 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+OOV_VOCAB_SIZE = 1000
+
+
+@query(
+    "doc_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY 1
+      ) QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= {OOV_VOCAB_SIZE}
+    ),
+    base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    oov AS (
+      SELECT doc_id, count(*) AS n_oov
+      FROM toks WHERE tok NOT IN (SELECT tok FROM vocab)
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(n_oov, 0) * 10000 // n_tokens AS BIGINT) AS oov_x10k
+    FROM base b LEFT JOIN oov ON b.doc_id = oov.doc_id
+    """,
+    tags=("text", "quality", "vocabulary", "oov"),
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-1000 token vocabulary — the cheap LM-free proxy for perplexity
+    filtering (high OOV ≈ boilerplate/garbage/wrong-language), in exact
+    integer basis points so both engines agree bit-for-bit.
+
+    Scale: the vocabulary is a distributed top-k
+    (TakeOrderedAndProject over the token-count aggregate — never a
+    global row_number sort over the full vocab), then broadcast; the
+    per-doc OOV count is one anti-join + count on the already-exploded
+    token frame. Two shuffles total (token counts, per-doc counts),
+    both map-side combined.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("tok")
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_oov"))
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return base.join(oov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.expr("coalesce(n_oov, 0) * 10000 DIV n_tokens").alias("oov_x10k"),
+    )

@@ -124,3 +124,12 @@ def test_driver_window_priority_is_valid():
     assert len(set(_DRIVER_WINDOW_PRIORITY)) == 50
     assert set(_DRIVER_WINDOW_PRIORITY) <= REGISTRY.keys()
     assert list(REGISTRY)[:50] == _DRIVER_WINDOW_PRIORITY
+
+
+def test_pack_sequences_window_is_bucketed(spark):
+    """The packing prefix sum must stay distributed: the corpus-sized
+    window runs per-bucket (partitionBy), and single-partition
+    exchanges exist only for the tiny bounds/offsets frames."""
+    plan = plan_of(REGISTRY["doc_pack_sequences"].builder(spark, SF_SMOKE))
+    assert "windowspecdefinition(bucket" in plan
+    assert plan.count("Exchange SinglePartition") <= 3
