@@ -244,9 +244,12 @@ def media_from_documents(
     # any scale; at 100 TB the input is already many partitions and the
     # branch never fires.
     docs = docs.select("doc_id")
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    if not docs.isStreaming:
+        # (streaming inputs skip this: .rdd is illegal on a streaming
+        # DataFrame, and micro-batch parallelism is the source's concern)
+        target = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
