@@ -36,6 +36,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_chunk_text",
     "doc_pack_sequences",
     "doc_oov_rate",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
     "q2_min_cost_supplier",
     "media_resize_features",
     "media_image_features",
@@ -80,8 +82,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_contamination_screen",
     "doc_stratified_sample",
     # similarity / ANN surface (r03 evidence)
-    "emb_knn_cosine",
-    "emb_label_centroids",
     "emb_near_dup_cosine",
     "emb_lsh_bucketed_cosine_pairs",
     "emb_ann_lsh_topk",
@@ -109,7 +109,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # slot yielded to the brand-new q2_min_cost_supplier),
     # doc_winnow_fingerprints (fingerprint-family cousin
     # doc_simhash_dup_pairs stays in-window; slot yielded to the
-    # brand-new doc_oov_rate). All r04-green rows also sit
+    # brand-new doc_oov_rate), emb_label_centroids (centroid
+    # machinery cousins: trained-IVF r04-green, PQ codebooks now
+    # in-window; slot yielded to the brand-new emb_pq_codes),
+    # emb_knn_cosine (the exact-KNN frame is recomputed inside the
+    # r04-green emb_ann_ivf_trained_topk oracle; slot yielded to the
+    # brand-new emb_pq_adc_topk). All r04-green rows also sit
     # outside — their evidence is one round old.
 ]
 

@@ -621,3 +621,228 @@ def emb_ann_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one case where self-exclusion is correct.
         exclude_self=True,
     )
+
+
+# ---------------------------------------------- product quantization
+#
+# The 100 TB embedding-store compression step: 64-dim vectors → 8
+# one-byte codes (8 subvectors × 16-entry codebooks) + reconstruction
+# error. Codebooks are deterministic corpus rows (vec_id % 25 == 0,
+# 16 entries) so DuckDB reproduces the whole assignment; a production
+# trainer would k-means each subspace exactly like ivf_train and stay
+# outside the oracle surface. Distances are written as EXPLICIT
+# left-associated per-element sums so Spark and DuckDB execute the
+# identical IEEE double expression — argmin ties then break by code.
+PQ_M = 8  # subvectors
+PQ_SUB = DIM // PQ_M  # dims per subvector
+PQ_K = 16  # codes per subvector
+PQ_CODE_STRIDE = 25
+
+
+def _pq_dist_terms(s: int, elem: str) -> str:
+    """L2^2 of subvector ``s`` as an explicit left-assoc sum; ``elem``
+    formats one element access, e.g. 'element_at(e,{j})' or 'e[{j}]'."""
+    terms = []
+    for j in range(s * PQ_SUB + 1, (s + 1) * PQ_SUB + 1):
+        a = elem.format(col="e", j=j)
+        b = elem.format(col="ce", j=j)
+        terms.append(f"(({a})-({b}))*(({a})-({b}))")
+    return " + ".join(terms)
+
+
+@query(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cb AS (
+      SELECT vec_id // {PQ_CODE_STRIDE} AS code, e AS ce FROM v
+      WHERE vec_id % {PQ_CODE_STRIDE} = 0
+        AND vec_id < {PQ_CODE_STRIDE * PQ_K}
+    ),
+    dists AS (
+      SELECT vec_id, code,
+             {", ".join(f"({_pq_dist_terms(s, '{col}[{j}]')}) AS d{s}" for s in range(PQ_M))}
+      FROM v, cb
+    ),
+    mins AS (
+      SELECT vec_id,
+             {", ".join(f"min(struct_pack(d := d{s}, c := code)) AS m{s}" for s in range(PQ_M))}
+      FROM dists GROUP BY vec_id
+    )
+    SELECT vec_id,
+           concat_ws(',', {", ".join(f"CAST(m{s}.c AS VARCHAR)" for s in range(PQ_M))}) AS pq_codes,
+           CAST(floor(({" + ".join(f"m{s}.d" for s in range(PQ_M))}) * 1000000 + 0.5) AS BIGINT)
+             AS recon_err_x1e6
+    FROM mins
+    """,
+    tags=("similarity", "embedding", "quantization", "pq", "ann"),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus: each 64-dim vector
+    compressed to 8 four-bit codes (argmin subvector codebook entry,
+    ties to the lower code) plus the total reconstruction error — the
+    IVF-PQ storage layout that makes billion-vector ANN fit in memory
+    (codes are 4 bytes/vector vs 256 for float32).
+
+    Scale: the 16-row codebook broadcasts; assignment is one
+    broadcast cross join (n x 16 rows, never vector x vector) and ONE
+    shuffle (the per-vector argmin aggregate). Distance expressions
+    are explicit per-element arithmetic kept in whole-stage codegen —
+    and written in the same left-associated order as the oracle SQL,
+    so both engines produce bit-identical doubles.
+    """
+    v = _vectors(spark, sf_dir)
+    cb = v.filter(
+        (F.col("vec_id") % PQ_CODE_STRIDE == 0)
+        & (F.col("vec_id") < PQ_CODE_STRIDE * PQ_K)
+    ).select(
+        (F.col("vec_id") / PQ_CODE_STRIDE).cast("int").alias("code"),
+        F.col("e").alias("ce"),
+    )
+    pairs = v.crossJoin(F.broadcast(cb))
+    dists = pairs.select(
+        "vec_id",
+        "code",
+        *[
+            F.expr(_pq_dist_terms(s, "element_at({col},{j})")).alias(f"d{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    mins = dists.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("code").alias("c"))).alias(
+                f"m{s}"
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    codes = F.concat_ws(
+        ",", *[F.col(f"m{s}.c").cast("string") for s in range(PQ_M)]
+    )
+    err_expr = " + ".join(f"m{s}.d" for s in range(PQ_M))
+    return mins.select(
+        "vec_id",
+        codes.alias("pq_codes"),
+        F.expr(f"CAST(floor(({err_expr}) * 1000000 + 0.5) AS BIGINT)").alias(
+            "recon_err_x1e6"
+        ),
+    )
+
+
+def _pq_oracle_codes_cte() -> str:
+    """The code-assignment CTEs shared by the PQ oracles (v → cb →
+    dists → mins), verbatim from the emb_pq_codes oracle."""
+    return f"""
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cb AS (
+      SELECT vec_id // {PQ_CODE_STRIDE} AS code, e AS ce FROM v
+      WHERE vec_id % {PQ_CODE_STRIDE} = 0
+        AND vec_id < {PQ_CODE_STRIDE * PQ_K}
+    ),
+    dists AS (
+      SELECT vec_id, code,
+             {", ".join(f"({_pq_dist_terms(s, '{col}[{j}]')}) AS d{s}" for s in range(PQ_M))}
+      FROM v, cb
+    ),
+    mins AS (
+      SELECT vec_id,
+             {", ".join(f"min(struct_pack(d := d{s}, c := code)) AS m{s}" for s in range(PQ_M))}
+      FROM dists GROUP BY vec_id
+    )"""
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_oracle_codes_cte()},
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    lut AS (
+      SELECT code,
+             {", ".join(f"({_pq_dist_terms(s, '{col}[{j}]').replace('e[', 'qe[').replace('cqe[', 'ce[')}) AS q{s}" for s in range(PQ_M))}
+      FROM cb, q
+    )
+    SELECT m.vec_id,
+           CAST(floor(({" + ".join(f"l{s}.q{s}" for s in range(PQ_M))}) * 1000000 + 0.5)
+                AS BIGINT) AS adc_dist_x1e6
+    FROM mins m
+    {" ".join(f"JOIN lut l{s} ON l{s}.code = m.m{s}.c" for s in range(PQ_M))}
+    WHERE m.vec_id <> {QUERY_VEC_ID}
+    ORDER BY adc_dist_x1e6 ASC, m.vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity", "ann", "pq", "adc", "top-k"),
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus —
+    the FAISS IVF-PQ scan: the query vector is NOT quantized; each
+    corpus vector's approximate distance is the sum of 8 lookup-table
+    entries indexed by its codes, so scanning n vectors costs n x 8
+    table lookups instead of n x 64 float ops.
+
+    Scale: the LUT is PQ_K rows (computed once against the broadcast
+    query vector); the scan is the code frame joined to the broadcast
+    LUT per subvector — at 100 TB the code frame is the 4-byte-per-
+    vector index that replaces the raw embeddings, and the top-k plans
+    as TakeOrderedAndProject. Distances reuse the explicit
+    left-associated arithmetic, so the oracle reproduces every double
+    bit-for-bit.
+    """
+    v = _vectors(spark, sf_dir)
+    cb = v.filter(
+        (F.col("vec_id") % PQ_CODE_STRIDE == 0)
+        & (F.col("vec_id") < PQ_CODE_STRIDE * PQ_K)
+    ).select(
+        (F.col("vec_id") / PQ_CODE_STRIDE).cast("int").alias("code"),
+        F.col("e").alias("ce"),
+    )
+    pairs = v.crossJoin(F.broadcast(cb))
+    dists = pairs.select(
+        "vec_id",
+        "code",
+        *[
+            F.expr(_pq_dist_terms(s, "element_at({col},{j})")).alias(f"d{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    mins = dists.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("code").alias("c"))).alias(
+                f"m{s}"
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    lut = cb.crossJoin(F.broadcast(q)).select(
+        "code",
+        *[
+            F.expr(
+                _pq_dist_terms(s, "element_at({col},{j})")
+                .replace("element_at(e,", "element_at(qe,")
+            ).alias(f"q{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    scored = mins.filter(F.col("vec_id") != QUERY_VEC_ID)
+    for s in range(PQ_M):
+        ls = lut.select(
+            F.col("code").alias(f"code{s}"), F.col(f"q{s}")
+        )
+        scored = scored.join(
+            F.broadcast(ls), F.col(f"m{s}.c") == F.col(f"code{s}")
+        )
+    adc = " + ".join(f"q{s}" for s in range(PQ_M))
+    return (
+        scored.select(
+            "vec_id",
+            F.expr(
+                f"CAST(floor(({adc}) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("adc_dist_x1e6"),
+        )
+        .orderBy(F.asc("adc_dist_x1e6"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
