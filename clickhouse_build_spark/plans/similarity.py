@@ -817,15 +817,22 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
-    lut = cb.crossJoin(F.broadcast(q)).select(
-        "code",
-        *[
-            F.expr(
-                _pq_dist_terms(s, "element_at({col},{j})")
-                .replace("element_at(e,", "element_at(qe,")
-            ).alias(f"q{s}")
-            for s in range(PQ_M)
-        ],
+    # PERSISTED: eight per-subvector join branches read this 16-row
+    # frame; without the cache each branch re-derives codebook x query
+    # from the source scan (q15_top_supplier's multi-consumer pattern).
+    lut = (
+        cb.crossJoin(F.broadcast(q))
+        .select(
+            "code",
+            *[
+                F.expr(
+                    _pq_dist_terms(s, "element_at({col},{j})")
+                    .replace("element_at(e,", "element_at(qe,")
+                ).alias(f"q{s}")
+                for s in range(PQ_M)
+            ],
+        )
+        .persist()
     )
     scored = mins.filter(F.col("vec_id") != QUERY_VEC_ID)
     for s in range(PQ_M):
