@@ -58,7 +58,10 @@ def shared_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _MEDIA_CORPUS.get(key)
     if path is None:
+        import atexit
+
         path = tempfile.mkdtemp(prefix="chb_media_corpus_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         docs = load_tables(spark, sf_dir)["documents"]
         media = media_from_documents(docs, kinds=None, real_payloads=True)
         media.write.mode("overwrite").partitionBy("kind").parquet(path)
