@@ -154,6 +154,8 @@ _SIMHASH_CTE = """
 # only docs that collide in an LSH bucket, keepers is one (id, keeper)
 # row per doc — so persisting them is cheap at any scale; on a real
 # cluster the same call writes once under the warehouse instead.
+# Build/eviction discipline (locking, stale-session cleanup) lives in
+# plans/artifacts.py:session_artifact.
 
 _ARTIFACTS: dict[tuple[str, str, str], DataFrame] = {}
 
@@ -166,13 +168,13 @@ def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus's MinHash+LSH near-dup pair list (id_a, id_b,
     est_jaccard), built with the module constants and persisted once
     per (session, sf_dir)."""
-    key = _artifact_key(spark, sf_dir, "pairs")
-    pairs = _ARTIFACTS.get(key)
-    if pairs is None:
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> DataFrame:
         from pyspark import StorageLevel
 
         docs = load_tables(spark, sf_dir)["documents"]
-        pairs = minhash_lsh_pairs(
+        return minhash_lsh_pairs(
             docs,
             "doc_id",
             "text",
@@ -181,27 +183,29 @@ def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows_per_band=ROWS_PER_BAND,
             threshold=MINHASH_THRESHOLD,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _ARTIFACTS[key] = pairs
-    return pairs
+
+    return session_artifact(_ARTIFACTS, _artifact_key(spark, sf_dir, "pairs"), build)
 
 
 def shared_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keeper assignment (doc_id, keeper) from connected components
     over :func:`shared_minhash_pairs`, persisted once per (session,
     sf_dir)."""
-    key = _artifact_key(spark, sf_dir, "keepers")
-    keepers = _ARTIFACTS.get(key)
-    if keepers is None:
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> DataFrame:
         from pyspark import StorageLevel
 
         from clickhouse_build_spark.operators.dedup import dedup_keepers
 
         docs = load_tables(spark, sf_dir)["documents"]
-        keepers = dedup_keepers(
+        return dedup_keepers(
             shared_minhash_pairs(spark, sf_dir), docs.select("doc_id")
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _ARTIFACTS[key] = keepers
-    return keepers
+
+    return session_artifact(
+        _ARTIFACTS, _artifact_key(spark, sf_dir, "keepers"), build
+    )
 
 
 def shared_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,17 +213,19 @@ def shared_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once per (session, sf_dir) — at ingest in production, so
     both the signature query and the pair search read the same frame
     (one row of two longs per doc; persisting is cheap at any scale)."""
-    key = _artifact_key(spark, sf_dir, "simhash")
-    sig = _ARTIFACTS.get(key)
-    if sig is None:
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> DataFrame:
         from pyspark import StorageLevel
 
         docs = load_tables(spark, sf_dir)["documents"]
-        sig = simhash(docs, "doc_id", "text", bits=SIMHASH_BITS).persist(
+        return simhash(docs, "doc_id", "text", bits=SIMHASH_BITS).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        _ARTIFACTS[key] = sig
-    return sig
+
+    return session_artifact(
+        _ARTIFACTS, _artifact_key(spark, sf_dir, "simhash"), build
+    )
 
 
 def dedup_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -55,9 +55,9 @@ def shared_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sf-scaled media corpus at rest: encoded PNG/WAV/Y4M payloads
     written once per (session, sf_dir) as kind-partitioned parquet,
     then served from disk to every media query."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _MEDIA_CORPUS.get(key)
-    if path is None:
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> str:
         import atexit
 
         path = tempfile.mkdtemp(prefix="chb_media_corpus_")
@@ -65,7 +65,17 @@ def shared_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_tables(spark, sf_dir)["documents"]
         media = media_from_documents(docs, kinds=None, real_payloads=True)
         media.write.mode("overwrite").partitionBy("kind").parquet(path)
-        _MEDIA_CORPUS[key] = path
+        return path
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = session_artifact(
+        _MEDIA_CORPUS,
+        key,
+        build,
+        # a stale session's corpus dir is plain disk — reclaim it now
+        # instead of waiting for the atexit sweep
+        evict=lambda p: shutil.rmtree(p, ignore_errors=True),
+    )
     return spark.read.parquet(path)
 
 

@@ -181,16 +181,17 @@ _IVF_INDEX: dict[tuple[str, str, int, int], DataFrame] = {}
 def shared_ivf_centroids(
     spark: SparkSession, sf_dir: str, k: int, iters: int
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, k, iters)
-    cent = _IVF_INDEX.get(key)
-    if cent is None:
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> DataFrame:
         from pyspark import StorageLevel
 
-        cent = ivf_train(_vectors(spark, sf_dir), k=k, iters=iters).persist(
+        return ivf_train(_vectors(spark, sf_dir), k=k, iters=iters).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        _IVF_INDEX[key] = cent
-    return cent
+
+    key = (spark.sparkContext.applicationId, sf_dir, k, iters)
+    return session_artifact(_IVF_INDEX, key, build)
 
 
 @query(
@@ -639,13 +640,15 @@ PQ_K = 16  # codes per subvector
 PQ_CODE_STRIDE = 25
 
 
-def _pq_dist_terms(s: int, elem: str) -> str:
+def _pq_dist_terms(s: int, elem: str, a_col: str = "e", b_col: str = "ce") -> str:
     """L2^2 of subvector ``s`` as an explicit left-assoc sum; ``elem``
-    formats one element access, e.g. 'element_at(e,{j})' or 'e[{j}]'."""
+    formats one element access, e.g. 'element_at({col},{j})' or
+    '{col}[{j}]'; ``a_col``/``b_col`` name the two vector columns (the
+    LUT builders pass a_col='qe')."""
     terms = []
     for j in range(s * PQ_SUB + 1, (s + 1) * PQ_SUB + 1):
-        a = elem.format(col="e", j=j)
-        b = elem.format(col="ce", j=j)
+        a = elem.format(col=a_col, j=j)
+        b = elem.format(col=b_col, j=j)
         terms.append(f"(({a})-({b}))*(({a})-({b}))")
     return " + ".join(terms)
 
@@ -762,7 +765,7 @@ def _pq_oracle_codes_cte() -> str:
     q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
     lut AS (
       SELECT code,
-             {", ".join(f"({_pq_dist_terms(s, '{col}[{j}]').replace('e[', 'qe[').replace('cqe[', 'ce[')}) AS q{s}" for s in range(PQ_M))}
+             {", ".join(f"({_pq_dist_terms(s, '{col}[{j}]', a_col='qe')}) AS q{s}" for s in range(PQ_M))}
       FROM cb, q
     )
     SELECT m.vec_id,
@@ -817,22 +820,31 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
-    # PERSISTED: eight per-subvector join branches read this 16-row
-    # frame; without the cache each branch re-derives codebook x query
-    # from the source scan (q15_top_supplier's multi-consumer pattern).
-    lut = (
+    # MATERIALIZED to the driver: eight per-subvector join branches read
+    # this frame; a persist() would leak a cached frame per invocation
+    # (ADVICE r05), and without either, each branch re-derives
+    # codebook x query from the source scan. The LUT is PQ_K rows by
+    # construction (16 here) — collecting it is a bounded scalar-sized
+    # action at ANY corpus size, and the literal frame broadcasts into
+    # all eight joins with zero recompute and nothing to unpersist.
+    # Doubles round-trip collect() bit-exactly (Python floats ARE IEEE
+    # doubles), so oracle hashes are unaffected.
+    lut_rows = (
         cb.crossJoin(F.broadcast(q))
         .select(
             "code",
             *[
                 F.expr(
-                    _pq_dist_terms(s, "element_at({col},{j})")
-                    .replace("element_at(e,", "element_at(qe,")
+                    _pq_dist_terms(s, "element_at({col},{j})", a_col="qe")
                 ).alias(f"q{s}")
                 for s in range(PQ_M)
             ],
         )
-        .persist()
+        .collect()
+    )
+    lut = spark.createDataFrame(
+        lut_rows,
+        "code int, " + ", ".join(f"q{s} double" for s in range(PQ_M)),
     )
     scored = mins.filter(F.col("vec_id") != QUERY_VEC_ID)
     for s in range(PQ_M):

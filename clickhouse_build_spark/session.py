@@ -44,8 +44,10 @@ _ENGINE_CONF = {
     # parquet writers buffering ~128 MB row groups of binary media
     # columns) need real headroom (found by the sf1 rehearsal). On a
     # cluster spark-submit's --driver-memory/--executor-memory override
-    # this; it only binds when this factory launches the JVM.
-    "spark.driver.memory": "16g",
+    # this; it only binds when this factory launches the JVM. Hosts with
+    # less physical RAM override via SPARK_GRAFT_DRIVER_MEM (ADVICE r05)
+    # rather than swapping under a hard-coded 16g request.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # Embedded Derby (the live-JDBC tests' database) writes its error
     # log to $derby.system.home/derby.log — default CWD, i.e. a turd at
     # the repo root. Point it at the JVM temp dir instead.

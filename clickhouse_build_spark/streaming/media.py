@@ -6,12 +6,15 @@ corpus once and lands it as kind-partitioned parquet. This module is
 the same ingest as a stream: a file-source of document rows drives the
 payload-encode kernel (``operators/multimodal.py:media_from_documents``
 — the seam where production reads object-store bytes), and
-``foreachBatch`` appends each micro-batch to the SAME kind-partitioned
-parquet layout the batch writer uses. Checkpointing makes the append
-exactly-once per input file; downstream feature queries
-(``extract_image_features`` etc.) read the growing corpus identically
-either way — the Kappa rule the events and document pipelines already
-follow.
+``foreachBatch`` lands each micro-batch under a deterministic
+epoch-keyed subdirectory of the same kind-partitioned layout,
+OVERWRITING on replay — checkpoint + idempotent sink is what upgrades
+foreachBatch's at-least-once delivery to exactly-once (a blind append
+would duplicate rows if the job died between sink write and checkpoint
+commit). Downstream feature queries (``extract_image_features`` etc.)
+read the growing corpus identically either way (via
+:func:`read_media_corpus`) — the Kappa rule the events and document
+pipelines already follow.
 
 100 TB notes: payload bytes exist only inside the micro-batch (bounded
 by the source's ``maxFilesPerTrigger`` × the kernel's 256-row Arrow
@@ -52,21 +55,46 @@ def stream_media_ingest(
 ):
     """Drain every staged-but-unprocessed document file into the
     at-rest media corpus: encode real container bytes per micro-batch,
-    append kind-partitioned parquet, exactly once per input file.
+    land kind-partitioned parquet, exactly once per input file.
+
+    Exactly-once mechanics (ADVICE r05): ``foreachBatch`` is inherently
+    at-least-once — a failure between the sink write and the checkpoint
+    commit replays the micro-batch — so a blind ``append`` would
+    duplicate rows on retry. Each micro-batch therefore OVERWRITES its
+    own deterministic ``ingest_batch=<epoch>`` subdirectory: a replayed
+    epoch rewrites the same path and the corpus converges to one copy
+    per input row (overwrite idempotence, the same trick Spark's own
+    exactly-once file sink uses via its output commit log). Read the
+    corpus back through :func:`read_media_corpus`, which hides the
+    bookkeeping partition column.
 
     Returns the terminated query (``availableNow`` trigger — bounded
     catch-up, same shape as ``pipeline.stream_ingest``)."""
     docs = read_doc_id_stream(spark, stage_dir, max_files_per_trigger)
     media = media_from_documents(docs, kinds=None, real_payloads=True)
 
-    def append_batch(batch: DataFrame, _batch_id: int) -> None:
-        batch.write.mode("append").partitionBy("kind").parquet(corpus_dir)
+    def land_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").partitionBy("kind").parquet(
+            f"{corpus_dir}/ingest_batch={batch_id}"
+        )
 
     q = (
-        media.writeStream.foreachBatch(append_batch)
+        media.writeStream.foreachBatch(land_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return q
+
+
+def read_media_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """Read a streamed-in media corpus back in the batch corpus's
+    schema: partition discovery yields ``ingest_batch`` (the epoch
+    bookkeeping) and ``kind``; consumers see only the media columns +
+    kind, so batch and streamed corpora are interchangeable. Kind
+    filters still prune partitions — kind is the second directory
+    level, and pruning composes across levels."""
+    return spark.read.parquet(corpus_dir).select(
+        "media_id", "kind", "payload", "meta"
+    )

@@ -1,7 +1,10 @@
 """Streaming media ingest e2e: staged document-id files → encode
-kernel per micro-batch → exactly-once append into the kind-partitioned
+kernel per micro-batch → exactly-once landing into the kind-partitioned
 at-rest corpus → features over the ingested corpus match the batch
-path bit-for-bit."""
+path bit-for-bit. Exactly-once is checkpoint + IDEMPOTENT epoch-keyed
+overwrite (a replayed micro-batch rewrites its own subdir), so a
+mid-batch failure retry cannot duplicate rows — asserted below by
+replaying a committed epoch's write by hand."""
 
 from __future__ import annotations
 
@@ -12,7 +15,10 @@ from clickhouse_build_spark.operators.multimodal import (
     extract_image_features,
     media_from_documents,
 )
-from clickhouse_build_spark.streaming.media import stream_media_ingest
+from clickhouse_build_spark.streaming.media import (
+    read_media_corpus,
+    stream_media_ingest,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -38,7 +44,7 @@ def test_stream_media_ingest_e2e(spark, tmp_path):
     n = _stage_ids(spark, SF, stage, n_chunks=3)
 
     stream_media_ingest(spark, stage, corpus, ckpt, max_files_per_trigger=1)
-    at_rest = spark.read.parquet(corpus)
+    at_rest = read_media_corpus(spark, corpus)
 
     # every staged doc became exactly one media row, kinds partitioned
     assert at_rest.count() == n
@@ -65,9 +71,27 @@ def test_stream_media_ingest_e2e(spark, tmp_path):
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
 
-    # exactly-once: re-running the drained stream appends nothing
+    # exactly-once (clean restart): re-running the drained stream adds nothing
     stream_media_ingest(spark, stage, corpus, ckpt, max_files_per_trigger=1)
-    assert spark.read.parquet(corpus).count() == n
+    assert read_media_corpus(spark, corpus).count() == n
+
+    # exactly-once (mid-batch failure retry): a replay of an ALREADY
+    # COMMITTED epoch — the case a blind append would double — must
+    # converge, because the sink overwrites its own epoch subdir.
+    # Simulate by re-executing epoch 0's landing write by hand (rows
+    # pulled to the driver first — Spark refuses a self-overwrite of a
+    # path it is lazily reading; a real replay recomputes from source).
+    epoch0 = spark.read.parquet(corpus + "/ingest_batch=0")
+    replay = spark.createDataFrame(epoch0.collect(), epoch0.schema)
+    rows0 = replay.count()
+    assert rows0 > 0
+    (
+        replay.write.mode("overwrite")
+        .partitionBy("kind")
+        .parquet(corpus + "/ingest_batch=0")
+    )
+    assert read_media_corpus(spark, corpus).count() == n
+    assert spark.read.parquet(corpus + "/ingest_batch=0").count() == rows0
 
     # late-arriving manifest file → only the delta is ingested
     mx = load_tables(spark, SF)["documents"].agg(F.max("doc_id")).first()[0]
@@ -75,4 +99,4 @@ def test_stream_media_ingest_e2e(spark, tmp_path):
         F.col("id").alias("doc_id")
     ).coalesce(1).write.mode("append").parquet(stage + "/__chunk=99")
     stream_media_ingest(spark, stage, corpus, ckpt, max_files_per_trigger=1)
-    assert spark.read.parquet(corpus).count() == n + 3
+    assert read_media_corpus(spark, corpus).count() == n + 3
