@@ -2,14 +2,16 @@
 columns with typed metadata (driver-mandated extension surface — the
 reference has no media path at all).
 
-As of round 5 the decode step is REAL for the three shipped container
-formats: payloads are genuine PNG (8-bit grayscale, zlib-deflated),
+The decode step is REAL for the four shipped container formats:
+payloads are genuine PNG (8-bit grayscale, zlib-deflated), baseline
+JPEG (huffman + DCT + quantization, pure numpy — ``operators/jpeg.py``),
 WAV (8-bit PCM mono) and Y4M (Cmono) byte streams, and the kernels'
 ``fake=False`` paths parse those containers and compute features from
-the decoded pixel/sample arrays (see ``operators/codecs.py``). The
-remaining production seam is *compressed* codecs — JPEG/H.264/AAC need
-native libraries this container does not ship, and
-:func:`decode_media_real` raises for those formats explicitly.
+the decoded pixel/sample arrays (``operators/codecs.py``,
+``operators/jpeg.py``). The remaining production seam is compressed
+VIDEO/AUDIO codecs — H.264/AAC need native libraries this container
+does not ship, and :func:`decode_media_real` raises for those formats
+explicitly.
 
 Oracle design: the corpus writer seeds decoded CONTENT from md5 — an
 image's pixel plane is ``md5('media:'||id)`` tiled, an audio window's
@@ -48,6 +50,11 @@ from clickhouse_build_spark.operators.codecs import (
     encode_png_gray,
     encode_wav_pcm8,
     encode_y4m_mono,
+)
+from clickhouse_build_spark.operators.jpeg import (
+    FLAT_QTABLE,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
 )
 
 # ------------------------------------------------------------------ schema
@@ -128,10 +135,18 @@ def _payload_digest(payload: bytes) -> str:
 
 def _media_geometry(i: int) -> tuple[str, dict]:
     """(kind, meta) for media row ``i`` — pure doc_id arithmetic, shared
-    by every corpus writer so oracles can re-derive it in SQL."""
+    by every corpus writer so oracles can re-derive it in SQL.
+
+    Image rows alternate container format: even image ordinals are PNG,
+    odd ones (``i % 6 == 3``) are baseline JPEG — a realistic mixed-
+    format corpus that forces every image consumer through the format
+    dispatch instead of assuming one codec."""
     kind = _KIND_NAMES[i % 3]
+    fmt = {"image": "png", "audio": "wav", "video": "y4m"}[kind]
+    if kind == "image" and i % 6 == 3:
+        fmt = "jpeg"
     meta = {
-        "format": {"image": "png", "audio": "wav", "video": "y4m"}[kind],
+        "format": fmt,
         "width": 64 + (i % 4) * 32 if kind != "audio" else None,
         "height": 48 + (i % 3) * 16 if kind != "audio" else None,
         "duration_ms": 1000 * (1 + i % 5) if kind != "image" else None,
@@ -157,6 +172,19 @@ def _real_payload(i: int) -> bytes:
     dhex = digest.hex()
     if kind == "image":
         w, h = meta["width"], meta["height"]
+        if meta["format"] == "jpeg":
+            # 8×8-CONSTANT md5-seeded tiles under the flat quantization
+            # table: the one content shape whose lossy-codec round-trip
+            # is bit-exact (operators/jpeg.py module docstring), which
+            # is what keeps decoded-jpeg features SQL-oracle-checkable.
+            bpr, brows = w // 8, h // 8
+            idx = (
+                np.arange(brows)[:, None] * bpr + np.arange(bpr)[None, :]
+            ) % 16
+            vals = np.frombuffer(digest, np.uint8)[idx]
+            return encode_jpeg_gray(
+                np.kron(vals, np.ones((8, 8), np.uint8)), FLAT_QTABLE
+            )
         pixels = _tile16(digest, w * h).reshape(h, w)
         return encode_png_gray(pixels)
     if kind == "audio":
@@ -186,7 +214,11 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
     for i in range(n):
         kind, meta = _media_geometry(i)
         size = {"image": 4096, "audio": 8192, "video": 16384}[kind]
-        meta = {**meta, "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind]}
+        # video advertises the compressed format the real corpus can't
+        # ship (exercising the codec seam); images keep their png/jpeg
+        # geometry so the fake feature paths mirror the real ones
+        if kind == "video":
+            meta = {**meta, "format": "mp4"}
         rows.append((i, kind, _det_bytes(f"media:{i}", size), meta))
     # Few partitions for a tiny corpus: a mapInPandas stage pays one
     # Python-worker spin-up per partition, so defaulting to the session
@@ -281,15 +313,21 @@ def decode_media_real(payload: bytes, fmt: str):
     """The REAL decode dispatch.
 
     - ``png`` → 2-D uint8 pixel array
+    - ``jpeg`` → 2-D uint8 pixel array (pure-python baseline decoder,
+      operators/jpeg.py — huffman + dequant + IDCT, no native libs)
     - ``wav`` → (sample_rate, 1-D uint8 samples)
     - ``y4m`` → (width, height, frame_interval_ms, [2-D uint8 frames])
 
-    Compressed formats (jpeg/mp4/h264/aac/...) raise — decoding those
-    needs native codec libraries this container does not ship; this is
-    the marked production seam where PIL/pyav/torchaudio plug in.
+    Compressed VIDEO/AUDIO formats (mp4/h264/aac/...) raise — decoding
+    those needs native codec libraries this container does not ship;
+    this is the marked production seam where pyav/torchaudio plug in.
+    Images are fully covered: png (operators/codecs.py) and baseline
+    jpeg (operators/jpeg.py) both decode for real.
     """
     if fmt == "png":
         return decode_png_gray(payload)
+    if fmt == "jpeg":
+        return decode_jpeg_gray(payload)
     if fmt == "wav":
         return decode_wav_pcm8(payload)
     if fmt == "y4m":
@@ -297,8 +335,9 @@ def decode_media_real(payload: bytes, fmt: str):
         return w, h, 1000 * fps_den // fps_num, frames
     raise NotImplementedError(
         f"no native codec for {fmt!r} in this environment — compressed "
-        "formats are a production seam (PIL/pyav); uncompressed "
-        "png/wav/y4m decode IS implemented (operators/codecs.py)"
+        "video/audio formats are a production seam (pyav/torchaudio); "
+        "png, baseline jpeg, wav and y4m decode IS implemented "
+        "(operators/codecs.py, operators/jpeg.py)"
     )
 
 
@@ -327,35 +366,57 @@ def _block_fp(pixels: np.ndarray, nbytes: int, nhex: int) -> int:
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Image → feature rows via Arrow-batched ``mapInPandas``.
 
-    ``fake=False`` (default) DECODES the PNG payload and measures the
-    pixel array: width/height from IHDR, ``mean_luma`` = true mean of
+    ``fake=False`` (default) DECODES the payload — PNG or baseline JPEG,
+    dispatched on ``meta.format`` — and measures the pixel array:
+    width/height from the container header, ``mean_luma`` = true mean of
     the luma plane, ``phash`` = leading-16-pixel block fingerprint.
-    ``fake=True`` derives the same features from the payload digest
-    without decoding (legacy chain/tiled corpora).
+    ``fake=True`` derives the same features from the payload digest +
+    metadata without decoding (legacy chain/tiled corpora), mirroring
+    each format's content geometry.
 
     Plumbing under test either way: kind pruning *before* the Python
     stage, binary round-trip through Arrow, stable output schema,
     payload dropped on output (features only cross the next shuffle).
     """
 
-    def real_row(p: bytes) -> tuple[int, int, float, int]:
-        pix = decode_png_gray(bytes(p))
+    def real_row(p: bytes, fmt: str) -> tuple[int, int, float, int]:
+        pix = (
+            decode_jpeg_gray(bytes(p))
+            if fmt == "jpeg"
+            else decode_png_gray(bytes(p))
+        )
         h, w = pix.shape
         # int sums keep the mean exact: total < 2^53 for any sane image
         mean = int(pix.sum(dtype=np.int64)) / pix.size
         return w, h, mean, _block_fp(pix, 16, 15)
 
+    def fake_row(p: bytes, m: dict) -> tuple[float, int]:
+        if m["format"] == "jpeg":
+            # block-constant geometry: nb 8×8 tiles cycling the digest
+            d = bytes.fromhex(_payload_digest(p))
+            nb = (m["width"] // 8) * (m["height"] // 8)
+            s = sum(d[b % 16] for b in range(nb))
+            # same division operands as the real path's sum/size
+            return (64 * s) / (64 * nb), int((d[0:1].hex() * 8)[:15], 16)
+        return _fake_luma(p), _fake_phash(p)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fake:
+                faked = [
+                    fake_row(p, m) for p, m in zip(pdf["payload"], pdf["meta"])
+                ]
                 cols = {
                     "width": pdf["meta"].map(lambda m: m["width"]),
                     "height": pdf["meta"].map(lambda m: m["height"]),
-                    "mean_luma": pdf["payload"].map(_fake_luma),
-                    "phash": pdf["payload"].map(_fake_phash),
+                    "mean_luma": [d[0] for d in faked],
+                    "phash": [d[1] for d in faked],
                 }
             else:
-                decoded = [real_row(p) for p in pdf["payload"]]
+                decoded = [
+                    real_row(p, m["format"])
+                    for p, m in zip(pdf["payload"], pdf["meta"])
+                ]
                 cols = {
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
@@ -375,16 +436,24 @@ def resize_images(
     """Image resize: payload → new payload + updated meta, same schema
     in and out (a transform stage, chainable).
 
-    ``fake=False`` (default) is a REAL resize: decode PNG →
-    nearest-neighbour resample to (width, height) → re-encode PNG.
+    ``fake=False`` (default) is a REAL resize: decode (PNG or baseline
+    JPEG, dispatched on ``meta.format``) → nearest-neighbour resample to
+    (width, height) → re-encode PNG. The output container is ALWAYS
+    PNG — the transform doubles as the corpus's format-normalization
+    (transcode) step, so a mixed png/jpeg corpus leaves this stage
+    uniform, and ``meta.format`` is rewritten accordingly.
     ``fake=True`` re-derives a deterministic placeholder payload keyed
     by (payload digest, target size) — seeded from ``_payload_digest``
     for consistency with the digest scheme (this path is outside the
     oracle-checked surface; it exists for chain-payload fixtures).
     """
 
-    def real_resize(p: bytes) -> bytes:
-        pix = decode_png_gray(bytes(p))
+    def real_resize(p: bytes, fmt: str) -> bytes:
+        pix = (
+            decode_jpeg_gray(bytes(p))
+            if fmt == "jpeg"
+            else decode_png_gray(bytes(p))
+        )
         h, w = pix.shape
         rows = (np.arange(height) * h) // height
         cols = (np.arange(width) * w) // width
@@ -400,11 +469,22 @@ def resize_images(
                         width * height // 4,
                     )
                 )
+                out["meta"] = pdf["meta"].map(
+                    lambda m: {**m, "width": width, "height": height}
+                )
             else:
-                out["payload"] = pdf["payload"].map(real_resize)
-            out["meta"] = pdf["meta"].map(
-                lambda m: {**m, "width": width, "height": height}
-            )
+                out["payload"] = [
+                    real_resize(p, m["format"])
+                    for p, m in zip(pdf["payload"], pdf["meta"])
+                ]
+                out["meta"] = pdf["meta"].map(
+                    lambda m: {
+                        **m,
+                        "format": "png",
+                        "width": width,
+                        "height": height,
+                    }
+                )
             yield out
 
     images = media.filter(F.col("kind") == "image")

@@ -90,12 +90,16 @@ def _media_kind(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     return shared_media_corpus(spark, sf_dir).filter(F.col("kind") == kind)
 
 # DuckDB twin of the media derivation in media_from_documents: digest,
-# kind and metadata are pure functions of doc_id.
+# kind and metadata are pure functions of doc_id. Image rows with
+# media_id % 6 = 3 are baseline JPEG (8×8-constant md5 tiles); the rest
+# of kind_idx 0 is PNG (16-byte md5 row tiling).
 _MEDIA_CTE = """
     media AS (
         SELECT doc_id AS media_id,
                doc_id % 3 AS kind_idx,
                md5('media:' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(64 + (doc_id % 4) * 32 AS INTEGER) AS width,
+               CAST(48 + (doc_id % 3) * 16 AS INTEGER) AS height,
                CAST(1000 * (1 + doc_id % 5) AS INTEGER) AS duration_ms
         FROM documents
     )
@@ -117,23 +121,46 @@ _SUMSQ = " + ".join(
 @query(
     "media_image_features",
     oracle=f"""
-    WITH {_MEDIA_CTE}
-    SELECT media_id,
-           CAST(64 + (media_id % 4) * 32 AS INTEGER) AS width,
-           CAST(48 + (media_id % 3) * 16 AS INTEGER) AS height,
-           ({_LUMA_SUM}) / 16.0 AS mean_luma,
-           ('0x' || substr(h, 1, 15))::BIGINT AS phash
-    FROM media WHERE kind_idx = 0
+    WITH {_MEDIA_CTE},
+    png AS (
+      SELECT media_id, width, height,
+             ({_LUMA_SUM}) / 16.0 AS mean_luma,
+             ('0x' || substr(h, 1, 15))::BIGINT AS phash
+      FROM media WHERE kind_idx = 0 AND media_id % 6 <> 3
+    ),
+    jm AS (
+      SELECT m.media_id,
+             CAST(sum(('0x' || substr(m.h,
+                  2 * CAST(b.b % 16 AS INTEGER) + 1, 2))::BIGINT)
+               AS BIGINT) AS s,
+             count(*) AS nb
+      FROM media m,
+           UNNEST(range(0, CAST((m.width // 8) * (m.height // 8) AS BIGINT)))
+             AS b(b)
+      WHERE m.kind_idx = 0 AND m.media_id % 6 = 3
+      GROUP BY 1
+    ),
+    jpeg AS (
+      SELECT m.media_id, m.width, m.height,
+             (jm.s * 64) / (jm.nb * 64.0) AS mean_luma,
+             ('0x' || substr(repeat(substr(m.h, 1, 2), 8), 1, 15))::BIGINT
+               AS phash
+      FROM media m JOIN jm ON m.media_id = jm.media_id
+    )
+    SELECT * FROM png UNION ALL SELECT * FROM jpeg
     """,
-    tags=("multimodal", "mapInPandas"),
+    tags=("multimodal", "mapInPandas", "jpeg"),
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image feature extraction over REAL PNG bytes: encode the
-    sf-scaled corpus, decode each payload (zlib inflate + unfilter),
-    and measure the pixel plane — (width, height, mean_luma, phash) —
-    via Arrow-batched mapInPandas. The image mean is the true mean of
-    the decoded luma plane; the oracle reproduces it because the
-    corpus tiles md5 bytes into the pixels. Payloads come from the
+    """Image feature extraction over REAL mixed-format container bytes:
+    the corpus alternates PNG (zlib inflate + unfilter) and baseline
+    JPEG (huffman + dequant + IDCT, operators/jpeg.py) images; the
+    kernel dispatches decode on ``meta.format`` and measures the pixel
+    plane — (width, height, mean_luma, phash) — via Arrow-batched
+    mapInPandas. Means are true means of the decoded luma planes; the
+    oracle reproduces both branches because PNG pixels tile the md5
+    digest row-wise while JPEG pixels are 8×8-constant digest tiles
+    whose flat-table round-trip is bit-exact. Payloads come from the
     at-rest corpus (:func:`shared_media_corpus`): a kind-pruned
     parquet scan of real container bytes, not a fresh encode."""
     media = _media_kind(spark, sf_dir, "image")
@@ -191,25 +218,105 @@ def _resized_phash_sql() -> str:
            CAST({RESIZE_H} AS INTEGER) AS height,
            {_resized_mean_sql()} AS mean_luma,
            {_resized_phash_sql()} AS phash
-    FROM media WHERE kind_idx = 0
+    FROM media WHERE kind_idx = 0 AND media_id % 6 <> 3
     """,
     tags=("multimodal", "transform-chain", "mapInPandas"),
 )
 def media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full REAL image transform chain, every hop through actual
-    container bytes: encode corpus PNG → decode → nearest-neighbour
-    resample to 32×24 → re-encode PNG → decode again → measure the
-    resized pixel plane. The oracle recomputes the resized mean and
-    fingerprint from the tiling geometry (CASE over the four source
-    widths), so the driver hash-verifies that the resample moved the
-    pixels it claims to move — a chained-transform guarantee no
-    single-stage query gives.
+    container bytes: corpus PNG → decode → nearest-neighbour resample
+    to 32×24 → re-encode PNG → decode again → measure the resized
+    pixel plane (the corpus's JPEG images run the same chain in
+    ``media_jpeg_transcode``). The oracle recomputes the resized mean
+    and fingerprint from the tiling geometry (CASE over the four
+    source widths), so the driver hash-verifies that the resample
+    moved the pixels it claims to move — a chained-transform guarantee
+    no single-stage query gives.
 
     Scale: two Arrow-batched mapInPandas stages back-to-back with no
     shuffle between them (partition pruning to the image kind before
     the first); payloads shrink 4-25x at the resize hop, and only
     scalar features leave the second stage."""
-    media = _media_kind(spark, sf_dir, "image")
+    media = _media_kind(spark, sf_dir, "image").filter(
+        F.col("meta.format") == "png"
+    )
+    resized = resize_images(media, RESIZE_W, RESIZE_H, fake=False)
+    return extract_image_features(resized, fake=False).orderBy("media_id")
+
+
+def _jpeg_resized_phash_sql() -> str:
+    """First-16-resized-pixel fingerprint of a transcoded JPEG image:
+    resized pixel (0, c2) comes from source block column
+    ((c2·W_src)//32)//8, whose constant value is digest byte
+    (block % 16) — CASE over the source widths (jpeg media_ids are odd
+    multiples of 3, so only widths 96 and 160 occur; all four cased for
+    symmetry with the png helper)."""
+    cases = []
+    for k in range(4):
+        w_src = 64 + k * 32
+        positions = [
+            (((c2 * w_src) // RESIZE_W) // 8) % 16 for c2 in range(16)
+        ]
+        hexcat = " || ".join(f"substr(h, {2 * p + 1}, 2)" for p in positions)
+        cases.append(
+            f"WHEN media_id % 4 = {k} THEN "
+            f"('0x' || substr({hexcat}, 1, 15))::BIGINT"
+        )
+    return "CASE " + " ".join(cases) + " END"
+
+
+@query(
+    "media_jpeg_transcode",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    j AS (
+      SELECT media_id, h, width, height FROM media
+      WHERE kind_idx = 0 AND media_id % 6 = 3
+    ),
+    grid AS (
+      SELECT j.media_id, j.h,
+             ((r.r2 * j.height) // {RESIZE_H}) // 8 AS br,
+             ((c.c2 * j.width) // {RESIZE_W}) // 8 AS bc,
+             j.width // 8 AS bpr
+      FROM j,
+           UNNEST(range(0, {RESIZE_H})) AS r(r2),
+           UNNEST(range(0, {RESIZE_W})) AS c(c2)
+    ),
+    jm AS (
+      SELECT media_id,
+             CAST(sum(('0x' || substr(h,
+                  2 * CAST((br * bpr + bc) % 16 AS INTEGER) + 1,
+                  2))::BIGINT) AS BIGINT) AS s
+      FROM grid GROUP BY 1
+    )
+    SELECT j.media_id,
+           CAST({RESIZE_W} AS INTEGER) AS width,
+           CAST({RESIZE_H} AS INTEGER) AS height,
+           jm.s / {RESIZE_W * RESIZE_H}.0 AS mean_luma,
+           {_jpeg_resized_phash_sql()} AS phash
+    FROM j JOIN jm USING (media_id)
+    """,
+    tags=("multimodal", "jpeg", "transcode", "transform-chain"),
+)
+def media_jpeg_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG → PNG transcode chain over real compressed bytes: decode
+    the corpus's baseline-JPEG images (huffman + dequant + IDCT),
+    nearest-neighbour resample to 32×24, re-encode as PNG (the
+    format-normalization step every mixed-format ingest runs), decode
+    the PNG again and measure — so a green hash row proves the JPEG
+    entropy decoder, the resampler and the PNG round-trip agree on
+    every moved pixel. The oracle recomputes the resized mean from the
+    8×8-block tiling geometry (a 32×24 UNNEST grid over source block
+    coordinates) and the fingerprint from the block columns under each
+    source width.
+
+    Scale: identical plan shape to ``media_resize_features`` — a
+    format-pruned scan of the at-rest corpus into two back-to-back
+    Arrow stages, no shuffle until the final order; payloads shrink at
+    the resize hop and only scalar features leave the second stage."""
+    media = _media_kind(spark, sf_dir, "image").filter(
+        F.col("meta.format") == "jpeg"
+    )
     resized = resize_images(media, RESIZE_W, RESIZE_H, fake=False)
     return extract_image_features(resized, fake=False).orderBy("media_id")
 

@@ -130,7 +130,15 @@ def test_corpus_payloads_are_real_containers():
         kind, meta = _media_geometry(i)
         p = _real_payload(i)
         digest = hashlib.md5(f"media:{i}".encode()).digest()
-        if kind == "image":
+        if kind == "image" and meta["format"] == "jpeg":
+            from clickhouse_build_spark.operators.jpeg import decode_jpeg_gray
+
+            pix = decode_jpeg_gray(p)
+            assert pix.shape == (meta["height"], meta["width"])
+            # 8×8-constant tiles cycling the digest, exact round-trip
+            assert (pix[:8, :8] == digest[0]).all()
+            assert (pix[:8, 8:16] == digest[1]).all()
+        elif kind == "image":
             pix = decode_png_gray(p)
             assert pix.shape == (meta["height"], meta["width"])
             assert bytes(pix.reshape(-1)[:16]) == digest

@@ -218,9 +218,16 @@ def test_media_corpus_at_rest_partition_prunes(spark):
         # write-once: the second call serves the cached path
         df2 = shared_media_corpus(spark, "/root/testdata/sf0.001")
         assert df1.inputFiles() == df2.inputFiles()
-        # at-rest roundtrip preserves the payload bytes: container
-        # signature survives parquet
-        head = images.select("payload").first()["payload"]
-        assert bytes(head[:8]) == b"\x89PNG\r\n\x1a\n"
+        # at-rest roundtrip preserves the payload bytes: both image
+        # container signatures survive parquet (the corpus mixes
+        # png and baseline jpeg)
+        png_head = images.filter(F.col("meta.format") == "png").select(
+            "payload"
+        ).first()["payload"]
+        assert bytes(png_head[:8]) == b"\x89PNG\r\n\x1a\n"
+        jpg_head = images.filter(F.col("meta.format") == "jpeg").select(
+            "payload"
+        ).first()["payload"]
+        assert bytes(jpg_head[:2]) == b"\xff\xd8"
     finally:
         drop_media_corpus(spark)

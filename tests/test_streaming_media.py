@@ -52,11 +52,16 @@ def test_stream_media_ingest_e2e(spark, tmp_path):
         r["kind"] for r in at_rest.select("kind").distinct().collect()
     ) == ["audio", "image", "video"]
 
-    # ingested payloads are REAL containers (PNG signature survives)
-    head = (
-        at_rest.filter(F.col("kind") == "image").select("payload").first()
-    )["payload"]
-    assert bytes(head[:8]) == b"\x89PNG\r\n\x1a\n"
+    # ingested payloads are REAL containers (both image signatures survive)
+    images = at_rest.filter(F.col("kind") == "image")
+    png_head = images.filter(F.col("meta.format") == "png").select(
+        "payload"
+    ).first()["payload"]
+    assert bytes(png_head[:8]) == b"\x89PNG\r\n\x1a\n"
+    jpg_head = images.filter(F.col("meta.format") == "jpeg").select(
+        "payload"
+    ).first()["payload"]
+    assert bytes(jpg_head[:2]) == b"\xff\xd8"
 
     # features over the streamed corpus == features over the batch path
     streamed = extract_image_features(at_rest, fake=False)
