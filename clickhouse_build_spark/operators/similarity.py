@@ -443,6 +443,94 @@ def ivf_topk(
     )
 
 
+# ----------------------------------------------------------------- IVF-PQ
+
+
+def pq_train(
+    residuals: "np.ndarray", m: int, k: int, iters: int = 10
+) -> "np.ndarray":
+    """Train per-subspace PQ codebooks on residual vectors (driver-side
+    numpy, the FAISS ``ProductQuantizer::train`` analogue): split each
+    residual into ``m`` subvectors and run plain (L2) Lloyd k-means
+    independently per subspace → (m, k, dim/m) codebook tensor.
+
+    Deterministic without an RNG, matching :func:`ivf_train`'s recipe:
+    the caller supplies an id-ordered bounded sample, initial codes are
+    evenly-spaced ranks of that order, Lloyd monotonically improves the
+    per-subspace quantization error, and empty cells keep their
+    previous centroid. Residuals are NOT normalized — PQ compresses
+    displacement from the coarse centroid, where magnitude carries
+    signal (unlike the spherical coarse quantizer).
+
+    100 TB: the input is the same ≤1e6-vector driver sample the coarse
+    trainer uses; each Lloyd iteration is an (n, k) distance matrix per
+    subspace — n·k·(dim/m) flops, trivially driver-sized.
+    """
+    n, dim = residuals.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subvectors")
+    if n < k:
+        raise ValueError(f"sample of {n} residuals cannot seed k={k} codes")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        X = residuals[:, s * sub : (s + 1) * sub]
+        C = X[np.linspace(0, n - 1, k).astype(int)].copy()
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def ivfpq_train_from_sample(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    sample_cap: int = 1_000_000,
+    iters: int = 10,
+) -> "np.ndarray":
+    """Sample the corpus (bounded, deterministic — :func:`ivf_train`'s
+    portable-hash recipe), coarse-assign the sample to the given
+    centroids in numpy exactly as :func:`ivf_assign` does (max cosine,
+    lowest cell on ties), and train PQ codebooks on the residuals
+    v − centroid. Returns the (m, k, dim/m) tensor; only the sample and
+    the |cells|-row centroid frame ever reach the driver."""
+    from clickhouse_build_spark.operators.dedup import portable_hash
+
+    n = vectors.count()
+    sample = vectors
+    if n > sample_cap:
+        scale = 1 << 20
+        cut = int(scale * sample_cap / n)
+        sample = vectors.filter(
+            F.pmod(portable_hash(F.col(id_col).cast("string"), "ivf-sample"), scale)
+            < cut
+        )
+    rows = sample.select(id_col, vec_col).orderBy(id_col).collect()
+    X = np.vstack([r[1] for r in rows]).astype(np.float64)
+    crows = centroids.orderBy("cell").collect()
+    C = np.vstack([r["ce"] for r in crows]).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    cnorms = np.linalg.norm(C, axis=1, keepdims=True)
+    # cosine argmax with lowest-cell tiebreak == ivf_assign's
+    # max(struct(cos, -cell)): argmax takes the FIRST max and crows are
+    # cell-ascending. Zero vectors get cosine 0 to every cell → cell 0.
+    sims = np.where(norms > 0, X / np.where(norms == 0, 1, norms), 0) @ (
+        C / cnorms
+    ).T
+    assign = np.argmax(sims, axis=1)
+    residuals = X - C[assign]
+    return pq_train(residuals, m=m, k=k, iters=iters)
+
+
 def lsh_topk_batch(
     vectors: DataFrame,
     queries: DataFrame,

@@ -176,3 +176,96 @@ def test_hot_bucket_guard_bounds_degenerate_corpus(spark):
     assert len(hot_rows) == 2  # the clone signature's bucket in each band
     assert all(r.bucket_n == 500 for r in hot_rows)
     assert kept.count() == 6  # 3 distinct vectors × 2 bands
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def test_pq_train_shapes_determinism_and_improvement():
+    """The per-subspace trainer: right tensor shape, bit-identical
+    across runs (no RNG), and Lloyd beats the rank-spaced init on its
+    own training objective."""
+    import numpy as np
+
+    from clickhouse_build_spark.operators.similarity import pq_train
+
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(600, 64))
+    m, k = 8, 16
+    books = pq_train(X, m=m, k=k, iters=8)
+    assert books.shape == (m, k, 64 // m)
+    assert np.array_equal(books, pq_train(X, m=m, k=k, iters=8))
+
+    def cost(tensor):
+        total = 0.0
+        for s in range(m):
+            sub = X[:, s * 8 : (s + 1) * 8]
+            d = ((sub[:, None, :] - tensor[s][None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total
+
+    init = pq_train(X, m=m, k=k, iters=0)
+    assert cost(books) < cost(init)
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(X, m=7, k=k)
+    with pytest.raises(ValueError, match="seed"):
+        pq_train(X[:4], m=m, k=16)
+
+
+def test_ivfpq_index_codes_are_argmin_assignments(spark):
+    """Every stored code must be the true argmin of its vector's
+    residual against the trained codebook — checked in numpy over the
+    whole smoke corpus."""
+    import numpy as np
+
+    from clickhouse_build_spark.plans.similarity import (
+        IVFPQ_CELLS,
+        PQ_M,
+        PQ_SUB,
+        shared_ivf_centroids,
+        shared_ivfpq_index,
+        shared_pq_codebooks,
+        _vectors,
+    )
+
+    index = {
+        r["vec_id"]: (r["cell"], [r[f"m{s}"]["c"] for s in range(PQ_M)])
+        for r in shared_ivfpq_index(spark, SF_SMOKE).collect()
+    }
+    books = shared_pq_codebooks(spark, SF_SMOKE)
+    C = np.vstack(
+        [
+            r["ce"]
+            for r in shared_ivf_centroids(spark, SF_SMOKE, k=IVFPQ_CELLS, iters=5)
+            .orderBy("cell")
+            .collect()
+        ]
+    )
+    rows = _vectors(spark, SF_SMOKE).collect()
+    checked = 0
+    for r in rows:
+        v = np.array(r["e"])
+        n = np.linalg.norm(v)
+        if n == 0:
+            assert r["vec_id"] not in index
+            continue
+        vh = v / n
+        cell, codes = index[r["vec_id"]]
+        assert cell == int(np.argmax(vh @ C.T))
+        res = vh - C[cell]
+        for s in range(PQ_M):
+            sub = res[s * PQ_SUB : (s + 1) * PQ_SUB]
+            d = ((books[s] - sub) ** 2).sum(axis=1)
+            assert codes[s] == int(np.argmin(d))
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_ivfpq_topk_recall_holds_on_smoke_corpus(spark):
+    rows = REGISTRY["emb_ivfpq_topk"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == TOP_K
+    assert all(r["recall_ok"] for r in rows)
+    # the exact frame is ordered best-first with id tiebreak
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
