@@ -155,6 +155,28 @@ def minhash_signatures(
     )
 
 
+def lsh_band_keys(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Explode a signature frame into its LSH band index → (id, band,
+    key) rows. Shared by the batch pair-miner and the streaming
+    admission gate so both sides bucket identically — the contract that
+    makes a streamed delta's candidates equal the batch run's."""
+    band_keys = [
+        F.concat_ws(
+            "-",
+            *[
+                F.element_at("sig", j * rows_per_band + i + 1).cast("string")
+                for i in range(rows_per_band)
+            ],
+        )
+        for j in range(bands)
+    ]
+    return signatures.select(
+        id_col, F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -177,19 +199,7 @@ def lsh_candidate_pairs(
     via :func:`hot_bucket_filter`.
     """
     num_perm = bands * rows_per_band
-    band_keys = [
-        F.concat_ws(
-            "-",
-            *[
-                F.element_at("sig", j * rows_per_band + i + 1).cast("string")
-                for i in range(rows_per_band)
-            ],
-        )
-        for j in range(bands)
-    ]
-    banded = signatures.select(
-        id_col, F.posexplode(F.array(*band_keys)).alias("band", "key")
-    )
+    banded = lsh_band_keys(signatures, id_col, bands, rows_per_band)
     if max_bucket is not None:
         banded, _ = hot_bucket_filter(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
