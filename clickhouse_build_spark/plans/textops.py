@@ -905,6 +905,86 @@ def doc_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def monotone_id_buckets(
+    t: DataFrame, nbuckets: int, skew_factor: int = 4
+) -> tuple:
+    """A doc_id-MONOTONE bucket expression for the distributed prefix
+    sum: any id-threshold bucketing yields the identical global cumsum
+    (the thresholds only decide which task sums which contiguous id
+    span), so balance is a pure efficiency knob, never a correctness
+    one.
+
+    Strategy: the zero-extra-pass id-range heuristic first; one bounded
+    per-bucket count (≤ nbuckets rows to the driver) checks it, and if
+    the largest bucket exceeds ``skew_factor``× the mean — a sparse or
+    clustered id space — the bounds are re-derived from DISTRIBUTED
+    percentiles (``approxQuantile``, a Greenwald-Khanna sketch: one
+    pass, bounded driver memory at any corpus size) and the bucket
+    becomes a threshold CASE over the quantile cuts.
+
+    Returns (bucket_column, used_percentiles) — the flag is for tests
+    and PLANS notes, callers use the column either way."""
+    lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).first()
+    uniform = F.expr(f"(doc_id - {lo}) * {nbuckets} DIV ({hi} - {lo} + 1)")
+    counts = [
+        r["count"] for r in t.groupBy(uniform.alias("b")).count().collect()
+    ]
+    mean = sum(counts) / nbuckets
+    if not counts or max(counts) <= skew_factor * mean:
+        return uniform, False
+    cuts = t.approxQuantile(
+        "doc_id",
+        [i / nbuckets for i in range(1, nbuckets)],
+        1.0 / (4 * nbuckets),
+    )
+    bucket = F.lit(nbuckets - 1)
+    expr = None
+    for i, q in enumerate(cuts):
+        clause = F.when(F.col("doc_id") <= F.lit(q), F.lit(i))
+        expr = clause if expr is None else expr.when(
+            F.col("doc_id") <= F.lit(q), F.lit(i)
+        )
+    return (expr.otherwise(bucket) if expr is not None else bucket), True
+
+
+def pack_sequences(
+    t: DataFrame, budget: int, nbuckets: int
+) -> DataFrame:
+    """Distributed sequence packing over (doc_id, n)-rows: global
+    running token count via a two-phase prefix sum (per-bucket windows
+    + a tiny bucket-offset frame), then bin = offset DIV budget and the
+    per-bin manifest. See :func:`doc_pack_sequences` for the pipeline
+    story; this is the reusable operator its query (and the skew tests)
+    call."""
+    bucket, _ = monotone_id_buckets(t, nbuckets)
+    part = t.withColumn("bucket", bucket)
+    bucket_sums = part.groupBy("bucket").agg(F.sum("n").alias("bsum"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_sums.withColumn(
+        "offset", F.coalesce(F.sum("bsum").over(w_off), F.lit(0))
+    ).select("bucket", "offset")
+    w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = part.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum", F.col("offset") + F.sum("n").over(w_in)
+    )
+    return (
+        cum.withColumn("bin_id", F.expr(f"(cum - n) DIV {budget}"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+
 @query(
     "doc_pack_sequences",
     oracle=f"""
@@ -938,50 +1018,23 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the global running token count is a DISTRIBUTED two-phase
     prefix sum, not a single-reducer global window — docs are bucketed
-    by deterministic doc_id range (bounds from a broadcast min/max
-    scalar, no sampling), each bucket cumsums independently under
-    ``Window.partitionBy(bucket)``, and the tiny per-bucket totals
-    frame (≤ one row per bucket) is the only thing that crosses a
-    global window. A plain ``Window.orderBy(doc_id)`` would funnel the
-    whole corpus through one task at 100 TB; this shape never moves
-    more than one bucket to one task. Uniform doc_id ranges keep the
-    buckets balanced; a skewed id space would swap in a percentile
-    bucketer, same plan downstream.
+    by a doc_id-monotone expression, each bucket cumsums independently
+    under ``Window.partitionBy(bucket)``, and the tiny per-bucket
+    totals frame (≤ one row per bucket) is the only thing that crosses
+    a global window. A plain ``Window.orderBy(doc_id)`` would funnel
+    the whole corpus through one task at 100 TB; this shape never moves
+    more than one bucket to one task. Bucket bounds come from the
+    id-range heuristic when ids are dense, and from distributed
+    percentiles when the heuristic's bounded count-check detects skew
+    (max bucket > 4× mean) — :func:`monotone_id_buckets`; the output is
+    invariant to the choice, only task balance changes.
     """
     docs = load_tables(spark, sf_dir)["documents"]
     nbuckets = spark.sparkContext.defaultParallelism
     t = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
     )
-    bounds = t.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-    part = t.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.expr(f"(doc_id - lo) * {nbuckets} DIV (hi - lo + 1)"),
-    )
-    bucket_sums = part.groupBy("bucket").agg(F.sum("n").alias("bsum"))
-    w_off = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = bucket_sums.withColumn(
-        "offset", F.coalesce(F.sum("bsum").over(w_off), F.lit(0))
-    ).select("bucket", "offset")
-    w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = part.join(F.broadcast(offsets), "bucket").withColumn(
-        "cum", F.col("offset") + F.sum("n").over(w_in)
-    )
-    return (
-        cum.withColumn("bin_id", F.expr(f"(cum - n) DIV {PACK_BUDGET}"))
-        .groupBy("bin_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n").alias("total_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-        .orderBy("bin_id")
-    )
+    return pack_sequences(t, PACK_BUDGET, nbuckets)
 
 
 OOV_VOCAB_SIZE = 1000

@@ -226,3 +226,77 @@ def test_pack_sequences_matches_naive_global_window(spark, tmp_path):
     max_doc = max(n for _, n in sizes)
     for r in got.values():
         assert r["total_tokens"] < PACK_BUDGET + max_doc
+
+
+def test_pack_sequences_skewed_ids_rebalance_and_same_output(spark):
+    """A 100:1-skewed doc_id space (dense cluster + sparse tail) must
+    trip the bucket-count check, swap in percentile bounds, balance the
+    buckets, and leave the packed output IDENTICAL — bucketing is a
+    balance knob, never a correctness one."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from clickhouse_build_spark.plans.textops import (
+        monotone_id_buckets,
+        pack_sequences,
+    )
+
+    nbuckets = 8
+    # 450 dense ids in [0, 450) + 50 ids strewn across [1e6, 50e6]
+    ids = list(range(450)) + [1_000_000 * (i + 1) for i in range(50)]
+    rows = [(i, 30 + (i * 7) % 90) for i in ids]
+    t = spark.createDataFrame(rows, "doc_id long, n long")
+
+    bucket, used_pct = monotone_id_buckets(t, nbuckets)
+    assert used_pct  # the skew check fired
+    counts = [
+        r["count"] for r in t.groupBy(bucket.alias("b")).count().collect()
+    ]
+    mean = sum(counts) / nbuckets
+    assert max(counts) <= 4 * mean  # balanced under the same gate
+    # ...whereas the raw id-range heuristic piles ~90% into one bucket
+    lo, hi = min(ids), max(ids)
+    uni = t.groupBy(
+        F.expr(f"(doc_id - {lo}) * {nbuckets} DIV ({hi} - {lo} + 1)").alias("b")
+    ).count().collect()
+    assert max(r["count"] for r in uni) > 4 * mean
+
+    # output invariance: distributed result == single-global-window ref
+    budget = 512
+    got = {r["bin_id"]: r for r in pack_sequences(t, budget, nbuckets).collect()}
+    ref_cum = t.withColumn(
+        "cum",
+        F.sum("n").over(
+            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    ref = {
+        r["bin_id"]: r
+        for r in ref_cum.withColumn(
+            "bin_id", F.expr(f"(cum - n) DIV {budget}")
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for b in ref:
+        g, r = got[b], ref[b]
+        assert (g["n_docs"], g["total_tokens"], g["first_doc"], g["last_doc"]) == (
+            r["n_docs"], r["total_tokens"], r["first_doc"], r["last_doc"]
+        )
+
+
+def test_pack_sequences_dense_ids_keep_the_free_heuristic(spark):
+    from clickhouse_build_spark.plans.textops import monotone_id_buckets
+
+    t = spark.createDataFrame(
+        [(i, 40) for i in range(500)], "doc_id long, n long"
+    )
+    _, used_pct = monotone_id_buckets(t, 8)
+    assert not used_pct  # dense ids: no quantile pass spent
