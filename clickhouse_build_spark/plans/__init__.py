@@ -21,101 +21,96 @@ from clickhouse_build_spark.plans import joinshapes  # noqa: E402,F401
 from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-5 ranking — stale-evidence rotation is now
-# POLICY (r03 lesson: data can change under a green row; VERDICT r04
-# "Next round" #6): (a) queries whose CODE changed this round (real
-# media decode, anchor scale-gate, shared dedup artifacts) must earn
-# rows on the new plans; (b) queries whose newest driver row is r01 —
-# three rounds stale; (c) the oldest remaining evidence (r03),
-# oldest-plan-first. Left outside the window: ten r03-green queries,
-# each with a same-machinery cousin inside it (listed at the tail), and
-# the 50 r04-green rows — nothing's latest evidence predates r03 after
-# this rotation.
+# iteration order. Round-6 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) queries that are
+# NEW this round or whose plan code changed since their r05 row (jpeg
+# corpus mix, IVFPQ, ADC LUT literal, WAV parser, skew bucketer) must
+# earn rows on the new plans; (b) every query whose newest driver row
+# is r03 — the oldest evidence on the board, three rounds stale by
+# r06-end; (c) 26 of the 44 r04-evidence rows, artifact-machinery
+# consumers first. After this rotation no query's latest driver row
+# predates r04 (VERDICT r05 "next" #7); the 18 r04 rows left outside
+# each have a same-machinery cousin inside (tail note).
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) NEW or code changed in round 5 —
-    "doc_chunk_text",
-    "doc_pack_sequences",
-    "doc_oov_rate",
-    "emb_pq_codes",
-    "emb_pq_adc_topk",
-    "q2_min_cost_supplier",
-    "media_resize_features",
+    # — (a) NEW in round 6, or plan code changed since the r05 row —
+    "emb_ivfpq_topk",
+    "media_jpeg_transcode",
     "media_image_features",
-    "media_video_frame_sample",
+    "media_resize_features",
     "media_audio_chunks",
-    "approx_distinct_and_percentiles",
-    "doc_minhash_lsh_dedup",
-    "doc_fuzzy_dedup_keepers",
-    "doc_dedup_cluster_sizes",
-    "doc_emb_semantic_dup_check",
-    "doc_incremental_dedup",
-    # — (b) newest driver row is r01 (three rounds stale) —
-    "big_spender_segments_having",
-    "nation_account_union",
-    "returned_and_urgent_intersect",
-    "status_priority_cube",
-    "status_priority_grouping_sets",
-    "status_priority_rollup",
-    "urgent_order_customers_semi",
-    # — (c) newest driver row is r03: joins + aggregates —
-    "q4_priority_order_check",
-    "q7_nation_trade_flows",
-    "q8_nation_market_share",
-    "q9_product_profit",
-    "q11_major_revenue_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q19_disjunctive_revenue",
-    "q20_bulk_part_suppliers",
-    "q21_waiting_suppliers",
-    "nation_customer_supplier_balance",
-    # text-pipeline surface (r03 evidence)
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_exact_dedup",
-    "doc_tfidf_top_terms",
-    "clean_corpus",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "doc_contamination_screen",
-    "doc_stratified_sample",
-    # similarity / ANN surface (r03 evidence)
-    "emb_near_dup_cosine",
-    "emb_lsh_bucketed_cosine_pairs",
-    "emb_ann_lsh_topk",
-    # near-dup fingerprints (r03 evidence)
-    "doc_simhash_dup_pairs",
-    # dialect endpoint (r03 evidence)
-    "ch_dialect_monthly_stats",
-    # Held OUT at r03 evidence, each with an in-window cousin exercising
-    # the same machinery: customers_except_returners (set-ops cousins
-    # in (b)), status_priority_profile / status_priority_pivot (cube/
-    # rollup/grouping-sets cousins in (b)), events_props_as_map
-    # (events_json_props r04), doc_top_tokens / doc_token_histogram
-    # (doc_token_stats, doc_tfidf_top_terms), doc_split_counts
-    # (doc_stratified_sample), emb_normalize_quantize (narrow per-row
-    # transform), emb_ann_lsh_topk_batch (emb_ann_lsh_topk),
-    # q12_priority_shipping_caseagg (q4), ch_dialect_status_profile
-    # (ch_dialect_monthly_stats — slot yielded to the brand-new
-    # media_resize_features, which has never had a driver row),
-    # doc_bpe_token_counts (tokenize cousins doc_token_stats /
-    # doc_tfidf_top_terms in-window; slot yielded to the brand-new
-    # doc_chunk_text), emb_ann_ivf_topk (emb_ann_ivf_trained_topk is
-    # r04-green and emb_ann_lsh_topk stays in-window; slot yielded to
-    # the brand-new doc_pack_sequences), doc_near_dup_jaccard (its
-    # shingle/pair machinery runs in-window via doc_minhash_lsh_dedup;
-    # slot yielded to the brand-new q2_min_cost_supplier),
-    # doc_winnow_fingerprints (fingerprint-family cousin
-    # doc_simhash_dup_pairs stays in-window; slot yielded to the
-    # brand-new doc_oov_rate), emb_label_centroids (centroid
-    # machinery cousins: trained-IVF r04-green, PQ codebooks now
-    # in-window; slot yielded to the brand-new emb_pq_codes),
-    # emb_knn_cosine (the exact-KNN frame is recomputed inside the
-    # r04-green emb_ann_ivf_trained_topk oracle; slot yielded to the
-    # brand-new emb_pq_adc_topk). All r04-green rows also sit
-    # outside — their evidence is one round old.
+    "emb_pq_adc_topk",
+    "doc_pack_sequences",
+    # — (b) newest driver row is r03 (all 17) —
+    "ch_dialect_status_profile",
+    "customers_except_returners",
+    "doc_bpe_token_counts",
+    "doc_near_dup_jaccard",
+    "doc_split_counts",
+    "doc_token_histogram",
+    "doc_top_tokens",
+    "doc_winnow_fingerprints",
+    "emb_ann_ivf_topk",
+    "emb_ann_lsh_topk_batch",
+    "emb_knn_cosine",
+    "emb_label_centroids",
+    "emb_normalize_quantize",
+    "events_props_as_map",
+    "q12_priority_shipping_caseagg",
+    "status_priority_pivot",
+    "status_priority_profile",
+    # — (c) newest driver row is r04: artifact/machinery consumers
+    #   first (shared IVF centroids, dedup artifacts, CDC reader),
+    #   then the relational/window/event families —
+    "emb_ann_ivf_trained_topk",
+    "cdc_latest_event_per_user",
+    "events_asof_last_error",
+    "events_json_props",
+    "events_sliding_10min_step5",
+    "events_type_counts_salted",
+    "events_views_in_error_windows",
+    "user_sessions_30min",
+    "weekly_retention_cohorts",
+    "customer_latest_order_argmax",
+    "customer_order_gaps",
+    "rolling_30day_customer_spend",
+    "top3_orders_per_customer",
+    "stats_daily_top30",
+    "stats_by_month",
+    "stats_total",
+    "list_filtered",
+    "part_stats_min_max_avg",
+    "price_percentiles_by_flag",
+    "order_value_distribution",
+    "distinct_counts",
+    "nation_revenue_ranks",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    # Held OUT at r04 evidence (18), each with an in-window cousin
+    # exercising the same machinery: stats_by_month_pg_shape
+    # (stats_by_month), stats_by_category (stats_by_month),
+    # customer_order_span (customer_order_gaps), events_tumbling_10min
+    # (events_sliding_10min_step5), top_customers_by_revenue
+    # (stats_daily_top30), running_customer_revenue
+    # (rolling_30day_customer_spend), q1_pricing_summary (the entry()
+    # flagship — driver-smoke-checked every round; agg cousins
+    # stats_total/part_stats in-window), q3_shipping_priority
+    # (q10_returned_items), q5_local_supplier_volume
+    # (nation_revenue_ranks), q17_small_quantity_revenue +
+    # q22_idle_rich_customers (correlated-subquery cousin
+    # q18_large_volume_customers), customers_without_orders
+    # (anti-join cousin customers_except_returners in (b)),
+    # doc_top_bigrams (doc_top_tokens in (b)), doc_simhash (its
+    # signature artifact is consumed by r05-green
+    # doc_simhash_dup_pairs), emb_fuzzy_dedup_keepers (keeper operator
+    # r05-green via doc_fuzzy_dedup_keepers; vector cousins in (b)),
+    # part_attributes_unpivot (status_priority_pivot in (b)),
+    # event_value_histogram (order_value_distribution),
+    # signup_purchase_funnel (weekly_retention_cohorts +
+    # user_sessions_30min). All 50 r05-green rows also sit outside —
+    # their evidence is one round old, except the five re-entered in
+    # (a) whose plans changed this round.
 ]
 
 
