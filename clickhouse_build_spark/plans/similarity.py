@@ -819,48 +819,55 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(PQ_M)
         ]
     )
-    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
-    # MATERIALIZED to the driver: eight per-subvector join branches read
-    # this frame; a persist() would leak a cached frame per invocation
-    # (ADVICE r05), and without either, each branch re-derives
-    # codebook x query from the source scan. The LUT is PQ_K rows by
-    # construction (16 here) — collecting it is a bounded scalar-sized
-    # action at ANY corpus size, and the literal frame broadcasts into
-    # all eight joins with zero recompute and nothing to unpersist.
-    # Doubles round-trip collect() bit-exactly (Python floats ARE IEEE
-    # doubles), so oracle hashes are unaffected.
-    lut_rows = (
-        cb.crossJoin(F.broadcast(q))
-        .select(
-            "code",
-            *[
-                F.expr(
-                    _pq_dist_terms(s, "element_at({col},{j})", a_col="qe")
-                ).alias(f"q{s}")
-                for s in range(PQ_M)
-            ],
-        )
-        .collect()
+    # LUT COMPUTED ON THE DRIVER: the codebook is 16 corpus rows by
+    # construction (and the query vector is one of them — vec_id 0 is a
+    # stride row), so ONE bounded collect feeds a pure-Python LUT
+    # build. The arithmetic is an explicit left-associated loop over
+    # the same per-element terms _pq_dist_terms generates — Python
+    # floats ARE IEEE doubles evaluated in program order, so every LUT
+    # entry is bit-identical to the SQL oracle's l{s}.q{s} and the
+    # hash-compared adc distances are unaffected. (A persist()'d Spark
+    # LUT leaked a cached frame per invocation — ADVICE r05 — and even
+    # the collected-frame variant spent a Spark job on a 16-row
+    # crossJoin this closed form doesn't need.)
+    cb_rows = {
+        r["vec_id"] // PQ_CODE_STRIDE: r["e"]
+        for r in v.filter(
+            (F.col("vec_id") % PQ_CODE_STRIDE == 0)
+            & (F.col("vec_id") < PQ_CODE_STRIDE * PQ_K)
+        ).collect()
+    }
+    qe = cb_rows[QUERY_VEC_ID // PQ_CODE_STRIDE]
+    lut_rows = []
+    for code in range(PQ_K):
+        ce = cb_rows[code]
+        for s in range(PQ_M):
+            acc = 0.0
+            for j in range(s * PQ_SUB, (s + 1) * PQ_SUB):
+                d = qe[j] - ce[j]
+                acc = acc + d * d  # left-assoc, matches _pq_dist_terms
+            lut_rows.append((code, s, acc))
+    lut = spark.createDataFrame(lut_rows, "code int, s int, qd double")
+    # ADC scan as ONE broadcast join (the emb_ivfpq_topk shape,
+    # measured ~4× faster than eight chained per-subspace joins): fan
+    # each vector's codes out to (subspace, code) rows, join the
+    # long-form LUT, sum per vector. The 8 fan-out rows stay inside
+    # their input partition, so the grouped FP sum accumulates
+    # q0+q1+…+q7 in subspace order map-side — the oracle's exact
+    # left-associated addition order.
+    codes_long = mins.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{s}.c") for s in range(PQ_M)])
+        ).alias("s", "code"),
     )
-    lut = spark.createDataFrame(
-        lut_rows,
-        "code int, " + ", ".join(f"q{s} double" for s in range(PQ_M)),
-    )
-    scored = mins.filter(F.col("vec_id") != QUERY_VEC_ID)
-    for s in range(PQ_M):
-        ls = lut.select(
-            F.col("code").alias(f"code{s}"), F.col(f"q{s}")
-        )
-        scored = scored.join(
-            F.broadcast(ls), F.col(f"m{s}.c") == F.col(f"code{s}")
-        )
-    adc = " + ".join(f"q{s}" for s in range(PQ_M))
     return (
-        scored.select(
-            "vec_id",
+        codes_long.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(
             F.expr(
-                f"CAST(floor(({adc}) * 1000000 + 0.5) AS BIGINT)"
-            ).alias("adc_dist_x1e6"),
+                "CAST(floor(sum(qd) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("adc_dist_x1e6")
         )
         .orderBy(F.asc("adc_dist_x1e6"), F.asc("vec_id"))
         .limit(TOP_K)
