@@ -137,14 +137,18 @@ def _media_geometry(i: int) -> tuple[str, dict]:
     """(kind, meta) for media row ``i`` — pure doc_id arithmetic, shared
     by every corpus writer so oracles can re-derive it in SQL.
 
-    Image rows alternate container format: even image ordinals are PNG,
-    odd ones (``i % 6 == 3``) are baseline JPEG — a realistic mixed-
-    format corpus that forces every image consumer through the format
-    dispatch instead of assuming one codec."""
+    Image and video rows alternate container format: even image
+    ordinals are PNG, odd ones (``i % 6 == 3``) baseline JPEG; even
+    video ordinals are uncompressed Y4M, odd ones (``i % 6 == 5``)
+    Motion-JPEG in an AVI container — a realistic mixed-format corpus
+    that forces every consumer through the format dispatch instead of
+    assuming one codec."""
     kind = _KIND_NAMES[i % 3]
     fmt = {"image": "png", "audio": "wav", "video": "y4m"}[kind]
     if kind == "image" and i % 6 == 3:
         fmt = "jpeg"
+    if kind == "video" and i % 6 == 5:
+        fmt = "avi"
     meta = {
         "format": fmt,
         "width": 64 + (i % 4) * 32 if kind != "audio" else None,
@@ -196,6 +200,24 @@ def _real_payload(i: int) -> bytes:
         ]
         return encode_wav_pcm8(np.concatenate(chunks), _AUDIO_RATE)
     w, h, dur = meta["width"], meta["height"], meta["duration_ms"]
+    if meta["format"] == "avi":
+        # MJPEG frames: 8×8-constant tiles (the bit-exact jpeg content
+        # shape), block value cycling the per-frame digest
+        from clickhouse_build_spark.operators.avi import encode_avi_mjpeg
+
+        bpr, brows = w // 8, h // 8
+        idx = (np.arange(brows)[:, None] * bpr + np.arange(bpr)[None, :]) % 16
+        frames = [
+            np.kron(
+                np.frombuffer(
+                    hashlib.md5(f"frame:{dhex}:{ms}".encode()).digest(),
+                    np.uint8,
+                )[idx],
+                np.ones((8, 8), np.uint8),
+            )
+            for ms in range(0, dur, _VIDEO_FRAME_MS)
+        ]
+        return encode_avi_mjpeg(frames, fps=1000 // _VIDEO_FRAME_MS)
     frames = [
         _tile16(
             hashlib.md5(f"frame:{dhex}:{ms}".encode()).digest(), w * h
@@ -214,10 +236,11 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
     for i in range(n):
         kind, meta = _media_geometry(i)
         size = {"image": 4096, "audio": 8192, "video": 16384}[kind]
-        # video advertises the compressed format the real corpus can't
-        # ship (exercising the codec seam); images keep their png/jpeg
-        # geometry so the fake feature paths mirror the real ones
-        if kind == "video":
+        # even video ordinals advertise the compressed format the real
+        # corpus can't ship (exercising the codec seam); everything
+        # else keeps its real-corpus format so the fake feature paths
+        # mirror the real geometry (png/jpeg images, avi videos)
+        if kind == "video" and meta["format"] == "y4m":
             meta = {**meta, "format": "mp4"}
         rows.append((i, kind, _det_bytes(f"media:{i}", size), meta))
     # Few partitions for a tiny corpus: a mapInPandas stage pays one
@@ -317,12 +340,14 @@ def decode_media_real(payload: bytes, fmt: str):
       operators/jpeg.py — huffman + dequant + IDCT, no native libs)
     - ``wav`` → (sample_rate, 1-D uint8 samples)
     - ``y4m`` → (width, height, frame_interval_ms, [2-D uint8 frames])
+    - ``avi`` → same tuple — Motion-JPEG demux (operators/avi.py RIFF
+      walk) with every frame through the baseline JPEG decoder
 
-    Compressed VIDEO/AUDIO formats (mp4/h264/aac/...) raise — decoding
-    those needs native codec libraries this container does not ship;
-    this is the marked production seam where pyav/torchaudio plug in.
-    Images are fully covered: png (operators/codecs.py) and baseline
-    jpeg (operators/jpeg.py) both decode for real.
+    Compressed INTER-FRAME video and compressed audio (mp4/h264/aac)
+    raise — decoding those needs native codec libraries this container
+    does not ship; that is the marked production seam where
+    pyav/torchaudio plug in. Images (png, baseline jpeg), PCM audio
+    (wav) and both video containers (y4m, MJPEG avi) decode for real.
     """
     if fmt == "png":
         return decode_png_gray(payload)
@@ -333,11 +358,16 @@ def decode_media_real(payload: bytes, fmt: str):
     if fmt == "y4m":
         w, h, fps_num, fps_den, frames = decode_y4m_mono(payload)
         return w, h, 1000 * fps_den // fps_num, frames
+    if fmt == "avi":
+        from clickhouse_build_spark.operators.avi import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(payload)
     raise NotImplementedError(
-        f"no native codec for {fmt!r} in this environment — compressed "
-        "video/audio formats are a production seam (pyav/torchaudio); "
-        "png, baseline jpeg, wav and y4m decode IS implemented "
-        "(operators/codecs.py, operators/jpeg.py)"
+        f"no native codec for {fmt!r} in this environment — inter-frame "
+        "video and compressed audio are a production seam "
+        "(pyav/torchaudio); png, baseline jpeg, wav, y4m and MJPEG avi "
+        "decode IS implemented (operators/codecs.py, operators/jpeg.py, "
+        "operators/avi.py)"
     )
 
 
@@ -514,8 +544,10 @@ def sample_frames(
     Python stage), so the kernel must skip the bytes itself.
     """
 
-    def real_frames(media_id, payload, _meta) -> list[tuple]:
-        w, h, interval_ms, frames = decode_media_real(bytes(payload), "y4m")
+    def real_frames(media_id, payload, meta) -> list[tuple]:
+        w, h, interval_ms, frames = decode_media_real(
+            bytes(payload), meta["format"]
+        )
         if every_ms % interval_ms:
             raise ValueError(
                 f"every_ms={every_ms} not a multiple of the stream's "
@@ -539,12 +571,21 @@ def sample_frames(
         out = []
         for idx, ms in enumerate(range(0, duration, every_ms)):
             seed = f"frame:{digest}:{ms}"
+            fhex = hashlib.md5(seed.encode()).hexdigest()
+            # mirror each format's decoded-content geometry: avi frames
+            # are 8×8-constant tiles (first 4 pixels all = byte 0), the
+            # rest tile the digest row-wise (first 4 pixels = bytes 0-3)
+            fp = (
+                int(fhex[:2] * 4, 16)
+                if meta["format"] == "avi"
+                else int(fhex[:8], 16)
+            )
             out.append(
                 (
                     media_id,
                     idx,
                     ms,
-                    int(hashlib.md5(seed.encode()).hexdigest()[:8], 16),
+                    fp,
                     _det_bytes(seed, 1024) if with_payload else None,
                 )
             )

@@ -328,18 +328,28 @@ def media_jpeg_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id,
            CAST(ms // 500 AS INTEGER) AS frame_idx,
            CAST(ms AS INTEGER) AS frame_ms,
-           ('0x' || substr(md5('frame:' || h || ':' || CAST(ms AS VARCHAR)),
-                           1, 8))::BIGINT AS frame_fp
+           CASE WHEN media_id % 6 = 5
+                THEN ('0x' || repeat(substr(
+                       md5('frame:' || h || ':' || CAST(ms AS VARCHAR)),
+                       1, 2), 4))::BIGINT
+                ELSE ('0x' || substr(
+                       md5('frame:' || h || ':' || CAST(ms AS VARCHAR)),
+                       1, 8))::BIGINT END AS frame_fp
     FROM media, UNNEST(range(0, duration_ms, 500)) AS t(ms)
     WHERE kind_idx = 2
     """,
-    tags=("multimodal", "fan-out"),
+    tags=("multimodal", "fan-out", "mjpeg"),
 )
 def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling fan-out over REAL Y4M streams (one row →
-    duration/500ms decoded frames) with a per-frame content
-    fingerprint; frame payloads are skipped inside the kernel — the
-    binaries never cross the shuffle."""
+    """Video frame-sampling fan-out over REAL mixed-container streams —
+    uncompressed Y4M and Motion-JPEG AVI (every frame through the
+    baseline JPEG decoder, operators/avi.py) — one row → duration/500ms
+    decoded frames with a per-frame content fingerprint; frame payloads
+    are skipped inside the kernel, so the binaries never cross the
+    shuffle. The oracle CASEs the fingerprint on format: Y4M frames
+    tile the per-frame digest row-wise (leading 4 bytes = digest
+    prefix), MJPEG frames are 8×8-constant tiles (leading 4 pixels all
+    equal the digest's first byte)."""
     media = _media_kind(spark, sf_dir, "video")
     frames = sample_frames(media, every_ms=500, fake=False, with_payload=False)
     return frames.select("media_id", "frame_idx", "frame_ms", "frame_fp").orderBy(

@@ -146,7 +146,53 @@ def test_corpus_payloads_are_real_containers():
             rate, samples = decode_wav_pcm8(p)
             assert rate == meta["sample_rate"]
             assert len(samples) * 1000 // rate == meta["duration_ms"]
+        elif kind == "video" and meta["format"] == "avi":
+            from clickhouse_build_spark.operators.avi import decode_avi_mjpeg
+
+            w, h, interval, frames = decode_avi_mjpeg(p)
+            assert (w, h, interval) == (meta["width"], meta["height"], 500)
+            assert len(frames) == meta["duration_ms"] // 500
+            # MJPEG frames: 8×8-constant tiles cycling the frame digest
+            f0 = hashlib.md5(
+                f"frame:{digest.hex()}:0".encode()
+            ).digest()
+            assert (frames[0][:8, :8] == f0[0]).all()
         else:
             w, h, fn, fd, frames = decode_y4m_mono(p)
             assert (w, h) == (meta["width"], meta["height"])
             assert len(frames) == meta["duration_ms"] // 500
+
+
+def test_avi_mjpeg_roundtrip_and_structure():
+    """MJPEG-AVI container: bit-exact frame round-trip on the oracle
+    content shape, RIFF structure, word-aligned odd-size chunks, and
+    loud failures on garbage/truncation."""
+    import numpy as np
+    import pytest
+
+    from clickhouse_build_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(77)
+    frames = [
+        np.kron(rng.integers(0, 256, (6, 8), np.uint8), np.ones((8, 8), np.uint8))
+        for _ in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=2)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert b"MJPG" in avi and b"movi" in avi and b"idx1" in avi
+    w, h, interval, dec = decode_avi_mjpeg(avi)
+    assert (w, h, interval, len(dec)) == (64, 48, 500, 5)
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+    # container beats raw on blocky content (it IS compressed video)
+    assert len(avi) < sum(f.size for f in frames) // 2
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_mjpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(avi[: len(avi) // 3])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_avi_mjpeg([])
