@@ -484,10 +484,15 @@ def pq_train(
         for _ in range(iters):
             d = (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
             assign = np.argmin(d, axis=1)
-            for c in range(k):
-                members = X[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
+            # scatter-add member sums instead of a per-cell mask scan
+            # (k boolean scans of the sample per iteration dominated
+            # the trainer at k=256); empty cells keep their previous
+            # centroid (classic Lloyd fallback)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=k)
+            nonempty = counts > 0
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
         books.append(C)
     return np.stack(books)
 

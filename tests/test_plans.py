@@ -65,6 +65,7 @@ def test_no_python_eval_in_sql_expressible_queries(spark):
     python_ok = {
         "media_image_features",
         "media_resize_features",
+        "media_jpeg_transcode",
         "media_video_frame_sample",
         "media_audio_chunks",
         "emb_near_dup_cosine",
