@@ -137,16 +137,19 @@ def _media_geometry(i: int) -> tuple[str, dict]:
     """(kind, meta) for media row ``i`` — pure doc_id arithmetic, shared
     by every corpus writer so oracles can re-derive it in SQL.
 
-    Image and video rows alternate container format: even image
-    ordinals are PNG, odd ones (``i % 6 == 3``) baseline JPEG; even
-    video ordinals are uncompressed Y4M, odd ones (``i % 6 == 5``)
-    Motion-JPEG in an AVI container — a realistic mixed-format corpus
-    that forces every consumer through the format dispatch instead of
-    assuming one codec."""
+    Every modality alternates container format: even image ordinals
+    are PNG, odd ones (``i % 6 == 3``) baseline JPEG; even audio
+    ordinals are PCM WAV, odd ones (``i % 6 == 4``) IMA-ADPCM WAV;
+    even video ordinals are uncompressed Y4M, odd ones (``i % 6 == 5``)
+    Motion-JPEG AVI — a realistic mixed-format corpus that forces
+    every consumer through the format dispatch instead of assuming one
+    codec, with a REAL compressed format in each modality."""
     kind = _KIND_NAMES[i % 3]
     fmt = {"image": "png", "audio": "wav", "video": "y4m"}[kind]
     if kind == "image" and i % 6 == 3:
         fmt = "jpeg"
+    if kind == "audio" and i % 6 == 4:
+        fmt = "adpcm"
     if kind == "video" and i % 6 == 5:
         fmt = "avi"
     meta = {
@@ -194,6 +197,25 @@ def _real_payload(i: int) -> bytes:
     if kind == "audio":
         dur = meta["duration_ms"]
         win = _AUDIO_RATE * _AUDIO_SEED_MS // 1000  # 4000 samples / window
+        if meta["format"] == "adpcm":
+            # one CONSTANT int16 value per 250 ms window (the bit-exact
+            # ADPCM content shape — operators/adpcm.py docstring), one
+            # window per codec block so decode stays window-aligned
+            from clickhouse_build_spark.operators.adpcm import (
+                encode_wav_adpcm,
+            )
+
+            vals = np.array(
+                [
+                    (hashlib.md5(f"rms:{dhex}:{ms}".encode()).digest()[0] - 128)
+                    * 256
+                    for ms in range(0, dur, _AUDIO_SEED_MS)
+                ],
+                dtype=np.int16,
+            )
+            return encode_wav_adpcm(
+                np.repeat(vals, win), _AUDIO_RATE, samples_per_block=win
+            )
         chunks = [
             _tile16(hashlib.md5(f"rms:{dhex}:{ms}".encode()).digest(), win)
             for ms in range(0, dur, _AUDIO_SEED_MS)
@@ -339,15 +361,18 @@ def decode_media_real(payload: bytes, fmt: str):
     - ``jpeg`` → 2-D uint8 pixel array (pure-python baseline decoder,
       operators/jpeg.py — huffman + dequant + IDCT, no native libs)
     - ``wav`` → (sample_rate, 1-D uint8 samples)
+    - ``adpcm`` → (sample_rate, 1-D int16 samples) — IMA-ADPCM
+      (operators/adpcm.py), real 4-bit compressed audio
     - ``y4m`` → (width, height, frame_interval_ms, [2-D uint8 frames])
     - ``avi`` → same tuple — Motion-JPEG demux (operators/avi.py RIFF
       walk) with every frame through the baseline JPEG decoder
 
-    Compressed INTER-FRAME video and compressed audio (mp4/h264/aac)
+    Compressed INTER-FRAME video and TRANSFORM audio (mp4/h264/aac)
     raise — decoding those needs native codec libraries this container
     does not ship; that is the marked production seam where
-    pyav/torchaudio plug in. Images (png, baseline jpeg), PCM audio
-    (wav) and both video containers (y4m, MJPEG avi) decode for real.
+    pyav/torchaudio plug in. Every modality has a real compressed
+    format implemented: baseline jpeg images, IMA-ADPCM audio, MJPEG
+    avi video — plus the uncompressed png/wav/y4m twins.
     """
     if fmt == "png":
         return decode_png_gray(payload)
@@ -355,6 +380,10 @@ def decode_media_real(payload: bytes, fmt: str):
         return decode_jpeg_gray(payload)
     if fmt == "wav":
         return decode_wav_pcm8(payload)
+    if fmt == "adpcm":
+        from clickhouse_build_spark.operators.adpcm import decode_wav_adpcm
+
+        return decode_wav_adpcm(payload)
     if fmt == "y4m":
         w, h, fps_num, fps_den, frames = decode_y4m_mono(payload)
         return w, h, 1000 * fps_den // fps_num, frames
@@ -651,8 +680,10 @@ def chunk_audio(
             f"({_AUDIO_SEED_MS} ms) for the fake path to stay exact"
         )
 
-    def real_chunks(media_id, payload, _meta) -> list[tuple]:
-        rate, samples = decode_media_real(bytes(payload), "wav")
+    def real_chunks(media_id, payload, meta) -> list[tuple]:
+        # wav decodes to uint8 PCM, adpcm to int16 — the int64 square
+        # below is exact for both
+        rate, samples = decode_media_real(bytes(payload), meta["format"])
         duration = len(samples) * 1000 // rate
         win = rate * window_ms // 1000
         sq = samples.astype(np.int64) ** 2
@@ -678,12 +709,18 @@ def chunk_audio(
         rate = meta["sample_rate"] or _AUDIO_RATE
         digest = _payload_digest(payload)
         per_seed = rate * _AUDIO_SEED_MS // 1000
+        adpcm = meta["format"] == "adpcm"
         out = []
         for idx, ms in enumerate(range(0, duration, window_ms)):
             energy = 0
             for seed_ms in range(ms, min(ms + window_ms, duration), _AUDIO_SEED_MS):
                 block = hashlib.md5(f"rms:{digest}:{seed_ms}".encode()).digest()
-                energy += (per_seed // 16) * sum(b * b for b in block)
+                if adpcm:
+                    # one constant int16 value per seed window
+                    v = (block[0] - 128) * 256
+                    energy += per_seed * v * v
+                else:
+                    energy += (per_seed // 16) * sum(b * b for b in block)
             out.append(
                 (
                     media_id,

@@ -35,6 +35,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # — (a) NEW in round 6, or plan code changed since the r05 row —
     "emb_ivfpq_topk",
     "media_jpeg_transcode",
+    "media_adpcm_chunks",
     "media_image_features",
     "media_resize_features",
     "media_audio_chunks",
@@ -85,10 +86,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "nation_revenue_ranks",
     "q6_forecast_revenue",
     "q10_returned_items",
-    "q14_promo_revenue_share",
     "q18_large_volume_customers",
-    # Held OUT at r04 evidence (18), each with an in-window cousin
-    # exercising the same machinery: stats_by_month_pg_shape
+    # Held OUT at r04 evidence (19), each with an in-window cousin
+    # exercising the same machinery: q14_promo_revenue_share
+    # (join-agg cousins q10_returned_items/q6_forecast_revenue — slot
+    # yielded to the brand-new media_adpcm_chunks), stats_by_month_pg_shape
     # (stats_by_month), stats_by_category (stats_by_month),
     # customer_order_span (customer_order_gaps), events_tumbling_10min
     # (events_sliding_10min_step5), top_customers_by_revenue

@@ -365,7 +365,7 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT media_id, duration_ms,
                md5('rms:' || h || ':' || CAST(ms AS VARCHAR)) AS h2
         FROM media, UNNEST(range(0, duration_ms, 250)) AS t(ms)
-        WHERE kind_idx = 1
+        WHERE kind_idx = 1 AND media_id % 6 <> 4
     ),
     energies AS (
         SELECT media_id, duration_ms, 250 * ({_SUMSQ}) AS energy
@@ -380,15 +380,72 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "audio", "fan-out"),
 )
 def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio windowing fan-out over REAL WAV payloads (one row →
+    """Audio windowing fan-out over REAL PCM-WAV payloads (one row →
     duration/250ms chunk rows): decode the 8-bit PCM stream, compute
     each window's exact sum-of-squares energy, then a per-media
     roll-up (chunk count + mean energy) — the ingest-segmentation
     stage of a speech pipeline plus its QA summary. Energy is an exact
     integer so the decoded measurement and the md5 oracle agree
     bit-for-bit (each 250 ms window tiles one md5 block: window sumsq
-    = 250 × sumsq(digest bytes))."""
-    media = _media_kind(spark, sf_dir, "audio")
+    = 250 × sumsq(digest bytes)). The corpus's compressed (IMA-ADPCM)
+    audio runs the same chain in ``media_adpcm_chunks``."""
+    media = _media_kind(spark, sf_dir, "audio").filter(
+        F.col("meta.format") == "wav"
+    )
+    chunks = chunk_audio(media, window_ms=250, fake=False)
+    return (
+        chunks.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("end_ms").alias("duration_ms"),
+            F.floor(F.avg("energy")).cast("long").alias("mean_energy"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "media_adpcm_chunks",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    chunks AS (
+        SELECT media_id, duration_ms,
+               ('0x' || substr(md5('rms:' || h || ':' || CAST(ms AS VARCHAR)),
+                               1, 2))::BIGINT AS b0
+        FROM media, UNNEST(range(0, duration_ms, 250)) AS t(ms)
+        WHERE kind_idx = 1 AND media_id % 6 = 4
+    ),
+    energies AS (
+        SELECT media_id, duration_ms,
+               4000 * ((b0 - 128) * 256) * ((b0 - 128) * 256) AS energy
+        FROM chunks
+    )
+    SELECT media_id,
+           count(*) AS n_chunks,
+           CAST(max(duration_ms) AS INTEGER) AS duration_ms,
+           CAST(floor(avg(energy)) AS BIGINT) AS mean_energy
+    FROM energies GROUP BY media_id
+    """,
+    tags=("multimodal", "audio", "adpcm", "compressed", "fan-out"),
+)
+def media_adpcm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-audio twin of ``media_audio_chunks``: decode the
+    corpus's IMA-ADPCM WAV payloads (4-bit nibbles → 16-bit PCM via the
+    standard step/index tables, operators/adpcm.py), window the decoded
+    stream at 250 ms, and roll up exact integer energies per media row.
+    Corpus adpcm content is one constant md5-seeded int16 value per
+    window — the shape whose ADPCM round-trip is bit-exact (the block
+    header carries sample 0 verbatim and zero deltas stay zero at step
+    index 0) — so the oracle recomputes every decoded window energy as
+    ``4000·((b₀−128)·256)²`` from the same md5 seeds, and the driver
+    hash-verifies the real nibble-decode path end-to-end.
+
+    Scale: identical plan to the PCM twin — format-pruned scan of the
+    at-rest corpus, one Arrow decode stage emitting scalar features
+    only, one grouped roll-up."""
+    media = _media_kind(spark, sf_dir, "audio").filter(
+        F.col("meta.format") == "adpcm"
+    )
     chunks = chunk_audio(media, window_ms=250, fake=False)
     return (
         chunks.groupBy("media_id")

@@ -142,6 +142,15 @@ def test_corpus_payloads_are_real_containers():
             pix = decode_png_gray(p)
             assert pix.shape == (meta["height"], meta["width"])
             assert bytes(pix.reshape(-1)[:16]) == digest
+        elif kind == "audio" and meta["format"] == "adpcm":
+            from clickhouse_build_spark.operators.adpcm import decode_wav_adpcm
+
+            rate, samples = decode_wav_adpcm(p)
+            assert rate == meta["sample_rate"]
+            assert len(samples) * 1000 // rate == meta["duration_ms"]
+            # constant per 250 ms window, bit-exact through the nibbles
+            b0 = hashlib.md5(f"rms:{digest.hex()}:0".encode()).digest()[0]
+            assert (samples[:4000] == (b0 - 128) * 256).all()
         elif kind == "audio":
             rate, samples = decode_wav_pcm8(p)
             assert rate == meta["sample_rate"]

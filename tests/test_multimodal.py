@@ -182,12 +182,15 @@ def test_audio_chunking_fanout_and_determinism(spark):
     rows = chunks.collect()
     # every audio row fans out to ceil(duration/250) chunks
     audio = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect() if r["kind"] == "audio"}
+    fmts = {r["media_id"]: r["meta"]["format"] for r in media.collect() if r["kind"] == "audio"}
     got = {}
     for r in rows:
         got[r["media_id"]] = got.get(r["media_id"], 0) + 1
         assert r["end_ms"] <= audio[r["media_id"]]
-        # 4000-sample window of bytes: 0 <= energy <= 4000*255^2
-        assert 0 <= r["energy"] <= 4000 * 255 * 255
+        # per-format window energy bound: 4000 uint8 squares for PCM,
+        # 4000 int16 squares for the ADPCM rows
+        cap = 32768 * 32768 if fmts[r["media_id"]] == "adpcm" else 255 * 255
+        assert 0 <= r["energy"] <= 4000 * cap
     assert got == {mid: -(-dur // 250) for mid, dur in audio.items()}
     # deterministic across recomputation
     again = {(r["media_id"], r["chunk_idx"]): r["energy"] for r in chunk_audio(media, window_ms=250, fake=True).collect()}

@@ -68,6 +68,7 @@ def test_no_python_eval_in_sql_expressible_queries(spark):
         "media_jpeg_transcode",
         "media_video_frame_sample",
         "media_audio_chunks",
+        "media_adpcm_chunks",
         "emb_near_dup_cosine",
     }
     for name, spec in REGISTRY.items():
