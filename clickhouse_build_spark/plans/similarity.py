@@ -851,10 +851,13 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC scan as ONE broadcast join (the emb_ivfpq_topk shape,
     # measured ~4× faster than eight chained per-subspace joins): fan
     # each vector's codes out to (subspace, code) rows, join the
-    # long-form LUT, sum per vector. The 8 fan-out rows stay inside
-    # their input partition, so the grouped FP sum accumulates
-    # q0+q1+…+q7 in subspace order map-side — the oracle's exact
-    # left-associated addition order.
+    # long-form LUT, sum per vector. The addition ORDER is specified
+    # by the plan itself — collect the (s, qd) terms, array_sort (s is
+    # unique per vector, so this is subspace order), then a left-fold
+    # `aggregate` — so the FP sum is q0+q1+…+q7 regardless of how the
+    # engine partitions or partially aggregates the 8 fan-out rows
+    # (ADVICE r06: the previous grouped sum(qd) only matched the
+    # oracle's left-associated order by an implementation accident).
     codes_long = mins.filter(F.col("vec_id") != QUERY_VEC_ID).select(
         "vec_id",
         F.posexplode(
@@ -865,9 +868,16 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_long.join(F.broadcast(lut), ["s", "code"])
         .groupBy("vec_id")
         .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s", "qd"))
+            ).alias("terms")
+        )
+        .select(
+            "vec_id",
             F.expr(
-                "CAST(floor(sum(qd) * 1000000 + 0.5) AS BIGINT)"
-            ).alias("adc_dist_x1e6")
+                "CAST(floor(aggregate(terms, CAST(0.0 AS DOUBLE),"
+                " (acc, t) -> acc + t.qd) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("adc_dist_x1e6"),
         )
         .orderBy(F.asc("adc_dist_x1e6"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -947,9 +957,11 @@ def _pq_codebook_frame(spark: SparkSession, books) -> DataFrame:
 
 def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-rest IVF-PQ index: (vec_id, cell, m0..m7 argmin structs) —
-    one 4-bit code per subspace per vector plus its coarse cell, built
-    ONCE per (session, sf_dir) and probed by every query. This is the
-    frame that replaces raw embeddings at 100 TB (4 bytes/vector);
+    one 8-bit code per subspace per vector (IVFPQ_K=256 codebooks;
+    the 4-bit layout is the separate emb_pq_codes family) plus its
+    coarse cell, built ONCE per (session, sf_dir) and probed by every
+    query. This is the frame that replaces raw embeddings at 100 TB
+    (8 bytes/vector vs 256 for float32);
     on a cluster it lands partitioned BY CELL so a query's nprobe
     pruning becomes partition pruning.
 

@@ -914,23 +914,36 @@ def monotone_id_buckets(
     span), so balance is a pure efficiency knob, never a correctness
     one.
 
-    Strategy: the zero-extra-pass id-range heuristic first; one bounded
-    per-bucket count (≤ nbuckets rows to the driver) checks it, and if
-    the largest bucket exceeds ``skew_factor``× the mean — a sparse or
-    clustered id space — the bounds are re-derived from DISTRIBUTED
-    percentiles (``approxQuantile``, a Greenwald-Khanna sketch: one
-    pass, bounded driver memory at any corpus size) and the bucket
-    becomes a threshold CASE over the quantile cuts.
+    Strategy: the zero-extra-pass id-range heuristic first, with the
+    skew CHECK itself gated by arithmetic on the same min/max/count
+    pass (ADVICE r06 — the per-bucket count probe used to run on every
+    call): a bucket's row count is bounded by its id-span, span/nbuckets
+    ≤ span ≤ skew_factor·n ⇒ max bucket ≤ skew_factor·mean, so a
+    near-dense id space (span ≤ skew_factor·n) provably can't skew and
+    skips the probe. Only a sparse/clustered id space pays the bounded
+    per-bucket count (≤ nbuckets rows to the driver), and if the
+    largest bucket exceeds ``skew_factor``× the mean the bounds are
+    re-derived from DISTRIBUTED percentiles (``approxQuantile``, a
+    Greenwald-Khanna sketch: one pass, bounded driver memory at any
+    corpus size) and the bucket becomes a threshold CASE over the
+    quantile cuts. An empty input gets a constant bucket (the prefix
+    sum over zero rows is vacuous either way).
 
     Returns (bucket_column, used_percentiles) — the flag is for tests
     and PLANS notes, callers use the column either way."""
-    lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).first()
+    n, lo, hi = t.agg(
+        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id")
+    ).first()
+    if not n:
+        return F.lit(0), False
     uniform = F.expr(f"(doc_id - {lo}) * {nbuckets} DIV ({hi} - {lo} + 1)")
+    if hi - lo + 1 <= skew_factor * n:
+        return uniform, False
     counts = [
         r["count"] for r in t.groupBy(uniform.alias("b")).count().collect()
     ]
     mean = sum(counts) / nbuckets
-    if not counts or max(counts) <= skew_factor * mean:
+    if max(counts) <= skew_factor * mean:
         return uniform, False
     cuts = t.approxQuantile(
         "doc_id",

@@ -50,7 +50,10 @@ OFFS = 10_000_000
 def make_sf1_full(spark, out_dir: str, copies: int) -> None:
     for table, id_cols in OFFSET_COLS.items():
         path = os.path.join(out_dir, f"{table}.parquet")
-        if os.path.exists(path):
+        # a dir is only complete if Spark committed it (_SUCCESS);
+        # an interrupted run leaves the dir without the marker and
+        # must be rewritten, not skipped (ADVICE r06)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
             continue
         src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
         if not id_cols:  # fixed dims stay natural-size
