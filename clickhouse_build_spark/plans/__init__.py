@@ -20,6 +20,7 @@ from clickhouse_build_spark.plans import multimodal  # noqa: E402,F401
 from clickhouse_build_spark.plans import joinshapes  # noqa: E402,F401
 from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 from clickhouse_build_spark.plans import quality  # noqa: E402,F401
+from clickhouse_build_spark.plans import builds  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-6 ranking — stale-evidence rotation is POLICY
