@@ -1,0 +1,164 @@
+"""SemDeDup (emb_semdedup_keepers): contract tests.
+
+The within-cell pair set depends on the trained coarse quantizer, so
+the driver runs a rows-only check; these tests pin the semantics:
+
+1. planted tight duplicate clusters -> keeper assignment bit-identical
+   to the exact all-pairs path AND the LSH-banded path (the case
+   semantic dedup exists for, and the directive's equality bar);
+2. real data -> candidate pairs are a SUBSET of the exact cos>=t pair
+   set (precision 1) and semdedup clusters REFINE exact-path clusters;
+3. the keeper operator over the within-cell pair set matches a numpy
+   union-find reference exactly.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.plans.similarity import (
+    NEAR_DUP_COS,
+    PAIR_HYPERPLANES,
+    PAIR_MAX_HAMMING,
+    _vectors,
+    ivfpq_cell_cosine_pairs,
+)
+from clickhouse_build_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_pairs(spark, sf_dir):
+    v = _vectors(spark, sf_dir).collect()
+    ids = np.array([r["vec_id"] for r in v])
+    E = np.array([r["e"] for r in v])
+    U = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+    S = U @ U.T
+    iu = np.triu_indices(len(ids), 1)
+    m = S[iu] >= NEAR_DUP_COS
+    return {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0][m]], ids[iu[1][m]])
+    }
+
+
+def _union_find(universe, pairs):
+    parent = {i: i for i in universe}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in universe}
+
+
+def test_real_data_precision_one_and_cluster_refinement(spark):
+    exact = _exact_pairs(spark, SF)
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in ivfpq_cell_cosine_pairs(spark, SF).collect()
+    }
+    # precision 1: the exact-cosine refine admits no false pair
+    assert got <= exact, got - exact
+
+    # refinement: every semdedup cluster sits inside one exact cluster
+    keepers = {
+        r["vec_id"]: r["keeper"]
+        for r in REGISTRY["emb_semdedup_keepers"].builder(spark, SF).collect()
+    }
+    universe = sorted(keepers)
+    exact_comp = _union_find(universe, exact)
+    by_sem: dict[int, set[int]] = {}
+    for vid, k in keepers.items():
+        by_sem.setdefault(k, set()).add(vid)
+    for members in by_sem.values():
+        assert len({exact_comp[m] for m in members}) == 1
+
+
+def test_keepers_match_union_find_over_cell_pairs(spark):
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in ivfpq_cell_cosine_pairs(spark, SF).collect()
+    }
+    keepers = {
+        r["vec_id"]: r["keeper"]
+        for r in REGISTRY["emb_semdedup_keepers"].builder(spark, SF).collect()
+    }
+    want = _union_find(sorted(keepers), pairs)
+    assert keepers == want
+
+
+@pytest.fixture()
+def planted_dir(spark, tmp_path):
+    """12 tight duplicate clusters (identical members -> a cluster can
+    never split across cells) + 20 singletons, all far apart."""
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    # orthonormal 64-dim directions (QR): pairwise cos = 0 << NEAR_DUP_COS
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    dirs = q.T[:32].astype(np.float64)
+    # guard the construction: cross-direction cosines must stay below t
+    G = dirs @ dirs.T
+    np.fill_diagonal(G, 0.0)
+    assert float(np.abs(G).max()) < NEAR_DUP_COS - 0.05
+    # >= 256 vectors total: the IVFPQ PQ trainer needs one sample per
+    # residual code to seed its 256-entry books
+    for c in range(12):
+        for _ in range(20 + c % 3):
+            rows.append((vid, [float(x) for x in dirs[c]], c))
+            vid += 1
+    for c in range(12, 32):
+        rows.append((vid, [float(x) for x in dirs[c]], c))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/embeddings.parquet")
+    return d
+
+
+def test_planted_clusters_all_three_paths_agree(spark, planted_dir):
+    from clickhouse_build_spark.operators.dedup import dedup_keepers
+    from clickhouse_build_spark.operators.similarity import (
+        lsh_bucketed_cosine_pairs,
+    )
+
+    sem = {
+        r["vec_id"]: r["keeper"]
+        for r in REGISTRY["emb_semdedup_keepers"]
+        .builder(spark, planted_dir)
+        .collect()
+    }
+    exact = {
+        r["vec_id"]: r["keeper"]
+        for r in REGISTRY["emb_fuzzy_dedup_keepers"]
+        .builder(spark, planted_dir)
+        .collect()
+    }
+    v = _vectors(spark, planted_dir)
+    lsh_pairs = lsh_bucketed_cosine_pairs(
+        v, NEAR_DUP_COS, PAIR_HYPERPLANES, max_hamming=PAIR_MAX_HAMMING
+    ).select(F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b"))
+    lsh = {
+        r["vec_id"]: r["keeper"]
+        for r in dedup_keepers(
+            lsh_pairs, v.select("vec_id"), id_col="vec_id"
+        ).collect()
+    }
+    assert sem == exact == lsh
+    # and the clusters are the planted ones: every multi-member group
+    # keeps its minimum id
+    groups: dict[int, list[int]] = {}
+    for vid, k in sem.items():
+        groups.setdefault(k, []).append(vid)
+    assert sum(len(g) > 1 for g in groups.values()) == 12
+    for k, g in groups.items():
+        assert k == min(g)
