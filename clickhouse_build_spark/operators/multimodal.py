@@ -151,7 +151,10 @@ def _media_geometry(i: int) -> tuple[str, dict]:
     if kind == "audio" and i % 6 == 4:
         fmt = "adpcm"
     if kind == "video" and i % 6 == 5:
-        fmt = "avi"
+        # odd video ordinals alternate the two compressed containers:
+        # i % 12 == 5 → Motion-JPEG AVI (intra-only), i % 12 == 11 →
+        # P-frame delta AVI (inter-frame, operators/pframe.py)
+        fmt = "avi" if i % 12 == 5 else "pframe"
     meta = {
         "format": fmt,
         "width": 64 + (i % 4) * 32 if kind != "audio" else None,
@@ -222,23 +225,33 @@ def _real_payload(i: int) -> bytes:
         ]
         return encode_wav_pcm8(np.concatenate(chunks), _AUDIO_RATE)
     w, h, dur = meta["width"], meta["height"], meta["duration_ms"]
-    if meta["format"] == "avi":
-        # MJPEG frames: 8×8-constant tiles (the bit-exact jpeg content
-        # shape), block value cycling the per-frame digest
-        from clickhouse_build_spark.operators.avi import encode_avi_mjpeg
-
+    if meta["format"] in ("avi", "pframe"):
+        # 8×8-constant tiles (the bit-exact jpeg content shape), block
+        # value cycling the per-frame digest. P-frame content maps the
+        # digest bytes into [64, 191] (b//2 + 64) so every consecutive
+        # frame delta fits the codec's ±127 residual range — which is
+        # what keeps the inter-frame reconstruction bit-exact
+        # (operators/pframe.py module docstring).
         bpr, brows = w // 8, h // 8
         idx = (np.arange(brows)[:, None] * bpr + np.arange(bpr)[None, :]) % 16
-        frames = [
-            np.kron(
-                np.frombuffer(
-                    hashlib.md5(f"frame:{dhex}:{ms}".encode()).digest(),
-                    np.uint8,
-                )[idx],
-                np.ones((8, 8), np.uint8),
+        frames = []
+        for ms in range(0, dur, _VIDEO_FRAME_MS):
+            vals = np.frombuffer(
+                hashlib.md5(f"frame:{dhex}:{ms}".encode()).digest(), np.uint8
             )
-            for ms in range(0, dur, _VIDEO_FRAME_MS)
-        ]
+            if meta["format"] == "pframe":
+                vals = vals // 2 + 64
+            frames.append(
+                np.kron(vals[idx], np.ones((8, 8), np.uint8))
+            )
+        if meta["format"] == "pframe":
+            from clickhouse_build_spark.operators.pframe import (
+                encode_avi_pframe,
+            )
+
+            return encode_avi_pframe(frames, fps=1000 // _VIDEO_FRAME_MS)
+        from clickhouse_build_spark.operators.avi import encode_avi_mjpeg
+
         return encode_avi_mjpeg(frames, fps=1000 // _VIDEO_FRAME_MS)
     frames = [
         _tile16(
@@ -366,13 +379,16 @@ def decode_media_real(payload: bytes, fmt: str):
     - ``y4m`` → (width, height, frame_interval_ms, [2-D uint8 frames])
     - ``avi`` → same tuple — Motion-JPEG demux (operators/avi.py RIFF
       walk) with every frame through the baseline JPEG decoder
+    - ``pframe`` → same tuple — INTER-frame delta video
+      (operators/pframe.py): JPEG I-frame + JPEG-coded residuals,
+      idx1-keyframe-flag dispatch, sequential reconstruction
 
-    Compressed INTER-FRAME video and TRANSFORM audio (mp4/h264/aac)
-    raise — decoding those needs native codec libraries this container
-    does not ship; that is the marked production seam where
-    pyav/torchaudio plug in. Every modality has a real compressed
-    format implemented: baseline jpeg images, IMA-ADPCM audio, MJPEG
-    avi video — plus the uncompressed png/wav/y4m twins.
+    Formats needing native-library TRANSFORM/entropy pipelines
+    (mp4/h264's CABAC, aac) raise — that is the marked production seam
+    where pyav/torchaudio plug in. Every modality has a real
+    compressed format implemented, and video additionally has temporal
+    prediction: baseline jpeg images, IMA-ADPCM audio, MJPEG avi +
+    P-frame delta video — plus the uncompressed png/wav/y4m twins.
     """
     if fmt == "png":
         return decode_png_gray(payload)
@@ -391,12 +407,17 @@ def decode_media_real(payload: bytes, fmt: str):
         from clickhouse_build_spark.operators.avi import decode_avi_mjpeg
 
         return decode_avi_mjpeg(payload)
+    if fmt == "pframe":
+        from clickhouse_build_spark.operators.pframe import decode_avi_pframe
+
+        return decode_avi_pframe(payload)
     raise NotImplementedError(
-        f"no native codec for {fmt!r} in this environment — inter-frame "
-        "video and compressed audio are a production seam "
-        "(pyav/torchaudio); png, baseline jpeg, wav, y4m and MJPEG avi "
-        "decode IS implemented (operators/codecs.py, operators/jpeg.py, "
-        "operators/avi.py)"
+        f"no native codec for {fmt!r} in this environment — the remaining "
+        "production seam is TRANSFORM codecs with native-library entropy coders "
+        "(H.264's transform/CABAC pipeline, AAC), where pyav/torchaudio "
+        "plug in; png, baseline jpeg, wav, IMA-ADPCM, y4m, MJPEG avi and "
+        "inter-frame P-frame delta video decode IS implemented "
+        "(operators/codecs.py, jpeg.py, avi.py, adpcm.py, pframe.py)"
     )
 
 
@@ -602,13 +623,16 @@ def sample_frames(
             seed = f"frame:{digest}:{ms}"
             fhex = hashlib.md5(seed.encode()).hexdigest()
             # mirror each format's decoded-content geometry: avi frames
-            # are 8×8-constant tiles (first 4 pixels all = byte 0), the
-            # rest tile the digest row-wise (first 4 pixels = bytes 0-3)
-            fp = (
-                int(fhex[:2] * 4, 16)
-                if meta["format"] == "avi"
-                else int(fhex[:8], 16)
-            )
+            # are 8×8-constant tiles (first 4 pixels all = byte 0),
+            # pframe tiles map the byte into [64, 191] (b//2 + 64, the
+            # residual-range guarantee), the rest tile the digest
+            # row-wise (first 4 pixels = bytes 0-3)
+            if meta["format"] == "avi":
+                fp = int(fhex[:2] * 4, 16)
+            elif meta["format"] == "pframe":
+                fp = (int(fhex[:2], 16) // 2 + 64) * 0x01010101
+            else:
+                fp = int(fhex[:8], 16)
             out.append(
                 (
                     media_id,

@@ -111,7 +111,9 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "build_media_corpus",
     oracle="""
     WITH m AS (
-      SELECT doc_id % 3 AS kind_idx, doc_id % 6 AS six FROM documents
+      SELECT doc_id % 3 AS kind_idx, doc_id % 6 AS six,
+             doc_id % 12 AS twelve
+      FROM documents
     )
     SELECT CASE kind_idx WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
            ELSE 'video' END AS kind,
@@ -119,7 +121,9 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (CASE WHEN six = 3 THEN 'jpeg' ELSE 'png' END)
                 WHEN kind_idx = 1 THEN
                   (CASE WHEN six = 4 THEN 'adpcm' ELSE 'wav' END)
-                ELSE (CASE WHEN six = 5 THEN 'avi' ELSE 'y4m' END)
+                ELSE (CASE WHEN twelve = 5 THEN 'avi'
+                           WHEN twelve = 11 THEN 'pframe'
+                           ELSE 'y4m' END)
            END AS format,
            count(*) AS n_items
     FROM m GROUP BY 1, 2 ORDER BY 1, 2
@@ -128,7 +132,8 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def build_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest job: encode the sf-scaled mixed-format media corpus
-    (PNG/JPEG images, PCM/ADPCM WAV audio, Y4M/MJPEG-AVI video) and
+    (PNG/JPEG images, PCM/ADPCM WAV audio, Y4M/MJPEG-AVI/P-frame-delta
+    video) and
     write it at rest as kind-partitioned parquet, reporting the
     per-(kind, format) inventory. Kind and format are pure doc_id
     arithmetic (operators/multimodal.py:_media_geometry), so the

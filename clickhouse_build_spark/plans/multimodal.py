@@ -328,10 +328,14 @@ def media_jpeg_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id,
            CAST(ms // 500 AS INTEGER) AS frame_idx,
            CAST(ms AS INTEGER) AS frame_ms,
-           CASE WHEN media_id % 6 = 5
+           CASE WHEN media_id % 12 = 5
                 THEN ('0x' || repeat(substr(
                        md5('frame:' || h || ':' || CAST(ms AS VARCHAR)),
                        1, 2), 4))::BIGINT
+                WHEN media_id % 12 = 11
+                THEN (('0x' || substr(
+                       md5('frame:' || h || ':' || CAST(ms AS VARCHAR)),
+                       1, 2))::BIGINT // 2 + 64) * 16843009
                 ELSE ('0x' || substr(
                        md5('frame:' || h || ':' || CAST(ms AS VARCHAR)),
                        1, 8))::BIGINT END AS frame_fp
@@ -342,19 +346,60 @@ def media_jpeg_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out over REAL mixed-container streams —
-    uncompressed Y4M and Motion-JPEG AVI (every frame through the
-    baseline JPEG decoder, operators/avi.py) — one row → duration/500ms
+    uncompressed Y4M, Motion-JPEG AVI (every frame through the baseline
+    JPEG decoder, operators/avi.py) and P-frame delta AVI (inter-frame
+    reconstruction, operators/pframe.py) — one row → duration/500ms
     decoded frames with a per-frame content fingerprint; frame payloads
     are skipped inside the kernel, so the binaries never cross the
     shuffle. The oracle CASEs the fingerprint on format: Y4M frames
     tile the per-frame digest row-wise (leading 4 bytes = digest
     prefix), MJPEG frames are 8×8-constant tiles (leading 4 pixels all
-    equal the digest's first byte)."""
+    equal the digest's first byte), P-frame tiles map the byte into
+    [64, 191] (the ±127 residual-range content guarantee)."""
     media = _media_kind(spark, sf_dir, "video")
     frames = sample_frames(media, every_ms=500, fake=False, with_payload=False)
     return frames.select("media_id", "frame_idx", "frame_ms", "frame_fp").orderBy(
         "media_id", "frame_idx"
     )
+
+
+@query(
+    "media_pframe_frames",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id,
+           CAST(ms // 500 AS INTEGER) AS frame_idx,
+           CAST(ms AS INTEGER) AS frame_ms,
+           (('0x' || substr(
+               md5('frame:' || h || ':' || CAST(ms AS VARCHAR)),
+               1, 2))::BIGINT // 2 + 64) * 16843009 AS frame_fp
+    FROM media, UNNEST(range(0, duration_ms, 500)) AS t(ms)
+    WHERE kind_idx = 2 AND media_id % 12 = 11
+    """,
+    tags=("multimodal", "video", "pframe", "inter-frame"),
+)
+def media_pframe_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame extraction from INTER-frame (P-frame delta) video alone —
+    the compressed-video twin of ``media_adpcm_chunks``'s role for
+    audio: a format-pruned scan of the at-rest corpus where every
+    decoded frame past the I-frame is reconstructed by adding its
+    JPEG-coded residual to the previous frame
+    (operators/pframe.py). The per-frame fingerprints hash-match the
+    md5 oracle because the corpus's constant-tile content keeps the
+    whole prediction chain bit-exact (residual range guaranteed by the
+    [64, 191] content map).
+
+    Scale: partition pruning on kind + a format predicate into one
+    Arrow decode stage; reconstruction state is per-payload (a video's
+    frames never span rows), so the kernel stays embarrassingly
+    parallel across media ids."""
+    media = _media_kind(spark, sf_dir, "video").filter(
+        F.col("meta.format") == "pframe"
+    )
+    frames = sample_frames(media, every_ms=500, fake=False, with_payload=False)
+    return frames.select(
+        "media_id", "frame_idx", "frame_ms", "frame_fp"
+    ).orderBy("media_id", "frame_idx")
 
 
 @query(

@@ -70,5 +70,5 @@ def test_media_build_inventory_counts(spark):
     assert {(r["kind"], r["format"]) for r in rows} <= {
         ("image", "png"), ("image", "jpeg"),
         ("audio", "wav"), ("audio", "adpcm"),
-        ("video", "y4m"), ("video", "avi"),
+        ("video", "y4m"), ("video", "avi"), ("video", "pframe"),
     }

@@ -126,7 +126,7 @@ def test_corpus_payloads_are_real_containers():
         _real_payload,
     )
 
-    for i in range(9):
+    for i in range(12):
         kind, meta = _media_geometry(i)
         p = _real_payload(i)
         digest = hashlib.md5(f"media:{i}".encode()).digest()
@@ -166,6 +166,21 @@ def test_corpus_payloads_are_real_containers():
                 f"frame:{digest.hex()}:0".encode()
             ).digest()
             assert (frames[0][:8, :8] == f0[0]).all()
+        elif kind == "video" and meta["format"] == "pframe":
+            from clickhouse_build_spark.operators.pframe import (
+                decode_avi_pframe,
+            )
+
+            w, h, interval, frames = decode_avi_pframe(p)
+            assert (w, h, interval) == (meta["width"], meta["height"], 500)
+            assert len(frames) == meta["duration_ms"] // 500
+            # every frame reconstructs bit-exactly through the P-frame
+            # chain: constant tiles in [64, 191] (b//2 + 64)
+            for k, fr in enumerate(frames):
+                fk = hashlib.md5(
+                    f"frame:{digest.hex()}:{k * 500}".encode()
+                ).digest()
+                assert (fr[:8, :8] == fk[0] // 2 + 64).all()
         else:
             w, h, fn, fd, frames = decode_y4m_mono(p)
             assert (w, h) == (meta["width"], meta["height"])

@@ -166,6 +166,8 @@ def test_compressed_codec_seam_is_marked():
     decode on garbage bytes fails loudly, never silently fakes."""
     with pytest.raises(NotImplementedError, match="production seam"):
         decode_media_real(b"\x00\x00\x00\x18ftypmp42", "mp4")
+    with pytest.raises(NotImplementedError, match="entropy coders"):
+        decode_media_real(b"\xff\xf1\x50\x80", "aac")
     with pytest.raises(ValueError):
         decode_media_real(b"not a png at all", "png")
 
