@@ -23,98 +23,87 @@ from clickhouse_build_spark.plans import quality  # noqa: E402,F401
 from clickhouse_build_spark.plans import builds  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-6 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) queries that are
-# NEW this round or whose plan code changed since their r05 row (jpeg
-# corpus mix, IVFPQ, ADC LUT literal, WAV parser, skew bucketer) must
-# earn rows on the new plans; (b) every query whose newest driver row
-# is r03 — the oldest evidence on the board, three rounds stale by
-# r06-end; (c) 26 of the 44 r04-evidence rows, artifact-machinery
-# consumers first. After this rotation no query's latest driver row
-# predates r04 (VERDICT r05 "next" #7); the 18 r04 rows left outside
-# each have a same-machinery cousin inside (tail note).
+# iteration order. Round-7 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) queries NEW this
+# round (quality-classifier family, ingest/build entries, SemDeDup,
+# P-frame video) or whose plan/oracle changed since their last row
+# (ADC ordered aggregation, pack_sequences bucketer gating, the
+# video-corpus format split touching media_video_frame_sample);
+# (b) every query whose newest driver row is r04 — the oldest evidence
+# on the board (19); (c) 20 of the 45 r05-evidence rows, artifact-
+# machinery consumers and the r06 contention-block queries first.
+# After this rotation no query's latest driver row predates r05; the
+# 24 r05 rows left outside (tail note) must lead the r08 window.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) NEW in round 6, or plan code changed since the r05 row —
-    "emb_ivfpq_topk",
-    "media_jpeg_transcode",
-    "media_adpcm_chunks",
-    "media_image_features",
-    "media_resize_features",
-    "media_audio_chunks",
+    # — (a) NEW in round 7, or plan/oracle changed since the last row —
+    "build_dedup_artifacts",
+    "build_ivfpq_index",
+    "build_media_corpus",
+    "doc_quality_classifier_model",
+    "doc_quality_classifier",
+    "corpus_quality_filter",
+    "emb_semdedup_keepers",
+    "media_pframe_frames",
     "emb_pq_adc_topk",
     "doc_pack_sequences",
-    # — (b) newest driver row is r03 (all 17) —
-    "ch_dialect_status_profile",
-    "customers_except_returners",
-    "doc_bpe_token_counts",
-    "doc_near_dup_jaccard",
-    "doc_split_counts",
-    "doc_token_histogram",
-    "doc_top_tokens",
-    "doc_winnow_fingerprints",
-    "emb_ann_ivf_topk",
-    "emb_ann_lsh_topk_batch",
-    "emb_knn_cosine",
-    "emb_label_centroids",
-    "emb_normalize_quantize",
-    "events_props_as_map",
-    "q12_priority_shipping_caseagg",
-    "status_priority_pivot",
-    "status_priority_profile",
-    # — (c) newest driver row is r04: artifact/machinery consumers
-    #   first (shared IVF centroids, dedup artifacts, CDC reader),
-    #   then the relational/window/event families —
-    "emb_ann_ivf_trained_topk",
-    "cdc_latest_event_per_user",
-    "events_asof_last_error",
-    "events_json_props",
-    "events_sliding_10min_step5",
-    "events_type_counts_salted",
-    "events_views_in_error_windows",
-    "user_sessions_30min",
-    "weekly_retention_cohorts",
-    "customer_latest_order_argmax",
-    "customer_order_gaps",
-    "rolling_30day_customer_spend",
-    "top3_orders_per_customer",
-    "stats_daily_top30",
-    "stats_by_month",
-    "stats_total",
-    "list_filtered",
-    "part_stats_min_max_avg",
-    "price_percentiles_by_flag",
-    "order_value_distribution",
-    "distinct_counts",
-    "nation_revenue_ranks",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    # Held OUT at r04 evidence (19), each with an in-window cousin
-    # exercising the same machinery: q14_promo_revenue_share
-    # (join-agg cousins q10_returned_items/q6_forecast_revenue — slot
-    # yielded to the brand-new media_adpcm_chunks), stats_by_month_pg_shape
-    # (stats_by_month), stats_by_category (stats_by_month),
-    # customer_order_span (customer_order_gaps), events_tumbling_10min
-    # (events_sliding_10min_step5), top_customers_by_revenue
-    # (stats_daily_top30), running_customer_revenue
-    # (rolling_30day_customer_spend), q1_pricing_summary (the entry()
-    # flagship — driver-smoke-checked every round; agg cousins
-    # stats_total/part_stats in-window), q3_shipping_priority
-    # (q10_returned_items), q5_local_supplier_volume
-    # (nation_revenue_ranks), q17_small_quantity_revenue +
-    # q22_idle_rich_customers (correlated-subquery cousin
-    # q18_large_volume_customers), customers_without_orders
-    # (anti-join cousin customers_except_returners in (b)),
-    # doc_top_bigrams (doc_top_tokens in (b)), doc_simhash (its
-    # signature artifact is consumed by r05-green
-    # doc_simhash_dup_pairs), emb_fuzzy_dedup_keepers (keeper operator
-    # r05-green via doc_fuzzy_dedup_keepers; vector cousins in (b)),
-    # part_attributes_unpivot (status_priority_pivot in (b)),
-    # event_value_histogram (order_value_distribution),
-    # signup_purchase_funnel (weekly_retention_cohorts +
-    # user_sessions_30min). All 50 r05-green rows also sit outside —
-    # their evidence is one round old, except the five re-entered in
-    # (a) whose plans changed this round.
+    "media_video_frame_sample",
+    # — (b) newest driver row is r04 (all 19) —
+    "customer_order_span",
+    "customers_without_orders",
+    "doc_simhash",
+    "doc_top_bigrams",
+    "emb_fuzzy_dedup_keepers",
+    "event_value_histogram",
+    "events_tumbling_10min",
+    "part_attributes_unpivot",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "running_customer_revenue",
+    "signup_purchase_funnel",
+    "stats_by_category",
+    "stats_by_month_pg_shape",
+    "top_customers_by_revenue",
+    # — (c) r05-evidence: dedup/ANN artifact consumers (now reading
+    #   the build_* entries' steady-state frames — their rows prove the
+    #   amortized path), the new classifier's heuristic basis, and the
+    #   r06 contention-block join queries —
+    "doc_dedup_cluster_sizes",
+    "doc_fuzzy_dedup_keepers",
+    "doc_minhash_lsh_dedup",
+    "doc_incremental_dedup",
+    "doc_emb_semantic_dup_check",
+    "doc_exact_dedup",
+    "clean_corpus",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_simhash_dup_pairs",
+    "emb_pq_codes",
+    "emb_near_dup_cosine",
+    "emb_lsh_bucketed_cosine_pairs",
+    "emb_ann_lsh_topk",
+    "q21_waiting_suppliers",
+    "q19_disjunctive_revenue",
+    "q20_bulk_part_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "status_priority_cube",
+    # Held OUT at r05 evidence (24), each with an in-window cousin:
+    # approx_distinct_and_percentiles, big_spender_segments_having,
+    # ch_dialect_monthly_stats (ch_dialect_status_profile r06),
+    # doc_chunk_text, doc_contamination_screen, doc_oov_rate,
+    # doc_pii_scrub, doc_repetition_stats, doc_stratified_sample,
+    # doc_tfidf_top_terms, doc_token_stats, nation_account_union,
+    # nation_customer_supplier_balance, q11_major_revenue_parts,
+    # q13_order_count_distribution, q15_top_supplier,
+    # q16_supplier_count_by_part, q4_priority_order_check,
+    # q7_nation_trade_flows, q8_nation_market_share,
+    # returned_and_urgent_intersect, status_priority_grouping_sets,
+    # status_priority_rollup, urgent_order_customers_semi.
+    # These MUST lead the r08 rotation (they will be two rounds old).
 ]
 
 

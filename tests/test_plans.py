@@ -67,6 +67,7 @@ def test_no_python_eval_in_sql_expressible_queries(spark):
         "media_resize_features",
         "media_jpeg_transcode",
         "media_video_frame_sample",
+        "media_pframe_frames",
         "media_audio_chunks",
         "media_adpcm_chunks",
         "emb_near_dup_cosine",
