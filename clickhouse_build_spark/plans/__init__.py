@@ -39,6 +39,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "build_dedup_artifacts",
     "build_ivfpq_index",
     "build_media_corpus",
+    "build_quality_model",
     "doc_quality_classifier_model",
     "doc_quality_classifier",
     "corpus_quality_filter",
@@ -90,8 +91,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q20_bulk_part_suppliers",
     "q2_min_cost_supplier",
     "q9_product_profit",
-    "status_priority_cube",
-    # Held OUT at r05 evidence (24), each with an in-window cousin:
+    # Held OUT at r05 evidence (25), each with an in-window cousin:
+    # status_priority_cube (status_priority_pivot r06),
     # approx_distinct_and_percentiles, big_spender_segments_having,
     # ch_dialect_monthly_stats (ch_dialect_status_profile r06),
     # doc_chunk_text, doc_contamination_screen, doc_oov_rate,

@@ -32,6 +32,7 @@ from clickhouse_build_spark.plans.dedup import (
     dedup_artifacts,
 )
 from clickhouse_build_spark.plans.multimodal import shared_media_corpus
+from clickhouse_build_spark.plans.quality import _LAB_SQL, _MODEL_SQL
 from clickhouse_build_spark.plans.similarity import (
     IVFPQ_K,
     PQ_M,
@@ -149,4 +150,35 @@ def build_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.groupBy("kind", F.col("meta.format").alias("format"))
         .agg(F.count(F.lit(1)).alias("n_items"))
         .orderBy("kind", "format")
+    )
+
+
+@query(
+    "build_quality_model",
+    oracle=f"""
+    WITH {_LAB_SQL},
+    {_MODEL_SQL}
+    SELECT CAST((SELECT count(*) FROM model) AS BIGINT) AS n_buckets,
+           tot.tg, tot.tb, pri.prior_x1e6
+    FROM tot, pri
+    """,
+    tags=("text", "quality", "classifier", "build", "ingest", "artifact"),
+)
+def build_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest job: train the quality-classifier model (one grouped
+    aggregation over hashed token buckets, plans/quality.py) and report
+    its shape — bucket count, per-class token totals and the
+    fixed-point class prior, all re-derived exactly by the SQL oracle.
+    Sorts before every ``corpus_quality_*`` / ``doc_quality_*``
+    consumer, so their bench rows measure scoring, not training."""
+    from clickhouse_build_spark.plans.quality import shared_quality_model
+
+    model, priors = shared_quality_model(spark, sf_dir)
+    shape = model.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("cg").alias("tg"),
+        F.sum("cb").alias("tb"),
+    )
+    return shape.crossJoin(F.broadcast(priors)).select(
+        "n_buckets", "tg", "tb", "prior_x1e6"
     )

@@ -27,6 +27,11 @@ def test_build_entries_sort_before_their_consumers():
             "media_audio_chunks",
             "media_image_features",
         ],
+        "build_quality_model": [
+            "corpus_quality_filter",
+            "doc_quality_classifier",
+            "doc_quality_classifier_model",
+        ],
     }
     for build, deps in consumers.items():
         for c in deps:
