@@ -71,6 +71,13 @@ def test_no_python_eval_in_sql_expressible_queries(spark):
         "media_audio_chunks",
         "media_adpcm_chunks",
         "emb_near_dup_cosine",
+        # the IVFPQ at-rest index encode is a vectorized Arrow argmin
+        # kernel (r07 — replaced the 256x codebook cross-join); its
+        # consumers read the persisted frame but a standalone plan
+        # shows the kernel
+        "emb_ivfpq_topk",
+        "emb_semdedup_keepers",
+        "build_ivfpq_index",
     }
     for name, spec in REGISTRY.items():
         if name in python_ok:

@@ -230,7 +230,7 @@ def test_ivfpq_index_codes_are_argmin_assignments(spark):
     )
 
     index = {
-        r["vec_id"]: (r["cell"], [r[f"m{s}"]["c"] for s in range(PQ_M)])
+        r["vec_id"]: (r["cell"], [r[f"c{s}"] for s in range(PQ_M)])
         for r in shared_ivfpq_index(spark, SF_SMOKE).collect()
     }
     books = shared_pq_codebooks(spark, SF_SMOKE)
