@@ -149,7 +149,10 @@ def _media_geometry(i: int) -> tuple[str, dict]:
     if kind == "image" and i % 6 == 3:
         fmt = "jpeg"
     if kind == "audio" and i % 6 == 4:
-        fmt = "adpcm"
+        # odd audio ordinals alternate the two compressed codings:
+        # i % 12 == 4 → IMA-ADPCM (time-domain), i % 12 == 10 → MDCT
+        # transform coding (operators/mdct.py)
+        fmt = "adpcm" if i % 12 == 4 else "mdct"
     if kind == "video" and i % 6 == 5:
         # odd video ordinals alternate the two compressed containers:
         # i % 12 == 5 → Motion-JPEG AVI (intra-only), i % 12 == 11 →
@@ -200,14 +203,11 @@ def _real_payload(i: int) -> bytes:
     if kind == "audio":
         dur = meta["duration_ms"]
         win = _AUDIO_RATE * _AUDIO_SEED_MS // 1000  # 4000 samples / window
-        if meta["format"] == "adpcm":
-            # one CONSTANT int16 value per 250 ms window (the bit-exact
-            # ADPCM content shape — operators/adpcm.py docstring), one
-            # window per codec block so decode stays window-aligned
-            from clickhouse_build_spark.operators.adpcm import (
-                encode_wav_adpcm,
-            )
-
+        if meta["format"] in ("adpcm", "mdct"):
+            # one CONSTANT int16 value per 250 ms window — the content
+            # shape whose round-trip is bit-exact through BOTH
+            # compressed codecs (ADPCM: header sample + zero deltas;
+            # MDCT: near-lossless quantization at the default step)
             vals = np.array(
                 [
                     (hashlib.md5(f"rms:{dhex}:{ms}".encode()).digest()[0] - 128)
@@ -216,6 +216,14 @@ def _real_payload(i: int) -> bytes:
                 ],
                 dtype=np.int16,
             )
+            if meta["format"] == "mdct":
+                from clickhouse_build_spark.operators.mdct import encode_mdct
+
+                return encode_mdct(np.repeat(vals, win), _AUDIO_RATE)
+            from clickhouse_build_spark.operators.adpcm import (
+                encode_wav_adpcm,
+            )
+
             return encode_wav_adpcm(
                 np.repeat(vals, win), _AUDIO_RATE, samples_per_block=win
             )
@@ -376,6 +384,9 @@ def decode_media_real(payload: bytes, fmt: str):
     - ``wav`` → (sample_rate, 1-D uint8 samples)
     - ``adpcm`` → (sample_rate, 1-D int16 samples) — IMA-ADPCM
       (operators/adpcm.py), real 4-bit compressed audio
+    - ``mdct`` → (sample_rate, 1-D int16 samples) — TRANSFORM audio
+      (operators/mdct.py): MDCT filterbank + per-band bit allocation,
+      near-lossless at the default step
     - ``y4m`` → (width, height, frame_interval_ms, [2-D uint8 frames])
     - ``avi`` → same tuple — Motion-JPEG demux (operators/avi.py RIFF
       walk) with every frame through the baseline JPEG decoder
@@ -400,6 +411,10 @@ def decode_media_real(payload: bytes, fmt: str):
         from clickhouse_build_spark.operators.adpcm import decode_wav_adpcm
 
         return decode_wav_adpcm(payload)
+    if fmt == "mdct":
+        from clickhouse_build_spark.operators.mdct import decode_mdct
+
+        return decode_mdct(payload)
     if fmt == "y4m":
         w, h, fps_num, fps_den, frames = decode_y4m_mono(payload)
         return w, h, 1000 * fps_den // fps_num, frames
@@ -413,11 +428,13 @@ def decode_media_real(payload: bytes, fmt: str):
         return decode_avi_pframe(payload)
     raise NotImplementedError(
         f"no native codec for {fmt!r} in this environment — the remaining "
-        "production seam is TRANSFORM codecs with native-library entropy coders "
-        "(H.264's transform/CABAC pipeline, AAC), where pyav/torchaudio "
-        "plug in; png, baseline jpeg, wav, IMA-ADPCM, y4m, MJPEG avi and "
-        "inter-frame P-frame delta video decode IS implemented "
-        "(operators/codecs.py, jpeg.py, avi.py, adpcm.py, pframe.py)"
+        "production seam is BITSTREAM-compatible codecs whose entropy "
+        "coders and psychoacoustic stages need native libraries (H.264's CABAC, "
+        "AAC's Huffman + perceptual model), where pyav/torchaudio plug "
+        "in; png, baseline jpeg, wav, IMA-ADPCM, MDCT transform audio, "
+        "y4m, MJPEG avi and inter-frame P-frame delta video decode IS "
+        "implemented (operators/codecs.py, jpeg.py, avi.py, adpcm.py, "
+        "mdct.py, pframe.py)"
     )
 
 
@@ -733,7 +750,7 @@ def chunk_audio(
         rate = meta["sample_rate"] or _AUDIO_RATE
         digest = _payload_digest(payload)
         per_seed = rate * _AUDIO_SEED_MS // 1000
-        adpcm = meta["format"] == "adpcm"
+        adpcm = meta["format"] in ("adpcm", "mdct")
         out = []
         for idx, ms in enumerate(range(0, duration, window_ms)):
             energy = 0

@@ -121,7 +121,9 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN kind_idx = 0 THEN
                   (CASE WHEN six = 3 THEN 'jpeg' ELSE 'png' END)
                 WHEN kind_idx = 1 THEN
-                  (CASE WHEN six = 4 THEN 'adpcm' ELSE 'wav' END)
+                  (CASE WHEN twelve = 4 THEN 'adpcm'
+                        WHEN twelve = 10 THEN 'mdct'
+                        ELSE 'wav' END)
                 ELSE (CASE WHEN twelve = 5 THEN 'avi'
                            WHEN twelve = 11 THEN 'pframe'
                            ELSE 'y4m' END)
@@ -133,7 +135,7 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def build_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest job: encode the sf-scaled mixed-format media corpus
-    (PNG/JPEG images, PCM/ADPCM WAV audio, Y4M/MJPEG-AVI/P-frame-delta
+    (PNG/JPEG images, PCM/ADPCM/MDCT audio, Y4M/MJPEG-AVI/P-frame-delta
     video) and
     write it at rest as kind-partitioned parquet, reporting the
     per-(kind, format) inventory. Kind and format are pure doc_id

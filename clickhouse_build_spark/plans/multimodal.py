@@ -458,7 +458,7 @@ def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('0x' || substr(md5('rms:' || h || ':' || CAST(ms AS VARCHAR)),
                                1, 2))::BIGINT AS b0
         FROM media, UNNEST(range(0, duration_ms, 250)) AS t(ms)
-        WHERE kind_idx = 1 AND media_id % 6 = 4
+        WHERE kind_idx = 1 AND media_id % 12 = 4
     ),
     energies AS (
         SELECT media_id, duration_ms,
@@ -490,6 +490,61 @@ def media_adpcm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, one grouped roll-up."""
     media = _media_kind(spark, sf_dir, "audio").filter(
         F.col("meta.format") == "adpcm"
+    )
+    chunks = chunk_audio(media, window_ms=250, fake=False)
+    return (
+        chunks.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("end_ms").alias("duration_ms"),
+            F.floor(F.avg("energy")).cast("long").alias("mean_energy"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "media_mdct_chunks",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    chunks AS (
+        SELECT media_id, duration_ms,
+               ('0x' || substr(md5('rms:' || h || ':' || CAST(ms AS VARCHAR)),
+                               1, 2))::BIGINT AS b0
+        FROM media, UNNEST(range(0, duration_ms, 250)) AS t(ms)
+        WHERE kind_idx = 1 AND media_id % 12 = 10
+    ),
+    energies AS (
+        SELECT media_id, duration_ms,
+               4000 * ((b0 - 128) * 256) * ((b0 - 128) * 256) AS energy
+        FROM chunks
+    )
+    SELECT media_id,
+           count(*) AS n_chunks,
+           CAST(max(duration_ms) AS INTEGER) AS duration_ms,
+           CAST(floor(avg(energy)) AS BIGINT) AS mean_energy
+    FROM energies GROUP BY media_id
+    """,
+    tags=("multimodal", "audio", "mdct", "transform", "compressed", "fan-out"),
+)
+def media_mdct_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM-audio twin of ``media_adpcm_chunks``: decode the
+    corpus's MDCT-coded payloads (lapped-transform filterbank +
+    per-band bit allocation, operators/mdct.py — the AAC/Vorbis
+    structure minus the native-library entropy/psychoacoustic stage),
+    window the reconstructed int16 stream at 250 ms, and roll up exact
+    integer energies. The corpus's constant-per-window content
+    round-trips bit-exactly at the codec's near-lossless default step
+    (coefficient-rounding error bounded far below half an int16 LSB),
+    so the oracle recomputes every decoded window energy from the md5
+    seeds and the driver hash-verifies the full MDCT synthesis path —
+    overlap-add, dequantization, bit-unpacking — end to end.
+
+    Scale: identical plan to the other audio twins — format-pruned
+    scan of the at-rest corpus, one vectorized Arrow decode stage
+    emitting scalar features only, one grouped roll-up."""
+    media = _media_kind(spark, sf_dir, "audio").filter(
+        F.col("meta.format") == "mdct"
     )
     chunks = chunk_audio(media, window_ms=250, fake=False)
     return (

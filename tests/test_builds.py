@@ -74,6 +74,6 @@ def test_media_build_inventory_counts(spark):
     assert total == n_docs
     assert {(r["kind"], r["format"]) for r in rows} <= {
         ("image", "png"), ("image", "jpeg"),
-        ("audio", "wav"), ("audio", "adpcm"),
+        ("audio", "wav"), ("audio", "adpcm"), ("audio", "mdct"),
         ("video", "y4m"), ("video", "avi"), ("video", "pframe"),
     }

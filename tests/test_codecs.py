@@ -151,6 +151,22 @@ def test_corpus_payloads_are_real_containers():
             # constant per 250 ms window, bit-exact through the nibbles
             b0 = hashlib.md5(f"rms:{digest.hex()}:0".encode()).digest()[0]
             assert (samples[:4000] == (b0 - 128) * 256).all()
+        elif kind == "audio" and meta["format"] == "mdct":
+            from clickhouse_build_spark.operators.mdct import decode_mdct
+
+            rate, samples = decode_mdct(p)
+            assert rate == meta["sample_rate"]
+            assert len(samples) * 1000 // rate == meta["duration_ms"]
+            # every constant window reconstructs bit-exactly through
+            # the transform chain at the near-lossless step
+            for wi in range(meta["duration_ms"] // 250):
+                bw = hashlib.md5(
+                    f"rms:{digest.hex()}:{wi * 250}".encode()
+                ).digest()[0]
+                assert (
+                    samples[wi * 4000 : (wi + 1) * 4000]
+                    == (bw - 128) * 256
+                ).all(), wi
         elif kind == "audio":
             rate, samples = decode_wav_pcm8(p)
             assert rate == meta["sample_rate"]

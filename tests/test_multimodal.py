@@ -190,8 +190,12 @@ def test_audio_chunking_fanout_and_determinism(spark):
         got[r["media_id"]] = got.get(r["media_id"], 0) + 1
         assert r["end_ms"] <= audio[r["media_id"]]
         # per-format window energy bound: 4000 uint8 squares for PCM,
-        # 4000 int16 squares for the ADPCM rows
-        cap = 32768 * 32768 if fmts[r["media_id"]] == "adpcm" else 255 * 255
+        # 4000 int16 squares for the compressed (ADPCM/MDCT) rows
+        cap = (
+            32768 * 32768
+            if fmts[r["media_id"]] in ("adpcm", "mdct")
+            else 255 * 255
+        )
         assert 0 <= r["energy"] <= 4000 * cap
     assert got == {mid: -(-dur // 250) for mid, dur in audio.items()}
     # deterministic across recomputation

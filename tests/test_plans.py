@@ -70,6 +70,7 @@ def test_no_python_eval_in_sql_expressible_queries(spark):
         "media_pframe_frames",
         "media_audio_chunks",
         "media_adpcm_chunks",
+        "media_mdct_chunks",
         "emb_near_dup_cosine",
         # the IVFPQ at-rest index encode is a vectorized Arrow argmin
         # kernel (r07 — replaced the 256x codebook cross-join); its
