@@ -46,6 +46,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_semdedup_keepers",
     "media_pframe_frames",
     "media_mdct_chunks",
+    "media_adpcm_chunks",
     "emb_pq_adc_topk",
     "doc_pack_sequences",
     "media_video_frame_sample",
@@ -90,10 +91,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q21_waiting_suppliers",
     "q19_disjunctive_revenue",
     "q20_bulk_part_suppliers",
-    "q2_min_cost_supplier",
-    # Held OUT at r05 evidence (26), each with an in-window cousin:
+    # Held OUT at r05 evidence (27), each with an in-window cousin:
     # status_priority_cube (status_priority_pivot r06),
-    # q9_product_profit (join-agg cousins q21/q19/q20 in window),
+    # q9_product_profit + q2_min_cost_supplier (join-agg cousins
+    # q21/q19/q20 in window),
     # approx_distinct_and_percentiles, big_spender_segments_having,
     # ch_dialect_monthly_stats (ch_dialect_status_profile r06),
     # doc_chunk_text, doc_contamination_screen, doc_oov_rate,
