@@ -157,10 +157,12 @@ _SCORE_SQL = """
   )"""
 
 
-def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, toks, label_good) with the all-integer weak
-    label — the shared head of training and scoring."""
-    docs = load_tables(spark, sf_dir)["documents"].filter(F.length("text") > 0)
+def label_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, toks, label_good) for any documents-shaped
+    frame (batch table or one streaming micro-batch) — the all-integer
+    weak label shared by training, batch scoring, and the streaming
+    admission gate (``streaming/quality.py``)."""
+    docs = docs.filter(F.length("text") > 0)
     words = F.split(F.col("text"), " ")
     lower_words = F.split(F.lower(F.col("text")), " ")
     stop = F.array(*[F.lit(w) for w in QC_STOP])
@@ -177,6 +179,10 @@ def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label_good")
     )
     return docs.select("doc_id", "source", lower_words.alias("toks"), label)
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_documents(load_tables(spark, sf_dir)["documents"])
 
 
 _QC_MODEL: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
@@ -227,11 +233,14 @@ def shared_quality_model(
     return session_artifact(_QC_MODEL, key, build)
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, label_good, score_x1e6, pred_good) — explode,
-    broadcast-join the model, ONE integer grouped sum per doc."""
-    model, priors = shared_quality_model(spark, sf_dir)
-    lab = _labeled(spark, sf_dir)
+def score_documents(
+    lab: DataFrame, model: DataFrame, priors: DataFrame
+) -> DataFrame:
+    """(doc_id, source, label_good, score_x1e6, pred_good) for a
+    labeled frame against a trained model + prior frame — explode,
+    broadcast-join the model, ONE integer grouped sum per doc. Shared
+    by the batch queries and the streaming admission gate (which scores
+    each micro-batch against the model AT REST)."""
     tok = lab.select(
         "doc_id", "source", "label_good", F.explode("toks").alias("w")
     ).select(
@@ -255,6 +264,11 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("score_x1e6"),
         F.when(total > 0, F.lit(1)).otherwise(F.lit(0)).alias("pred_good"),
     )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model, priors = shared_quality_model(spark, sf_dir)
+    return score_documents(_labeled(spark, sf_dir), model, priors)
 
 
 @query(
