@@ -6,8 +6,9 @@ is a genuine, standardized compressed audio format (4 bits/sample for
 over two public tables, so it needs no native libraries. With this, the
 media surface covers a real compressed format for every modality —
 images (baseline JPEG), audio (IMA ADPCM), video (Motion-JPEG AVI) —
-and the remaining `NotImplementedError` seam narrows to inter-frame
-video (H.264) and transform audio (AAC).
+joined in round 7 by the MDCT transform coder (``operators/mdct.py``);
+the remaining `NotImplementedError` seam is bitstream compatibility
+(H.264 CABAC, AAC entropy + psychoacoustics).
 
 Container: standard WAVE with wFormatTag=0x11, the 2-byte fmt extension
 carrying samples-per-block, a `fact` chunk with the true sample count,

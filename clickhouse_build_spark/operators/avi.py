@@ -4,9 +4,10 @@ Composes the pure-python baseline JPEG codec (``operators/jpeg.py``)
 into a REAL compressed video format: MJPEG — every frame an
 independently-coded JPEG — inside the standard AVI container
 (RIFF 'AVI ' → LIST hdrl (avih + one strl with strh/strf) →
-LIST movi ('00dc' chunks) → idx1). This narrows the compressed-media
-seam to genuinely inter-frame codecs (H.264) and compressed audio
-(AAC), which need native libraries this environment does not ship.
+LIST movi ('00dc' chunks) → idx1). Round 7 adds the INTER-frame
+sibling (``operators/pframe.py``, fourcc PJPG) on the same container;
+the remaining seam is bitstream-compatible codecs whose entropy
+coders need native libraries (H.264 CABAC, AAC).
 
 The demuxer is a proper RIFF walk: it locates the 'movi' LIST, decodes
 the stream header for frame geometry/rate, and yields each '00dc'

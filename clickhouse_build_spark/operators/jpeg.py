@@ -22,8 +22,10 @@ behaviour on arbitrary content is separately pytest-bounded
 (tests/test_jpeg.py asserts max |err| ≤ 1 on random images under the
 flat table, and round-trip shape/finiteness under the standard table).
 
-The H.264/AAC video/audio compressed formats remain the production
-seam (operators/multimodal.py:decode_media_real).
+Video/audio now have their own compressed codecs on top of this one
+(MJPEG-AVI and P-frame delta reuse the JPEG coder per frame; MDCT
+transform audio is independent); only bitstream-compatible H.264/AAC
+remain the production seam (operators/multimodal.py:decode_media_real).
 """
 
 from __future__ import annotations

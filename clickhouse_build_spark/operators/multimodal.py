@@ -2,14 +2,16 @@
 columns with typed metadata (driver-mandated extension surface — the
 reference has no media path at all).
 
-The decode step is REAL for the four shipped container formats:
-payloads are genuine PNG (8-bit grayscale, zlib-deflated), baseline
-JPEG (huffman + DCT + quantization, pure numpy — ``operators/jpeg.py``),
-WAV (8-bit PCM mono) and Y4M (Cmono) byte streams, and the kernels'
-``fake=False`` paths parse those containers and compute features from
-the decoded pixel/sample arrays (``operators/codecs.py``,
-``operators/jpeg.py``). The remaining production seam is compressed
-VIDEO/AUDIO codecs — H.264/AAC need native libraries this container
+The decode step is REAL for all eight shipped container formats:
+genuine PNG + baseline JPEG images (``operators/jpeg.py``), 8-bit PCM
+WAV + IMA-ADPCM (``operators/adpcm.py``) + MDCT transform audio
+(``operators/mdct.py``), and Y4M + Motion-JPEG AVI
+(``operators/avi.py``) + P-frame delta video
+(``operators/pframe.py``); the kernels' ``fake=False`` paths parse
+the containers and compute features from the decoded pixel/sample
+arrays. The remaining production seam is
+BITSTREAM-compatible codecs — H.264/AAC entropy and psychoacoustic
+stages need native libraries this container
 does not ship, and :func:`decode_media_real` raises for those formats
 explicitly.
 
@@ -139,11 +141,13 @@ def _media_geometry(i: int) -> tuple[str, dict]:
 
     Every modality alternates container format: even image ordinals
     are PNG, odd ones (``i % 6 == 3``) baseline JPEG; even audio
-    ordinals are PCM WAV, odd ones (``i % 6 == 4``) IMA-ADPCM WAV;
-    even video ordinals are uncompressed Y4M, odd ones (``i % 6 == 5``)
-    Motion-JPEG AVI — a realistic mixed-format corpus that forces
-    every consumer through the format dispatch instead of assuming one
-    codec, with a REAL compressed format in each modality."""
+    ordinals are PCM WAV, odd ones alternate IMA-ADPCM (``i % 12 ==
+    4``) and MDCT transform coding (``i % 12 == 10``); even video
+    ordinals are uncompressed Y4M, odd ones alternate Motion-JPEG AVI
+    (``i % 12 == 5``) and P-frame delta AVI (``i % 12 == 11``) — a
+    realistic mixed-format corpus that forces every consumer through
+    the format dispatch instead of assuming one codec, with BOTH a
+    simple and an advanced compressed format in each modality."""
     kind = _KIND_NAMES[i % 3]
     fmt = {"image": "png", "audio": "wav", "video": "y4m"}[kind]
     if kind == "image" and i % 6 == 3:

@@ -1,7 +1,8 @@
 """Registered multimodal queries.
 
 As of round 5 these run the REAL decode path: the corpus writer emits
-genuine PNG / WAV / Y4M container bytes (``operators/codecs.py``) and
+genuine container bytes in all eight formats (PNG/JPEG, WAV/ADPCM/MDCT,
+Y4M/MJPEG-AVI/P-frame AVI — ``operators/codecs.py`` and siblings) and
 the kernels parse them and measure the decoded pixel/sample arrays
 (``fake=False``). The corpus seeds decoded CONTENT from md5 — pixels =
 ``md5('media:'||id)`` tiled, audio windows = ``md5('rms:'||h||':'||ms)``
