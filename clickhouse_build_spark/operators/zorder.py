@@ -1,0 +1,89 @@
+"""Z-order (Morton) clustering for multi-dimensional data skipping.
+
+ClickHouse tables cluster on an ``ORDER BY (a, b, ...)`` tuple, which
+gives range locality on the leading column and progressively less on
+the rest. The columnar-lake analogue for queries that range-filter on
+SEVERAL columns at once is Z-ordering (Delta/Iceberg ``OPTIMIZE
+ZORDER BY``): interleave the bits of the normalized dimensions into
+one Morton key, range-partition + sort the data by it, and every
+parquet file/row-group ends up covering a small QUADRANT of the
+multi-dim space — so min/max footer stats prune scans for predicates
+on EITHER dimension, where a single-column sort leaves the other
+dimension's span at ~100% per file.
+
+The key computation is pure integer bit arithmetic, generated as one
+expression from the same Python helper for Spark SQL and DuckDB (the
+repo's shared-expression discipline), so layout queries stay
+hash-exact against the oracle. The write path is
+``repartitionByRange`` on the key + ``sortWithinPartitions`` — the
+exact physical recipe a table-maintenance job runs at 100 TB (no
+driver involvement, one range shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 13  # per-dimension bits; 2 dims → 26-bit Morton key
+
+
+def zorder_terms(
+    a: str, b: str, bits: int = ZORDER_BITS, shift: str = "spark"
+) -> str:
+    """The Morton-key SQL expression interleaving ``a`` (odd bit
+    positions) and ``b`` (even): one string per engine dialect —
+    ``shift='spark'`` uses shiftright(), ``'duckdb'`` uses ``>>`` —
+    with identical integer semantics."""
+    if shift == "spark":
+        bit = lambda col, i: f"(shiftright(CAST({col} AS BIGINT), {i}) & 1)"
+    else:
+        bit = lambda col, i: f"((CAST({col} AS BIGINT) >> {i}) & 1)"
+    return " + ".join(
+        f"{bit(a, i)} * {1 << (2 * i + 1)} + {bit(b, i)} * {1 << (2 * i)}"
+        for i in range(bits)
+    )
+
+
+def zorder_key(a: Column, b: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton key as a Spark Column (non-negative integer dims; values
+    ≥ 2^bits simply share the top quadrant — callers normalize)."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        acc = acc + abit * F.lit(1 << (2 * i + 1)) + bbit * F.lit(1 << (2 * i))
+    return acc
+
+
+def zorder_write(
+    df: DataFrame,
+    a: Column,
+    b: Column,
+    out_path: str,
+    bits: int = ZORDER_BITS,
+    coarse_bits: int = 6,
+) -> None:
+    """Cluster ``df`` on the Morton key of (a, b) and write parquet
+    PARTITIONED BY the key's top ``coarse_bits`` prefix, sorted by the
+    full key within each partition. Cutting at PREFIX boundaries (not
+    arbitrary key ranges) matters: a Morton prefix is exactly a
+    quadrant, so every partition directory — and every file in it —
+    bounds BOTH dimensions to 1/2^(coarse_bits/2) of the keyed space,
+    whereas free range cuts can straddle the curve's high-bit jumps
+    and briefly span a whole dimension. Scans with 2-D range
+    predicates then prune twice: partition pruning on the prefix
+    directories, footer min/max stats inside — verified against the
+    actual parquet footers in tests/test_zorder.py."""
+    shift = 2 * bits - coarse_bits
+    keyed = df.withColumn("__z", zorder_key(a, b, bits)).withColumn(
+        "__zb", (F.col("__z") / (1 << shift)).cast("long")
+    )
+    (
+        keyed.repartition(F.col("__zb"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy("__zb")
+        .parquet(out_path)
+    )

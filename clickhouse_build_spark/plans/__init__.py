@@ -21,6 +21,7 @@ from clickhouse_build_spark.plans import joinshapes  # noqa: E402,F401
 from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 from clickhouse_build_spark.plans import quality  # noqa: E402,F401
 from clickhouse_build_spark.plans import builds  # noqa: E402,F401
+from clickhouse_build_spark.plans import layout  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-7 ranking — stale-evidence rotation is POLICY
@@ -47,6 +48,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_pframe_frames",
     "media_mdct_chunks",
     "media_adpcm_chunks",
+    "orders_zorder_profile",
     "emb_pq_adc_topk",
     "doc_pack_sequences",
     "media_video_frame_sample",
@@ -83,7 +85,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "clean_corpus",
     "doc_quality_scores",
     "doc_lang_id",
-    "doc_simhash_dup_pairs",
     "emb_pq_codes",
     "emb_near_dup_cosine",
     "emb_lsh_bucketed_cosine_pairs",
@@ -91,10 +92,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q21_waiting_suppliers",
     "q19_disjunctive_revenue",
     "q20_bulk_part_suppliers",
-    # Held OUT at r05 evidence (27), each with an in-window cousin:
+    # Held OUT at r05 evidence (28), each with an in-window cousin:
     # status_priority_cube (status_priority_pivot r06),
     # q9_product_profit + q2_min_cost_supplier (join-agg cousins
-    # q21/q19/q20 in window),
+    # q21/q19/q20 in window), doc_simhash_dup_pairs (its signature
+    # artifact is exercised by in-window doc_simhash),
     # approx_distinct_and_percentiles, big_spender_segments_having,
     # ch_dialect_monthly_stats (ch_dialect_status_profile r06),
     # doc_chunk_text, doc_contamination_screen, doc_oov_rate,

@@ -1,0 +1,97 @@
+"""Physical-layout queries: multi-dimensional clustering (Z-order).
+
+The reference's ClickHouse target clusters MergeTree parts on an
+ORDER BY tuple; this module covers the columnar-lake analogue for
+multi-column range workloads — Z-order clustering
+(``operators/zorder.py``) — with an exactly-oracle-checked profile
+query over the Morton key space and a pytest that verifies the
+data-skipping property against real parquet footers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.operators.zorder import (
+    ZORDER_BITS,
+    zorder_terms,
+)
+from clickhouse_build_spark.plans.registry import query
+
+# orders' 2-D range space: days since the corpus epoch × $100 price
+# buckets — the "date range AND price band" analytics predicate shape.
+Z_EPOCH = "1995-01-01"
+Z_COARSE_BITS = 6  # profile buckets = top 3 bits of each dimension
+
+_DA_SPARK = f"datediff(CAST(o_orderdate AS DATE), DATE '{Z_EPOCH}')"
+_DA_DUCK = f"date_diff('day', DATE '{Z_EPOCH}', CAST(o_orderdate AS DATE))"
+_DB = "CAST(floor(o_totalprice) AS BIGINT) // 100"
+_DB_SPARK = "CAST(floor(o_totalprice) AS BIGINT) DIV 100"
+
+
+@query(
+    "orders_zorder_profile",
+    oracle=f"""
+    WITH dims AS (
+      SELECT {_DA_DUCK} AS da, {_DB} AS db FROM orders
+    ),
+    keyed AS (
+      SELECT da, db,
+             ({zorder_terms('da', 'db', ZORDER_BITS, shift='duckdb')}) AS z
+      FROM dims
+    )
+    SELECT CAST(z // {1 << (2 * ZORDER_BITS - Z_COARSE_BITS)} AS BIGINT)
+             AS z_bucket,
+           count(*) AS n_orders,
+           CAST(min(da) AS BIGINT) AS min_day,
+           CAST(max(da) AS BIGINT) AS max_day,
+           CAST(min(db) AS BIGINT) AS min_price_c,
+           CAST(max(db) AS BIGINT) AS max_price_c
+    FROM keyed GROUP BY 1 ORDER BY 1
+    """,
+    tags=("layout", "zorder", "clustering", "data-skipping"),
+)
+def orders_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustering profile of the orders table: Morton-key
+    every order on (days-since-epoch, $100-price-bucket), group by the
+    top-{Z_COARSE_BITS}-bit key prefix, and report each bucket's count
+    and per-dimension min/max. Because a Morton prefix IS a quadrant,
+    every bucket's spans are bounded in BOTH dimensions at once — the
+    numeric statement of why a Z-ordered layout's footer stats prune
+    two-dimensional range scans (single-column sort bounds only one).
+    The key arithmetic is one shared bit-interleave expression, so the
+    whole profile is hash-exact against the oracle.
+
+    Scale: a map-only key computation + one grouped aggregation with a
+    2^{Z_COARSE_BITS}-bounded key space (map-side combined). The write
+    path itself (``operators/zorder.py:zorder_write``) is
+    repartitionByRange + sortWithinPartitions — one range shuffle, the
+    table-maintenance job's plan.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    dims = orders.select(
+        F.expr(_DA_SPARK).alias("da"), F.expr(_DB_SPARK).alias("db")
+    )
+    keyed = dims.select(
+        "da",
+        "db",
+        F.expr(zorder_terms("da", "db", ZORDER_BITS, shift="spark")).alias(
+            "z"
+        ),
+    )
+    shift = 2 * ZORDER_BITS - Z_COARSE_BITS
+    return (
+        keyed.groupBy(
+            F.expr(f"CAST(z DIV {1 << shift} AS BIGINT)").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("da").cast("long").alias("min_day"),
+            F.max("da").cast("long").alias("max_day"),
+            F.min("db").cast("long").alias("min_price_c"),
+            F.max("db").cast("long").alias("max_price_c"),
+        )
+        .orderBy("z_bucket")
+    )
