@@ -49,6 +49,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_mdct_chunks",
     "media_adpcm_chunks",
     "orders_zorder_profile",
+    "curated_training_corpus",
     "emb_pq_adc_topk",
     "doc_pack_sequences",
     "media_video_frame_sample",
@@ -91,12 +92,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ann_lsh_topk",
     "q21_waiting_suppliers",
     "q19_disjunctive_revenue",
-    "q20_bulk_part_suppliers",
-    # Held OUT at r05 evidence (28), each with an in-window cousin:
+    # Held OUT at r05 evidence (29), each with an in-window cousin:
     # status_priority_cube (status_priority_pivot r06),
-    # q9_product_profit + q2_min_cost_supplier (join-agg cousins
-    # q21/q19/q20 in window), doc_simhash_dup_pairs (its signature
-    # artifact is exercised by in-window doc_simhash),
+    # q9_product_profit + q2_min_cost_supplier + q20_bulk_part_suppliers
+    # (join-agg cousins q21/q19 in window), doc_simhash_dup_pairs (its
+    # signature artifact is exercised by in-window doc_simhash),
     # approx_distinct_and_percentiles, big_spender_segments_having,
     # ch_dialect_monthly_stats (ch_dialect_status_profile r06),
     # doc_chunk_text, doc_contamination_screen, doc_oov_rate,

@@ -370,3 +370,104 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------- end-to-end curation
+#
+# The composition a production pretraining run actually executes: every
+# gate this repo implements, chained into one manifest. Each component
+# is individually hash-verified; the composition reuses their exact
+# SQL fragments, so the full pipeline is ALSO hash-exact end to end.
+
+
+def _curation_oracle() -> str:
+    from clickhouse_build_spark.plans.dedup import _keepers_oracle
+    from clickhouse_build_spark.plans.registry import REGISTRY
+    from clickhouse_build_spark.plans.textops import (
+        CONTAM_BENCH_MOD,
+        SPLIT_TRAIN_PCT,
+    )
+
+    contam = REGISTRY["doc_contamination_screen"].oracle
+    split_b = (
+        "('0x' || substr(md5('split:' || CAST(s.doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 100"
+    )
+    return f"""
+    WITH {_LAB_SQL},
+    {_MODEL_SQL},
+    {_SCORE_SQL}
+    SELECT s.doc_id,
+           CASE WHEN {split_b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {split_b} = {SPLIT_TRAIN_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM scored s
+    JOIN documents d ON d.doc_id = s.doc_id
+    JOIN ({_keepers_oracle()}) k
+      ON k.doc_id = s.doc_id AND k.keeper = s.doc_id
+    WHERE s.score_x1e6 > 0
+      AND s.doc_id % {CONTAM_BENCH_MOD} <> 0
+      AND s.doc_id NOT IN (SELECT doc_id FROM ({contam}) c)
+    ORDER BY s.doc_id
+    """
+
+
+@query(
+    "curated_training_corpus",
+    oracle=_curation_oracle(),
+    tags=("text", "pipeline", "curation", "dedup", "quality",
+          "contamination", "composition"),
+)
+def curated_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation manifest — the single query a corpus run
+    ships to the trainer: a document survives iff it (a) is its fuzzy-
+    dedup cluster's keeper (MinHash+LSH + connected components, which
+    subsumes exact dedup: identical texts share signatures), (b) is
+    ADMITTED by the trained quality classifier (fixed-point NB score >
+    0), (c) is not in the held-out benchmark slice, and (d) shares no
+    word-5-gram with it (decontamination); survivors get their
+    deterministic 98/1/1 split and token count. Every gate reuses the
+    component queries' code AND oracle fragments, so the whole pipeline
+    is hash-exact against DuckDB.
+
+    Scale: the scored frame and the keeper artifact are both
+    session-shared (built once by the ``build_*`` entries); the
+    contamination flag list and the survivor joins are id-keyed hash
+    joins; nothing here adds a shuffle beyond the component gates
+    themselves.
+    """
+    from clickhouse_build_spark.plans.dedup import shared_dedup_keepers
+    from clickhouse_build_spark.plans.textops import (
+        CONTAM_BENCH_MOD,
+        SPLIT_TRAIN_PCT,
+        doc_contamination_screen,
+    )
+    from clickhouse_build_spark.operators.dedup import portable_hash
+
+    sc = _scored(spark, sf_dir)
+    keepers = shared_dedup_keepers(spark, sf_dir)
+    contam = doc_contamination_screen(spark, sf_dir).select("doc_id")
+    docs = load_tables(spark, sf_dir)["documents"]
+    b = F.pmod(portable_hash(F.col("doc_id").cast("string"), "split"), 100)
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b == SPLIT_TRAIN_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        sc.filter(F.col("score_x1e6") > 0)
+        .join(keepers, "doc_id")
+        .filter(F.col("keeper") == F.col("doc_id"))
+        .filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(contam, "doc_id", "left_anti")
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", split.alias("split"), "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -8,6 +8,7 @@ import math
 
 from pyspark.sql import functions as F
 
+from clickhouse_build_spark.plans import REGISTRY
 from clickhouse_build_spark.plans.quality import (
     QC_BUCKETS,
     QC_HASH_SEED,
@@ -155,3 +156,34 @@ def test_scoring_plan_broadcasts_model(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curated_corpus_is_the_intersection_of_its_gates(spark):
+    # set algebra against the component queries on the real corpus
+    sf = "/root/testdata/sf0.001"
+    curated = {
+        r["doc_id"]: r
+        for r in REGISTRY["curated_training_corpus"].builder(spark, sf).collect()
+    }
+    admitted = {
+        r["doc_id"]
+        for r in REGISTRY["doc_quality_classifier"].builder(spark, sf).collect()
+        if r["pred_good"] == 1
+    }
+    keepers = {
+        r["doc_id"]
+        for r in REGISTRY["doc_fuzzy_dedup_keepers"].builder(spark, sf).collect()
+        if r["keeper"] == r["doc_id"]
+    }
+    contaminated = {
+        r["doc_id"]
+        for r in REGISTRY["doc_contamination_screen"].builder(spark, sf).collect()
+    }
+    want = {
+        d
+        for d in admitted & keepers
+        if d % 100 != 0 and d not in contaminated
+    }
+    assert set(curated) == want
+    assert all(r["split"] in ("train", "val", "test") for r in curated.values())
+    assert all(r["n_tokens"] > 0 for r in curated.values())
