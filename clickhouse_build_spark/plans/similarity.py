@@ -916,6 +916,35 @@ IVFPQ_RECALL_FLOOR = 0.5
 _PQ_BOOKS: dict[tuple[str, str], object] = {}
 _IVFPQ_INDEX: dict[tuple[str, str], str] = {}  # at-rest parquet dirs
 
+# Fixed at-rest root for the IVFPQ index exports (r08). The oracle SQL
+# is a STATIC string, so the index must land at a path DuckDB can glob
+# without knowing sf_dir: one subdirectory per corpus (md5 of its
+# sf_dir), every row carrying two corpus discriminators (row count +
+# an order-free integer fingerprint of the embeddings) that the oracle
+# recomputes from its own `embeddings` view to select exactly the
+# matching export — stale or foreign-corpus exports filter out, and an
+# accidental duplicate export of the SAME corpus is collapsed by the
+# oracle's DISTINCT (the index build is deterministic per corpus).
+IVFPQ_AT_REST_ROOT = "/tmp/chb_at_rest/ivfpq"
+
+
+def _ivfpq_export_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    return os.path.join(
+        IVFPQ_AT_REST_ROOT, hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+
+
+# Order-free corpus fingerprint: per-row integer (first embedding
+# element, fixed-point 1e6) weighted by vec_id+1, integer-summed — both
+# engines evaluate it bit-identically in any order.
+_CORPUS_FP_SQL = (
+    "sum((vec_id + 1) * CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000"
+    " + 0.5) AS BIGINT))"
+)
+
 
 def shared_pq_codebooks(spark: SparkSession, sf_dir: str):
     """Trained per-subspace PQ codebooks for the corpus's coarse
@@ -964,7 +993,16 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what dominates an index build at 10⁹ vectors; the
     kernel computes the same argmin per 1024-row numpy chunk, matching
     the per-subspace reference computation in tests/test_similarity.py
-    code-for-code.)"""
+    code-for-code.)
+
+    r08: the export path is DETERMINISTIC per corpus
+    (:func:`_ivfpq_export_dir`) and each row carries the corpus
+    discriminators (``n_corpus``, ``fp_corpus``), so the
+    ``emb_semdedup_keepers`` DuckDB oracle can ``read_parquet()`` the
+    trained cell assignment — the index is data, not code. Consumers
+    see the pre-r08 schema (vec_id, cell, c0..c7); ``cell`` is cast
+    back to long after the read because hive partition inference
+    returns int (ADVICE r07)."""
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> str:
@@ -1022,25 +1060,37 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"c{s} int" for s in range(PQ_M)
         )
         codes = res.mapInPandas(encode, schema)
-        import atexit
-        import shutil
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="chb_ivfpq_index_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        # Corpus discriminators stamped onto every row (one tiny agg +
+        # collect of a single 2-column row): the static-SQL oracle globs
+        # ALL exports under IVFPQ_AT_REST_ROOT and selects this corpus's
+        # by recomputing (n, fp) from its own embeddings view.
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        d = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "sum((vec_id + 1) * CAST(floor(CAST(element_at(embedding, 1)"
+                " AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+            ).alias("fp"),
+        ).collect()[0]
+        codes = codes.select(
+            "*",
+            F.lit(int(d["n"])).alias("n_corpus"),
+            F.lit(int(d["fp"])).alias("fp_corpus"),
+        )
+        path = _ivfpq_export_dir(sf_dir)
         codes.write.mode("overwrite").partitionBy("cell").parquet(path)
         return path
 
-    import shutil
-
     key = (spark.sparkContext.applicationId, sf_dir)
-    path = session_artifact(
-        _IVFPQ_INDEX,
-        key,
-        build,
-        evict=lambda p: shutil.rmtree(p, ignore_errors=True),
+    path = session_artifact(_IVFPQ_INDEX, key, build)
+    # Consumers get the pre-export schema back: cell re-cast to long
+    # (hive partition-column inference yields int — ADVICE r07 type-drift
+    # trap), discriminator columns dropped.
+    return spark.read.parquet(path).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        *[f"c{s}" for s in range(PQ_M)],
     )
-    return spark.read.parquet(path)
 
 
 @query(
@@ -1250,15 +1300,66 @@ def ivfpq_cell_cosine_pairs(
     )
 
 
+def _semdedup_keepers_oracle() -> str:
+    """Full DuckDB re-derivation of SemDeDup (r08 — closes the last
+    rows-only registry entry): the trained cell assignment is READ FROM
+    THE AT-REST INDEX (``read_parquet`` over the deterministic export,
+    selected by the corpus discriminators), so the only non-SQL step —
+    the iterative quantizer — enters as data; candidate pairs
+    (within-cell self-join), the exact-cosine refine and the
+    recursive-CTE keeper closure are all recomputed in SQL, mirroring
+    ``plans/dedup.py:_keepers_oracle``."""
+    return f"""
+    WITH RECURSIVE emb_d AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    disc AS (
+      SELECT count(*) AS n, {_CORPUS_FP_SQL} AS fp FROM embeddings
+    ),
+    idx AS (
+      SELECT DISTINCT i.vec_id, i.cell
+      FROM read_parquet('{IVFPQ_AT_REST_ROOT}/*/cell=*/*.parquet',
+                        hive_partitioning = 1) i, disc
+      WHERE i.n_corpus = disc.n AND i.fp_corpus = disc.fp
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    sem_pairs AS (
+      SELECT c.vec_a, c.vec_b
+      FROM cand c
+      JOIN emb_d a ON a.vec_id = c.vec_a
+      JOIN emb_d b ON b.vec_id = c.vec_b
+      WHERE {_cos_sql('a.e', 'b.e')} >= {NEAR_DUP_COS}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM sem_pairs
+      UNION
+      SELECT vec_b AS src, vec_a AS dst FROM sem_pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, least(src, min(dst)) AS keeper
+      FROM reach GROUP BY src
+    )
+    SELECT v.vec_id, COALESCE(c.keeper, v.vec_id) AS keeper
+    FROM embeddings v LEFT JOIN comp c USING (vec_id)
+    """
+
+
 @query(
     "emb_semdedup_keepers",
-    # The coarse cells come from an iterative trained quantizer, so the
-    # within-cell pair set is not SQL-expressible — rows-only driver
-    # check (the documented weaker gate); the contract is pinned by
-    # tests/test_semdedup.py: planted-cluster keeper equality with the
-    # exact AND LSH paths, precision-1 pair subset + cluster refinement
-    # on real data, and numpy union-find equivalence.
-    oracle=None,
+    # r08: full hash oracle (was the one rows-only registry entry
+    # through r07). The at-rest index export makes the trained cell
+    # assignment readable data; everything downstream of it is exact
+    # SQL. The planted-cluster / precision-1 contracts remain pinned by
+    # tests/test_semdedup.py.
+    oracle=_semdedup_keepers_oracle(),
     tags=("similarity", "dedup", "semdedup", "ivfpq", "keepers", "pipeline"),
 )
 def emb_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
