@@ -408,6 +408,55 @@ def ivf_assign(
     )
 
 
+def ivf_assign_probes(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Multi-probe coarse quantization (r08): each vector gets its top
+    ``nprobe`` cells by the SAME ordering :func:`ivf_assign` uses (max
+    cosine, lowest cell id as tiebreak) → (id, cell, probe_rank) rows,
+    rank 1 being exactly :func:`ivf_assign`'s cell (pytest-pinned).
+
+    SemDeDup's within-cell candidate generation misses pairs that
+    straddle a cell boundary; assigning each vector to its ``nprobe``
+    nearest cells and unioning the per-cell self-joins recovers most of
+    them (measured in plans/similarity.py's module note) while staying
+    an equi-join on ``cell`` — still partition-local on a cell-
+    partitioned index, with the quadratic term bounded per cell.
+
+    Plan: centroids broadcast; each vector's |cells| candidate rows are
+    collapsed map-side by collect_list + array_sort + slice (≤ |cells|
+    small structs per vector through the shuffle — same order as a
+    windowed rank but without sorting |corpus|×|cells| rows globally).
+    At production nlist ~ √n, pre-prune candidate cells with a
+    coarse-of-coarse quantizer before this pass.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        F.struct(
+            (-cosine(F.col(vec_col), F.col("ce"))).alias("negd"),
+            F.col("cell").alias("cell"),
+        ).alias("__s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("__s")), 1, nprobe
+            ).alias("__top")
+        )
+        .select(id_col, F.posexplode("__top").alias("__p", "__s"))
+        .select(
+            id_col,
+            F.col("__s.cell").cast("long").alias("cell"),
+            (F.col("__p") + 1).alias("probe_rank"),
+        )
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -971,6 +971,24 @@ def shared_pq_codebooks(spark: SparkSession, sf_dir: str):
     return session_artifact(_PQ_BOOKS, key, build)
 
 
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalized nonzero vectors — the exact frame the index build
+    coarse-assigns, factored out so probe assignment (r08 nprobe>1)
+    reproduces the index's rank-1 cell BIT-IDENTICALLY (cosine is
+    scale-invariant mathematically but not in FP; both paths must
+    normalize the same way before scoring)."""
+    v = _vectors(spark, sf_dir)
+    nrm = F.sqrt(dot(F.col("e"), F.col("e")))
+    return (
+        v.withColumn("__n", nrm)
+        .filter(F.col("__n") > 0)
+        .select(
+            "vec_id",
+            F.transform("e", lambda x: x / F.col("__n")).alias("e"),
+        )
+    )
+
+
 def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-rest IVF-PQ index: (vec_id, cell, c0..c7) — one 8-bit
     code per subspace per vector (IVFPQ_K=256 codebooks; the 4-bit
@@ -1011,16 +1029,7 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         cent = shared_ivf_centroids(spark, sf_dir, k=IVFPQ_CELLS, iters=5)
         books = shared_pq_codebooks(spark, sf_dir)
-        v = _vectors(spark, sf_dir)
-        nrm = F.sqrt(dot(F.col("e"), F.col("e")))
-        unit = (
-            v.withColumn("__n", nrm)
-            .filter(F.col("__n") > 0)
-            .select(
-                "vec_id",
-                F.transform("e", lambda x: x / F.col("__n")).alias("e"),
-            )
-        )
+        unit = _unit_vectors(spark, sf_dir)
         assigned = ivf_assign(unit, cent)
         res = assigned.join(F.broadcast(cent), "cell").select(
             "vec_id",
@@ -1258,6 +1267,12 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only ~24% of cos ≥ 0.4 pairs share their top-1 of 16 trained cells
 # (~61% share a top-2 probe). That is a property of the data, not the
 # plan — at 0.4 the pair geometry is nowhere near the cell diameter.
+# r08, measured through the OPERATOR (ivfpq_cell_cosine_pairs, refined
+# pair recall vs the exact all-pairs set): nprobe=1 → 0.258 (sf0.001) /
+# 0.356 (sf0.01); nprobe=2 → 0.697 / 0.678, with the nprobe=1 pair set
+# a strict subset of nprobe=2 and precision 1 at both depths
+# (tests/test_semdedup.py::test_nprobe2_recall_gain re-asserts the
+# subset/precision contract; the recall row is re-measured here).
 # The equality the directive asks for DOES hold where it mathematically
 # can: on tight duplicate clusters (the case semantic dedup exists
 # for), every cluster lands in one cell and the keeper assignment is
@@ -1268,8 +1283,73 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine), so semdedup clusters always refine exact-path clusters.
 
 
+# Multi-probe SemDeDup (r08, VERDICT r07 #5): assign each vector to its
+# top-SEMDEDUP_NPROBE cells and union the per-cell self-joins. The
+# probe table lands at rest like the code index so the nprobe=2 keeper
+# query is fully oracle-checkable.
+SEMDEDUP_NPROBE = 2
+IVFPQ_PROBES_AT_REST_ROOT = "/tmp/chb_at_rest/ivfpq_probes"
+_IVFPQ_PROBES: dict[tuple[str, str, int], str] = {}
+
+
+def shared_ivfpq_probes(
+    spark: SparkSession, sf_dir: str, nprobe: int = SEMDEDUP_NPROBE
+) -> DataFrame:
+    """At-rest multi-probe assignment (vec_id, cell, probe_rank ≤
+    nprobe) against the SAME trained coarse centroids the code index
+    uses; rank 1 equals the index's cell bit-identically (both paths
+    score the :func:`_unit_vectors` frame — pytest-pinned in
+    tests/test_semdedup.py). Export layout mirrors the code index:
+    deterministic per-corpus subdir + (n_corpus, fp_corpus)
+    discriminator columns, partitioned by cell."""
+    import hashlib
+    import os
+
+    from clickhouse_build_spark.operators.similarity import ivf_assign_probes
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> str:
+        cent = shared_ivf_centroids(spark, sf_dir, k=IVFPQ_CELLS, iters=5)
+        probes = ivf_assign_probes(
+            _unit_vectors(spark, sf_dir), cent, nprobe=nprobe
+        )
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        d = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "sum((vec_id + 1) * CAST(floor(CAST(element_at(embedding, 1)"
+                " AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+            ).alias("fp"),
+        ).collect()[0]
+        probes = probes.select(
+            "*",
+            F.lit(int(d["n"])).alias("n_corpus"),
+            F.lit(int(d["fp"])).alias("fp_corpus"),
+        )
+        # nprobe level FIRST so an oracle glob rooted at .../np{n} never
+        # unions exports built with a different probe depth
+        path = os.path.join(
+            IVFPQ_PROBES_AT_REST_ROOT,
+            f"np{nprobe}",
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        )
+        probes.write.mode("overwrite").partitionBy("cell").parquet(path)
+        return path
+
+    key = (spark.sparkContext.applicationId, sf_dir, nprobe)
+    path = session_artifact(_IVFPQ_PROBES, key, build)
+    return spark.read.parquet(path).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "probe_rank",
+    )
+
+
 def ivfpq_cell_cosine_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COS
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = NEAR_DUP_COS,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Within-cell exact-cosine pairs over the at-rest IVFPQ index:
     candidates are generated by an equi-join on the coarse cell id —
@@ -1277,8 +1357,18 @@ def ivfpq_cell_cosine_pairs(
     partition-local (each cell's code list joins itself; no all-pairs
     shuffle, no vector ever joins a vector until a candidate id-pair
     exists). Refine fetches the two raw vectors by key and keeps exact
-    cos ≥ threshold, mirroring emb_near_dup_cosine's output shape."""
-    idx = shared_ivfpq_index(spark, sf_dir).select("vec_id", "cell")
+    cos ≥ threshold, mirroring emb_near_dup_cosine's output shape.
+
+    ``nprobe`` > 1 (r08) unions the per-probe equi-joins via the
+    at-rest probe table (:func:`shared_ivfpq_probes`): a pair is a
+    candidate when the two vectors share ANY probed cell; pairs sharing
+    two cells are deduped before the refine."""
+    if nprobe <= 1:
+        idx = shared_ivfpq_index(spark, sf_dir).select("vec_id", "cell")
+    else:
+        idx = shared_ivfpq_probes(spark, sf_dir, nprobe=nprobe).select(
+            "vec_id", "cell"
+        )
     cand = (
         idx.alias("a")
         .join(idx.alias("b"), "cell")
@@ -1288,6 +1378,8 @@ def ivfpq_cell_cosine_pairs(
             F.col("b.vec_id").alias("vec_b"),
         )
     )
+    if nprobe > 1:
+        cand = cand.dropDuplicates(["vec_a", "vec_b"])
     v = _vectors(spark, sf_dir)
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
@@ -1300,7 +1392,7 @@ def ivfpq_cell_cosine_pairs(
     )
 
 
-def _semdedup_keepers_oracle() -> str:
+def _semdedup_keepers_oracle(root: str = IVFPQ_AT_REST_ROOT) -> str:
     """Full DuckDB re-derivation of SemDeDup (r08 — closes the last
     rows-only registry entry): the trained cell assignment is READ FROM
     THE AT-REST INDEX (``read_parquet`` over the deterministic export,
@@ -1308,7 +1400,9 @@ def _semdedup_keepers_oracle() -> str:
     the iterative quantizer — enters as data; candidate pairs
     (within-cell self-join), the exact-cosine refine and the
     recursive-CTE keeper closure are all recomputed in SQL, mirroring
-    ``plans/dedup.py:_keepers_oracle``."""
+    ``plans/dedup.py:_keepers_oracle``. With ``root`` pointed at the
+    multi-probe export the same SQL verifies the nprobe>1 variant (the
+    candidate DISTINCT collapses pairs sharing two probed cells)."""
     return f"""
     WITH RECURSIVE emb_d AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1318,12 +1412,12 @@ def _semdedup_keepers_oracle() -> str:
     ),
     idx AS (
       SELECT DISTINCT i.vec_id, i.cell
-      FROM read_parquet('{IVFPQ_AT_REST_ROOT}/*/cell=*/*.parquet',
+      FROM read_parquet('{root}/*/cell=*/*.parquet',
                         hive_partitioning = 1) i, disc
       WHERE i.n_corpus = disc.n AND i.fp_corpus = disc.fp
     ),
     cand AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id
     ),
     sem_pairs AS (
@@ -1382,6 +1476,38 @@ def emb_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ivfpq_cell_cosine_pairs(spark, sf_dir, NEAR_DUP_COS).select(
         F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
     )
+    return dedup_keepers(pairs, v.select("vec_id"), id_col="vec_id").orderBy(
+        "vec_id"
+    )
+
+
+@query(
+    "emb_semdedup_probe2_keepers",
+    oracle=_semdedup_keepers_oracle(
+        root=f"{IVFPQ_PROBES_AT_REST_ROOT}/np{SEMDEDUP_NPROBE}"
+    ),
+    tags=("similarity", "dedup", "semdedup", "ivfpq", "nprobe", "keepers"),
+)
+def emb_semdedup_probe2_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with multi-probe candidates (r08, VERDICT r07 #5):
+    each vector joins its top-{SEMDEDUP_NPROBE} coarse cells (at-rest
+    probe table, :func:`shared_ivfpq_probes`), so near-dup pairs that
+    straddle a cell boundary become candidates — measured through the
+    operator on this corpus, refined-pair recall vs the exact all-pairs
+    set rises from 0.26–0.36 (nprobe=1) to ~0.68–0.70 (nprobe=2), at
+    precision 1 (module note). Refine and keeper assignment
+    are identical to ``emb_semdedup_keepers``; the oracle re-derives
+    everything from the probe export in SQL.
+
+    Scale: candidate generation stays an equi-join on ``cell`` over a
+    cell-partitioned table — nprobe multiplies rows per cell (Σ|cell|²
+    grows ×nprobe²/nlist-ish), the standard recall/cost dial."""
+    from clickhouse_build_spark.operators.dedup import dedup_keepers
+
+    v = _vectors(spark, sf_dir)
+    pairs = ivfpq_cell_cosine_pairs(
+        spark, sf_dir, NEAR_DUP_COS, nprobe=SEMDEDUP_NPROBE
+    ).select(F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b"))
     return dedup_keepers(pairs, v.select("vec_id"), id_col="vec_id").orderBy(
         "vec_id"
     )
