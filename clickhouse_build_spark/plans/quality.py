@@ -145,13 +145,20 @@ _MODEL_SQL = f"""
     FROM lab
   )"""
 
+# LEFT join + COALESCE(llr, 0) (ADVICE r07): a token hashing to a
+# bucket absent from the trained model contributes a neutral 0 instead
+# of silently dropping — and a doc whose EVERY token is unseen still
+# gets a verdict (score = prior). Batch-side this is behavior-identical
+# (the same corpus trains and scores, so every bucket exists); the
+# streaming admission gate is where genuinely novel docs arrive.
 _SCORE_SQL = """
   scored AS (
     SELECT t.doc_id,
            MIN(t.label_good) AS label_good,
-           CAST(MIN(pri.prior_x1e6) + SUM(m.llr_x1e6) AS BIGINT) AS score_x1e6
+           CAST(MIN(pri.prior_x1e6)
+                + SUM(COALESCE(m.llr_x1e6, 0)) AS BIGINT) AS score_x1e6
     FROM tok t
-    JOIN model m USING (bucket)
+    LEFT JOIN model m USING (bucket)
     CROSS JOIN pri
     GROUP BY t.doc_id
   )"""
@@ -246,13 +253,15 @@ def score_documents(
     ).select(
         "doc_id", "source", "label_good", _bucket_col(F.col("w")).alias("bucket")
     )
+    # LEFT join + coalesce-0 (ADVICE r07): unseen buckets score neutral
+    # and fully-unseen docs still get a verdict — mirrored in _SCORE_SQL.
     sc = (
-        tok.join(F.broadcast(model.select("bucket", "llr_x1e6")), "bucket")
+        tok.join(F.broadcast(model.select("bucket", "llr_x1e6")), "bucket", "left")
         .groupBy("doc_id")
         .agg(
             F.min("source").alias("source"),
             F.min("label_good").alias("label_good"),
-            F.sum("llr_x1e6").alias("tok_score"),
+            F.sum(F.coalesce("llr_x1e6", F.lit(0))).alias("tok_score"),
         )
         .crossJoin(F.broadcast(priors))
     )

@@ -84,7 +84,21 @@ def stream_quality_admission(
 
 def read_quality_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
     """Admission rows across all drained epochs (bookkeeping column
-    hidden): (doc_id, source, label_good, score_x1e6, pred_good)."""
-    return spark.read.parquet(out_dir).select(
-        "doc_id", "source", "label_good", "score_x1e6", "pred_good"
+    hidden): (doc_id, source, label_good, score_x1e6, pred_good).
+
+    Latest-epoch resolution (ADVICE r07): a doc staged in two DIFFERENT
+    micro-batches (a re-drop across epochs — the epoch-keyed overwrite
+    only dedups replays of the SAME batch id) resolves to its newest
+    verdict via max(ingest_batch) per doc, the same ReplacingMergeTree
+    read rule the CDC reader uses (sources/replication.py:latest_per_key).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(out_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("ingest_batch"))
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "label_good", "score_x1e6", "pred_good")
     )

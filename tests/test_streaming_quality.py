@@ -64,6 +64,50 @@ def test_streamed_admission_equals_batch_classifier(spark, tmp_path):
     assert replayed.exceptAll(batch).count() == 0
 
 
+def test_novel_doc_gets_neutral_verdict(spark, tmp_path):
+    """ADVICE r07: a streamed doc whose tokens ALL hash to buckets the
+    trained model never saw must still get a verdict (left-join model,
+    unseen buckets neutral) — score = prior exactly — and a partially
+    unseen doc scores its seen tokens plus 0 for the rest."""
+    from clickhouse_build_spark.plans.quality import (
+        label_documents,
+        score_documents,
+        shared_quality_model,
+    )
+
+    model, priors = shared_quality_model(spark, SF)
+    # empty model = every bucket unseen: the degenerate extreme of the
+    # novel-doc case, independent of which buckets sf0.001 trained
+    empty_model = model.filter(F.lit(False))
+    docs = load_tables(spark, SF)["documents"].limit(5)
+    out = score_documents(label_documents(docs), empty_model, priors).collect()
+    prior = priors.collect()[0]["prior_x1e6"]
+    assert len(out) == 5
+    assert all(r["score_x1e6"] == prior for r in out)
+
+
+def test_redropped_doc_resolves_to_latest_epoch(spark, tmp_path):
+    """ADVICE r07: the same doc staged in two different micro-batches
+    appears ONCE in read_quality_verdicts, resolved to max(ingest_batch)."""
+    stage = str(tmp_path / "stage")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "verdicts")
+
+    docs = load_tables(spark, SF)["documents"]
+    build_quality_model_store(spark, SF, store)
+    # chunk 0: docs 0-9; chunk 1: docs 5-14 — ids 5-9 staged twice
+    a = docs.orderBy("doc_id").limit(10)
+    b = docs.orderBy("doc_id").limit(15).exceptAll(docs.orderBy("doc_id").limit(5))
+    a.coalesce(1).write.mode("overwrite").parquet(stage + "/__chunk=0")
+    b.coalesce(1).write.mode("overwrite").parquet(stage + "/__chunk=1")
+    stream_quality_admission(spark, stage, store, out, str(tmp_path / "ck"))
+
+    verdicts = read_quality_verdicts(spark, out)
+    n_docs = docs.orderBy("doc_id").limit(15).count()
+    assert verdicts.count() == n_docs  # 15 distinct docs, no dup rows
+    assert verdicts.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
 def test_admission_totals_match_filter_report(spark, tmp_path):
     stage = str(tmp_path / "stage")
     store = str(tmp_path / "store")
