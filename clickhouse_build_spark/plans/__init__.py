@@ -22,6 +22,7 @@ from clickhouse_build_spark.plans import chdialect  # noqa: E402,F401
 from clickhouse_build_spark.plans import quality  # noqa: E402,F401
 from clickhouse_build_spark.plans import builds  # noqa: E402,F401
 from clickhouse_build_spark.plans import layout  # noqa: E402,F401
+from clickhouse_build_spark.plans import cdcrollup  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-7 ranking — stale-evidence rotation is POLICY

@@ -63,6 +63,35 @@ DELETE_OP = "d"
 # Table schema sidecar: lets a fully-emptied replica (every key deleted)
 # stay readable as an empty table.
 _SCHEMA_FILE = "_table_schema.json"
+# Where a table's maintained rollup lives relative to the table itself.
+ROLLUP_SUFFIX = "__rollup"
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """Incremental aggregate maintenance (r08 — the AggregatingMergeTree
+    / materialized-view analogue, VERDICT r07 #4): keep a per-group
+    rollup of the replica's LATEST-PER-KEY state fresh inside the CDC
+    merge loop, so readers scan |groups| rows instead of recomputing
+    the aggregate per query.
+
+    Maintained columns: ``n_rows`` (live keys per group) and, when
+    ``value_col`` is set, ``sum_cents`` (Σ floor(value×100+0.5) as
+    BIGINT — integer at rest, so incremental ±delta arithmetic is exact
+    and addition-order-free; the reader divides by 100.0 once).
+
+    The maintenance is the classic incremental-view-maintenance delta:
+    each merge batch touches a bounded set of hash buckets, so
+    ``delta(group) = agg(merged touched rows) − agg(pre-merge touched
+    rows)`` — updates retract the old row's contribution, deletes
+    retract without adding, and groups whose count reaches 0 leave the
+    rollup. The rollup itself is stored hash-bucketed by group, and a
+    batch rewrites only the group-buckets its deltas touch — both
+    sides of the maintenance are O(touched), never O(table).
+    """
+
+    group_cols: list[str]
+    value_col: str | None = None
 
 
 def latest_per_key(
@@ -101,6 +130,8 @@ class Replicator:
     version_col: str
     n_buckets: int = 32
     assumptions: list[str] = field(default_factory=list)
+    # Optional maintained rollup (r08): see RollupSpec. None = no rollup.
+    rollup: RollupSpec | None = None
 
     def _target_path(self, mapping: TableMapping) -> str:
         return os.path.join(self.target_root, mapping.target_table)
@@ -162,14 +193,26 @@ class Replicator:
             .parquet(path)
         )
         self._persist_schema(bucketed, path)
+        if self.rollup is not None:
+            # Initialize the rollup from the snapshot in one pass; every
+            # merge after this maintains it by ±delta.
+            init = self._rollup_gbucketed(self._rollup_agg(bucketed))
+            (
+                init.repartition("gbucket")
+                .write.mode("overwrite")
+                .partitionBy("gbucket")
+                .parquet(path + ROLLUP_SUFFIX)
+            )
+            self._persist_schema(init, path + ROLLUP_SUFFIX)
         return path
 
     def apply_changes(self, changes: DataFrame, mapping: TableMapping) -> str:
         """C2/C3: merge one change batch into the target.
 
         Only the hash buckets present in the batch are read, merged
-        (latest version per key, deletes dropped), and rewritten —
-        dynamic partition overwrite leaves all other buckets untouched.
+        (latest version per key; winning deletes retained as stored
+        tombstones the reader filters), and rewritten — dynamic
+        partition overwrite leaves all other buckets untouched.
         """
         path = self._target_path(mapping)
         has_op = OP_COLUMN in changes.columns
@@ -185,7 +228,15 @@ class Replicator:
             d.startswith("bucket=") for d in os.listdir(path)
         )
         if has_data:
-            state = self.spark.read.parquet(path).filter(F.col("bucket").isin(touched))
+            # Read through the persisted sidecar schema: after a
+            # tombstone-retaining merge, TOUCHED buckets carry _op while
+            # untouched buckets keep the older column set — a plain read
+            # would adopt whichever file it sampled first and either
+            # drop stored tombstone markers (resurrecting deleted keys)
+            # or lose columns. Missing columns read as null.
+            state = self._read_with_sidecar_schema(path).filter(
+                F.col("bucket").isin(touched)
+            )
             if has_op and OP_COLUMN not in state.columns:
                 state = state.withColumn(OP_COLUMN, F.lit(None).cast("string"))
             # Conform the batch to the table's declared types: a change
@@ -217,10 +268,15 @@ class Replicator:
         merged = latest_per_key(
             merged_input, self.key_cols, self.version_col, tiebreak_col="__src"
         ).drop("__src")
-        if has_op:
-            merged = merged.filter(
-                F.coalesce(F.col(OP_COLUMN), F.lit("")) != DELETE_OP
-            ).drop(OP_COLUMN)
+        # TOMBSTONE RETENTION (r08): a winning delete row is STORED as a
+        # tombstone (ClickHouse ReplacingMergeTree's is_deleted
+        # analogue), not dropped — dropping it loses the delete's
+        # version, so a lower-version upsert arriving in a LATER batch
+        # would silently resurrect the key (caught by the per-batch
+        # rollup-consistency test over an interleaved feed,
+        # tests/test_rollup.py). ``read`` filters tombstones; at
+        # production scale they are TTL'd once the feed's replay
+        # horizon passes.
 
         # Materialize the merge BEFORE clearing the touched buckets (the
         # merge reads them), then swap: clear + append. Clearing
@@ -228,6 +284,41 @@ class Replicator:
         # covers the case where deletes empty a bucket entirely (dynamic
         # overwrite would silently leave the stale partition in place).
         merged = merged.localCheckpoint(eager=True)
+        rollup_delta = None
+        if self.rollup is not None:
+            # IVM delta over the touched buckets: what the merged rows
+            # contribute minus what the pre-merge rows contributed.
+            # Checkpointed NOW — the old side reads parquet files the
+            # clear below deletes.
+            old_part = self._rollup_agg(
+                state if has_data else batch.filter(F.lit(False))
+            )
+            new_part = self._rollup_agg(merged)
+            g = self.rollup.group_cols
+            val_cols = [c for c in ("n_rows", "sum_cents") if c in new_part.columns]
+            o = old_part.select(
+                *g, *[F.col(c).alias(f"__o_{c}") for c in val_cols]
+            )
+            n = new_part.select(
+                *g, *[F.col(c).alias(f"__n_{c}") for c in val_cols]
+            )
+            rollup_delta = (
+                n.join(o, g, "full_outer")
+                .select(
+                    *g,
+                    *[
+                        (
+                            F.coalesce(F.col(f"__n_{c}"), F.lit(0))
+                            - F.coalesce(F.col(f"__o_{c}"), F.lit(0))
+                        ).alias(c)
+                        for c in val_cols
+                    ],
+                )
+                .filter(
+                    " OR ".join(f"{c} != 0" for c in val_cols)
+                )
+                .localCheckpoint(eager=True)
+            )
         self._persist_schema(merged, path)
         _clear_buckets(path, touched)
         (
@@ -237,23 +328,132 @@ class Replicator:
             .partitionBy("bucket")
             .parquet(path)
         )
+        if rollup_delta is not None:
+            self._apply_rollup_delta(rollup_delta, path)
         return path
 
-    def read(self, mapping: TableMapping) -> DataFrame:
-        """Reader view of the replica (already latest-per-key).
+    # ------------------------------------------------------------ rollup
 
-        A replica whose every key was deleted has no parquet files left
-        (cleared buckets) — serve the empty table from the persisted
-        schema instead of failing the scan."""
-        path = self._target_path(mapping)
-        if not any(d.startswith("bucket=") for d in os.listdir(path)):
+    def _rollup_agg(self, df: DataFrame) -> DataFrame:
+        """Per-group contribution of a set of state rows: live-row count
+        and (optionally) the integer-cents value sum. Integer at rest so
+        delta arithmetic is exact and order-free. Stored tombstones
+        contribute nothing."""
+        spec = self.rollup
+        if OP_COLUMN in df.columns:
+            df = df.filter(
+                F.coalesce(F.col(OP_COLUMN), F.lit("")) != DELETE_OP
+            )
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        if spec.value_col is not None:
+            cents = F.floor(
+                F.col(spec.value_col) * 100 + F.lit(0.5)
+            ).cast("long")
+            aggs.append(F.sum(cents).alias("sum_cents"))
+        return df.groupBy(*spec.group_cols).agg(*aggs)
+
+    def _rollup_gbucketed(self, rolled: DataFrame) -> DataFrame:
+        gkey = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in self.rollup.group_cols]
+        )
+        return rolled.withColumn(
+            "gbucket", F.pmod(F.hash(gkey), F.lit(self.n_buckets))
+        )
+
+    def _apply_rollup_delta(self, delta: DataFrame, path: str) -> None:
+        """Merge a (group → ±n_rows, ±sum_cents) delta into the at-rest
+        rollup: read ONLY the group-buckets the delta touches, add, drop
+        emptied groups, rewrite those buckets — O(touched groups)."""
+        rpath = path + ROLLUP_SUFFIX
+        spec = self.rollup
+        delta_b = self._rollup_gbucketed(delta)
+        touched_g = [
+            r["gbucket"] for r in delta_b.select("gbucket").distinct().collect()
+        ]
+        if not touched_g:
+            return
+        val_cols = [c for c in ("n_rows", "sum_cents") if c in delta.columns]
+        has_roll = os.path.isdir(rpath) and any(
+            d.startswith("gbucket=") for d in os.listdir(rpath)
+        )
+        if has_roll:
+            current = self.spark.read.parquet(rpath).filter(
+                F.col("gbucket").isin(touched_g)
+            )
+            merged_roll = current.unionByName(delta_b)
+        else:
+            merged_roll = delta_b
+        merged_roll = (
+            merged_roll.groupBy(*spec.group_cols, "gbucket")
+            .agg(*[F.sum(c).cast("long").alias(c) for c in val_cols])
+            .filter(F.col("n_rows") > 0)
+            .localCheckpoint(eager=True)
+        )
+        self._persist_schema(merged_roll, rpath)
+        _clear_gbuckets(rpath, touched_g)
+        (
+            merged_roll.repartition("gbucket")
+            .write.mode("append")
+            .partitionBy("gbucket")
+            .parquet(rpath)
+        )
+
+    def read_rollup(self, mapping: TableMapping) -> DataFrame:
+        """Reader view of the maintained rollup: (group_cols…, n_rows
+        [, sum_<value_col>]) — the AggregatingMergeTree read path. Scans
+        |groups| rows; never touches the base table."""
+        rpath = self._target_path(mapping) + ROLLUP_SUFFIX
+        spec = self.rollup
+        if not any(d.startswith("gbucket=") for d in os.listdir(rpath)):
             from pyspark.sql import types as T
 
             schema = T.StructType.fromJson(
-                __import__("json").load(open(os.path.join(path, _SCHEMA_FILE)))
+                __import__("json").load(open(os.path.join(rpath, _SCHEMA_FILE)))
             )
-            return self.spark.createDataFrame([], schema).drop("bucket")
-        return self.spark.read.parquet(path).drop("bucket")
+            raw = self.spark.createDataFrame([], schema)
+        else:
+            raw = self.spark.read.parquet(rpath)
+        cols = [*spec.group_cols, F.col("n_rows")]
+        if spec.value_col is not None:
+            cols.append(
+                (F.col("sum_cents") / F.lit(100.0)).alias(f"sum_{spec.value_col}")
+            )
+        return raw.select(*cols)
+
+    def read(self, mapping: TableMapping) -> DataFrame:
+        """Reader view of the replica: latest-per-key rows with
+        tombstones filtered (the FINAL read rule — a key whose newest
+        version is a delete marker is absent).
+
+        A replica with no parquet files yet (cdc_only before the first
+        batch) serves the empty table from the persisted schema instead
+        of failing the scan."""
+        path = self._target_path(mapping)
+        if not any(d.startswith("bucket=") for d in os.listdir(path)):
+            df = self.spark.createDataFrame(
+                [], self._sidecar_schema(path)
+            ).drop("bucket")
+        else:
+            df = self._read_with_sidecar_schema(path).drop("bucket")
+        if OP_COLUMN in df.columns:
+            df = df.filter(
+                F.coalesce(F.col(OP_COLUMN), F.lit("")) != DELETE_OP
+            ).drop(OP_COLUMN)
+        return df
+
+    def _sidecar_schema(self, path: str):
+        import json
+
+        from pyspark.sql import types as T
+
+        with open(os.path.join(path, _SCHEMA_FILE)) as f:
+            return T.StructType.fromJson(json.load(f))
+
+    def _read_with_sidecar_schema(self, path: str) -> DataFrame:
+        """Scan the bucketed table under the DECLARED (sidecar) schema —
+        the per-bucket parquet schemas legitimately diverge once
+        tombstone retention adds _op to touched buckets only."""
+        return self.spark.read.schema(self._sidecar_schema(path)).parquet(path)
 
     def _persist_schema(self, df: DataFrame, path: str) -> None:
         import json
@@ -261,6 +461,15 @@ class Replicator:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, _SCHEMA_FILE), "w") as f:
             json.dump(df.schema.jsonValue(), f)
+
+
+def _clear_gbuckets(path: str, gbuckets: list[int]) -> None:
+    import shutil
+
+    for b in gbuckets:
+        d = os.path.join(path, f"gbucket={b}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
 
 
 def _clear_buckets(path: str, buckets: list[int]) -> None:
