@@ -142,6 +142,63 @@ def _cmd_stream_ingest(args: argparse.Namespace) -> dict:
     }
 
 
+def _cmd_maintenance(args: argparse.Namespace) -> dict:
+    """Table-maintenance jobs (r08): ``compact`` rewrites fragmented
+    partitions into ~target-sized files; ``zorder`` rewrites a table
+    clustered on the Morton key of two columns (quadrant-partitioned,
+    key-sorted — the OPTIMIZE ZORDER BY analogue)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_build_spark.session import get_spark
+
+    spark = get_spark(app_name="maintenance")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.action == "compact":
+        from clickhouse_build_spark.sources.maintenance import compact_table
+
+        report = compact_table(
+            spark,
+            args.path,
+            sort_cols=args.sort_cols.split(","),
+            target_file_mb=args.target_file_mb,
+            partition_col=args.partition_col,
+        )
+        return {
+            "action": "compact",
+            "path": args.path,
+            "partitions": {
+                part: {"files_before": b, "files_after": a}
+                for part, (b, a) in report.items()
+            },
+        }
+    # zorder
+    from clickhouse_build_spark.operators.zorder import zorder_write
+
+    a_col, b_col = args.cols.split(",")
+    df = spark.read.parquet(args.path)
+    zorder_write(
+        df,
+        F.col(a_col),
+        F.col(b_col),
+        args.out,
+        bits=args.bits,
+        coarse_bits=args.coarse_bits,
+    )
+    quads = sorted(
+        d for d in os.listdir(args.out) if d.startswith("__zb=")
+    )
+    return {
+        "action": "zorder",
+        "path": args.path,
+        "out": args.out,
+        "cols": [a_col, b_col],
+        "quadrants": len(quads),
+        "rows": spark.read.parquet(args.out).count(),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="clickhouse_build_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -200,6 +257,25 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--source-format", default="json", choices=["json", "csv", "parquet"])
     si.add_argument("--max-files-per-trigger", type=int, default=None)
     si.set_defaults(fn=_cmd_stream_ingest)
+
+    mt = sub.add_parser(
+        "maintenance",
+        help="table maintenance: compact small files / Z-order rewrite",
+    )
+    mt_sub = mt.add_subparsers(dest="action", required=True)
+    mc = mt_sub.add_parser("compact", help="rewrite fragmented partitions")
+    mc.add_argument("path", help="partitioned table root")
+    mc.add_argument("--sort-cols", required=True, help="comma-separated sort columns")
+    mc.add_argument("--target-file-mb", type=int, default=128)
+    mc.add_argument("--partition-col", default="bucket")
+    mc.set_defaults(fn=_cmd_maintenance)
+    mz = mt_sub.add_parser("zorder", help="rewrite clustered on a 2-D Morton key")
+    mz.add_argument("path", help="source parquet path")
+    mz.add_argument("out", help="output table root")
+    mz.add_argument("--cols", required=True, help="two comma-separated dimension columns")
+    mz.add_argument("--bits", type=int, default=13)
+    mz.add_argument("--coarse-bits", type=int, default=6)
+    mz.set_defaults(fn=_cmd_maintenance)
 
     args = p.parse_args(argv)
     json.dump(args.fn(args), sys.stdout, indent=2, default=str)

@@ -14,10 +14,13 @@ dimension's span at ~100% per file.
 The key computation is pure integer bit arithmetic, generated as one
 expression from the same Python helper for Spark SQL and DuckDB (the
 repo's shared-expression discipline), so layout queries stay
-hash-exact against the oracle. The write path is
-``repartitionByRange`` on the key + ``sortWithinPartitions`` — the
-exact physical recipe a table-maintenance job runs at 100 TB (no
-driver involvement, one range shuffle).
+hash-exact against the oracle. The write path is one HASH repartition
+on the key's coarse prefix (= quadrant id) + ``sortWithinPartitions``
+on the full key — one shuffle, one task per quadrant, each writing its
+quadrant's directory sorted (ADVICE r07: the docs previously claimed
+``repartitionByRange``; the hash form is what runs, and is the right
+plan — the prefix already IS the output partition, so range-splitting
+within it would only fragment files).
 """
 
 from __future__ import annotations
@@ -74,7 +77,12 @@ def zorder_write(
     and briefly span a whole dimension. Scans with 2-D range
     predicates then prune twice: partition pruning on the prefix
     directories, footer min/max stats inside — verified against the
-    actual parquet footers in tests/test_zorder.py."""
+    actual parquet footers in tests/test_zorder.py.
+
+    Physical plan: ``repartition(col("__zb"))`` (hash on the quadrant
+    prefix — one shuffle, one task per quadrant) + within-partition
+    sort by the full key; ``partitionBy("__zb")`` then maps each task
+    to exactly its quadrant directory."""
     shift = 2 * bits - coarse_bits
     keyed = df.withColumn("__z", zorder_key(a, b, bits)).withColumn(
         "__zb", (F.col("__z") / (1 << shift)).cast("long")

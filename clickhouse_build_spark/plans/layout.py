@@ -66,9 +66,10 @@ def orders_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: a map-only key computation + one grouped aggregation with a
     2^{Z_COARSE_BITS}-bounded key space (map-side combined). The write
-    path itself (``operators/zorder.py:zorder_write``) is
-    repartitionByRange + sortWithinPartitions — one range shuffle, the
-    table-maintenance job's plan.
+    path itself (``operators/zorder.py:zorder_write``) hash-repartitions
+    on the quadrant prefix + sorts within partitions by the full key —
+    one shuffle, one task per quadrant, the table-maintenance job's
+    plan.
     """
     orders = load_tables(spark, sf_dir)["orders"]
     dims = orders.select(

@@ -1,9 +1,13 @@
 """Compaction: fragmented CDC buckets must shrink to few files with
-identical readable content."""
+identical readable content. Plus the ``maintenance`` CLI subcommand
+(r08) that makes compact + zorder drivable end to end."""
 
 from __future__ import annotations
 
+import json
 import os
+import subprocess
+import sys
 
 from pyspark.sql import functions as F
 
@@ -55,3 +59,80 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert after == before  # content identical
     assert n_files_after < n_files_before  # genuinely compacted
     assert all(a <= b for (b, a) in report.values())
+
+
+def _run_cli(*args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-m", "clickhouse_build_spark", *args],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    return json.loads(out.stdout)
+
+
+def test_maintenance_cli_compact(spark, tmp_path):
+    """compact via the CLI: fragment a bucketed replica, compact it,
+    verify the report and the file counts."""
+    from clickhouse_build_spark.catalog import load_tables
+
+    orders = load_tables(spark, SF_SMOKE)["orders"].limit(500)
+    rep = Replicator(
+        spark=spark,
+        target_root=str(tmp_path),
+        key_cols=["o_orderkey"],
+        version_col="o_orderdate",
+        n_buckets=2,
+    )
+    mapping = TableMapping("public", "orders", "orders_replica")
+    rep.snapshot(orders, mapping)
+    path = str(tmp_path / "orders_replica")
+    extra = rep._bucketed(
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+    )
+    for i in range(3):
+        (
+            extra.withColumn("o_orderkey", F.col("o_orderkey") + i * 10_000_000)
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    res = _run_cli(
+        "maintenance",
+        "compact",
+        path,
+        "--sort-cols",
+        "o_orderkey,o_orderdate",
+    )
+    assert res["action"] == "compact"
+    for part in res["partitions"].values():
+        assert part["files_after"] <= part["files_before"]
+    assert any(
+        p["files_after"] < p["files_before"] for p in res["partitions"].values()
+    )
+
+
+def test_maintenance_cli_zorder(spark, tmp_path):
+    """zorder via the CLI: rewrite orders clustered on a 2-D Morton key
+    and verify the quadrant layout landed."""
+    out_dir = str(tmp_path / "zordered")
+    res = _run_cli(
+        "maintenance",
+        "zorder",
+        f"{SF_SMOKE}/orders.parquet",
+        out_dir,
+        "--cols",
+        "o_custkey,o_orderkey",
+        "--bits",
+        "8",
+        "--coarse-bits",
+        "4",
+    )
+    assert res["action"] == "zorder"
+    assert res["quadrants"] >= 2
+    n_src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert res["rows"] == n_src
+    assert any(d.startswith("__zb=") for d in os.listdir(out_dir))
