@@ -25,91 +25,89 @@ from clickhouse_build_spark.plans import layout  # noqa: E402,F401
 from clickhouse_build_spark.plans import cdcrollup  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-7 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) queries NEW this
-# round (quality-classifier family, ingest/build entries, SemDeDup,
-# P-frame video) or whose plan/oracle changed since their last row
-# (ADC ordered aggregation, pack_sequences bucketer gating, the
-# video-corpus format split touching media_video_frame_sample);
-# (b) every query whose newest driver row is r04 — the oldest evidence
-# on the board (19); (c) 20 of the 45 r05-evidence rows, artifact-
-# machinery consumers and the r06 contention-block queries first.
-# After this rotation no query's latest driver row predates r05; the
-# 24 r05 rows left outside (tail note) must lead the r08 window.
+# iteration order. Round-8 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) the 29 queries
+# whose newest driver row is r05 — the oldest evidence on the board,
+# pre-listed by the r07 tail note and VERDICT r07 directive #2;
+# (b) queries NEW this round (SemDeDup probe2, the incremental CDC
+# rollup) or whose plan/oracle changed since their last row (the
+# semdedup oracle + at-rest index export touching build_ivfpq_index /
+# emb_ivfpq_topk, the quality scorer's left-join touching the
+# classifier family and curated_training_corpus); (c) 13 r06-evidence
+# rows — the ANN/centroid machinery cousins of (b)'s changes plus the
+# r07 contention-pocket events block. After this rotation no query's
+# latest driver row predates r06; the 34 r06 rows left outside (tail
+# note) must lead the r09 window.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) NEW in round 7, or plan/oracle changed since the last row —
-    "build_dedup_artifacts",
-    "build_ivfpq_index",
-    "build_media_corpus",
-    "build_quality_model",
-    "doc_quality_classifier_model",
+    # — (a) newest driver row is r05 (all 29) —
+    "approx_distinct_and_percentiles",
+    "big_spender_segments_having",
+    "ch_dialect_monthly_stats",
+    "doc_chunk_text",
+    "doc_contamination_screen",
+    "doc_oov_rate",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_simhash_dup_pairs",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "nation_account_union",
+    "nation_customer_supplier_balance",
+    "q11_major_revenue_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q20_bulk_part_suppliers",
+    "q2_min_cost_supplier",
+    "q4_priority_order_check",
+    "q7_nation_trade_flows",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "returned_and_urgent_intersect",
+    "status_priority_cube",
+    "status_priority_grouping_sets",
+    "status_priority_rollup",
+    "urgent_order_customers_semi",
+    # — (b) NEW in round 8, or plan/oracle changed since the last row —
+    "emb_semdedup_keepers",
+    "emb_semdedup_probe2_keepers",
+    "cdc_incremental_rollup",
     "doc_quality_classifier",
     "corpus_quality_filter",
-    "emb_semdedup_keepers",
-    "media_pframe_frames",
-    "media_mdct_chunks",
-    "media_adpcm_chunks",
-    "orders_zorder_profile",
     "curated_training_corpus",
-    "emb_pq_adc_topk",
-    "doc_pack_sequences",
-    "media_video_frame_sample",
-    # — (b) newest driver row is r04 (all 19) —
-    "customer_order_span",
-    "customers_without_orders",
-    "doc_simhash",
-    "doc_top_bigrams",
-    "emb_fuzzy_dedup_keepers",
-    "event_value_histogram",
-    "events_tumbling_10min",
-    "part_attributes_unpivot",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q22_idle_rich_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "running_customer_revenue",
-    "signup_purchase_funnel",
-    "stats_by_category",
-    "stats_by_month_pg_shape",
-    "top_customers_by_revenue",
-    # — (c) r05-evidence: dedup/ANN artifact consumers (now reading
-    #   the build_* entries' steady-state frames — their rows prove the
-    #   amortized path), the new classifier's heuristic basis, and the
-    #   r06 contention-block join queries —
-    "doc_dedup_cluster_sizes",
-    "doc_fuzzy_dedup_keepers",
-    "doc_minhash_lsh_dedup",
-    "doc_incremental_dedup",
-    "doc_emb_semantic_dup_check",
-    "doc_exact_dedup",
-    "clean_corpus",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "emb_pq_codes",
-    "emb_near_dup_cosine",
-    "emb_lsh_bucketed_cosine_pairs",
-    "emb_ann_lsh_topk",
-    "q21_waiting_suppliers",
-    "q19_disjunctive_revenue",
-    # Held OUT at r05 evidence (29), each with an in-window cousin:
-    # status_priority_cube (status_priority_pivot r06),
-    # q9_product_profit + q2_min_cost_supplier + q20_bulk_part_suppliers
-    # (join-agg cousins q21/q19 in window), doc_simhash_dup_pairs (its
-    # signature artifact is exercised by in-window doc_simhash),
-    # approx_distinct_and_percentiles, big_spender_segments_having,
-    # ch_dialect_monthly_stats (ch_dialect_status_profile r06),
-    # doc_chunk_text, doc_contamination_screen, doc_oov_rate,
-    # doc_pii_scrub, doc_repetition_stats, doc_stratified_sample,
-    # doc_tfidf_top_terms, doc_token_stats, nation_account_union,
-    # nation_customer_supplier_balance, q11_major_revenue_parts,
-    # q13_order_count_distribution, q15_top_supplier,
-    # q16_supplier_count_by_part, q4_priority_order_check,
-    # q7_nation_trade_flows, q8_nation_market_share,
-    # returned_and_urgent_intersect, status_priority_grouping_sets,
-    # status_priority_rollup, urgent_order_customers_semi.
-    # These MUST lead the r08 rotation (they will be two rounds old).
+    "build_ivfpq_index",
+    "emb_ivfpq_topk",
+    # — (c) r06-evidence: ANN/centroid cousins of (b), the CDC reader
+    #   contract, and the r07 contention-pocket events block —
+    "emb_ann_ivf_topk",
+    "emb_ann_ivf_trained_topk",
+    "emb_ann_lsh_topk_batch",
+    "emb_knn_cosine",
+    "cdc_latest_event_per_user",
+    "ch_dialect_status_profile",
+    "events_asof_last_error",
+    "events_props_as_map",
+    "events_sliding_10min_step5",
+    "events_type_counts_salted",
+    "events_views_in_error_windows",
+    "list_filtered",
+    "stats_daily_top30",
+    # Held OUT at r06 evidence (34), each re-verified by the local
+    # full-registry oracle gate this round: customer_latest_order_argmax,
+    # customer_order_gaps, customers_except_returners, distinct_counts,
+    # doc_bpe_token_counts, doc_near_dup_jaccard, doc_split_counts,
+    # doc_token_histogram, doc_top_tokens, doc_winnow_fingerprints,
+    # emb_label_centroids, emb_normalize_quantize, events_json_props,
+    # media_audio_chunks, media_image_features, media_jpeg_transcode,
+    # media_resize_features, nation_revenue_ranks,
+    # order_value_distribution, part_stats_min_max_avg,
+    # price_percentiles_by_flag, q10_returned_items,
+    # q12_priority_shipping_caseagg, q18_large_volume_customers,
+    # q6_forecast_revenue, rolling_30day_customer_spend, stats_by_month,
+    # stats_total, status_priority_pivot, status_priority_profile,
+    # top3_orders_per_customer, user_sessions_30min,
+    # weekly_retention_cohorts. These MUST lead the r09 rotation.
 ]
 
 
