@@ -78,15 +78,34 @@ def _cmd_replicate(args: argparse.Namespace) -> dict:
         key_cols=args.key_cols.split(","),
         version_col=args.version_col,
         n_buckets=args.buckets,
+        rollup=_rollup_spec(args),
     )
     mapping = TableMapping(args.schema, args.table, args.table)
     path = rep.replicate(source, mapping, mode=args.mode)
-    return {
+    out = {
         "target": path,
         "rows": rep.read(mapping).count(),
         "mode": args.mode,
         "assumptions": rep.assumptions,
     }
+    if rep.rollup is not None:
+        try:
+            out["rollup_groups"] = rep.read_rollup(mapping).count()
+        except FileNotFoundError:
+            out["rollup_groups"] = 0  # cdc_only before any change batch
+    return out
+
+
+def _rollup_spec(args: argparse.Namespace):
+    """--rollup-group-cols [+ --rollup-value-col] → RollupSpec."""
+    if not getattr(args, "rollup_group_cols", None):
+        return None
+    from clickhouse_build_spark.sources.replication import RollupSpec
+
+    return RollupSpec(
+        group_cols=args.rollup_group_cols.split(","),
+        value_col=args.rollup_value_col,
+    )
 
 
 def _cmd_stream_ingest(args: argparse.Namespace) -> dict:
@@ -123,6 +142,7 @@ def _cmd_stream_ingest(args: argparse.Namespace) -> dict:
         key_cols=args.key_cols.split(","),
         version_col=args.version_col,
         n_buckets=args.buckets,
+        rollup=_rollup_spec(args),
     )
     mapping = TableMapping(args.schema, args.table, args.table)
     path = stream_ingest(
@@ -135,11 +155,14 @@ def _cmd_stream_ingest(args: argparse.Namespace) -> dict:
         source_format=args.source_format,
         max_files_per_trigger=args.max_files_per_trigger,
     )
-    return {
+    out = {
         "target": path,
         "rows": rep.read(mapping).count(),
         "assumptions": rep.assumptions,
     }
+    if rep.rollup is not None:
+        out["rollup_groups"] = rep.read_rollup(mapping).count()
+    return out
 
 
 def _cmd_maintenance(args: argparse.Namespace) -> dict:
@@ -172,6 +195,28 @@ def _cmd_maintenance(args: argparse.Namespace) -> dict:
                 part: {"files_before": b, "files_after": a}
                 for part, (b, a) in report.items()
             },
+        }
+    if args.action == "purge-tombstones":
+        from clickhouse_build_spark.sources.maintenance import purge_tombstones
+
+        horizon = args.horizon
+        if horizon is not None:
+            try:
+                horizon = int(horizon)
+            except ValueError:
+                pass  # non-integer version columns (dates etc.)
+        report = purge_tombstones(
+            spark,
+            args.path,
+            version_col=args.version_col,
+            horizon=horizon,
+            partition_col=args.partition_col,
+        )
+        return {
+            "action": "purge-tombstones",
+            "path": args.path,
+            "purged": report,
+            "total_purged": sum(report.values()),
         }
     # zorder
     from clickhouse_build_spark.operators.zorder import zorder_write
@@ -240,6 +285,12 @@ def main(argv: list[str] | None = None) -> int:
         choices=["parquet", "orc", "csv", "json"],
         help="non-parquet feeds read with the catalog's declared schema",
     )
+    r.add_argument(
+        "--rollup-group-cols",
+        default=None,
+        help="maintain an incremental rollup grouped by these columns",
+    )
+    r.add_argument("--rollup-value-col", default=None)
     r.set_defaults(fn=_cmd_replicate)
 
     si = sub.add_parser(
@@ -256,6 +307,12 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--checkpoint", default=None)
     si.add_argument("--source-format", default="json", choices=["json", "csv", "parquet"])
     si.add_argument("--max-files-per-trigger", type=int, default=None)
+    si.add_argument(
+        "--rollup-group-cols",
+        default=None,
+        help="maintain an incremental rollup grouped by these columns",
+    )
+    si.add_argument("--rollup-value-col", default=None)
     si.set_defaults(fn=_cmd_stream_ingest)
 
     mt = sub.add_parser(
@@ -269,6 +326,19 @@ def main(argv: list[str] | None = None) -> int:
     mc.add_argument("--target-file-mb", type=int, default=128)
     mc.add_argument("--partition-col", default="bucket")
     mc.set_defaults(fn=_cmd_maintenance)
+    mp = mt_sub.add_parser(
+        "purge-tombstones",
+        help="drop stored delete markers past the feed's replay horizon",
+    )
+    mp.add_argument("path", help="replica table root")
+    mp.add_argument("--version-col", required=True)
+    mp.add_argument(
+        "--horizon",
+        default=None,
+        help="purge tombstones with version <= this; omit to purge all",
+    )
+    mp.add_argument("--partition-col", default="bucket")
+    mp.set_defaults(fn=_cmd_maintenance)
     mz = mt_sub.add_parser("zorder", help="rewrite clustered on a 2-D Morton key")
     mz.add_argument("path", help="source parquet path")
     mz.add_argument("out", help="output table root")

@@ -77,3 +77,65 @@ def compact_table(
 
         shutil.rmtree(staging)
     return report
+
+
+def purge_tombstones(
+    spark: SparkSession,
+    path: str,
+    version_col: str,
+    horizon: int | float | str | None = None,
+    partition_col: str = "bucket",
+) -> dict:
+    """Drop stored delete markers whose version is at or below the
+    replay ``horizon`` (r08 — the TTL half of tombstone retention).
+
+    The CDC merge keeps winning deletes as tombstone rows so an
+    out-of-order lower-version upsert cannot resurrect the key
+    (``sources/replication.py``). They are only needed while the feed
+    can still replay versions below them; once the source's replay
+    horizon passes, this job reclaims the space — ClickHouse's
+    ``is_deleted`` + merge-time cleanup, Cassandra's gc_grace.
+    ``horizon=None`` purges every tombstone (caller asserts the feed is
+    fully drained). Only buckets containing qualifying tombstones are
+    rewritten; returns {partition: rows_purged}.
+    """
+    from pyspark.sql import functions as F
+
+    from clickhouse_build_spark.sources.replication import DELETE_OP, OP_COLUMN
+
+    report: dict[str, int] = {}
+    prefix = f"{partition_col}="
+    parts = sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
+    )
+    for part in parts:
+        pdir = os.path.join(path, part)
+        df = spark.read.parquet(pdir)
+        if OP_COLUMN not in df.columns:
+            report[part] = 0
+            continue
+        dead = F.coalesce(F.col(OP_COLUMN), F.lit("")) == DELETE_OP
+        if horizon is not None:
+            dead = dead & (F.col(version_col) <= F.lit(horizon))
+        n_dead = df.filter(dead).count()
+        if n_dead == 0:
+            report[part] = 0
+            continue
+        kept = df.filter(~dead)
+        tmp = os.path.join(path + "__purging", part)
+        kept.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        trash = os.path.join(path + "__purging", part + "__old")
+        os.rename(pdir, trash)
+        os.rename(tmp, pdir)
+        shutil.rmtree(trash)
+        report[part] = n_dead
+    staging = path + "__purging"
+    if os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)
+    return report

@@ -136,3 +136,98 @@ def test_maintenance_cli_zorder(spark, tmp_path):
     n_src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
     assert res["rows"] == n_src
     assert any(d.startswith("__zb=") for d in os.listdir(out_dir))
+
+
+def test_purge_tombstones_respects_horizon(spark, tmp_path):
+    """Tombstones at or below the replay horizon are dropped; newer
+    ones are retained (still guarding against replayed lower-version
+    upserts); reader output is unchanged either way."""
+    from clickhouse_build_spark.sources.maintenance import purge_tombstones
+
+    rep = Replicator(
+        spark=spark,
+        target_root=str(tmp_path),
+        key_cols=["k"],
+        version_col="ver",
+        n_buckets=2,
+    )
+    mapping = TableMapping("public", "t", "t")
+    snap = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, grp string, ver long"
+    )
+    rep.replicate(snap, mapping, mode="snapshot")
+    rep.apply_changes(
+        spark.createDataFrame(
+            [(1, None, 5, "d"), (2, None, 9, "d")],
+            "k long, grp string, ver long, _op string",
+        ),
+        mapping,
+    )
+    path = str(tmp_path / "t")
+    before = {r["k"] for r in rep.read(mapping).collect()}
+    assert before == {3}
+
+    # horizon 5: only k=1's tombstone qualifies
+    report = purge_tombstones(spark, path, version_col="ver", horizon=5)
+    assert sum(report.values()) == 1
+    raw = spark.read.schema(rep._sidecar_schema(path)).parquet(path)
+    tombs = {r["k"] for r in raw.filter("_op = 'd'").collect()}
+    assert tombs == {2}
+    assert {r["k"] for r in rep.read(mapping).collect()} == {3}
+
+    # no horizon: everything goes
+    report = purge_tombstones(spark, path, version_col="ver")
+    assert sum(report.values()) == 1
+    raw = spark.read.schema(rep._sidecar_schema(path)).parquet(path)
+    assert raw.filter("_op = 'd'").count() == 0
+    assert {r["k"] for r in rep.read(mapping).collect()} == {3}
+
+
+def test_maintenance_cli_purge_tombstones(spark, tmp_path):
+    from clickhouse_build_spark.sources.replication import Replicator as R
+
+    rep = R(
+        spark=spark,
+        target_root=str(tmp_path),
+        key_cols=["k"],
+        version_col="ver",
+        n_buckets=2,
+    )
+    mapping = TableMapping("public", "t", "t")
+    snap = spark.createDataFrame([(1, 1), (2, 1)], "k long, ver long")
+    rep.replicate(snap, mapping, mode="snapshot")
+    rep.apply_changes(
+        spark.createDataFrame([(1, 3, "d")], "k long, ver long, _op string"),
+        mapping,
+    )
+    res = _run_cli(
+        "maintenance",
+        "purge-tombstones",
+        str(tmp_path / "t"),
+        "--version-col",
+        "ver",
+        "--horizon",
+        "3",
+    )
+    assert res["action"] == "purge-tombstones"
+    assert res["total_purged"] == 1
+
+
+def test_replicate_cli_with_rollup(tmp_path):
+    res = _run_cli(
+        "replicate",
+        "/root/testdata/sf0.001/orders.parquet",
+        str(tmp_path),
+        "--table",
+        "orders",
+        "--key-cols",
+        "o_orderkey",
+        "--version-col",
+        "o_orderdate",
+        "--rollup-group-cols",
+        "o_orderstatus",
+        "--rollup-value-col",
+        "o_totalprice",
+    )
+    assert res["rows"] == 1500
+    assert res["rollup_groups"] == 3  # O / F / P
