@@ -971,13 +971,8 @@ def shared_pq_codebooks(spark: SparkSession, sf_dir: str):
     return session_artifact(_PQ_BOOKS, key, build)
 
 
-def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalized nonzero vectors — the exact frame the index build
-    coarse-assigns, factored out so probe assignment (r08 nprobe>1)
-    reproduces the index's rank-1 cell BIT-IDENTICALLY (cosine is
-    scale-invariant mathematically but not in FP; both paths must
-    normalize the same way before scoring)."""
-    v = _vectors(spark, sf_dir)
+def _normalize(v: DataFrame) -> DataFrame:
+    """L2-normalize a (vec_id, e) frame, dropping zero vectors."""
     nrm = F.sqrt(dot(F.col("e"), F.col("e")))
     return (
         v.withColumn("__n", nrm)
@@ -987,6 +982,81 @@ def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("e", lambda x: x / F.col("__n")).alias("e"),
         )
     )
+
+
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalized nonzero vectors — the exact frame the index build
+    coarse-assigns, factored out so probe assignment (r08 nprobe>1)
+    reproduces the index's rank-1 cell BIT-IDENTICALLY (cosine is
+    scale-invariant mathematically but not in FP; both paths must
+    normalize the same way before scoring)."""
+    return _normalize(_vectors(spark, sf_dir))
+
+
+def _ivfpq_encode(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame
+) -> DataFrame:
+    """Encode a (vec_id, e) frame against the corpus's TRAINED
+    artifacts (coarse centroids + residual codebooks) → (vec_id, cell,
+    c0..c7). Shared by the index build and incremental append — the
+    appended rows' codes are bit-identical to what a full re-encode
+    would produce because both run this exact kernel against the same
+    trained tensors."""
+    import numpy as np
+    import pandas as pd
+
+    cent = shared_ivf_centroids(spark, sf_dir, k=IVFPQ_CELLS, iters=5)
+    books = shared_pq_codebooks(spark, sf_dir)
+    unit = _normalize(vectors)
+    assigned = ivf_assign(unit, cent)
+    res = assigned.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("e", "ce", lambda x, y: x - y).alias("res"),
+    )
+    bc = spark.sparkContext.broadcast(np.asarray(books, dtype=np.float64))
+
+    def encode(batches):
+        bks = bc.value  # (PQ_M, k, PQ_SUB)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            R = np.vstack(pdf["res"].values)
+            out = {
+                "vec_id": pdf["vec_id"].values,
+                "cell": pdf["cell"].values,
+            }
+            codes = [
+                np.empty(len(pdf), dtype=np.int32) for _ in range(PQ_M)
+            ]
+            # direct (x − c)² form in bounded chunks: bit-identical
+            # to the test reference, ≤ chunk×k×sub temp floats
+            for lo in range(0, len(pdf), 1024):
+                hi = min(lo + 1024, len(pdf))
+                for s in range(PQ_M):
+                    sub = R[lo:hi, s * PQ_SUB : (s + 1) * PQ_SUB]
+                    d = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(-1)
+                    codes[s][lo:hi] = d.argmin(1)
+            for s in range(PQ_M):
+                out[f"c{s}"] = codes[s]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, cell long, " + ", ".join(
+        f"c{s} int" for s in range(PQ_M)
+    )
+    return res.mapInPandas(encode, schema)
+
+
+def _corpus_discriminators(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    d = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "sum((vec_id + 1) * CAST(floor(CAST(element_at(embedding, 1)"
+            " AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("fp"),
+    ).collect()[0]
+    return int(d["n"]), int(d["fp"])
 
 
 def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,67 +1094,16 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> str:
-        import numpy as np
-        import pandas as pd
-
-        cent = shared_ivf_centroids(spark, sf_dir, k=IVFPQ_CELLS, iters=5)
-        books = shared_pq_codebooks(spark, sf_dir)
-        unit = _unit_vectors(spark, sf_dir)
-        assigned = ivf_assign(unit, cent)
-        res = assigned.join(F.broadcast(cent), "cell").select(
-            "vec_id",
-            "cell",
-            F.zip_with("e", "ce", lambda x, y: x - y).alias("res"),
-        )
-        bc = spark.sparkContext.broadcast(np.asarray(books, dtype=np.float64))
-
-        def encode(batches):
-            bks = bc.value  # (PQ_M, k, PQ_SUB)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                R = np.vstack(pdf["res"].values)
-                out = {
-                    "vec_id": pdf["vec_id"].values,
-                    "cell": pdf["cell"].values,
-                }
-                codes = [
-                    np.empty(len(pdf), dtype=np.int32) for _ in range(PQ_M)
-                ]
-                # direct (x − c)² form in bounded chunks: bit-identical
-                # to the test reference, ≤ chunk×k×sub temp floats
-                for lo in range(0, len(pdf), 1024):
-                    hi = min(lo + 1024, len(pdf))
-                    for s in range(PQ_M):
-                        sub = R[lo:hi, s * PQ_SUB : (s + 1) * PQ_SUB]
-                        d = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(
-                            -1
-                        )
-                        codes[s][lo:hi] = d.argmin(1)
-                for s in range(PQ_M):
-                    out[f"c{s}"] = codes[s]
-                yield pd.DataFrame(out)
-
-        schema = "vec_id long, cell long, " + ", ".join(
-            f"c{s} int" for s in range(PQ_M)
-        )
-        codes = res.mapInPandas(encode, schema)
+        codes = _ivfpq_encode(spark, sf_dir, _vectors(spark, sf_dir))
         # Corpus discriminators stamped onto every row (one tiny agg +
         # collect of a single 2-column row): the static-SQL oracle globs
         # ALL exports under IVFPQ_AT_REST_ROOT and selects this corpus's
         # by recomputing (n, fp) from its own embeddings view.
-        emb = load_tables(spark, sf_dir)["embeddings"]
-        d = emb.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "sum((vec_id + 1) * CAST(floor(CAST(element_at(embedding, 1)"
-                " AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
-            ).alias("fp"),
-        ).collect()[0]
+        n, fp = _corpus_discriminators(spark, sf_dir)
         codes = codes.select(
             "*",
-            F.lit(int(d["n"])).alias("n_corpus"),
-            F.lit(int(d["fp"])).alias("fp_corpus"),
+            F.lit(n).alias("n_corpus"),
+            F.lit(fp).alias("fp_corpus"),
         )
         path = _ivfpq_export_dir(sf_dir)
         codes.write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -1100,6 +1119,42 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("cell"),
         *[f"c{s}" for s in range(PQ_M)],
     )
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession, sf_dir: str, new_vectors: DataFrame
+) -> int:
+    """Incremental index maintenance (r08 capstone): add vectors to the
+    at-rest IVFPQ index WITHOUT retraining — the FAISS ``add()``
+    lifecycle. The new (vec_id, e double array) rows are coarse-assigned
+    and PQ-encoded against the corpus's EXISTING trained centroids and
+    codebooks (the shared :func:`_ivfpq_encode` kernel, so their codes
+    are bit-identical to a full re-encode), then appended to the
+    cell-partitioned export — each new row lands in exactly its cell's
+    directory; no existing file is touched.
+
+    This is how a production index absorbs a days's ingest between
+    retrains: train-rarely / encode-on-arrival. Quantization quality
+    for the appended rows is bounded by how well the trained cells
+    cover them (the standard drift trade — retrain cadence is the
+    operator's dial). Returns the number of rows appended. Caller
+    contract: vec_ids not already indexed; duplicates are collapsed by
+    index readers' DISTINCT but waste space.
+    """
+    # Force the base index (and its export) to exist first.
+    shared_ivfpq_index(spark, sf_dir)
+    codes = _ivfpq_encode(spark, sf_dir, new_vectors)
+    n, fp = _corpus_discriminators(spark, sf_dir)
+    codes = codes.select(
+        "*",
+        F.lit(n).alias("n_corpus"),
+        F.lit(fp).alias("fp_corpus"),
+    ).localCheckpoint(eager=True)
+    appended = codes.count()
+    codes.write.mode("append").partitionBy("cell").parquet(
+        _ivfpq_export_dir(sf_dir)
+    )
+    return appended
 
 
 @query(

@@ -181,6 +181,45 @@ def planted_dir(spark, tmp_path):
     return d
 
 
+def test_ivfpq_incremental_append(spark, planted_dir):
+    """FAISS add() lifecycle: new vectors join the at-rest index
+    encoded against the EXISTING trained artifacts — no retrain, codes
+    bit-identical to a direct encode, identical vectors landing in
+    their cluster's cell."""
+    from clickhouse_build_spark.plans.similarity import (
+        _ivfpq_encode,
+        _vectors,
+        append_to_ivfpq_index,
+        shared_ivfpq_index,
+    )
+
+    base = shared_ivfpq_index(spark, planted_dir)
+    n_base = base.count()
+    # two new members of planted cluster 0 (identical vector -> must
+    # land in the cluster's cell) with ids beyond the corpus
+    proto = _vectors(spark, planted_dir).filter(F.col("vec_id") == 0)
+    new = proto.crossJoin(
+        spark.createDataFrame([(100_000,), (100_001,)], "new_id long")
+    ).select(F.col("new_id").alias("vec_id"), "e")
+    appended = append_to_ivfpq_index(spark, planted_dir, new)
+    assert appended == 2
+
+    idx = shared_ivfpq_index(spark, planted_dir)
+    assert idx.count() == n_base + 2
+    rows = {r["vec_id"]: r for r in idx.collect()}
+    cell0 = rows[0]["cell"]  # cluster-0 prototype's cell
+    assert rows[100_000]["cell"] == cell0
+    assert rows[100_001]["cell"] == cell0
+    # codes bit-identical to a direct encode with the same artifacts
+    direct = {r["vec_id"]: r for r in _ivfpq_encode(spark, planted_dir, new).collect()}
+    for vid in (100_000, 100_001):
+        got = rows[vid]
+        want = direct[vid]
+        assert all(got[f"c{s}"] == want[f"c{s}"] for s in range(8))
+        # and identical vectors share the prototype's codes exactly
+        assert all(got[f"c{s}"] == rows[0][f"c{s}"] for s in range(8))
+
+
 def test_planted_clusters_all_three_paths_agree(spark, planted_dir):
     from clickhouse_build_spark.operators.dedup import dedup_keepers
     from clickhouse_build_spark.operators.similarity import (
