@@ -23,6 +23,8 @@ from clickhouse_build_spark.plans import quality  # noqa: E402,F401
 from clickhouse_build_spark.plans import builds  # noqa: E402,F401
 from clickhouse_build_spark.plans import layout  # noqa: E402,F401
 from clickhouse_build_spark.plans import cdcrollup  # noqa: E402,F401
+from clickhouse_build_spark.plans import perplexity  # noqa: E402,F401
+from clickhouse_build_spark.plans import chclauses  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-8 ranking — stale-evidence rotation is POLICY
@@ -30,14 +32,15 @@ from clickhouse_build_spark.plans import cdcrollup  # noqa: E402,F401
 # whose newest driver row is r05 — the oldest evidence on the board,
 # pre-listed by the r07 tail note and VERDICT r07 directive #2;
 # (b) queries NEW this round (SemDeDup probe2, the incremental CDC
-# rollup) or whose plan/oracle changed since their last row (the
-# semdedup oracle + at-rest index export touching build_ivfpq_index /
-# emb_ivfpq_topk, the quality scorer's left-join touching the
-# classifier family and curated_training_corpus); (c) 13 r06-evidence
-# rows — the ANN/centroid machinery cousins of (b)'s changes plus the
-# r07 contention-pocket events block. After this rotation no query's
-# latest driver row predates r06; the 34 r06 rows left outside (tail
-# note) must lead the r09 window.
+# rollup, the bigram-LM perplexity family, the WITH FILL / LIMIT BY
+# clause queries) or whose plan/oracle changed since their last row
+# (the semdedup oracle + at-rest index export touching
+# build_ivfpq_index / emb_ivfpq_topk, the quality scorer's left-join
+# touching the classifier family and curated_training_corpus); (c) 8
+# r06-evidence rows — the ANN/centroid machinery cousins of (b)'s
+# changes plus the r07 contention-pocket events rows that fit. After
+# this rotation no query's latest driver row predates r06; the 39 r06
+# rows left outside (tail note) must lead the r09 window.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) newest driver row is r05 (all 29) —
     "approx_distinct_and_percentiles",
@@ -73,6 +76,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_semdedup_keepers",
     "emb_semdedup_probe2_keepers",
     "cdc_incremental_rollup",
+    "doc_lm_bigram_model",
+    "doc_lm_perplexity",
+    "corpus_perplexity_bands",
+    "events_daily_with_fill",
+    "events_top3_users_limit_by",
     "doc_quality_classifier",
     "corpus_quality_filter",
     "curated_training_corpus",
@@ -88,11 +96,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "ch_dialect_status_profile",
     "events_asof_last_error",
     "events_props_as_map",
-    "events_sliding_10min_step5",
-    "events_type_counts_salted",
-    "events_views_in_error_windows",
-    "list_filtered",
-    "stats_daily_top30",
+    # Displaced to fit the five round-8 LM/clause queries (these five
+    # r06-evidence rows join the r09 lead list):
+    # events_sliding_10min_step5, events_type_counts_salted,
+    # events_views_in_error_windows, list_filtered, stats_daily_top30.
     # Held OUT at r06 evidence (34), each re-verified by the local
     # full-registry oracle gate this round: customer_latest_order_argmax,
     # customer_order_gaps, customers_except_returners, distinct_counts,
