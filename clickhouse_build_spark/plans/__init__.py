@@ -25,6 +25,7 @@ from clickhouse_build_spark.plans import layout  # noqa: E402,F401
 from clickhouse_build_spark.plans import cdcrollup  # noqa: E402,F401
 from clickhouse_build_spark.plans import perplexity  # noqa: E402,F401
 from clickhouse_build_spark.plans import chclauses  # noqa: E402,F401
+from clickhouse_build_spark.plans import kmeans  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-8 ranking — stale-evidence rotation is POLICY
@@ -33,14 +34,15 @@ from clickhouse_build_spark.plans import chclauses  # noqa: E402,F401
 # pre-listed by the r07 tail note and VERDICT r07 directive #2;
 # (b) queries NEW this round (SemDeDup probe2, the incremental CDC
 # rollup, the bigram-LM perplexity family, the WITH FILL / LIMIT BY
-# clause queries) or whose plan/oracle changed since their last row
-# (the semdedup oracle + at-rest index export touching
-# build_ivfpq_index / emb_ivfpq_topk, the quality scorer's left-join
-# touching the classifier family and curated_training_corpus); (c) 8
-# r06-evidence rows — the ANN/centroid machinery cousins of (b)'s
-# changes plus the r07 contention-pocket events rows that fit. After
-# this rotation no query's latest driver row predates r06; the 39 r06
-# rows left outside (tail note) must lead the r09 window.
+# clause queries, the distributed Lloyd k-means pair) or whose
+# plan/oracle changed since their last row (the semdedup oracle +
+# at-rest index export touching build_ivfpq_index / emb_ivfpq_topk,
+# the quality scorer's left-join touching the classifier family and
+# curated_training_corpus); (c) 6 r06-evidence rows — the ANN/centroid
+# machinery cousins of (b)'s changes plus the CDC reader and dialect
+# contracts. After this rotation no query's latest driver row predates
+# r06; the 41 r06 rows left outside (tail note) must lead the r09
+# window.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) newest driver row is r05 (all 29) —
     "approx_distinct_and_percentiles",
@@ -81,6 +83,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_perplexity_bands",
     "events_daily_with_fill",
     "events_top3_users_limit_by",
+    "emb_kmeans_centroids",
+    "emb_kmeans_assign",
     "doc_quality_classifier",
     "corpus_quality_filter",
     "curated_training_corpus",
@@ -94,10 +98,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_knn_cosine",
     "cdc_latest_event_per_user",
     "ch_dialect_status_profile",
-    "events_asof_last_error",
-    "events_props_as_map",
-    # Displaced to fit the five round-8 LM/clause queries (these five
-    # r06-evidence rows join the r09 lead list):
+    # Displaced to fit the seven round-8 LM/clause/k-means queries
+    # (these seven r06-evidence rows join the r09 lead list):
+    # events_asof_last_error, events_props_as_map,
     # events_sliding_10min_step5, events_type_counts_salted,
     # events_views_in_error_windows, list_filtered, stats_daily_top30.
     # Held OUT at r06 evidence (34), each re-verified by the local

@@ -1,0 +1,247 @@
+"""Distributed k-means (Lloyd's algorithm) over ``embeddings`` — the
+cluster-training operator expressed ENTIRELY as DataFrame relational
+algebra, no driver-side math, no sampling.
+
+The IVF family (``operators/similarity.py``) trains its coarse
+quantizer the way FAISS does: on a bounded sample collected to one
+machine. That is the right production default, but the 10⁹-vector
+story also needs the OTHER path — training on the full corpus when the
+sample is not representative (heavy tails, many tiny clusters). This
+module is that path: each Lloyd iteration is
+
+- **assign**: explode vectors to (vec_id, d, qv) rows once, broadcast
+  the ≤k×D centroid table, one grouped integer sum per (vec_id,
+  cluster) for the squared-L2 distance, then an argmin via
+  ``min(struct(dist, cluster))`` — ties break to the smaller cluster
+  id, deterministically;
+- **update**: join assignments back to the exploded rows and take the
+  floored per-(cluster, d) mean — a cluster that loses every member
+  simply vanishes (documented Lloyd behavior, identical both engines).
+
+**Fixed-point exactness**: coordinates are integerized once
+(``floor(x*1e6+0.5)``, exact on float-valued doubles), so distances
+and coordinate sums are pure INTEGER arithmetic — addition-order-free
+— and the only FP step per iteration is the mean's ``floor(sum/count)``
+of two exactly representable integers, bit-equal on both engines. The
+oracle re-runs the SAME ``KM_ITERS`` iterations as nested CTEs
+generated from the same Python constants, so Spark and DuckDB execute
+the identical algorithm and must agree bit-for-bit.
+
+Reference parity note: the reference (an LLM-migration CLI) has no
+analogue; this is part of the driver-mandated similarity-search
+surface (SURVEY.md §2 extension), the distributed twin of the sampled
+IVF trainer at ``operators/similarity.py``.
+
+Scale (100 TB): the exploded frame is n×D rows (narrow integers); each
+iteration shuffles (a) partial integer distance sums over an n×k key
+space with map-side combine and (b) partial coordinate sums over a
+k×D key space — both combine map-side, so reducers see partials, not
+rows. The centroid table is ≤k×D integers and broadcasts; iteration
+count is a fixed constant. Nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.catalog import load_tables
+from clickhouse_build_spark.plans.registry import query
+
+KM_K = 8
+KM_ITERS = 3
+KM_SCALE = 1_000_000
+
+# Floored integer mean of exactly representable integer sums.
+_MEAN_SQL = "CAST(floor(CAST({s} AS DOUBLE) / {n}) AS BIGINT)"
+
+
+def _qv_sql(operand: str) -> str:
+    """Quantized-coordinate expression — ONE template both engines
+    evaluate (the operand is an exactly-converted float→double)."""
+    return f"CAST(floor({operand} * {KM_SCALE} + 0.5) AS BIGINT)"
+
+
+def _kmeans_cte(iters: int) -> str:
+    """The full iteration chain as DuckDB CTEs, generated from the same
+    constants the Spark side uses: qd → cent0 → (dist/assign/cent)×N."""
+    parts = [
+        f"""
+  q0 AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  ),
+  qd0 AS (
+    SELECT vec_id,
+           UNNEST(list_transform(range(1, len(e) + 1),
+             i -> struct_pack(d := i, qv := {_qv_sql('e[i]')}))) AS u
+    FROM q0
+  ),
+  qd AS (SELECT vec_id, u.d AS d, u.qv AS qv FROM qd0),
+  seeds AS (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+    FROM embeddings ORDER BY vec_id LIMIT {KM_K}
+  ),
+  cent0 AS (
+    SELECT s.cluster, q.d, q.qv AS cq FROM qd q JOIN seeds s USING (vec_id)
+  )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""
+  dist{i} AS (
+    SELECT q.vec_id, c.cluster,
+           CAST(SUM((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS dist
+    FROM qd q JOIN cent{i} c USING (d)
+    GROUP BY 1, 2
+  ),
+  assign{i} AS (
+    SELECT vec_id, cluster, dist FROM (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM dist{i}) WHERE rn = 1
+  ),
+  cent{i + 1} AS (
+    SELECT a.cluster, q.d,
+           {_MEAN_SQL.format(s='CAST(SUM(q.qv) AS BIGINT)', n='count(*)')} AS cq
+    FROM qd q JOIN assign{i} a USING (vec_id)
+    GROUP BY 1, 2
+  )"""
+        )
+    return ",".join(parts)
+
+
+def _qd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return ex.select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.expr(_qv_sql("x")).alias("qv"),
+    )
+
+
+def _init_centroids(spark: SparkSession, sf_dir: str, qd: DataFrame) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(KM_K)
+    w = Window.orderBy("vec_id")
+    seeds = seeds.select(
+        "vec_id", (F.row_number().over(w) - 1).cast("long").alias("cluster")
+    )
+    return qd.join(F.broadcast(seeds), "vec_id").select(
+        "cluster", "d", F.col("qv").alias("cq")
+    )
+
+
+def _lloyd_step(qd: DataFrame, cent: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd iteration: (assignments, new centroids)."""
+    dist = (
+        qd.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("cq")) * (F.col("qv") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.cluster").alias("cluster"),
+            F.col("s.dist").alias("dist"),
+        )
+    )
+    newcent = (
+        qd.join(assign.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "d")
+        .agg(
+            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cq")
+        )
+    )
+    return assign, newcent
+
+
+_KM_STATE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def shared_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(final assignments, final centroids) after ``KM_ITERS`` Lloyd
+    iterations, built once per (session, sf_dir). The exploded frame
+    and each iteration's centroid table persist so the two registered
+    queries and any downstream consumer share one training run."""
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        from pyspark import StorageLevel
+
+        qd = _qd(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        cent = _init_centroids(spark, sf_dir, qd)
+        assign = None
+        for _ in range(KM_ITERS):
+            cent.persist(StorageLevel.MEMORY_AND_DISK)
+            assign, cent = _lloyd_step(qd, cent)
+        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+        assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+        return assign, cent
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return session_artifact(_KM_STATE, key, build)
+
+
+@query(
+    "emb_kmeans_centroids",
+    oracle=f"""
+    WITH {_kmeans_cte(KM_ITERS)}
+    SELECT cluster, d, cq FROM cent{KM_ITERS} ORDER BY cluster, d
+    """,
+    tags=("similarity", "embedding", "kmeans", "training", "pipeline"),
+)
+def emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained centroid table after ``KM_ITERS`` full-corpus Lloyd
+    iterations: (cluster, dimension, fixed-point coordinate) — ≤k×D
+    integer rows, the artifact an IVF index would take as its coarse
+    quantizer when sampling is not an option.
+
+    Scale: see the module docstring — per iteration, two map-side-
+    combined integer shuffles (n×k distance partials, k×D coordinate
+    partials) and one ≤k×D broadcast.
+    """
+    _, cent = shared_kmeans(spark, sf_dir)
+    return cent.select("cluster", "d", "cq")
+
+
+@query(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH {_kmeans_cte(KM_ITERS)}
+    SELECT a.vec_id, e.label, a.cluster, a.dist
+    FROM assign{KM_ITERS - 1} a JOIN embeddings e USING (vec_id)
+    ORDER BY a.vec_id
+    """,
+    tags=("similarity", "embedding", "kmeans", "pipeline"),
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's final cluster and integer squared-L2 distance
+    (the iteration-``KM_ITERS`` assignment, i.e. against the
+    iteration-``KM_ITERS - 1`` centroids — standard Lloyd bookkeeping),
+    joined with the vector's ground-truth label so cluster/label purity
+    is inspectable downstream.
+
+    Scale: the assignment is the iteration's own byproduct — this query
+    adds only a key join to ``embeddings`` for the label column.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    assign, _ = shared_kmeans(spark, sf_dir)
+    return assign.join(emb.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", "cluster", "dist"
+    )

@@ -1,0 +1,78 @@
+"""Distributed Lloyd k-means: argmin correctness of the final
+assignment, objective monotonicity across iterations, and structural
+bounds. Cross-engine exactness is covered by the registered oracles in
+test_oracle.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.plans.kmeans import (
+    KM_ITERS,
+    KM_K,
+    _init_centroids,
+    _lloyd_step,
+    _qd,
+    emb_kmeans_assign,
+    emb_kmeans_centroids,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    cent = emb_kmeans_centroids(spark, SF_SMOKE).collect()
+    assign = emb_kmeans_assign(spark, SF_SMOKE).collect()
+    return cent, assign
+
+
+def test_structural_bounds(spark, trained):
+    cent, assign = trained
+    clusters = {r.cluster for r in cent}
+    assert clusters <= set(range(KM_K))
+    dims = {r.d for r in cent}
+    assert min(dims) == 1
+    # one assignment per vector, to a surviving cluster
+    assert len({r.vec_id for r in assign}) == len(assign)
+    assert {r.cluster for r in assign} <= clusters
+
+
+def test_assignment_is_argmin_against_prior_centroids(spark, trained):
+    """The final assignment must be the exact argmin over the
+    iteration-(N-1) centroids it was computed against — re-derived
+    here with integer numpy on the same quantized coordinates."""
+    _, assign = trained
+    qd = _qd(spark, SF_SMOKE)
+    cent = _init_centroids(spark, SF_SMOKE, qd)
+    for _ in range(KM_ITERS - 1):
+        _, cent = _lloyd_step(qd, cent)
+
+    dim = max(r.d for r in cent.collect())
+    C = {}
+    for r in cent.collect():
+        C.setdefault(r.cluster, np.zeros(dim, dtype=np.int64))[r.d - 1] = r.cq
+    V: dict[int, np.ndarray] = {}
+    for r in qd.collect():
+        V.setdefault(r.vec_id, np.zeros(dim, dtype=np.int64))[r.d - 1] = r.qv
+
+    cids = sorted(C)
+    for r in assign:
+        dists = [(int(((V[r.vec_id] - C[c]) ** 2).sum()), c) for c in cids]
+        best = min(dists)
+        assert (best[1], best[0]) == (r.cluster, r.dist), r.vec_id
+
+
+def test_objective_non_increasing(spark):
+    """Lloyd's objective never increases; the x1e6 fixed-point floor
+    perturbs means by <1 unit in ~5e5, so allow that relative slack."""
+    qd = _qd(spark, SF_SMOKE)
+    cent = _init_centroids(spark, SF_SMOKE, qd)
+    prev = None
+    for _ in range(KM_ITERS):
+        assign, cent = _lloyd_step(qd, cent)
+        total = assign.agg(F.sum("dist")).first()[0]
+        if prev is not None:
+            assert total <= prev * 1.000001, (total, prev)
+        prev = total
