@@ -181,3 +181,47 @@ def limit_by(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def sample_clause(
+    df: DataFrame,
+    key: Column | str,
+    num: int,
+    den: int,
+    offset_num: int = 0,
+) -> DataFrame:
+    """ClickHouse ``SAMPLE num/den OFFSET offset_num/den`` — the
+    deterministic table-sampling clause: a row is in the sample iff the
+    hash of its sampling key lands in the ``[offset, offset + num)``
+    band of the hash space (CH hashes the table's SAMPLE BY key into
+    [0, 2^64); here the portable md5 family's 32-bit space so the
+    DuckDB oracle evaluates the identical predicate).
+
+    Unlike ``df.sample()`` (seeded pseudo-random per partition, not
+    reproducible across engines or repartitionings), the hash band is a
+    pure row-local predicate: stable under shuffle, evaluated inside
+    the scan stage before anything wider runs, and consistent across
+    queries — two queries sampling 1/8 see the SAME rows, and OFFSET
+    bands never overlap, which is what makes CH-style incremental
+    sampling (``1/8 OFFSET 3/8``) work.
+    """
+    from clickhouse_build_spark.operators.dedup import portable_hash
+
+    if not (0 < num <= den and 0 <= offset_num and offset_num + num <= den):
+        raise ValueError("sample_clause requires 0 < num and offset+num <= den")
+    h = portable_hash(_col(key) if isinstance(key, str) else key, "sample")
+    space = 1 << 32
+    lo = space * offset_num // den
+    hi = space * (offset_num + num) // den
+    return df.filter((h >= F.lit(lo)) & (h < F.lit(hi)))
+
+
+def sample_clause_sql(key_expr: str, num: int, den: int, offset_num: int = 0) -> str:
+    """The DuckDB-side twin of :func:`sample_clause` (for oracle SQL)."""
+    from clickhouse_build_spark.operators.dedup import portable_hash_sql
+
+    space = 1 << 32
+    lo = space * offset_num // den
+    hi = space * (offset_num + num) // den
+    h = portable_hash_sql(key_expr, "sample")
+    return f"({h} >= {lo} AND {h} < {hi})"

@@ -38,11 +38,11 @@ from clickhouse_build_spark.plans import kmeans  # noqa: E402,F401
 # plan/oracle changed since their last row (the semdedup oracle +
 # at-rest index export touching build_ivfpq_index / emb_ivfpq_topk,
 # the quality scorer's left-join touching the classifier family and
-# curated_training_corpus); (c) 6 r06-evidence rows — the ANN/centroid
+# curated_training_corpus); (c) 5 r06-evidence rows — the ANN/centroid
 # machinery cousins of (b)'s changes plus the CDC reader and dialect
 # contracts. After this rotation no query's latest driver row predates
-# r06; the 41 r06 rows left outside (tail note) must lead the r09
-# window.
+# r06; the 42 r06 rows left outside (tail note, plus
+# emb_ann_lsh_topk_batch) must lead the r09 window.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) newest driver row is r05 (all 29) —
     "approx_distinct_and_percentiles",
@@ -85,6 +85,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_top3_users_limit_by",
     "emb_kmeans_centroids",
     "emb_kmeans_assign",
+    "orders_sample_band",
     "doc_quality_classifier",
     "corpus_quality_filter",
     "curated_training_corpus",
@@ -94,7 +95,6 @@ _DRIVER_WINDOW_PRIORITY = [
     #   contract, and the r07 contention-pocket events block —
     "emb_ann_ivf_topk",
     "emb_ann_ivf_trained_topk",
-    "emb_ann_lsh_topk_batch",
     "emb_knn_cosine",
     "cdc_latest_event_per_user",
     "ch_dialect_status_profile",

@@ -34,8 +34,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_build_spark.catalog import load_tables
-from clickhouse_build_spark.functions.dialect import limit_by
+from clickhouse_build_spark.functions.dialect import limit_by, sample_clause
 from clickhouse_build_spark.plans.registry import query
+
+
+def _sample_band_sql() -> str:
+    from clickhouse_build_spark.functions.dialect import sample_clause_sql
+
+    return sample_clause_sql("o_orderkey", 1, 8, 3)
 
 # High-value threshold for the filled series: sparse at every SF (33
 # of 150 day×type cells empty at sf0.1, ~149 at sf0.001) so the fill
@@ -187,4 +193,41 @@ def events_top3_users_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         3,
         by="event_type",
         order_by=[F.desc("n_events"), F.asc("user_id")],
+    )
+
+
+@query(
+    "orders_sample_band",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE {{band}}
+    GROUP BY 1
+    """.format(band=_sample_band_sql()),
+    tags=("dialect", "sample", "clickhouse-sql"),
+)
+def orders_sample_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT ... FROM orders SAMPLE 1/8 OFFSET 3/8`` — the CH
+    deterministic-sampling clause via ``functions/dialect.py:
+    sample_clause``: the [3/8, 4/8) band of the portable hash of
+    o_orderkey, rolled up per status with integer-cents money. The
+    exact same band predicate runs on both engines, so the sampled
+    aggregate is hash-exact — the property that makes CH sampled
+    dashboards trustworthy (every query over the same band sees the
+    same rows).
+
+    Scale: a row-local predicate evaluated in the scan stage — the
+    sample never materializes, and the aggregate shuffles only the
+    sampled partials.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    sampled = sample_clause(o, "o_orderkey", 1, 8, 3)
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "total_cents"
+        ),
     )

@@ -64,3 +64,23 @@ def test_limit_by_keeps_top3_per_group(spark):
     assert set(by_type) == set(expected)
     for t, kept in by_type.items():
         assert sorted(kept) == expected[t][:3]
+
+
+def test_sample_bands_partition_the_table(spark):
+    """The eight 1/8 OFFSET k/8 bands are disjoint and their union is
+    the whole table — the property CH sampled dashboards rely on."""
+    from clickhouse_build_spark.functions.dialect import sample_clause
+
+    o = load_tables(spark, SF_SMOKE)["orders"]
+    total = o.count()
+    band_counts = [
+        sample_clause(o, "o_orderkey", 1, 8, k).count() for k in range(8)
+    ]
+    assert sum(band_counts) == total
+    # same band twice = same rows (determinism)
+    a = {r.o_orderkey for r in sample_clause(o, "o_orderkey", 1, 8, 3).collect()}
+    b = {r.o_orderkey for r in sample_clause(o, "o_orderkey", 1, 8, 3).collect()}
+    assert a == b
+    # wider band is a superset: 2/8 OFFSET 2/8 contains 1/8 OFFSET 3/8
+    wide = {r.o_orderkey for r in sample_clause(o, "o_orderkey", 2, 8, 2).collect()}
+    assert a <= wide
