@@ -26,6 +26,7 @@ from clickhouse_build_spark.plans import cdcrollup  # noqa: E402,F401
 from clickhouse_build_spark.plans import perplexity  # noqa: E402,F401
 from clickhouse_build_spark.plans import chclauses  # noqa: E402,F401
 from clickhouse_build_spark.plans import kmeans  # noqa: E402,F401
+from clickhouse_build_spark.plans import aggstate  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-8 ranking — stale-evidence rotation is POLICY
@@ -40,7 +41,8 @@ from clickhouse_build_spark.plans import kmeans  # noqa: E402,F401
 # the quality scorer's left-join touching the classifier family and
 # curated_training_corpus); (c) 5 r06-evidence rows — the ANN/centroid
 # machinery cousins of (b)'s changes plus the CDC reader and dialect
-# contracts. After this rotation no query's latest driver row predates
+# contracts, minus two more displaced for orders_sample_band +
+# events_uniq_state_merge. After this rotation no query's latest driver row predates
 # r06; the 42 r06 rows left outside (tail note, plus
 # emb_ann_lsh_topk_batch) must lead the r09 window.
 _DRIVER_WINDOW_PRIORITY = [
@@ -86,6 +88,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_kmeans_centroids",
     "emb_kmeans_assign",
     "orders_sample_band",
+    "events_uniq_state_merge",
     "doc_quality_classifier",
     "corpus_quality_filter",
     "curated_training_corpus",
@@ -95,7 +98,6 @@ _DRIVER_WINDOW_PRIORITY = [
     #   contract, and the r07 contention-pocket events block —
     "emb_ann_ivf_topk",
     "emb_ann_ivf_trained_topk",
-    "emb_knn_cosine",
     "cdc_latest_event_per_user",
     "ch_dialect_status_profile",
     # Displaced to fit the seven round-8 LM/clause/k-means queries
