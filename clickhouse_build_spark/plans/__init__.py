@@ -39,12 +39,11 @@ from clickhouse_build_spark.plans import aggstate  # noqa: E402,F401
 # plan/oracle changed since their last row (the semdedup oracle +
 # at-rest index export touching build_ivfpq_index / emb_ivfpq_topk,
 # the quality scorer's left-join touching the classifier family and
-# curated_training_corpus); (c) 5 r06-evidence rows — the ANN/centroid
-# machinery cousins of (b)'s changes plus the CDC reader and dialect
-# contracts, minus two more displaced for orders_sample_band +
-# events_uniq_state_merge. After this rotation no query's latest driver row predates
-# r06; the 42 r06 rows left outside (tail note, plus
-# emb_ann_lsh_topk_batch) must lead the r09 window.
+# curated_training_corpus); (c) 4 r06-evidence rows — the trained-ANN
+# cousins of (b)'s changes plus the CDC reader and dialect contracts.
+# After this rotation no query's latest driver row predates r06; the
+# 43 r06 rows left outside (tail note, plus emb_ann_lsh_topk_batch and
+# emb_knn_cosine) must lead the r09 window.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) newest driver row is r05 (all 29) —
     "approx_distinct_and_percentiles",
@@ -100,11 +99,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ann_ivf_trained_topk",
     "cdc_latest_event_per_user",
     "ch_dialect_status_profile",
-    # Displaced to fit the seven round-8 LM/clause/k-means queries
-    # (these seven r06-evidence rows join the r09 lead list):
-    # events_asof_last_error, events_props_as_map,
-    # events_sliding_10min_step5, events_type_counts_salted,
-    # events_views_in_error_windows, list_filtered, stats_daily_top30.
+    # Displaced to fit the nine round-8 LM/clause/k-means/agg-state
+    # queries (these nine r06-evidence rows join the r09 lead list):
+    # emb_ann_lsh_topk_batch, emb_knn_cosine, events_asof_last_error,
+    # events_props_as_map, events_sliding_10min_step5,
+    # events_type_counts_salted, events_views_in_error_windows,
+    # list_filtered, stats_daily_top30.
     # Held OUT at r06 evidence (34), each re-verified by the local
     # full-registry oracle gate this round: customer_latest_order_argmax,
     # customer_order_gaps, customers_except_returners, distinct_counts,
