@@ -299,16 +299,153 @@ def _rewrite(s: str) -> str:
     return "".join(out)
 
 
+# --------------------------------------- CH clause rewrites (round 8)
+
+# Engine-policy sampling keys (CH declares these in DDL as SAMPLE BY;
+# the engine has no DDL layer, so the catalog's primary keys stand in).
+SAMPLE_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _depth0_matches(text: str, pattern: str):
+    """Regex matches at paren depth 0 and outside string literals."""
+    import re
+
+    lits = _literal_spans(text)
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in lits)
+
+    depths = [0] * (len(text) + 1)
+    d = 0
+    for i, ch in enumerate(text):
+        if not in_lit(i):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        depths[i + 1] = d
+    return [
+        m
+        for m in re.finditer(pattern, text, flags=re.IGNORECASE)
+        if not in_lit(m.start()) and depths[m.start()] == 0
+    ]
+
+
+def _rewrite_sample_clause(text: str) -> str:
+    """CH ``FROM table SAMPLE k/n [OFFSET m/n]`` → a hash-band-filtered
+    subquery aliased as the table (``functions/dialect.py:sample_clause``
+    semantics: deterministic, non-overlapping OFFSET bands, evaluated in
+    the scan stage after Catalyst pushes the derived filter). Works at
+    any nesting depth — the rewrite is local to the FROM item."""
+    import re
+
+    from clickhouse_build_spark.functions.dialect import sample_clause_spark_sql
+
+    pat = re.compile(
+        r"\bFROM\s+(\w+)\s+SAMPLE\s+(\d+)\s*/\s*(\d+)"
+        r"(?:\s+OFFSET\s+(\d+)\s*/\s*(\d+))?",
+        flags=re.IGNORECASE,
+    )
+    lits = _literal_spans(text)
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in lits)
+
+    out, i = [], 0
+    for m in pat.finditer(text):
+        if in_lit(m.start()):
+            continue
+        tbl, num, den = m.group(1), int(m.group(2)), int(m.group(3))
+        off_num, off_den = int(m.group(4) or 0), int(m.group(5) or m.group(3))
+        if off_den != den:
+            raise ValueError(
+                f"SAMPLE {num}/{den} OFFSET {m.group(4)}/{off_den}: "
+                "offset denominator must match the sample denominator"
+            )
+        key = SAMPLE_KEYS.get(tbl.lower())
+        if key is None:
+            raise ValueError(
+                f"SAMPLE on {tbl!r}: no sampling key declared (SAMPLE_KEYS)"
+            )
+        band = sample_clause_spark_sql(key, num, den, off_num)
+        out.append(text[i : m.start()])
+        out.append(f"FROM (SELECT * FROM {tbl} WHERE {band}) AS {tbl}")
+        i = m.end()
+    out.append(text[i:])
+    return "".join(out)
+
+
+def _rewrite_limit_by(text: str) -> str:
+    """CH ``... ORDER BY o LIMIT n BY keys [LIMIT m]`` → a row_number
+    window subquery (the same plan ``functions/dialect.py:limit_by``
+    builds: one shuffle on the BY key, no global sort). Top level only;
+    requires ORDER BY — CH's physical-order "first n" is
+    nondeterministic under distribution, same policy as the helper."""
+    ms = _depth0_matches(text, r"\bLIMIT\s+(\d+)\s+BY\b")
+    if not ms:
+        return text
+    if len(ms) > 1:
+        raise ValueError("multiple top-level LIMIT BY clauses")
+    m = ms[0]
+    n = int(m.group(1))
+    rest = text[m.end() :]
+    tail = _depth0_matches(rest, r"\bLIMIT\s+(\d+)\b")
+    if tail:
+        by_list = rest[: tail[0].start()].strip().strip(",")
+        final_limit = f" LIMIT {int(tail[0].group(1))}"
+        if rest[tail[0].end() :].strip():
+            raise ValueError("unsupported trailing clause after LIMIT BY ... LIMIT")
+    else:
+        by_list = rest.strip().strip(",")
+        final_limit = ""
+    by_list = by_list.strip()
+    if by_list.startswith("(") and by_list.endswith(")"):
+        by_list = by_list[1:-1].strip()
+    base = text[: m.start()]
+    mo = _depth0_matches(base, r"\bORDER\s+BY\b")
+    if not mo:
+        raise ValueError(
+            "LIMIT BY requires ORDER BY: ClickHouse's physical-order "
+            "semantics are nondeterministic under distribution"
+        )
+    order_list = base[mo[-1].end() :].strip()
+    inner = base[: mo[-1].start()].strip()
+    return (
+        f"SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT __q.*, row_number() OVER ("
+        f"PARTITION BY {by_list} ORDER BY {order_list}) AS __rn "
+        f"FROM ({inner}) AS __q) AS __lb "
+        f"WHERE __rn <= {n} "
+        f"ORDER BY {by_list}, {order_list}{final_limit}"
+    )
+
+
 def translate_ch_sql(text: str) -> str:
     """Rewrite a ClickHouse-dialect SQL string to Spark SQL.
 
     ``{name:Type}`` parameter placeholders (the CH client binding style,
     ``corpus/orm_none.txt:432-438``) become Spark named markers
     ``:name`` — bind values via ``spark.sql(..., args={...})``.
+    Clause-level CH syntax Spark lacks rewrites structurally first:
+    ``SAMPLE k/n [OFFSET m/n]`` (hash-band subquery) and top-level
+    ``LIMIT n BY keys`` (row_number window subquery).
     """
     import re
 
     text = re.sub(r"\{\s*(\w+)\s*:\s*[A-Za-z0-9() ]+\}", r":\1", text)
+    text = _rewrite_sample_clause(text)
+    text = _rewrite_limit_by(text)
     return _rewrite(text)
 
 

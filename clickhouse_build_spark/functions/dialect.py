@@ -225,3 +225,20 @@ def sample_clause_sql(key_expr: str, num: int, den: int, offset_num: int = 0) ->
     hi = space * (offset_num + num) // den
     h = portable_hash_sql(key_expr, "sample")
     return f"({h} >= {lo} AND {h} < {hi})"
+
+
+def sample_clause_spark_sql(
+    key_expr: str, num: int, den: int, offset_num: int = 0
+) -> str:
+    """The Spark-SQL text form of :func:`sample_clause`'s band predicate
+    (for the CH-dialect translator's ``SAMPLE`` clause rewrite). Same
+    portable md5 band as the Column/DuckDB twins — all three evaluate
+    the identical predicate."""
+    space = 1 << 32
+    lo = space * offset_num // den
+    hi = space * (offset_num + num) // den
+    h = (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('sample:', "
+        f"CAST({key_expr} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return f"({h} >= {lo} AND {h} < {hi})"

@@ -39,11 +39,11 @@ from clickhouse_build_spark.plans import aggstate  # noqa: E402,F401
 # plan/oracle changed since their last row (the semdedup oracle +
 # at-rest index export touching build_ivfpq_index / emb_ivfpq_topk,
 # the quality scorer's left-join touching the classifier family and
-# curated_training_corpus); (c) 4 r06-evidence rows — the trained-ANN
-# cousins of (b)'s changes plus the CDC reader and dialect contracts.
+# curated_training_corpus); (c) 3 r06-evidence rows — the trained-IVF
+# cousin of (b)'s changes plus the CDC reader and dialect contracts.
 # After this rotation no query's latest driver row predates r06; the
-# 43 r06 rows left outside (tail note, plus emb_ann_lsh_topk_batch and
-# emb_knn_cosine) must lead the r09 window.
+# 44 r06 rows left outside (tail note, plus emb_ann_lsh_topk_batch,
+# emb_knn_cosine and emb_ann_ivf_topk) must lead the r09 window.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) newest driver row is r05 (all 29) —
     "approx_distinct_and_percentiles",
@@ -88,6 +88,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_kmeans_assign",
     "orders_sample_band",
     "events_uniq_state_merge",
+    "ch_dialect_sample_limit_by",
     "doc_quality_classifier",
     "corpus_quality_filter",
     "curated_training_corpus",
@@ -95,7 +96,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ivfpq_topk",
     # — (c) r06-evidence: ANN/centroid cousins of (b), the CDC reader
     #   contract, and the r07 contention-pocket events block —
-    "emb_ann_ivf_topk",
     "emb_ann_ivf_trained_topk",
     "cdc_latest_event_per_user",
     "ch_dialect_status_profile",

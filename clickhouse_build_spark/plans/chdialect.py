@@ -103,3 +103,51 @@ def ch_dialect_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """,
     )
+
+
+def _sample_half_sql() -> str:
+    from clickhouse_build_spark.functions.dialect import sample_clause_sql
+
+    return sample_clause_sql("o_orderkey", 1, 2, 0)
+
+
+@query(
+    "ch_dialect_sample_limit_by",
+    oracle=f"""
+    WITH s AS (SELECT * FROM orders WHERE {{band}}),
+    c AS (
+      SELECT o_orderstatus, o_custkey, CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderstatus, o_custkey, n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_custkey) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_custkey, n FROM r WHERE rn <= 2
+    """.format(band=_sample_half_sql()),
+    tags=("dialect", "clickhouse-sql", "sample", "limit-by", "clauses"),
+)
+def ch_dialect_sample_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH clause surface THROUGH the translator (round 8): a real
+    dashboard string using ``SAMPLE 1/2`` (→ hash-band subquery on the
+    engine's sampling key for ``orders``) and ``LIMIT 2 BY
+    o_orderstatus`` (→ row_number window subquery), with bare
+    ``count()`` — three rewrites composing in one query. The oracle
+    evaluates the identical band predicate and window in DuckDB.
+
+    Scale: the band predicate filters in the scan stage; the window
+    shuffles only the aggregated (status, custkey) rows.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT o_orderstatus, o_custkey, count() AS n
+        FROM orders SAMPLE 1/2
+        GROUP BY o_orderstatus, o_custkey
+        ORDER BY n DESC, o_custkey
+        LIMIT 2 BY o_orderstatus
+        """,
+    )

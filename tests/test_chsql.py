@@ -10,6 +10,7 @@ match the same computation written natively in Spark.
 from __future__ import annotations
 
 import pytest
+import re
 
 from clickhouse_build_spark.engine import Engine
 from clickhouse_build_spark.functions.chsql import translate_ch_sql
@@ -335,3 +336,61 @@ def test_pg_literals_are_opaque():
     assert "'cost: $1 per a::b unit'" in out
     assert out.endswith("WHERE x = :p1")
     assert "CAST(amount AS DOUBLE)" in out
+
+
+# ---------------------------------------- clause rewrites (round 8)
+
+
+def test_limit_by_requires_order_by():
+    import pytest
+
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    with pytest.raises(ValueError, match="ORDER BY"):
+        translate_ch_sql("SELECT a FROM orders LIMIT 3 BY a")
+
+
+def test_sample_unknown_table_and_bad_offset_fail_loudly():
+    import pytest
+
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    with pytest.raises(ValueError, match="sampling key"):
+        translate_ch_sql("SELECT 1 FROM mystery SAMPLE 1/8")
+    with pytest.raises(ValueError, match="denominator"):
+        translate_ch_sql("SELECT 1 FROM orders SAMPLE 1/8 OFFSET 1/4")
+
+
+def test_clause_keywords_inside_literals_untouched():
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    q = "SELECT 'LIMIT 3 BY x' AS s, 'FROM orders SAMPLE 1/2' AS t FROM nation"
+    assert translate_ch_sql(q) == q
+
+
+def test_sample_rewrite_shape():
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql("SELECT count() FROM orders SAMPLE 1/8 OFFSET 3/8")
+    # the function-rewrite pass normalizes whitespace before parens
+    assert re.sub(r"\s+", " ", t).find("FROM(SELECT * FROM orders WHERE") >= 0 or \
+        "FROM (SELECT * FROM orders WHERE" in t
+    assert ") AS orders" in t
+    assert "o_orderkey" in t  # the declared sampling key
+    # 3/8 and 4/8 of 2^32
+    assert "1610612736" in t and "2147483648" in t
+
+
+def test_limit_by_rewrite_shape():
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql(
+        "SELECT a, count() AS n FROM orders GROUP BY a ORDER BY n DESC LIMIT 3 BY a LIMIT 7"
+    )
+    flat = re.sub(r"\s+", " ", t).replace("OVER(", "OVER (").replace(
+        "EXCEPT(", "EXCEPT ("
+    )
+    assert "row_number() OVER (PARTITION BY a ORDER BY n DESC)" in flat
+    assert "__rn <= 3" in flat
+    assert flat.rstrip().endswith("LIMIT 7")
+    assert "SELECT * EXCEPT (__rn)" in flat
