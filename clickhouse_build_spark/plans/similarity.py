@@ -1100,10 +1100,13 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ALL exports under IVFPQ_AT_REST_ROOT and selects this corpus's
         # by recomputing (n, fp) from its own embeddings view.
         n, fp = _corpus_discriminators(spark, sf_dir)
+        # cast: F.lit() types a small Python int as INT32, so exports
+        # from small corpora would drift from big-fp corpora and break
+        # the oracle's cross-export glob (DuckDB unifies on first file)
         codes = codes.select(
             "*",
-            F.lit(n).alias("n_corpus"),
-            F.lit(fp).alias("fp_corpus"),
+            F.lit(n).cast("long").alias("n_corpus"),
+            F.lit(fp).cast("long").alias("fp_corpus"),
         )
         path = _ivfpq_export_dir(sf_dir)
         codes.write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -1147,8 +1150,8 @@ def append_to_ivfpq_index(
     n, fp = _corpus_discriminators(spark, sf_dir)
     codes = codes.select(
         "*",
-        F.lit(n).alias("n_corpus"),
-        F.lit(fp).alias("fp_corpus"),
+        F.lit(n).cast("long").alias("n_corpus"),
+        F.lit(fp).cast("long").alias("fp_corpus"),
     ).localCheckpoint(eager=True)
     appended = codes.count()
     codes.write.mode("append").partitionBy("cell").parquet(
@@ -1378,8 +1381,8 @@ def shared_ivfpq_probes(
         ).collect()[0]
         probes = probes.select(
             "*",
-            F.lit(int(d["n"])).alias("n_corpus"),
-            F.lit(int(d["fp"])).alias("fp_corpus"),
+            F.lit(int(d["n"])).cast("long").alias("n_corpus"),
+            F.lit(int(d["fp"])).cast("long").alias("fp_corpus"),
         )
         # nprobe level FIRST so an oracle glob rooted at .../np{n} never
         # unions exports built with a different probe depth
@@ -1468,7 +1471,7 @@ def _semdedup_keepers_oracle(root: str = IVFPQ_AT_REST_ROOT) -> str:
     idx AS (
       SELECT DISTINCT i.vec_id, i.cell
       FROM read_parquet('{root}/*/cell=*/*.parquet',
-                        hive_partitioning = 1) i, disc
+                        hive_partitioning = 1, union_by_name = 1) i, disc
       WHERE i.n_corpus = disc.n AND i.fp_corpus = disc.fp
     ),
     cand AS (
