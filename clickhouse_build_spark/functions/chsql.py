@@ -386,6 +386,143 @@ def _rewrite_sample_clause(text: str) -> str:
     return "".join(out)
 
 
+# ReplacingMergeTree read contracts for ``FROM table FINAL`` (engine
+# policy, mirroring the CDC reader's latest-per-key rule): key columns,
+# version column, unique tiebreaker. Only tables with a declared
+# contract accept FINAL — CH itself only allows it on *MergeTree
+# engines with an ORDER BY key.
+REPLACING_KEYS: dict[str, tuple[tuple[str, ...], str, str]] = {
+    "events": (("user_id",), "ts", "event_id"),
+}
+
+
+def _rewrite_prewhere(text: str) -> str:
+    """CH ``PREWHERE p [WHERE w]`` → ``WHERE (p) AND (w)``. PREWHERE is
+    a physical hint (evaluate p against the narrow column set before
+    fetching the rest); Catalyst's own predicate pushdown does exactly
+    that, so the semantic rewrite is a plain conjunction."""
+    import re
+
+    ms = _depth0_matches(text, r"\bPREWHERE\b")
+    if not ms:
+        return text
+    if len(ms) > 1:
+        raise ValueError("multiple top-level PREWHERE clauses")
+    m = ms[0]
+    rest = text[m.end() :]
+    stop = _depth0_matches(
+        rest, r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS)\b"
+    )
+    if stop and re.match(r"WHERE\b", stop[0].group(0), re.IGNORECASE):
+        p = rest[: stop[0].start()].strip()
+        after = rest[stop[0].end() :]
+        nxt = _depth0_matches(
+            after, r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS)\b"
+        )
+        cut = nxt[0].start() if nxt else len(after)
+        w = after[:cut].strip()
+        tail = after[cut:]
+        return (
+            f"{text[: m.start()]}WHERE ({p}) AND ({w}) {tail.lstrip()}".rstrip()
+        )
+    cut = stop[0].start() if stop else len(rest)
+    p = rest[:cut].strip()
+    tail = rest[cut:]
+    return f"{text[: m.start()]}WHERE {p} {tail.lstrip()}".rstrip()
+
+
+def _rewrite_with_totals(text: str) -> str:
+    """CH ``GROUP BY keys WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((keys), ())`` — the totals row is exactly the grand-total grouping
+    set, with NULL group keys on every engine."""
+    ms = _depth0_matches(text, r"\bGROUP\s+BY\b")
+    for m in reversed(ms):
+        rest = text[m.end() :]
+        tot = _depth0_matches(rest, r"\bWITH\s+TOTALS\b")
+        if not tot:
+            continue
+        keys = rest[: tot[0].start()].strip().rstrip(",")
+        tail = rest[tot[0].end() :]
+        return (
+            f"{text[: m.start()]}GROUP BY GROUPING SETS (({keys}), ())"
+            f"{tail}"
+        )
+    return text
+
+
+def _rewrite_array_join(text: str) -> str:
+    """CH ``FROM t [LEFT] ARRAY JOIN expr AS alias`` → Spark
+    ``FROM t LATERAL VIEW [OUTER] explode(expr) __aj AS alias`` (one
+    array expression; LEFT keeps rows whose array is empty/NULL, same
+    as CH LEFT ARRAY JOIN)."""
+    import re
+
+    while True:
+        ms = _depth0_matches(
+            text, r"\b(LEFT\s+)?ARRAY\s+JOIN\b"
+        )
+        if not ms:
+            return text
+        m = ms[0]
+        outer = "OUTER " if m.group(1) else ""
+        rest = text[m.end() :]
+        stop = _depth0_matches(
+            rest,
+            r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS)\b",
+        )
+        cut = stop[0].start() if stop else len(rest)
+        item = rest[:cut].strip()
+        tail = rest[cut:]
+        am = re.match(r"(?s)^(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+        if not am:
+            raise ValueError(
+                "ARRAY JOIN requires 'expr AS alias' (one array expression)"
+            )
+        expr, alias = am.group(1).strip(), am.group(2)
+        text = (
+            f"{text[: m.start()]}LATERAL VIEW {outer}explode({expr}) "
+            f"__aj AS {alias} {tail.lstrip()}".rstrip()
+        )
+
+
+def _rewrite_final(text: str) -> str:
+    """CH ``FROM table FINAL`` → the ReplacingMergeTree read rule as a
+    row_number latest-per-key subquery aliased as the table, per the
+    engine's declared ``REPLACING_KEYS`` contract (the same rule the
+    CDC reader applies — ``sources/replication.py:latest_per_key``)."""
+    import re
+
+    pat = re.compile(r"\bFROM\s+(\w+)\s+FINAL\b", flags=re.IGNORECASE)
+    lits = _literal_spans(text)
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in lits)
+
+    out, i = [], 0
+    for m in pat.finditer(text):
+        if in_lit(m.start()):
+            continue
+        tbl = m.group(1)
+        contract = REPLACING_KEYS.get(tbl.lower())
+        if contract is None:
+            raise ValueError(
+                f"FINAL on {tbl!r}: no ReplacingMergeTree key declared "
+                "(REPLACING_KEYS)"
+            )
+        keys, version, tiebreak = contract
+        part = ", ".join(keys)
+        out.append(text[i : m.start()])
+        out.append(
+            f"FROM (SELECT * EXCEPT (__rn) FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {part} "
+            f"ORDER BY {version} DESC, {tiebreak} DESC) AS __rn "
+            f"FROM {tbl}) WHERE __rn = 1) AS {tbl}"
+        )
+        i = m.end()
+    out.append(text[i:])
+    return "".join(out)
+
+
 def _rewrite_limit_by(text: str) -> str:
     """CH ``... ORDER BY o LIMIT n BY keys [LIMIT m]`` → a row_number
     window subquery (the same plan ``functions/dialect.py:limit_by``
@@ -438,13 +575,20 @@ def translate_ch_sql(text: str) -> str:
     ``corpus/orm_none.txt:432-438``) become Spark named markers
     ``:name`` — bind values via ``spark.sql(..., args={...})``.
     Clause-level CH syntax Spark lacks rewrites structurally first:
-    ``SAMPLE k/n [OFFSET m/n]`` (hash-band subquery) and top-level
+    ``SAMPLE k/n [OFFSET m/n]`` (hash-band subquery), ``FROM t FINAL``
+    (latest-per-key subquery per REPLACING_KEYS), ``[LEFT] ARRAY JOIN``
+    (LATERAL VIEW explode), ``PREWHERE`` (WHERE conjunction),
+    ``GROUP BY ... WITH TOTALS`` (GROUPING SETS) and top-level
     ``LIMIT n BY keys`` (row_number window subquery).
     """
     import re
 
     text = re.sub(r"\{\s*(\w+)\s*:\s*[A-Za-z0-9() ]+\}", r":\1", text)
+    text = _rewrite_final(text)
     text = _rewrite_sample_clause(text)
+    text = _rewrite_array_join(text)
+    text = _rewrite_prewhere(text)
+    text = _rewrite_with_totals(text)
     text = _rewrite_limit_by(text)
     return _rewrite(text)
 

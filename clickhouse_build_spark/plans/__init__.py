@@ -39,11 +39,12 @@ from clickhouse_build_spark.plans import aggstate  # noqa: E402,F401
 # plan/oracle changed since their last row (the semdedup oracle +
 # at-rest index export touching build_ivfpq_index / emb_ivfpq_topk,
 # the quality scorer's left-join touching the classifier family and
-# curated_training_corpus); (c) 3 r06-evidence rows — the trained-IVF
-# cousin of (b)'s changes plus the CDC reader and dialect contracts.
-# After this rotation no query's latest driver row predates r06; the
-# 44 r06 rows left outside (tail note, plus emb_ann_lsh_topk_batch,
-# emb_knn_cosine and emb_ann_ivf_topk) must lead the r09 window.
+# curated_training_corpus). The round's 21 new/changed queries filled
+# the whole remainder — every r06-evidence row is now outside; the 47
+# of them (tail note, plus emb_ann_lsh_topk_batch, emb_knn_cosine,
+# emb_ann_ivf_topk, emb_ann_ivf_trained_topk, cdc_latest_event_per_user
+# and ch_dialect_status_profile) must lead the r09 window. After this
+# rotation no query's latest driver row predates r06.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) newest driver row is r05 (all 29) —
     "approx_distinct_and_percentiles",
@@ -89,16 +90,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_sample_band",
     "events_uniq_state_merge",
     "ch_dialect_sample_limit_by",
+    "ch_dialect_prewhere_totals",
+    "ch_dialect_array_join_tokens",
+    "ch_dialect_final_latest",
     "doc_quality_classifier",
     "corpus_quality_filter",
     "curated_training_corpus",
     "build_ivfpq_index",
     "emb_ivfpq_topk",
-    # — (c) r06-evidence: ANN/centroid cousins of (b), the CDC reader
-    #   contract, and the r07 contention-pocket events block —
-    "emb_ann_ivf_trained_topk",
-    "cdc_latest_event_per_user",
-    "ch_dialect_status_profile",
     # Displaced to fit the nine round-8 LM/clause/k-means/agg-state
     # queries (these nine r06-evidence rows join the r09 lead list):
     # emb_ann_lsh_topk_batch, emb_knn_cosine, events_asof_last_error,

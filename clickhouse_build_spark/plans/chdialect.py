@@ -151,3 +151,99 @@ def ch_dialect_sample_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 2 BY o_orderstatus
         """,
     )
+
+
+@query(
+    "ch_dialect_prewhere_totals",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE (o_totalprice > 100) AND (o_orderpriority != '1-URGENT')
+    GROUP BY GROUPING SETS ((o_orderstatus), ())
+    """,
+    tags=("dialect", "clickhouse-sql", "prewhere", "with-totals", "clauses"),
+)
+def ch_dialect_prewhere_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PREWHERE`` + ``WITH TOTALS`` through the translator: PREWHERE
+    folds into the WHERE conjunction (Catalyst's pushdown already does
+    the physical narrow-columns-first trick PREWHERE hints at), and
+    WITH TOTALS becomes ``GROUPING SETS ((keys), ())`` — the totals
+    row is the grand-total grouping set with a NULL key, identically
+    on both engines.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT o_orderstatus, count() AS n,
+               sum(toInt64(floor(plus(multiply(o_totalprice, 100), 0.5))))
+                 AS total_cents
+        FROM orders PREWHERE o_totalprice > 100
+        WHERE o_orderpriority != '1-URGENT'
+        GROUP BY o_orderstatus WITH TOTALS
+        """,
+    )
+
+
+@query(
+    "ch_dialect_array_join_tokens",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 10
+    """,
+    tags=("dialect", "clickhouse-sql", "array-join", "clauses"),
+)
+def ch_dialect_array_join_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ARRAY JOIN`` through the translator: the CH idiom for token
+    fan-out (``ARRAY JOIN splitByChar(' ', ...) AS token``) becomes a
+    ``LATERAL VIEW explode`` — composing with the ``splitByChar``
+    function mapping and a grouped top-10, all in one dashboard
+    string.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT token, count() AS n
+        FROM documents ARRAY JOIN splitByChar(' ', lower(text)) AS token
+        GROUP BY token ORDER BY n DESC, token LIMIT 10
+        """,
+    )
+
+
+@query(
+    "ch_dialect_final_latest",
+    oracle="""
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS live_rows
+    FROM latest GROUP BY event_type
+    """,
+    tags=("dialect", "clickhouse-sql", "final", "replacing-merge-tree"),
+)
+def ch_dialect_final_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM events FINAL`` through the translator: the
+    ReplacingMergeTree read rule (latest row per user_id by (ts,
+    event_id) — the engine's declared ``REPLACING_KEYS`` contract,
+    the same rule the CDC reader applies) materializes as a
+    row_number latest-per-key subquery; the query then profiles what
+    each user's LAST event was.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT event_type, count() AS live_rows
+        FROM events FINAL
+        GROUP BY event_type
+        """,
+    )

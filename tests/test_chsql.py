@@ -394,3 +394,54 @@ def test_limit_by_rewrite_shape():
     assert "__rn <= 3" in flat
     assert flat.rstrip().endswith("LIMIT 7")
     assert "SELECT * EXCEPT (__rn)" in flat
+
+
+def test_prewhere_merges_with_where():
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql(
+        "SELECT a FROM orders PREWHERE x > 1 WHERE y < 2 GROUP BY a"
+    )
+    flat = re.sub(r"\s+", " ", t).replace("(", " (").replace("  ", " ")
+    assert "WHERE (x > 1) AND (y < 2)" in flat
+    assert "PREWHERE" not in t
+    # bare PREWHERE becomes WHERE
+    t2 = translate_ch_sql("SELECT a FROM orders PREWHERE x > 1 ORDER BY a")
+    assert "WHERE x > 1" in t2 and "PREWHERE" not in t2
+
+
+def test_with_totals_becomes_grouping_sets():
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql("SELECT a, b, count() FROM orders GROUP BY a, b WITH TOTALS")
+    flat = re.sub(r"\s+", " ", t).replace("SETS(", "SETS (")
+    assert "GROUP BY GROUPING SETS ((a, b), ())" in flat
+
+
+def test_array_join_becomes_lateral_view():
+    import pytest
+
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql(
+        "SELECT x, count() FROM documents ARRAY JOIN arr AS x GROUP BY x"
+    )
+    flat = re.sub(r"\s+", " ", t)
+    assert "LATERAL VIEW explode" in flat and "AS x" in flat
+    t2 = translate_ch_sql("SELECT x FROM documents LEFT ARRAY JOIN arr AS x")
+    assert "LATERAL VIEW OUTER explode" in re.sub(r"\s+", " ", t2)
+    with pytest.raises(ValueError, match="AS alias"):
+        translate_ch_sql("SELECT 1 FROM documents ARRAY JOIN arr GROUP BY 1")
+
+
+def test_final_requires_declared_contract():
+    import pytest
+
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql("SELECT count() FROM events FINAL")
+    flat = re.sub(r"\s+", " ", t).replace("OVER(", "OVER (")
+    assert "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)" in flat
+    assert "__rn = 1" in flat
+    with pytest.raises(ValueError, match="REPLACING_KEYS"):
+        translate_ch_sql("SELECT count() FROM orders FINAL")
