@@ -523,6 +523,36 @@ def _rewrite_final(text: str) -> str:
     return "".join(out)
 
 
+def _strip_settings_and_global(text: str) -> str:
+    """Drop the CH-only execution hints that change nothing
+    semantically here: a trailing top-level ``SETTINGS k = v, ...``
+    clause (per-query engine knobs) and the ``GLOBAL`` modifier on
+    JOIN/IN (CH's distributed-subquery broadcast hint — Spark's
+    optimizer owns that decision)."""
+    import re
+
+    ms = _depth0_matches(text, r"\bSETTINGS\b")
+    if ms:
+        if text[ms[0].end() :].strip() and not re.fullmatch(
+            r"[\w\s=,.'\"-]*", text[ms[0].end() :]
+        ):
+            raise ValueError("unsupported SETTINGS clause shape")
+        text = text[: ms[0].start()].rstrip()
+    lits = _literal_spans(text)
+    out, i = [], 0
+    for m in re.finditer(
+        r"\bGLOBAL\s+(?=((ANY|ALL|LEFT|RIGHT|INNER|FULL|CROSS|SEMI|ANTI)\s+)*JOIN\b|IN\b|NOT\s+IN\b)",
+        text,
+        flags=re.IGNORECASE,
+    ):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        out.append(text[i : m.start()])
+        i = m.end()
+    out.append(text[i:])
+    return "".join(out)
+
+
 def _rewrite_limit_by(text: str) -> str:
     """CH ``... ORDER BY o LIMIT n BY keys [LIMIT m]`` → a row_number
     window subquery (the same plan ``functions/dialect.py:limit_by``
@@ -584,6 +614,7 @@ def translate_ch_sql(text: str) -> str:
     import re
 
     text = re.sub(r"\{\s*(\w+)\s*:\s*[A-Za-z0-9() ]+\}", r":\1", text)
+    text = _strip_settings_and_global(text)
     text = _rewrite_final(text)
     text = _rewrite_sample_clause(text)
     text = _rewrite_array_join(text)

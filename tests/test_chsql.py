@@ -445,3 +445,21 @@ def test_final_requires_declared_contract():
     assert "__rn = 1" in flat
     with pytest.raises(ValueError, match="REPLACING_KEYS"):
         translate_ch_sql("SELECT count() FROM orders FINAL")
+
+
+def test_settings_tail_and_global_modifier_stripped():
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql(
+        "SELECT a FROM orders ORDER BY a SETTINGS max_threads = 4, join_algorithm = 'hash'"
+    )
+    assert "SETTINGS" not in t and t.rstrip().endswith("ORDER BY a")
+    t2 = translate_ch_sql(
+        "SELECT a FROM orders o GLOBAL LEFT JOIN nation n ON a = b "
+        "WHERE a GLOBAL IN (SELECT 1)"
+    )
+    assert "GLOBAL" not in t2
+    assert "LEFT JOIN" in t2 and "IN" in t2
+    # literal safety
+    t3 = translate_ch_sql("SELECT 'GLOBAL JOIN SETTINGS x' AS s FROM nation")
+    assert "'GLOBAL JOIN SETTINGS x'" in t3
