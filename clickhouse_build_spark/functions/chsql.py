@@ -454,7 +454,8 @@ def _rewrite_array_join(text: str) -> str:
     """CH ``FROM t [LEFT] ARRAY JOIN expr AS alias`` → Spark
     ``FROM t LATERAL VIEW [OUTER] explode(expr) __aj AS alias`` (one
     array expression; LEFT keeps rows whose array is empty/NULL, same
-    as CH LEFT ARRAY JOIN)."""
+    as CH LEFT ARRAY JOIN). Top level only — an occurrence inside a
+    subquery fails loudly here rather than opaquely at Spark parse."""
     import re
 
     while True:
@@ -462,6 +463,17 @@ def _rewrite_array_join(text: str) -> str:
             text, r"\b(LEFT\s+)?ARRAY\s+JOIN\b"
         )
         if not ms:
+            lits = _literal_spans(text)
+            nested = [
+                m
+                for m in re.finditer(r"\bARRAY\s+JOIN\b", text, re.IGNORECASE)
+                if not any(a <= m.start() < b for a, b in lits)
+            ]
+            if nested:
+                raise ValueError(
+                    "ARRAY JOIN inside a subquery is not supported — "
+                    "lift it to the top level or use explode() directly"
+                )
             return text
         m = ms[0]
         outer = "OUTER " if m.group(1) else ""
@@ -492,7 +504,9 @@ def _rewrite_final(text: str) -> str:
     CDC reader applies — ``sources/replication.py:latest_per_key``)."""
     import re
 
-    pat = re.compile(r"\bFROM\s+(\w+)\s+FINAL\b", flags=re.IGNORECASE)
+    pat = re.compile(
+        r"\bFROM\s+(\w+)\s+FINAL\b(\s+SAMPLE\b)?", flags=re.IGNORECASE
+    )
     lits = _literal_spans(text)
 
     def in_lit(i: int) -> bool:
@@ -502,6 +516,12 @@ def _rewrite_final(text: str) -> str:
     for m in pat.finditer(text):
         if in_lit(m.start()):
             continue
+        if m.group(2):
+            raise ValueError(
+                "FINAL combined with SAMPLE is not supported — CH samples "
+                "pre-merge parts there, which has no faithful equivalent; "
+                "sample the FINAL result explicitly instead"
+            )
         tbl = m.group(1)
         contract = REPLACING_KEYS.get(tbl.lower())
         if contract is None:
@@ -594,7 +614,10 @@ def _rewrite_limit_by(text: str) -> str:
         f"PARTITION BY {by_list} ORDER BY {order_list}) AS __rn "
         f"FROM ({inner}) AS __q) AS __lb "
         f"WHERE __rn <= {n} "
-        f"ORDER BY {by_list}, {order_list}{final_limit}"
+        # final ordering/LIMIT follow CH: the trailing LIMIT m applies
+        # to the query's ORDER BY stream after per-group capping — do
+        # NOT prepend the BY keys or LIMIT m would select by group key
+        f"ORDER BY {order_list}{final_limit}"
     )
 
 

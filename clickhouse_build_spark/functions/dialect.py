@@ -207,22 +207,29 @@ def sample_clause(
     """
     from clickhouse_build_spark.operators.dedup import portable_hash
 
-    if not (0 < num <= den and 0 <= offset_num and offset_num + num <= den):
-        raise ValueError("sample_clause requires 0 < num and offset+num <= den")
+    lo, hi = _sample_band(num, den, offset_num)
     h = portable_hash(_col(key) if isinstance(key, str) else key, "sample")
-    space = 1 << 32
-    lo = space * offset_num // den
-    hi = space * (offset_num + num) // den
     return df.filter((h >= F.lit(lo)) & (h < F.lit(hi)))
+
+
+def _sample_band(num: int, den: int, offset_num: int) -> tuple[int, int]:
+    """Shared (lo, hi) of the hash band — ALL sample forms validate
+    here, so a translator string can't silently produce an empty or
+    clipped band the Column form would have refused."""
+    if not (0 < num <= den and 0 <= offset_num and offset_num + num <= den):
+        raise ValueError(
+            f"SAMPLE {num}/{den} OFFSET {offset_num}/{den}: "
+            "requires 0 < num and offset + num <= den"
+        )
+    space = 1 << 32
+    return space * offset_num // den, space * (offset_num + num) // den
 
 
 def sample_clause_sql(key_expr: str, num: int, den: int, offset_num: int = 0) -> str:
     """The DuckDB-side twin of :func:`sample_clause` (for oracle SQL)."""
     from clickhouse_build_spark.operators.dedup import portable_hash_sql
 
-    space = 1 << 32
-    lo = space * offset_num // den
-    hi = space * (offset_num + num) // den
+    lo, hi = _sample_band(num, den, offset_num)
     h = portable_hash_sql(key_expr, "sample")
     return f"({h} >= {lo} AND {h} < {hi})"
 
@@ -233,12 +240,10 @@ def sample_clause_spark_sql(
     """The Spark-SQL text form of :func:`sample_clause`'s band predicate
     (for the CH-dialect translator's ``SAMPLE`` clause rewrite). Same
     portable md5 band as the Column/DuckDB twins — all three evaluate
-    the identical predicate."""
-    space = 1 << 32
-    lo = space * offset_num // den
-    hi = space * (offset_num + num) // den
-    h = (
-        f"CAST(CONV(SUBSTRING(MD5(CONCAT('sample:', "
-        f"CAST({key_expr} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-    )
+    the identical predicate through the shared hash family
+    (``operators/dedup.py:portable_hash*``) and band arithmetic."""
+    from clickhouse_build_spark.operators.dedup import portable_hash_spark_sql
+
+    lo, hi = _sample_band(num, den, offset_num)
+    h = portable_hash_spark_sql(key_expr, "sample")
     return f"({h} >= {lo} AND {h} < {hi})"

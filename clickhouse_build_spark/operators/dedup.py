@@ -48,6 +48,17 @@ def portable_hash_sql(expr: str, seed: int | str) -> str:
     return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT"
 
 
+def portable_hash_spark_sql(expr: str, seed: int | str) -> str:
+    """The Spark-SQL-text twin of :func:`portable_hash` (for the
+    CH-dialect translator's structural rewrites, which emit SQL
+    strings, not Columns). All three forms MUST stay in lockstep —
+    they are the basis of every probabilistic operator's oracle."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}:', "
+        f"CAST({expr} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
 def minhash_component(col: Column, s: int) -> Column:
     """MinHash permutation hash #s — four 32-bit components carved from
     each md5 digest (offsets 1/9/17/25 of the 32 hex chars), so 16

@@ -40,10 +40,15 @@ from clickhouse_build_spark.plans import aggstate  # noqa: E402,F401
 # at-rest index export touching build_ivfpq_index / emb_ivfpq_topk,
 # the quality scorer's left-join touching the classifier family and
 # curated_training_corpus). The round's 21 new/changed queries filled
-# the whole remainder — every r06-evidence row is now outside; the 47
-# of them (tail note, plus emb_ann_lsh_topk_batch, emb_knn_cosine,
-# emb_ann_ivf_topk, emb_ann_ivf_trained_topk, cdc_latest_event_per_user
-# and ch_dialect_status_profile) must lead the r09 window. After this
+# the whole remainder — every r06-evidence row is now outside the
+# window: the 46 of them = the 33-item "Held OUT" tail note below
+# PLUS the 13 displaced rows (emb_ann_lsh_topk_batch, emb_knn_cosine,
+# emb_ann_ivf_topk, emb_ann_ivf_trained_topk,
+# cdc_latest_event_per_user, ch_dialect_status_profile,
+# events_asof_last_error, events_props_as_map,
+# events_sliding_10min_step5, events_type_counts_salted,
+# events_views_in_error_windows, list_filtered, stats_daily_top30).
+# ALL 46 must lead the r09 window, oldest evidence first. After this
 # rotation no query's latest driver row predates r06.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) newest driver row is r05 (all 29) —
@@ -98,13 +103,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "curated_training_corpus",
     "build_ivfpq_index",
     "emb_ivfpq_topk",
-    # Displaced to fit the nine round-8 LM/clause/k-means/agg-state
-    # queries (these nine r06-evidence rows join the r09 lead list):
-    # emb_ann_lsh_topk_batch, emb_knn_cosine, events_asof_last_error,
-    # events_props_as_map, events_sliding_10min_step5,
-    # events_type_counts_salted, events_views_in_error_windows,
-    # list_filtered, stats_daily_top30.
-    # Held OUT at r06 evidence (34), each re-verified by the local
+    # The 13 displaced r06-evidence rows are enumerated in the header
+    # comment above; with the tail note below they form the full
+    # 46-row r09 lead list.
+    # Held OUT at r06 evidence (33), each re-verified by the local
     # full-registry oracle gate this round: customer_latest_order_argmax,
     # customer_order_gaps, customers_except_returners, distinct_counts,
     # doc_bpe_token_counts, doc_near_dup_jaccard, doc_split_counts,

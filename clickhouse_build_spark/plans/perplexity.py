@@ -243,6 +243,33 @@ def score_perplexity(
     )
 
 
+def score_all_documents(
+    docs: DataFrame, model: DataFrame, c1: DataFrame
+) -> DataFrame:
+    """Admission-gate scoring with TOTAL coverage: scoreable documents
+    (≥2 tokens) go through :func:`score_perplexity`; degenerate ones
+    (empty text or a single token — no bigram evidence exists) still
+    get a row, with ``n_bigrams = 0``, zero sum and NULL average, so
+    the gate can route them by explicit policy instead of silently
+    passing them unscored. The batch queries keep the scoreable-only
+    frame (their oracles mirror the ≥2-token filter); the STREAMING
+    gate must use this one."""
+    scored = score_perplexity(doc_bigram_buckets(docs), model, c1)
+    toks = F.split(F.lower(F.col("text")), " ")
+    degenerate = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") < 2)
+        .select(
+            "doc_id",
+            "source",
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0).cast("long").alias("nll_sum_x1e6"),
+            F.lit(None).cast("long").alias("avg_nll_x1e6"),
+        )
+    )
+    return scored.unionByName(degenerate)
+
+
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, c1 = shared_lm_model(spark, sf_dir)
     bg = doc_bigram_buckets(load_tables(spark, sf_dir)["documents"])

@@ -8,10 +8,13 @@ trained once on the trusted corpus and materialized AT REST (the ≤B²
 row conditional table + the ≤B row left-context totals), and every
 micro-batch of new documents is bigrammed, hashed, and scored against
 that frozen model BEFORE it lands. Scoring per micro-batch is the
-shared ``plans/perplexity.py:score_perplexity`` code — broadcast model
-join with left-context backoff plus one integer grouped sum — not a
-re-implementation; the backoff path is exactly why the batch scorer
-carries it (a frozen model WILL meet novel bigrams here).
+shared ``plans/perplexity.py:score_all_documents`` code — broadcast
+model join with left-context backoff plus one integer grouped sum,
+and an explicit zero-bigram row for degenerate documents (empty or
+one-token text has no bigram evidence but must NOT bypass the gate
+unscored) — not a re-implementation; the backoff path is exactly why
+the batch scorer carries it (a frozen model WILL meet novel bigrams
+here).
 
 Equivalence contract (pytest-asserted,
 tests/test_streaming_perplexity.py): streamed admission rows over the
@@ -30,8 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_build_spark.plans.perplexity import (
-    doc_bigram_buckets,
-    score_perplexity,
+    score_all_documents,
     shared_lm_model,
 )
 from clickhouse_build_spark.streaming.dedup import read_new_doc_stream
@@ -66,7 +68,10 @@ def stream_perplexity_admission(
     stream = read_new_doc_stream(spark, stage_dir, max_files_per_trigger)
 
     def land_batch(batch: DataFrame, batch_id: int) -> None:
-        scored = score_perplexity(doc_bigram_buckets(batch), model, c1)
+        # TOTAL coverage (review r08): a one-token or empty document
+        # has no bigram evidence but must still receive a verdict row
+        # (n_bigrams = 0, NULL average) — nothing bypasses the gate.
+        scored = score_all_documents(batch, model, c1)
         scored.write.mode("overwrite").parquet(
             f"{out_dir}/ingest_batch={batch_id}"
         )

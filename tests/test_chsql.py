@@ -463,3 +463,46 @@ def test_settings_tail_and_global_modifier_stripped():
     # literal safety
     t3 = translate_ch_sql("SELECT 'GLOBAL JOIN SETTINGS x' AS s FROM nation")
     assert "'GLOBAL JOIN SETTINGS x'" in t3
+
+
+def test_sample_band_bounds_validated_in_translator():
+    import pytest
+
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    with pytest.raises(ValueError, match="0 < num"):
+        translate_ch_sql("SELECT count() FROM orders SAMPLE 0/8")
+    with pytest.raises(ValueError, match="0 < num"):
+        translate_ch_sql("SELECT count() FROM orders SAMPLE 3/8 OFFSET 7/8")
+
+
+def test_final_with_sample_fails_loudly():
+    import pytest
+
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    with pytest.raises(ValueError, match="FINAL combined with SAMPLE"):
+        translate_ch_sql("SELECT count() FROM events FINAL SAMPLE 1/2")
+
+
+def test_nested_array_join_fails_loudly():
+    import pytest
+
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    with pytest.raises(ValueError, match="subquery"):
+        translate_ch_sql(
+            "SELECT t.x FROM (SELECT x FROM documents ARRAY JOIN arr AS x) t"
+        )
+
+
+def test_limit_by_final_limit_follows_query_order():
+    """CH applies the trailing LIMIT m to the ORDER BY stream after
+    per-group capping — the rewrite must NOT prepend the BY keys."""
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql(
+        "SELECT a, count() AS n FROM orders GROUP BY a ORDER BY n DESC LIMIT 3 BY a LIMIT 7"
+    )
+    flat = re.sub(r"\s+", " ", t)
+    assert flat.rstrip().endswith("ORDER BY n DESC LIMIT 7")

@@ -76,3 +76,34 @@ def test_novel_stream_doc_scores_via_backoff(spark, tmp_path):
     out = score_perplexity(doc_bigram_buckets(docs), empty_model, c1).collect()
     assert len(out) == 5
     assert all(r.n_bigrams >= 1 and r.nll_sum_x1e6 > 0 for r in out)
+
+
+def test_degenerate_docs_still_get_verdict_rows(spark, tmp_path):
+    """A one-token or empty document has no bigram evidence but must
+    NOT bypass the gate: it lands with n_bigrams = 0 and a NULL
+    average for explicit policy routing."""
+    stage = str(tmp_path / "stage")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "scores")
+
+    docs = load_tables(spark, SF)["documents"].limit(3)
+    extra = spark.createDataFrame(
+        [(900001, "solo", "synthetic"), (900002, "", "synthetic")],
+        "doc_id long, text string, source string",
+    )
+    docs.select("doc_id", "text", "source").unionByName(extra).coalesce(
+        1
+    ).write.mode("overwrite").parquet(stage + "/__chunk=0")
+
+    build_lm_model_store(spark, SF, store)
+    stream_perplexity_admission(spark, stage, store, out, str(tmp_path / "ck"))
+
+    rows = {r.doc_id: r for r in read_perplexity_verdicts(spark, out).collect()}
+    assert set(rows) >= {900001, 900002}  # nothing bypassed the gate
+    for d in (900001, 900002):
+        assert rows[d].n_bigrams == 0
+        assert rows[d].nll_sum_x1e6 == 0
+        assert rows[d].avg_nll_x1e6 is None
+    assert all(
+        r.n_bigrams > 0 for d, r in rows.items() if d not in (900001, 900002)
+    )
