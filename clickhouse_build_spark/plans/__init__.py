@@ -92,6 +92,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_top3_users_limit_by",
     "emb_kmeans_centroids",
     "emb_kmeans_assign",
+    "emb_ann_kmeans_topk",
     "orders_sample_band",
     "events_uniq_state_merge",
     "ch_dialect_sample_limit_by",
@@ -99,7 +100,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "ch_dialect_array_join_tokens",
     "ch_dialect_final_latest",
     "doc_quality_classifier",
-    "corpus_quality_filter",
+    # corpus_quality_filter displaced for emb_ann_kmeans_topk — its
+    # machinery stays verified through doc_quality_classifier (same
+    # scorer) and curated_training_corpus (embeds the filter predicate)
     "curated_training_corpus",
     "build_ivfpq_index",
     "emb_ivfpq_topk",

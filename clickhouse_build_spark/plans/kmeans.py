@@ -245,3 +245,109 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.join(emb.select("vec_id", "label"), "vec_id").select(
         "vec_id", "label", "cluster", "dist"
     )
+
+
+# Serving from the distributed trainer (closing the loop): the trained
+# centroid table IS a coarse quantizer — use it as the inverted-file
+# cell structure for ANN, exactly how a production index consumes a
+# training run. nprobe=2 of the k=8 cells.
+KM_NPROBE = 2
+
+
+def kmeans_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, ce DOUBLE[]) — the trained integer centroid table folded
+    back to vectors (cq / 1e6; both engines perform the identical IEEE
+    division, so the arrays are bit-equal cross-engine)."""
+    _, cent = shared_kmeans(spark, sf_dir)
+    return (
+        cent.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("s"))
+        .select(
+            F.col("cluster").alias("cell"),
+            F.expr(
+                f"transform(s, x -> CAST(x.cq AS DOUBLE) / {KM_SCALE}.0)"
+            ).alias("ce"),
+        )
+    )
+
+
+def _ann_oracle() -> str:
+    from clickhouse_build_spark.plans.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        _cos_sql,
+    )
+
+    return f"""
+    WITH {_kmeans_cte(KM_ITERS)},
+    cents AS (
+      SELECT cluster AS cell,
+             list(CAST(cq AS DOUBLE) / {KM_SCALE}.0 ORDER BY d) AS ce
+      FROM cent{KM_ITERS} GROUP BY cluster
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    qv AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    assigned2 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, c.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_cos_sql('v.e', 'c.ce')} DESC, c.cell
+               ) AS rn
+        FROM v, cents c
+        WHERE v.vec_id <> {QUERY_VEC_ID}
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cell FROM cents, qv
+      ORDER BY {_cos_sql('ce', 'qe')} DESC, cell
+      LIMIT {KM_NPROBE}
+    )
+    SELECT a.vec_id, a.cell,
+           round({_cos_sql('a.e', 'qe')}, 4) AS cos_sim
+    FROM assigned2 a JOIN probe USING (cell), qv
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query(
+    "emb_ann_kmeans_topk",
+    oracle=_ann_oracle(),
+    tags=("similarity", "ann", "ivf", "kmeans", "pipeline"),
+)
+def emb_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served FROM the distributed trainer: the full-corpus Lloyd
+    centroids become the IVF coarse quantizer — nearest-cell
+    assignment, probe the ``KM_NPROBE`` nearest cells, exact top-k
+    inside them. Unlike the sampled-trainer twins (recall-bound
+    oracles), this chain is deterministic END TO END — integer
+    centroids from the oracle-identical iterations, bit-equal
+    centroid vectors, and the shared left-assoc cosine — so the
+    DuckDB oracle re-derives the ENTIRE train→index→search pipeline
+    and the result is hash-exact.
+
+    Scale: training per the module docstring; serving is the standard
+    IVF shape (broadcast ≤k×D centroids, one assignment pass, probe =
+    broadcast semi-join filter — partition-pruned once the inverted
+    file lands partitioned by cell).
+    """
+    from clickhouse_build_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+    from clickhouse_build_spark.plans.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        _vectors,
+    )
+
+    v = _vectors(spark, sf_dir)
+    cents = kmeans_centroid_vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("e").alias("qe")
+    )
+    assigned = ivf_assign(v.filter(F.col("vec_id") != QUERY_VEC_ID), cents)
+    return ivf_topk(assigned, cents, q, k=TOP_K, nprobe=KM_NPROBE)

@@ -76,3 +76,33 @@ def test_objective_non_increasing(spark):
         if prev is not None:
             assert total <= prev * 1.000001, (total, prev)
         prev = total
+
+
+def test_ann_chain_probes_trained_cells(spark):
+    """The served top-k must come only from the query's nearest trained
+    cells, and every hit must genuinely beat the excluded cells'
+    vectors — re-derived against the trained centroid vectors."""
+    import numpy as np
+
+    from clickhouse_build_spark.plans.kmeans import (
+        KM_NPROBE,
+        emb_ann_kmeans_topk,
+        kmeans_centroid_vectors,
+    )
+    from clickhouse_build_spark.plans.similarity import QUERY_VEC_ID, _vectors
+
+    hits = emb_ann_kmeans_topk(spark, SF_SMOKE).collect()
+    assert 0 < len(hits) <= 10
+    cents = {r.cell: np.array(r.ce) for r in kmeans_centroid_vectors(spark, SF_SMOKE).collect()}
+    q = np.array(
+        _vectors(spark, SF_SMOKE)
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .first()
+        .e
+    )
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    ranked = sorted(cents, key=lambda c: (-cos(cents[c], q), c))
+    probed = set(ranked[:KM_NPROBE])
+    assert {r.cell for r in hits} <= probed
+    assert all(hits[i].cos_sim >= hits[i + 1].cos_sim for i in range(len(hits) - 1))
