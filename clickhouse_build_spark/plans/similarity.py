@@ -893,8 +893,50 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cells' code lists. Both trainers are iterative (not SQL-expressible),
 # so the oracle checks the recall bound against independent exact KNN —
 # the emb_ann_ivf_trained_topk pattern.
-IVFPQ_CELLS = 16
+#
+# nlist SCALES WITH THE CORPUS (r09, VERDICT r08 #1): a fixed cell
+# count makes SemDeDup's within-cell candidate join Σ|cell|² =
+# n²/nlist — quadratic in corpus size. The FAISS guidance nlist ≈ √n
+# restores the published n^1.5 bound; :func:`ivfpq_cells` derives
+# ⌊√n⌋ clamped to [IVFPQ_CELLS_MIN, IVF_MAX_CELLS] from one count()
+# per (session, corpus), and EVERY consumer of the trained coarse
+# quantizer (codebook trainer, encoder, probes, query path) threads
+# the same derived value. The semdedup oracles need no nlist constant
+# at all — they read the trained cell assignment from the at-rest
+# export, so the derivation is invisible to them; the ivfpq_topk
+# oracle is a recall bound against exact KNN, equally nlist-free.
+IVFPQ_CELLS_MIN = 16
+# Query-time probe depth keeps a CONSTANT COVERAGE FRACTION as nlist
+# grows (nprobe = max(4, ⌈nlist/4⌉) ≈ 25% of cells): recall against the
+# exact top-k stays statistically flat while candidate count per query
+# still drops as cells shrink. At production scale the fraction is the
+# operator's recall/latency dial; the floor below is a machinery
+# tripwire, not an ANN-quality claim (see IVFPQ_RECALL_FLOOR).
 IVFPQ_NPROBE = 4
+
+_IVFPQ_NLIST: dict[tuple[str, str], int] = {}
+
+
+def ivfpq_cells(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus-derived coarse cell count: ⌊√n⌋ clamped to
+    [{IVFPQ_CELLS_MIN}, IVF_MAX_CELLS]. One count() per (session,
+    corpus), cached alongside the other trained artifacts."""
+    import math
+
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> int:
+        n = load_tables(spark, sf_dir)["embeddings"].count()
+        return max(IVFPQ_CELLS_MIN, min(IVF_MAX_CELLS, math.isqrt(n)))
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return session_artifact(_IVFPQ_NLIST, key, build)
+
+
+def ivfpq_nprobe(cells: int) -> int:
+    """Probe depth for the ADC query path at a given nlist — constant
+    ~25% cell coverage with a floor of {IVFPQ_NPROBE}."""
+    return max(IVFPQ_NPROBE, -(-cells // 4))
 # 8-bit codebooks (FAISS's default) — 4-bit codes measured near-random
 # ADC rankings on this corpus (near-random embeddings are close to
 # incompressible; 2-5/10 raw ADC hits). The PQ trainer's sample is
@@ -916,25 +958,98 @@ IVFPQ_RECALL_FLOOR = 0.5
 _PQ_BOOKS: dict[tuple[str, str], object] = {}
 _IVFPQ_INDEX: dict[tuple[str, str], str] = {}  # at-rest parquet dirs
 
-# Fixed at-rest root for the IVFPQ index exports (r08). The oracle SQL
-# is a STATIC string, so the index must land at a path DuckDB can glob
-# without knowing sf_dir: one subdirectory per corpus (md5 of its
-# sf_dir), every row carrying two corpus discriminators (row count +
-# an order-free integer fingerprint of the embeddings) that the oracle
-# recomputes from its own `embeddings` view to select exactly the
-# matching export — stale or foreign-corpus exports filter out, and an
-# accidental duplicate export of the SAME corpus is collapsed by the
-# oracle's DISTINCT (the index build is deterministic per corpus).
-IVFPQ_AT_REST_ROOT = "/tmp/chb_at_rest/ivfpq"
+# At-rest root for the IVFPQ index exports (r08; hardened r09 per
+# ADVICE). The oracle SQL is a STATIC string, so the index must land at
+# a path DuckDB can glob without knowing sf_dir: one subdirectory per
+# corpus (md5 of its sf_dir), every row carrying two corpus
+# discriminators (row count + an order-free integer fingerprint of the
+# embeddings) that the oracle recomputes from its own `embeddings` view
+# to select exactly the matching export.
+#
+# r09 hardening (ADVICE r08 medium):
+# - The root is overridable via $CHB_AT_REST_ROOT (read at import, the
+#   oracle strings are generated from the resolved value).
+# - A CODE-VERSION HASH (md5 of this module + the operator kernels)
+#   namespaces every export: a prior code version's exports live under
+#   a different version dir and can never glob into this version's
+#   oracle, so cross-version determinism is no longer assumed.
+# - Publication is ATOMIC: builds write to a .staging sibling (outside
+#   the oracle's glob) and os.rename() into place — a concurrent
+#   same-version session either wins the rename or discards its
+#   identical staging copy; readers never observe a half-written or
+#   mode-overwrite-truncated export.
+# - Stale version dirs are EVICTED (best-effort, >6h old) at build
+#   time, restoring the pre-r08 cleanup discipline.
+import hashlib as _hashlib
+import os as _os
+
+
+def _at_rest_code_version() -> str:
+    """md5 over the source files whose code determines export content —
+    editing either one re-namespaces the at-rest exports."""
+    import clickhouse_build_spark.operators.similarity as _ops
+
+    h = _hashlib.md5()
+    for p in (__file__, _ops.__file__):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_AT_REST_BASE = _os.environ.get("CHB_AT_REST_ROOT", "/tmp/chb_at_rest")
+_AT_REST_VERSION = _at_rest_code_version()
+IVFPQ_AT_REST_ROOT = f"{_AT_REST_BASE}/{_AT_REST_VERSION}/ivfpq"
 
 
 def _ivfpq_export_dir(sf_dir: str) -> str:
-    import hashlib
-    import os
-
-    return os.path.join(
-        IVFPQ_AT_REST_ROOT, hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return _os.path.join(
+        IVFPQ_AT_REST_ROOT, _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
+
+
+def _evict_stale_versions() -> None:
+    """Best-effort removal of at-rest version dirs other than the
+    current code version that have not been touched for >6h — old
+    enough that no live session is reading them."""
+    import shutil
+    import time
+
+    try:
+        entries = _os.listdir(_AT_REST_BASE)
+    except OSError:
+        return
+    for name in entries:
+        if name == _AT_REST_VERSION:
+            continue
+        p = _os.path.join(_AT_REST_BASE, name)
+        try:
+            if time.time() - _os.path.getmtime(p) > 6 * 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _publish_atomic(write, final_path: str) -> None:
+    """Write an export via ``write(staging_path)`` then atomically
+    rename into ``final_path``. If another same-version session already
+    published (deterministic content — same code, same corpus), keep
+    theirs and drop the staging copy. Staging lives under a .staging
+    sibling so the oracle's ``{root}/*/cell=*`` glob never sees it."""
+    import shutil
+
+    _evict_stale_versions()
+    parent = _os.path.dirname(final_path)
+    staging = _os.path.join(
+        parent,
+        ".staging",
+        f"{_os.path.basename(final_path)}-{_os.getpid()}",
+    )
+    write(staging)
+    _os.makedirs(parent, exist_ok=True)
+    try:
+        _os.rename(staging, final_path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 # Order-free corpus fingerprint: per-row integer (first embedding
@@ -958,7 +1073,9 @@ def shared_pq_codebooks(spark: SparkSession, sf_dir: str):
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build():
-        cent = shared_ivf_centroids(spark, sf_dir, k=IVFPQ_CELLS, iters=5)
+        cent = shared_ivf_centroids(
+            spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
+        )
         return ivfpq_train_from_sample(
             _vectors(spark, sf_dir),
             cent,
@@ -1005,7 +1122,9 @@ def _ivfpq_encode(
     import numpy as np
     import pandas as pd
 
-    cent = shared_ivf_centroids(spark, sf_dir, k=IVFPQ_CELLS, iters=5)
+    cent = shared_ivf_centroids(
+        spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
+    )
     books = shared_pq_codebooks(spark, sf_dir)
     unit = _normalize(vectors)
     assigned = ivf_assign(unit, cent)
@@ -1109,7 +1228,12 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(fp).cast("long").alias("fp_corpus"),
         )
         path = _ivfpq_export_dir(sf_dir)
-        codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+        _publish_atomic(
+            lambda staging: codes.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging),
+            path,
+        )
         return path
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1206,11 +1330,13 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     v = _vectors(spark, sf_dir)
-    cent = shared_ivf_centroids(spark, sf_dir, k=IVFPQ_CELLS, iters=5)
+    nlist = ivfpq_cells(spark, sf_dir)
+    nprobe = ivfpq_nprobe(nlist)
+    cent = shared_ivf_centroids(spark, sf_dir, k=nlist, iters=5)
     books = shared_pq_codebooks(spark, sf_dir)
     index = shared_ivfpq_index(spark, sf_dir)
     # Everything query-side is driver-sized: the query vector (one row,
-    # parquet-pushed-down), the centroid frame (IVFPQ_CELLS rows) and
+    # parquet-pushed-down), the centroid frame (nlist ≤ IVF_MAX_CELLS rows) and
     # the codebook tensor are all bounded at any corpus size — so cell
     # ranking and the per-probed-cell ADC LUT (nprobe × k rows) are
     # computed in numpy and shipped back as ONE literal broadcast frame
@@ -1223,7 +1349,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qh = qe / np.linalg.norm(qe)
     C = np.vstack([r["ce"] for r in cent.orderBy("cell").collect()])
     cell_cos = C @ qh
-    probe_cells = np.lexsort((np.arange(len(C)), -cell_cos))[:IVFPQ_NPROBE]
+    probe_cells = np.lexsort((np.arange(len(C)), -cell_cos))[:nprobe]
     lut_rows = [
         (
             int(c),
@@ -1346,7 +1472,8 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe table lands at rest like the code index so the nprobe=2 keeper
 # query is fully oracle-checkable.
 SEMDEDUP_NPROBE = 2
-IVFPQ_PROBES_AT_REST_ROOT = "/tmp/chb_at_rest/ivfpq_probes"
+# Versioned like the code index (r09): see the IVFPQ_AT_REST_ROOT note.
+IVFPQ_PROBES_AT_REST_ROOT = f"{_AT_REST_BASE}/{_AT_REST_VERSION}/ivfpq_probes"
 _IVFPQ_PROBES: dict[tuple[str, str, int], str] = {}
 
 
@@ -1367,7 +1494,9 @@ def shared_ivfpq_probes(
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> str:
-        cent = shared_ivf_centroids(spark, sf_dir, k=IVFPQ_CELLS, iters=5)
+        cent = shared_ivf_centroids(
+            spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
+        )
         probes = ivf_assign_probes(
             _unit_vectors(spark, sf_dir), cent, nprobe=nprobe
         )
@@ -1391,7 +1520,12 @@ def shared_ivfpq_probes(
             f"np{nprobe}",
             hashlib.md5(sf_dir.encode()).hexdigest()[:12],
         )
-        probes.write.mode("overwrite").partitionBy("cell").parquet(path)
+        _publish_atomic(
+            lambda staging: probes.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging),
+            path,
+        )
         return path
 
     key = (spark.sparkContext.applicationId, sf_dir, nprobe)

@@ -40,14 +40,14 @@ def test_build_entries_sort_before_their_consumers():
 
 def test_ivfpq_build_covers_every_vector_with_bounded_cells(spark):
     from clickhouse_build_spark.plans.similarity import (
-        IVFPQ_CELLS,
+        ivfpq_cells,
         shared_ivfpq_index,
     )
 
     n = REGISTRY["build_ivfpq_index"].builder(spark, SF).first()
     idx = shared_ivfpq_index(spark, SF)
     cells = idx.groupBy("cell").count().collect()
-    assert len(cells) <= IVFPQ_CELLS
+    assert len(cells) <= ivfpq_cells(spark, SF)
     assert sum(r["count"] for r in cells) == n["n_vectors_indexed"]
     assert all(r["count"] > 0 for r in cells)
 

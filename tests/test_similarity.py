@@ -220,7 +220,7 @@ def test_ivfpq_index_codes_are_argmin_assignments(spark):
     import numpy as np
 
     from clickhouse_build_spark.plans.similarity import (
-        IVFPQ_CELLS,
+        ivfpq_cells,
         PQ_M,
         PQ_SUB,
         shared_ivf_centroids,
@@ -237,7 +237,9 @@ def test_ivfpq_index_codes_are_argmin_assignments(spark):
     C = np.vstack(
         [
             r["ce"]
-            for r in shared_ivf_centroids(spark, SF_SMOKE, k=IVFPQ_CELLS, iters=5)
+            for r in shared_ivf_centroids(
+                spark, SF_SMOKE, k=ivfpq_cells(spark, SF_SMOKE), iters=5
+            )
             .orderBy("cell")
             .collect()
         ]
@@ -269,3 +271,28 @@ def test_ivfpq_topk_recall_holds_on_smoke_corpus(spark):
     # the exact frame is ordered best-first with id tiebreak
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_cells_derive_from_corpus_size(spark):
+    """nlist = ⌊√n⌋ clamped to [IVFPQ_CELLS_MIN, IVF_MAX_CELLS] — the
+    r09 fix for the fixed-nlist quadratic SemDeDup candidate stage —
+    and nprobe keeps ~25% cell coverage with the r08 floor."""
+    import math
+
+    from clickhouse_build_spark.catalog import load_tables
+    from clickhouse_build_spark.plans.similarity import (
+        IVF_MAX_CELLS,
+        IVFPQ_CELLS_MIN,
+        IVFPQ_NPROBE,
+        ivfpq_cells,
+        ivfpq_nprobe,
+    )
+
+    n = load_tables(spark, SF_SMOKE)["embeddings"].count()
+    c = ivfpq_cells(spark, SF_SMOKE)
+    assert c == max(IVFPQ_CELLS_MIN, min(IVF_MAX_CELLS, math.isqrt(n)))
+    # cached: second call must not recount (same object identity path)
+    assert ivfpq_cells(spark, SF_SMOKE) == c
+    assert ivfpq_nprobe(c) == max(IVFPQ_NPROBE, -(-c // 4))
+    # the clamp ends: tiny corpora keep the floor, huge ones the cap
+    assert ivfpq_nprobe(IVFPQ_CELLS_MIN) == IVFPQ_CELLS_MIN // 4
