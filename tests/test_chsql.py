@@ -506,3 +506,152 @@ def test_limit_by_final_limit_follows_query_order():
     )
     flat = re.sub(r"\s+", " ", t)
     assert flat.rstrip().endswith("ORDER BY n DESC LIMIT 7")
+
+
+# ------------------------------------------------- r09 additions
+
+
+def _flat(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def test_json_extract_family_maps_to_get_json_object():
+    t = translate_ch_sql(
+        "SELECT JSONExtractString(props, 'plan') AS p, "
+        "JSONExtractInt(props, 'items', 2) AS i2, "
+        "JSONExtractFloat(props, 'score') AS s, "
+        "JSONExtractBool(props, 'ok') AS b FROM events"
+    )
+    assert "get_json_object(props, '$.plan')" in t
+    # CH indexes are 1-based; JsonPath is 0-based
+    assert "get_json_object(props, '$.items[1]') AS BIGINT" in t
+    assert "AS DOUBLE" in t and "AS BOOLEAN" in t
+
+
+def test_json_has_and_length():
+    t = translate_ch_sql("SELECT JSONHas(props, 'k') AS h FROM events")
+    assert "array_contains(json_object_keys(props), 'k')" in t
+    t2 = translate_ch_sql("SELECT JSONLength(props) AS n FROM events")
+    assert "json_array_length(props)" in t2
+    assert "size(json_object_keys(props))" in t2
+
+
+def test_json_dynamic_path_fails_loudly():
+    with pytest.raises(ValueError, match="literal keys"):
+        translate_ch_sql("SELECT JSONExtractString(props, col) FROM events")
+
+
+def test_format_datetime_specifier_mapping():
+    t = translate_ch_sql(
+        "SELECT formatDateTime(ts, '%Y-%m-%dT%H:%i:%S') AS s FROM events"
+    )
+    # literal T must be JDK-quoted, %i is minutes, %M would be month name
+    assert "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss')" in t
+    with pytest.raises(ValueError, match="unsupported specifier"):
+        translate_ch_sql("SELECT formatDateTime(ts, '%Q') FROM events")
+    with pytest.raises(ValueError, match="literal format"):
+        translate_ch_sql("SELECT formatDateTime(ts, fmt_col) FROM events")
+
+
+def test_to_start_of_interval_units():
+    t = translate_ch_sql(
+        "SELECT toStartOfInterval(ts, INTERVAL 10 MINUTE) AS b FROM events"
+    )
+    assert "floor(unix_timestamp(ts) / 600)" in t and "* 600" in t
+    t2 = translate_ch_sql(
+        "SELECT toStartOfInterval(d, INTERVAL 1 QUARTER) AS b FROM t"
+    )
+    assert "months_between" in t2 and "/ 3" in t2
+    t3 = translate_ch_sql(
+        "SELECT toStartOfInterval(d, INTERVAL 2 WEEK) AS b FROM t"
+    )
+    assert "DATE '1970-01-05'" in t3  # Monday-aligned like CH
+    with pytest.raises(ValueError, match="unsupported unit"):
+        translate_ch_sql(
+            "SELECT toStartOfInterval(ts, INTERVAL 5 NANOSECOND) FROM t"
+        )
+
+
+def test_dictget_rewrites_to_scalar_subquery():
+    t = translate_ch_sql(
+        "SELECT dictGet('nations', 'n_name', c_nationkey) AS n FROM customer"
+    )
+    assert _flat(t).startswith(
+        "SELECT (SELECT n_name FROM nation WHERE n_nationkey = (c_nationkey))"
+    )
+    t2 = translate_ch_sql(
+        "SELECT dictGetOrDefault('regions', 'r_name', k, 'x') AS n FROM t"
+    )
+    assert "coalesce((SELECT r_name FROM region WHERE r_regionkey = (k)), 'x')" in t2
+    with pytest.raises(ValueError, match="not declared"):
+        translate_ch_sql("SELECT dictGet('nope', 'a', k) FROM t")
+
+
+def test_topk_rewrite_is_exact_ranked_count():
+    t = translate_ch_sql(
+        "SELECT event_type, arrayStringConcat(topK(3)(user_id), ',') AS u, "
+        "count() AS cnt FROM events GROUP BY event_type"
+    )
+    f = _flat(t)
+    assert "row_number() OVER" in f and "__rn <= 3" in f
+    assert "ORDER BY __c DESC, __val" in f  # count desc, value asc tiebreak
+    assert "USING(event_type)" in f.replace("USING (", "USING(")
+    # the sibling count() is computed once in __agg, not re-aggregated
+    assert f.count("count(*) AS cnt") == 1 and "cnt FROM" in f
+
+
+def test_topk_global_no_group_by():
+    t = translate_ch_sql(
+        "SELECT arrayStringConcat(topK(2)(event_type), ',') AS t FROM events"
+    )
+    assert "PARTITION BY" not in t and "__rn <= 2" in t
+
+
+def test_topk_weighted_uses_weight_sum():
+    t = translate_ch_sql(
+        "SELECT k, arrayStringConcat(topKWeighted(2)(x, w), ',') AS t "
+        "FROM src GROUP BY k"
+    )
+    assert "sum(w) AS __c" in t
+
+
+def test_topk_having_fails_loudly():
+    with pytest.raises(ValueError, match="HAVING"):
+        translate_ch_sql(
+            "SELECT topK(3)(x) AS t FROM src GROUP BY k HAVING count() > 1"
+        )
+
+
+def test_settings_tail_validation():
+    # valid key=value pairs strip silently
+    t = translate_ch_sql(
+        "SELECT count() AS c FROM events SETTINGS max_threads = 4, "
+        "use_uncompressed_cache = 1"
+    )
+    assert "SETTINGS" not in t
+    # a word-only tail (FORMAT JSON) must NOT be swallowed
+    with pytest.raises(ValueError, match="SETTINGS"):
+        translate_ch_sql(
+            "SELECT count() FROM events SETTINGS max_threads = 4 FORMAT JSON"
+        )
+
+
+def test_two_array_joins_get_distinct_aliases():
+    t = translate_ch_sql(
+        "SELECT a, b FROM t ARRAY JOIN xs AS a ARRAY JOIN ys AS b"
+    )
+    assert "__aj0" in t and "__aj1" in t
+
+
+def test_limit_by_order_expression_resolves_to_alias():
+    t = translate_ch_sql(
+        "SELECT k, count() AS n FROM t GROUP BY k ORDER BY count() DESC "
+        "LIMIT 2 BY k"
+    )
+    f = _flat(t)
+    assert "ORDER BY n DESC" in f and "count(*) DESC" not in f
+    with pytest.raises(ValueError, match="does not match"):
+        translate_ch_sql(
+            "SELECT k, count() AS n FROM t GROUP BY k "
+            "ORDER BY sum(v) DESC LIMIT 2 BY k"
+        )
