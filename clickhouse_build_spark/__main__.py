@@ -32,6 +32,14 @@ def _cmd_scanner(args: argparse.Namespace) -> dict:
     return dataclasses.asdict(scan_repo(args.repo))
 
 
+def _cmd_qa(args: argparse.Namespace) -> dict:
+    from clickhouse_build_spark.qa_gate import qa_check
+
+    with open(args.file) as f:
+        code = f.read()
+    return qa_check(code, file_path=args.file, purpose=args.purpose or "")
+
+
 def _cmd_data_migrator(args: argparse.Namespace) -> dict:
     from clickhouse_build_spark.migrator import plan_replication
     from clickhouse_build_spark.scanner import scan_repo
@@ -251,6 +259,13 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("scanner", help="discover analytical queries in a codebase")
     s.add_argument("repo")
     s.set_defaults(fn=_cmd_scanner)
+
+    q = sub.add_parser(
+        "qa", help="approve/reject migration-generated code (QA gate)"
+    )
+    q.add_argument("file", help="source file to validate")
+    q.add_argument("--purpose", default="", help="what the code is for")
+    q.set_defaults(fn=_cmd_qa)
 
     d = sub.add_parser("data-migrator", help="scan → replication plan")
     d.add_argument("repo")

@@ -1,0 +1,136 @@
+"""Deterministic QA gate for migration-generated code — the engine's
+analogue of the reference's LLM code-quality validator.
+
+The reference's third eval (``eval/qa_code_migrator/ground_truth.json``)
+grades an approve/reject gate that code passes through before being
+written during a migration; its rules live in the validator prompt
+(``src/prompts/qa_code_migrator.py:4-29``). Like the scanner
+(``scanner.py``), this reimplements those RULES as a deterministic
+classifier — regex checks with explainable reasons, no model in the
+loop — and is tested field-exact against the reference's own ground
+truth (``tests/test_qa_gate.py``), closing the eval triangle
+(scanner F1, data-migrator field-exact, QA gate).
+
+Rule set (same priority order as the prompt):
+
+1. Type safety (critical): reject explicitly-declared ``any``; reject
+   explicitly-declared ``unknown`` without a type guard; implicit
+   ``any`` from library calls is fine (only annotations the developer
+   wrote are inspected).
+2. Backwards compatibility (critical): reject ClickHouse-only code
+   with no PostgreSQL fallback; reject database switching that never
+   consults the environment. PostgreSQL must stay the default — the
+   same policy the engine itself enforces by keeping the PG dialect
+   the pass-through one (``functions/chsql.py:translate_pg_sql``).
+3. Incremental development: incomplete-but-typed code passes; an
+   unused import does not.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["qa_check"]
+
+# Explicit type annotations the developer wrote: `x: any`, `(): any`,
+# `as any`, `<any>` casts. Generic parameters like `json<Record<...>>`
+# and identifiers that merely CONTAIN "any" must not trip it.
+_ANY_DECL = re.compile(r"(:\s*any\b|\bas\s+any\b|<\s*any\s*>)")
+_UNKNOWN_DECL = re.compile(r"(:\s*unknown\b|\bas\s+unknown\b)")
+_TYPE_GUARD = re.compile(r"\btypeof\b|\binstanceof\b|\bin\s+\w+\b")
+
+_CLICKHOUSE = re.compile(r"@clickhouse/client|ClickHouseClient|ClickHouse")
+_POSTGRES = re.compile(r"from\s+['\"]pg['\"]|\bPool\b|Postgres")
+_ENV_CHECK = re.compile(r"process\.env\.")
+
+# `import { A, B as C } from 'x'` / `import X from 'x'` /
+# `import * as ns from 'x'`
+_IMPORT = re.compile(
+    r"^import\s+(?:\{([^}]*)\}|\*\s+as\s+(\w+)|(\w+))\s+from\s+['\"]([^'\"]+)['\"]",
+    re.MULTILINE,
+)
+
+
+def _line_of(code: str, match: re.Match) -> int:
+    return code.count("\n", 0, match.start()) + 1
+
+
+def _imported_names(code: str) -> list[tuple[str, int]]:
+    names: list[tuple[str, int]] = []
+    for m in _IMPORT.finditer(code):
+        line = _line_of(code, m)
+        if m.group(1):
+            for part in m.group(1).split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                # `A as B` binds B locally
+                alias = re.split(r"\s+as\s+", part)[-1].strip()
+                names.append((alias, line))
+        elif m.group(2):
+            names.append((m.group(2), line))
+        elif m.group(3):
+            names.append((m.group(3), line))
+    return names
+
+
+def qa_check(code: str, file_path: str = "", purpose: str = "") -> dict:
+    """Approve or reject ``code`` before it is written to
+    ``file_path``. Returns ``{"approved": bool, "reason": str}`` — the
+    same contract the reference's validator returns as JSON."""
+    # --- 1. type safety -------------------------------------------------
+    m = _ANY_DECL.search(code)
+    if m:
+        return {
+            "approved": False,
+            "reason": (
+                f"Explicit 'any' type declared on line {_line_of(code, m)}. "
+                "Must use an explicit type."
+            ),
+        }
+    m = _UNKNOWN_DECL.search(code)
+    if m and not _TYPE_GUARD.search(code):
+        return {
+            "approved": False,
+            "reason": (
+                f"Explicit 'unknown' type on line {_line_of(code, m)} is "
+                "used without a type guard."
+            ),
+        }
+
+    # --- 2. backwards compatibility -------------------------------------
+    uses_ch = bool(_CLICKHOUSE.search(code))
+    uses_pg = bool(_POSTGRES.search(code))
+    if uses_ch and not uses_pg:
+        return {
+            "approved": False,
+            "reason": (
+                "Forces ClickHouse-only without a PostgreSQL fallback, "
+                "breaking existing users."
+            ),
+        }
+    if uses_ch and uses_pg and not _ENV_CHECK.search(code):
+        return {
+            "approved": False,
+            "reason": (
+                "Database routing switches engines without an environment "
+                "check; PostgreSQL must stay the default."
+            ),
+        }
+
+    # --- 3. incremental development --------------------------------------
+    body = _IMPORT.sub("", code)
+    for name, line in _imported_names(code):
+        if not re.search(rf"\b{re.escape(name)}\b", body):
+            return {
+                "approved": False,
+                "reason": f"Unused import '{name}' on line {line}.",
+            }
+
+    return {
+        "approved": True,
+        "reason": (
+            "Developer-written types are explicit and existing behavior "
+            "is preserved."
+        ),
+    }
