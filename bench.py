@@ -51,6 +51,34 @@ def _reference_record(repo_root: str) -> tuple[dict[str, float], float]:
 # their rows are adjudicated by run-to-run variance notes instead.
 _NO_RETIME_PREFIXES = ("build_", "cdc_incremental_rollup")
 
+# Session-artifact-backed queries (ADVICE r08): any query whose builder
+# lives in a plan module that routes through plans/artifacts.py caches
+# (trained models, dedup pair sets, at-rest indexes, the media corpus)
+# would re-time the WARM cached path and understate its quiet-row cost
+# vs the cold reference row. Derived from the module, not a name list,
+# so new cached queries are covered automatically; the over-exclusion
+# of a module's few uncached queries is conservative — their first
+# (cold) sample stands.
+_ARTIFACT_MODULES = frozenset(
+    f"clickhouse_build_spark.plans.{m}"
+    for m in (
+        "cdcrollup",
+        "dedup",
+        "kmeans",
+        "multimodal",
+        "perplexity",
+        "quality",
+        "similarity",
+        "builds",
+    )
+)
+
+
+def _retime_eligible(name: str) -> bool:
+    if name.startswith(_NO_RETIME_PREFIXES):
+        return False
+    return REGISTRY[name].builder.__module__ not in _ARTIFACT_MODULES
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,7 +127,7 @@ def main() -> None:
                 r is None
                 or timings[name] < 0
                 or timings[name] <= 2 * r
-                or name.startswith(_NO_RETIME_PREFIXES)
+                or not _retime_eligible(name)
             ):
                 continue
             t0 = time.perf_counter()

@@ -29,101 +29,82 @@ from clickhouse_build_spark.plans import kmeans  # noqa: E402,F401
 from clickhouse_build_spark.plans import aggstate  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-8 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) the 29 queries
-# whose newest driver row is r05 — the oldest evidence on the board,
-# pre-listed by the r07 tail note and VERDICT r07 directive #2;
-# (b) queries NEW this round (SemDeDup probe2, the incremental CDC
-# rollup, the bigram-LM perplexity family, the WITH FILL / LIMIT BY
-# clause queries, the distributed Lloyd k-means pair) or whose
-# plan/oracle changed since their last row (the semdedup oracle +
-# at-rest index export touching build_ivfpq_index / emb_ivfpq_topk,
-# the quality scorer's left-join touching the classifier family and
-# curated_training_corpus). The round's 21 new/changed queries filled
-# the whole remainder — every r06-evidence row is now outside the
-# window: the 46 of them = the 33-item "Held OUT" tail note below
-# PLUS the 13 displaced rows (emb_ann_lsh_topk_batch, emb_knn_cosine,
-# emb_ann_ivf_topk, emb_ann_ivf_trained_topk,
-# cdc_latest_event_per_user, ch_dialect_status_profile,
-# events_asof_last_error, events_props_as_map,
-# events_sliding_10min_step5, events_type_counts_salted,
-# events_views_in_error_windows, list_filtered, stats_daily_top30).
-# ALL 46 must lead the r09 window, oldest evidence first. After this
-# rotation no query's latest driver row predates r06.
+# iteration order. Round-9 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) 44 of the 46
+# r06-evidence rows pre-listed by the r08 rotation note (the 33-item
+# held-out tail + the 13 displaced rows), oldest evidence on the board;
+# (b) the three queries NEW this round (the translator's JSON / topK +
+# interval-dates / dictGet driver rows) and the three whose PLAN
+# changed (the corpus-derived IVFPQ nlist replacing the pinned 16 —
+# VERDICT r08 #1's explicit done-criterion names emb_semdedup_keepers,
+# emb_semdedup_probe2_keepers and emb_ivfpq_topk in CORRECTNESS_r09).
+# That sums to 52, so TWO of the 46 are held to lead r10, chosen for
+# the most redundant in-window coverage: stats_total (trivial global
+# agg, re-timed as a bench probe every round, machinery shared with
+# the r07-evidenced stats family) and doc_top_tokens (explode+count —
+# same machinery as doc_top_bigrams r07 and ch_dialect_array_join_tokens
+# r08, with doc_token_stats-adjacent coverage in this window). Both are
+# re-verified by the local full-registry sf0.01 oracle gate this round.
+# The other nlist-affected rows (build_ivfpq_index r08, emb_pq_codes /
+# emb_pq_adc_topk r08) keep fresh r08 evidence and are re-verified by
+# the local gate. After this rotation the only latest-evidence rows
+# predating r07 are the two named holdouts.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) newest driver row is r05 (all 29) —
-    "approx_distinct_and_percentiles",
-    "big_spender_segments_having",
-    "ch_dialect_monthly_stats",
-    "doc_chunk_text",
-    "doc_contamination_screen",
-    "doc_oov_rate",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "doc_simhash_dup_pairs",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "nation_account_union",
-    "nation_customer_supplier_balance",
-    "q11_major_revenue_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q20_bulk_part_suppliers",
-    "q2_min_cost_supplier",
-    "q4_priority_order_check",
-    "q7_nation_trade_flows",
-    "q8_nation_market_share",
-    "q9_product_profit",
-    "returned_and_urgent_intersect",
-    "status_priority_cube",
-    "status_priority_grouping_sets",
-    "status_priority_rollup",
-    "urgent_order_customers_semi",
-    # — (b) NEW in round 8, or plan/oracle changed since the last row —
+    # — (a) r06-evidence rows, oldest first (44 of 46) —
+    "customer_latest_order_argmax",
+    "customer_order_gaps",
+    "customers_except_returners",
+    "distinct_counts",
+    "doc_bpe_token_counts",
+    "doc_near_dup_jaccard",
+    "doc_split_counts",
+    "doc_token_histogram",
+    "doc_winnow_fingerprints",
+    "emb_label_centroids",
+    "emb_normalize_quantize",
+    "events_json_props",
+    "media_audio_chunks",
+    "media_image_features",
+    "media_jpeg_transcode",
+    "media_resize_features",
+    "nation_revenue_ranks",
+    "order_value_distribution",
+    "part_stats_min_max_avg",
+    "price_percentiles_by_flag",
+    "q10_returned_items",
+    "q12_priority_shipping_caseagg",
+    "q18_large_volume_customers",
+    "q6_forecast_revenue",
+    "rolling_30day_customer_spend",
+    "stats_by_month",
+    "status_priority_pivot",
+    "status_priority_profile",
+    "top3_orders_per_customer",
+    "user_sessions_30min",
+    "weekly_retention_cohorts",
+    "emb_ann_lsh_topk_batch",
+    "emb_knn_cosine",
+    "emb_ann_ivf_topk",
+    "emb_ann_ivf_trained_topk",
+    "cdc_latest_event_per_user",
+    "ch_dialect_status_profile",
+    "events_asof_last_error",
+    "events_props_as_map",
+    "events_sliding_10min_step5",
+    "events_type_counts_salted",
+    "events_views_in_error_windows",
+    "list_filtered",
+    "stats_daily_top30",
+    # — (b) NEW in round 9 (translator JSON / topK+intervals / dictGet) —
+    "ch_dialect_json_props",
+    "ch_dialect_topk_intervals",
+    "ch_dialect_dictget",
+    # — (b) plan changed in round 9: corpus-derived nlist (sqrt(n)) —
     "emb_semdedup_keepers",
     "emb_semdedup_probe2_keepers",
-    "cdc_incremental_rollup",
-    "doc_lm_bigram_model",
-    "doc_lm_perplexity",
-    "corpus_perplexity_bands",
-    "events_daily_with_fill",
-    "events_top3_users_limit_by",
-    "emb_kmeans_centroids",
-    "emb_kmeans_assign",
-    "emb_ann_kmeans_topk",
-    "orders_sample_band",
-    "events_uniq_state_merge",
-    "ch_dialect_sample_limit_by",
-    "ch_dialect_prewhere_totals",
-    "ch_dialect_array_join_tokens",
-    "ch_dialect_final_latest",
-    "doc_quality_classifier",
-    # corpus_quality_filter displaced for emb_ann_kmeans_topk — its
-    # machinery stays verified through doc_quality_classifier (same
-    # scorer) and curated_training_corpus (embeds the filter predicate)
-    "curated_training_corpus",
-    "build_ivfpq_index",
     "emb_ivfpq_topk",
-    # The 13 displaced r06-evidence rows are enumerated in the header
-    # comment above; with the tail note below they form the full
-    # 46-row r09 lead list.
-    # Held OUT at r06 evidence (33), each re-verified by the local
-    # full-registry oracle gate this round: customer_latest_order_argmax,
-    # customer_order_gaps, customers_except_returners, distinct_counts,
-    # doc_bpe_token_counts, doc_near_dup_jaccard, doc_split_counts,
-    # doc_token_histogram, doc_top_tokens, doc_winnow_fingerprints,
-    # emb_label_centroids, emb_normalize_quantize, events_json_props,
-    # media_audio_chunks, media_image_features, media_jpeg_transcode,
-    # media_resize_features, nation_revenue_ranks,
-    # order_value_distribution, part_stats_min_max_avg,
-    # price_percentiles_by_flag, q10_returned_items,
-    # q12_priority_shipping_caseagg, q18_large_volume_customers,
-    # q6_forecast_revenue, rolling_30day_customer_spend, stats_by_month,
-    # stats_total, status_priority_pivot, status_priority_profile,
-    # top3_orders_per_customer, user_sessions_30min,
-    # weekly_retention_cohorts. These MUST lead the r09 rotation.
+    # Held OUT to lead r10 (r06 evidence, redundantly covered, see
+    # header): stats_total, doc_top_tokens.
 ]
 
 
