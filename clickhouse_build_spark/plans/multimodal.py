@@ -90,6 +90,23 @@ def drop_media_corpus(spark: SparkSession) -> None:
 def _media_kind(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     return shared_media_corpus(spark, sf_dir).filter(F.col("kind") == kind)
 
+
+def _ordered_features(df: DataFrame, *keys: str) -> DataFrame:
+    """Total-order a NARROW kernel output without re-running the Arrow
+    decode stage. A bare ``orderBy`` over a mapInPandas pipeline plans
+    RangePartitioning, whose boundary-sampling job RE-EXECUTES the
+    child — the whole decode runs twice (measured 2.6 s vs 1.2 s on
+    ``media_video_frame_sample`` at sf0.1; aggregated consumers don't
+    pay this because the agg's shuffle files are reused by the sample
+    job). ``localCheckpoint(eager=False)`` truncates the lineage at the
+    few-bytes-per-row feature frame, so the sample pass reads the
+    materialized rows instead. At cluster scale the checkpoint is
+    |rows| × ~20 B on executor storage; a lost executor forces a
+    recompute of the full query (acceptable for an interactive result
+    sort — pipelines that re-consume the frames downstream should
+    persist to reliable storage instead)."""
+    return df.localCheckpoint(eager=False).orderBy(*keys)
+
 # DuckDB twin of the media derivation in media_from_documents: digest,
 # kind and metadata are pure functions of doc_id. Image rows with
 # media_id % 6 = 3 are baseline JPEG (8×8-constant md5 tiles); the rest
@@ -165,7 +182,9 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-rest corpus (:func:`shared_media_corpus`): a kind-pruned
     parquet scan of real container bytes, not a fresh encode."""
     media = _media_kind(spark, sf_dir, "image")
-    return extract_image_features(media, fake=False).orderBy("media_id")
+    return _ordered_features(
+        extract_image_features(media, fake=False), "media_id"
+    )
 
 
 # ------------------------------------------------ resized-image oracle
@@ -242,7 +261,9 @@ def media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.format") == "png"
     )
     resized = resize_images(media, RESIZE_W, RESIZE_H, fake=False)
-    return extract_image_features(resized, fake=False).orderBy("media_id")
+    return _ordered_features(
+        extract_image_features(resized, fake=False), "media_id"
+    )
 
 
 def _jpeg_resized_phash_sql() -> str:
@@ -319,7 +340,9 @@ def media_jpeg_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.format") == "jpeg"
     )
     resized = resize_images(media, RESIZE_W, RESIZE_H, fake=False)
-    return extract_image_features(resized, fake=False).orderBy("media_id")
+    return _ordered_features(
+        extract_image_features(resized, fake=False), "media_id"
+    )
 
 
 @query(
@@ -359,8 +382,10 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     [64, 191] (the ±127 residual-range content guarantee)."""
     media = _media_kind(spark, sf_dir, "video")
     frames = sample_frames(media, every_ms=500, fake=False, with_payload=False)
-    return frames.select("media_id", "frame_idx", "frame_ms", "frame_fp").orderBy(
-        "media_id", "frame_idx"
+    return _ordered_features(
+        frames.select("media_id", "frame_idx", "frame_ms", "frame_fp"),
+        "media_id",
+        "frame_idx",
     )
 
 
@@ -398,9 +423,11 @@ def media_pframe_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.format") == "pframe"
     )
     frames = sample_frames(media, every_ms=500, fake=False, with_payload=False)
-    return frames.select(
-        "media_id", "frame_idx", "frame_ms", "frame_fp"
-    ).orderBy("media_id", "frame_idx")
+    return _ordered_features(
+        frames.select("media_id", "frame_idx", "frame_ms", "frame_fp"),
+        "media_id",
+        "frame_idx",
+    )
 
 
 @query(
