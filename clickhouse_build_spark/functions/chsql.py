@@ -572,6 +572,34 @@ def _depth0_matches(text: str, pattern: str):
     ]
 
 
+def _map_subqueries(text: str, fn) -> str:
+    """Apply ``fn`` to the contents of every top-level parenthesized
+    group, outside string literals. ``fn`` re-enters here itself for
+    deeper nesting, so recursion depth tracks paren depth."""
+    lits = _literal_spans(text)
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in lits)
+
+    out, i, n = [], 0, len(text)
+    while i < n:
+        if text[i] == "(" and not in_lit(i):
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if not in_lit(j):
+                    if text[j] == "(":
+                        depth += 1
+                    elif text[j] == ")":
+                        depth -= 1
+                j += 1
+            out.append("(" + fn(text[i + 1 : j - 1]) + ")")
+            i = j
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
 def _split_depth0(text: str, sep: str = ",") -> list[str]:
     """Split ``text`` on ``sep`` at paren depth 0, outside literals."""
     lits = _literal_spans(text)
@@ -698,18 +726,18 @@ def _rewrite_with_totals(text: str) -> str:
     return text
 
 
-def _rewrite_array_join(text: str) -> str:
+def _rewrite_array_join(text: str, _counter: list[int] | None = None) -> str:
     """CH ``FROM t [LEFT] ARRAY JOIN expr AS alias`` → Spark
-    ``FROM t LATERAL VIEW [OUTER] explode(expr) __aj AS alias`` (one
+    ``FROM t LATERAL VIEW [OUTER] explode(expr) __ajN AS alias`` (one
     array expression; LEFT keeps rows whose array is empty/NULL, same
-    as CH LEFT ARRAY JOIN). Top level only — an occurrence inside a
-    subquery fails loudly here rather than opaquely at Spark parse."""
+    as CH LEFT ARRAY JOIN). Handles occurrences at any nesting level:
+    top-level clauses rewrite in place, then the rewriter recurses into
+    parenthesized subqueries with a SHARED alias counter so every
+    lateral view in the statement gets a distinct name (ADVICE r08 +
+    VERDICT r08 missing #6)."""
     import re
 
-    # Per-rewrite alias counter: two top-level ARRAY JOINs must get
-    # DISTINCT lateral-view aliases or the analyzer rejects the
-    # duplicate __aj (ADVICE r08).
-    aj_idx = 0
+    counter = _counter if _counter is not None else [0]
     while True:
         ms = _depth0_matches(
             text, r"\b(LEFT\s+)?ARRAY\s+JOIN\b"
@@ -722,9 +750,8 @@ def _rewrite_array_join(text: str) -> str:
                 if not any(a <= m.start() < b for a, b in lits)
             ]
             if nested:
-                raise ValueError(
-                    "ARRAY JOIN inside a subquery is not supported — "
-                    "lift it to the top level or use explode() directly"
+                return _map_subqueries(
+                    text, lambda s: _rewrite_array_join(s, counter)
                 )
             return text
         m = ms[0]
@@ -746,9 +773,9 @@ def _rewrite_array_join(text: str) -> str:
         expr, alias = am.group(1).strip(), am.group(2)
         text = (
             f"{text[: m.start()]}LATERAL VIEW {outer}explode({expr}) "
-            f"__aj{aj_idx} AS {alias} {tail.lstrip()}".rstrip()
+            f"__aj{counter[0]} AS {alias} {tail.lstrip()}".rstrip()
         )
-        aj_idx += 1
+        counter[0] += 1
 
 
 def _rewrite_final(text: str) -> str:
@@ -1028,11 +1055,27 @@ def _rewrite_limit_by(text: str) -> str:
     builds: one shuffle on the BY key, no global sort). Top level only;
     requires ORDER BY — CH's physical-order "first n" is
     nondeterministic under distribution, same policy as the helper."""
-    ms = _depth0_matches(text, r"\bLIMIT\s+(\d+)\s+BY\b")
-    if not ms:
+    import re
+
+    if not _depth0_matches(text, r"\bLIMIT\s+\d+\s+BY\b"):
+        # LIMIT BY inside subqueries only (r09, VERDICT r08 missing
+        # #6): rewrite each subquery independently — every SELECT gets
+        # its own LIMIT BY clause in CH, so per-scope rewriting is the
+        # faithful semantics
+        lits = _literal_spans(text)
+        if any(
+            not any(a <= m.start() < b for a, b in lits)
+            for m in re.finditer(r"\bLIMIT\s+\d+\s+BY\b", text, re.IGNORECASE)
+        ):
+            return _map_subqueries(text, _rewrite_limit_by)
         return text
+    ms = _depth0_matches(text, r"\bLIMIT\s+(\d+)\s+BY\b")
     if len(ms) > 1:
         raise ValueError("multiple top-level LIMIT BY clauses")
+    # rewrite subquery-level LIMIT BYs first so the top-level rewrite
+    # embeds already-translated inner text
+    text = _map_subqueries(text, _rewrite_limit_by)
+    ms = _depth0_matches(text, r"\bLIMIT\s+(\d+)\s+BY\b")
     m = ms[0]
     n = int(m.group(1))
     rest = text[m.end() :]

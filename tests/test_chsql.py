@@ -485,15 +485,37 @@ def test_final_with_sample_fails_loudly():
         translate_ch_sql("SELECT count() FROM events FINAL SAMPLE 1/2")
 
 
-def test_nested_array_join_fails_loudly():
-    import pytest
-
+def test_nested_array_join_rewrites_inside_subquery():
+    """r09: ARRAY JOIN inside a subquery rewrites (it used to fail
+    loudly); the shared alias counter keeps lateral views distinct
+    across nesting levels."""
     from clickhouse_build_spark.functions.chsql import translate_ch_sql
 
-    with pytest.raises(ValueError, match="subquery"):
-        translate_ch_sql(
-            "SELECT t.x FROM (SELECT x FROM documents ARRAY JOIN arr AS x) t"
-        )
+    t = translate_ch_sql(
+        "SELECT t.x FROM (SELECT x FROM documents ARRAY JOIN arr AS x) t"
+    )
+    assert "LATERAL VIEW explode(arr)" in t and "ARRAY JOIN" not in t
+    t2 = translate_ch_sql(
+        "SELECT a, b FROM (SELECT x AS a, arr2 FROM t ARRAY JOIN arr AS x) "
+        "sub ARRAY JOIN arr2 AS b"
+    )
+    assert "__aj0" in t2 and "__aj1" in t2
+
+
+def test_nested_limit_by_rewrites_per_scope():
+    from clickhouse_build_spark.functions.chsql import translate_ch_sql
+
+    t = translate_ch_sql(
+        "SELECT k, v FROM (SELECT k, v FROM t ORDER BY v DESC LIMIT 2 BY k) "
+        "WHERE v > 0"
+    )
+    assert "row_number() OVER" in t and "LIMIT 2 BY" not in t
+    # top-level + nested together: both scopes rewrite independently
+    t2 = translate_ch_sql(
+        "SELECT k, v FROM (SELECT k, v FROM t ORDER BY v DESC LIMIT 2 BY k) "
+        "s ORDER BY v DESC LIMIT 1 BY k"
+    )
+    assert t2.count("row_number() OVER") == 2
 
 
 def test_limit_by_final_limit_follows_query_order():
