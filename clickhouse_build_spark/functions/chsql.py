@@ -70,8 +70,12 @@ def _parse_args(s: str, i: int) -> tuple[list[str], int]:
         if c in "'\"":
             j = _scan_string(s, j)
             continue
-        if c == "(":
+        # CH array literals `[1, 2]` nest like parens — a comma inside
+        # them must not split the argument (r09 fix)
+        if c in "([":
             depth += 1
+        elif c == "]":
+            depth -= 1
         elif c == ")":
             depth -= 1
             if depth == 0:
@@ -466,6 +470,60 @@ FUNCS: dict[str, Rule] = {
     # external dictionaries (r09)
     "dictget": _dict_get,
     "dictgetordefault": lambda a: _dict_get(a[:3], default=a[3]),
+    # r09 breadth batch — the remaining high-frequency CH names.
+    # Array higher-order functions take (lambda, arr) in CH; Spark's
+    # take (arr, lambda).
+    "indexof": _rename("array_position"),  # both 1-based, 0 if absent
+    "arraycount": lambda a: f"size(filter({a[1]}, {a[0]}))",
+    "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayall": lambda a: f"forall({a[1]}, {a[0]})",
+    "arraysum": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    ),
+    "arrayavg": lambda a: (
+        f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        f" / size({a[0]}))"
+    ),
+    "arraymin": _rename("array_min"),
+    "arraymax": _rename("array_max"),
+    "arrayreverse": _rename("reverse"),
+    "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",
+    "arrayflatten": _rename("flatten"),
+    "arrayzip": _rename("arrays_zip"),
+    "arrayslice": lambda a: (
+        f"slice({a[0]}, {a[1]}, {a[2]})"
+        if len(a) > 2
+        else f"slice({a[0]}, {a[1]}, greatest(0, size({a[0]}) - ({a[1]}) + 1))"
+    ),
+    "countequal": lambda a: f"size(filter({a[0]}, __ce -> __ce = ({a[1]})))",
+    # strings
+    "substringutf8": _rename("substr"),
+    "lowerutf8": _rename("lower"),
+    "upperutf8": _rename("upper"),
+    "trimleft": _rename("ltrim"),
+    "trimright": _rename("rtrim"),
+    "trimboth": _rename("trim"),
+    "leftpad": _rename("lpad"),
+    "rightpad": _rename("rpad"),
+    "match": lambda a: f"(({a[0]}) RLIKE ({a[1]}))",
+    "concatassumeinjective": _rename("concat"),
+    "assumenotnull": lambda a: a[0],
+    # time
+    "tounixtimestamp": _rename("unix_timestamp"),
+    "fromunixtimestamp": _rename("timestamp_seconds"),
+    "dateadd": lambda a: (
+        f"timestampadd({a[0].strip().strip(chr(39)).upper()}, {a[1]}, {a[2]})"
+    ),
+    "datesub": lambda a: (
+        f"timestampadd({a[0].strip().strip(chr(39)).upper()}, -({a[1]}), {a[2]})"
+    ),
+    # bit ops
+    "bitand": lambda a: f"(({a[0]}) & ({a[1]}))",
+    "bitor": lambda a: f"(({a[0]}) | ({a[1]}))",
+    "bitxor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
+    "bitnot": lambda a: f"(~({a[0]}))",
+    "bitshiftleft": _rename("shiftleft"),
+    "bitshiftright": _rename("shiftright"),
 }
 
 # name(q...)(x...) combinators: rule receives (param_args, value_args)
@@ -477,6 +535,88 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
 }
 
 _WORD0 = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
+
+# Keywords a following `[` can never subscript — `SELECT [1, 2]` is an
+# array literal, `arr[1]` is a subscript.
+_BRACKET_KEYWORDS = frozenset(
+    "select from where and or not in by as on when then else end join "
+    "all any union except intersect having limit offset distinct case "
+    "like rlike between is null values then using".split()
+)
+
+
+def _rewrite_brackets(s: str) -> str:
+    """CH bracket syntax → Spark (r09): array LITERALS ``[1, 2]`` →
+    ``array(1, 2)`` (Spark has no bare-bracket literal) and identifier
+    SUBSCRIPTS ``arr[i]`` → ``element_at(arr, i)`` — CH subscripts are
+    1-based with negative-from-end, exactly Spark's ``element_at``,
+    whereas Spark's own ``arr[i]`` is 0-based and would be silently
+    off-by-one. A subscript on a non-identifier operand (``f(x)[1]``)
+    fails loudly — use ``arrayElement``."""
+    import re
+
+    out: list[str] = []
+    prev_sig = ""
+    prev_word = ""
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            j = _scan_string(s, i)
+            out.append(s[i:j])
+            prev_sig, prev_word = "'", ""
+            i = j
+            continue
+        if s[i : i + 2] == "--":
+            j = s.find("\n", i)
+            j = n if j < 0 else j
+            out.append(s[i:j])
+            i = j
+            continue
+        if c.isalnum() or c == "_":
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            w = s[i:j]
+            out.append(w)
+            prev_word, prev_sig = w.lower(), w[-1]
+            i = j
+            continue
+        if c == "[":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if s[j] in "'\"":
+                    j = _scan_string(s, j)
+                    continue
+                if s[j] in "([":
+                    depth += 1
+                elif s[j] in ")]":
+                    depth -= 1
+                j += 1
+            inner = _rewrite_brackets(s[i + 1 : j - 1])
+            is_sub = bool(prev_sig) and (
+                prev_sig.isalnum() or prev_sig == "_"
+            ) and prev_word not in _BRACKET_KEYWORDS
+            if prev_sig and prev_sig in ")]":
+                raise ValueError(
+                    "subscript after an expression is ambiguous — use "
+                    "arrayElement(expr, i)"
+                )
+            if is_sub:
+                ops: list[str] = []
+                while out and (re.fullmatch(r"\w+", out[-1]) or out[-1] == "."):
+                    ops.insert(0, out.pop())
+                out.append(f"element_at({''.join(ops)}, {inner})")
+            else:
+                out.append(f"array({inner})")
+            prev_sig, prev_word = ")", ""
+            i = j
+            continue
+        if not c.isspace():
+            prev_sig, prev_word = c, ""
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite(s: str) -> str:
@@ -607,9 +747,9 @@ def _split_depth0(text: str, sep: str = ",") -> list[str]:
     for i, ch in enumerate(text):
         if any(a <= i < b for a, b in lits):
             continue
-        if ch == "(":
+        if ch in "([":
             d += 1
-        elif ch == ")":
+        elif ch in ")]":
             d -= 1
         elif ch == sep and d == 0:
             parts.append(text[start:i].strip())
@@ -1114,6 +1254,104 @@ def _rewrite_limit_by(text: str) -> str:
     )
 
 
+# ----------------------------- materialized-view DDL bridge (r09)
+# CH's standard rollup idiom is a SummingMergeTree/AggregatingMergeTree
+# MATERIALIZED VIEW; the engine's analogue is the CDC-maintained
+# incremental rollup (sources/replication.py:RollupSpec, r08). This
+# parser accepts the CH DDL a reference user holds and yields the
+# declarative spec the Replicator maintains — DDL in, IVM out.
+
+
+class MaterializedViewSpec:
+    """Parsed ``CREATE MATERIALIZED VIEW`` — name, source table, group
+    keys, the optional summed value column, POPULATE flag."""
+
+    def __init__(
+        self,
+        name: str,
+        source: str,
+        group_cols: list[str],
+        value_col: str | None,
+        populate: bool,
+    ) -> None:
+        self.name = name
+        self.source = source
+        self.group_cols = group_cols
+        self.value_col = value_col
+        self.populate = populate
+
+
+def parse_materialized_view(ddl: str) -> MaterializedViewSpec:
+    """Parse a ClickHouse ``CREATE MATERIALIZED VIEW ... ENGINE =
+    SummingMergeTree ... AS SELECT keys, count(), sum(v) FROM t GROUP
+    BY keys`` statement into the spec the CDC rollup machinery
+    maintains incrementally. Supported aggregate shape = exactly what
+    ``RollupSpec`` maintains (count + at most one sum); anything else —
+    other engines, joins, HAVING, extra aggregates — fails loudly
+    rather than silently approximating the view."""
+    import re
+
+    m = re.match(
+        r"(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(\w+)\s+(.*?)\bAS\b\s*(SELECT\b.*)$",
+        ddl,
+    )
+    if not m:
+        raise ValueError("not a CREATE MATERIALIZED VIEW ... AS SELECT")
+    name, head, select = m.group(1), m.group(2), m.group(3)
+    em = re.search(r"(?i)\bENGINE\s*=\s*(\w+)", head)
+    if not em or em.group(1).lower() not in (
+        "summingmergetree",
+        "aggregatingmergetree",
+    ):
+        raise ValueError(
+            "materialized view engine must be SummingMergeTree or "
+            "AggregatingMergeTree (the maintained-rollup engines)"
+        )
+    if re.search(r"(?i)\bTO\s+\w+", head):
+        raise ValueError("TO <table> materialized views are not supported")
+    populate = bool(re.search(r"(?i)\bPOPULATE\b", head))
+
+    sel = _depth0_matches(select, r"\bSELECT\b")
+    frm = _depth0_matches(select, r"\bFROM\b")
+    gb = _depth0_matches(select, r"\bGROUP\s+BY\b")
+    if not sel or not frm or not gb:
+        raise ValueError("materialized view query must be SELECT ... FROM ... GROUP BY")
+    if _depth0_matches(select, r"\bHAVING\b|\bJOIN\b|\bWHERE\b"):
+        raise ValueError(
+            "materialized view query must be a plain grouped aggregate "
+            "over one table (no JOIN/WHERE/HAVING)"
+        )
+    source = select[frm[0].end() : gb[0].start()].strip()
+    if not re.fullmatch(r"[\w.]+", source):
+        raise ValueError(f"materialized view source must be one table: {source!r}")
+    keys = [k.strip() for k in _split_depth0(select[gb[0].end() :])]
+    for k in keys:
+        if not re.fullmatch(r"[\w.]+", k):
+            raise ValueError(f"group keys must be simple columns: {k!r}")
+
+    value_col: str | None = None
+    for item in _split_depth0(select[sel[0].end() : frm[0].start()]):
+        expr = re.sub(r"(?is)\s+AS\s+\w+\s*$", "", item).strip()
+        if expr in keys:
+            continue
+        if re.fullmatch(r"(?is)count\s*\(\s*\*?\s*\)", expr):
+            continue
+        sm = re.fullmatch(r"(?is)sum\s*\(\s*([\w.]+)\s*\)", expr)
+        if sm:
+            if value_col is not None:
+                raise ValueError(
+                    "RollupSpec maintains at most one summed column"
+                )
+            value_col = sm.group(1)
+            continue
+        raise ValueError(
+            f"unsupported materialized-view aggregate: {expr!r} — the "
+            "maintained shape is group keys + count() + at most one sum()"
+        )
+    return MaterializedViewSpec(name, source, keys, value_col, populate)
+
+
 def translate_ch_sql(text: str) -> str:
     """Rewrite a ClickHouse-dialect SQL string to Spark SQL.
 
@@ -1138,7 +1376,7 @@ def translate_ch_sql(text: str) -> str:
     text = _rewrite_with_totals(text)
     text = _rewrite_topk(text)
     text = _rewrite_limit_by(text)
-    return _rewrite(text)
+    return _rewrite(_rewrite_brackets(text))
 
 
 def run_ch_sql(spark, text: str, params: dict[str, Any] | None = None):

@@ -94,6 +94,20 @@ class RollupSpec:
     value_col: str | None = None
 
 
+def rollup_from_mv(ddl: str) -> tuple[str, str, RollupSpec]:
+    """CH ``CREATE MATERIALIZED VIEW ... ENGINE = SummingMergeTree``
+    DDL → (view name, source table, RollupSpec) — the CH rollup idiom
+    declared in the user's own dialect, maintained by the CDC merge
+    loop (r09; parser in functions/chsql.py, unsupported shapes fail
+    loudly there)."""
+    from clickhouse_build_spark.functions.chsql import parse_materialized_view
+
+    mv = parse_materialized_view(ddl)
+    return mv.name, mv.source, RollupSpec(
+        group_cols=mv.group_cols, value_col=mv.value_col
+    )
+
+
 def latest_per_key(
     df: DataFrame, key_cols: list[str], version_col: str, tiebreak_col: str | None = None
 ) -> DataFrame:

@@ -677,3 +677,59 @@ def test_limit_by_order_expression_resolves_to_alias():
             "SELECT k, count() AS n FROM t GROUP BY k "
             "ORDER BY sum(v) DESC LIMIT 2 BY k"
         )
+
+
+def test_r09_breadth_function_batch(spark):
+    """The r09 breadth batch executes with CH semantics: 1-based
+    indexOf, (lambda, arr) argument order, arraySlice's optional
+    length, Monday weekday, bit ops."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    row = run_ch_sql(
+        spark,
+        "SELECT indexOf([10, 20, 30], 20) AS idx,"
+        " indexOf([10], 99) AS absent,"
+        " arrayCount(x -> x > 1, [1, 2, 3]) AS cnt,"
+        " arrayExists(x -> x = 2, [1, 2]) AS ex,"
+        " arrayAll(x -> x > 0, [1, 2]) AS al,"
+        " arraySum([1.5, 2.5]) AS s,"
+        " arrayAvg([2, 4]) AS av,"
+        " arrayMin([3, 1]) AS mn,"
+        " arrayMax([3, 1]) AS mx,"
+        " arrayUniq([1, 1, 2]) AS u,"
+        " arraySlice([1, 2, 3, 4], 2) AS sl,"
+        " arraySlice([1, 2, 3, 4], 2, 2) AS sl2,"
+        " countEqual([1, 2, 2], 2) AS ceq,"
+        " trimBoth('  x  ') AS tb,"
+        " leftPad('7', 3, '0') AS lp,"
+        " match('abc123', '[a-z]+\\\\d+') AS m,"
+        " toUnixTimestamp(toDateTime('1970-01-01 00:01:00')) AS ux,"
+        " dateAdd('day', 2, toDate('2024-01-01')) AS da,"
+        " bitAnd(6, 3) AS ba, bitShiftLeft(1, 4) AS bs",
+    ).first()
+    assert row["idx"] == 2 and row["absent"] == 0
+    assert row["cnt"] == 2 and row["ex"] and row["al"]
+    assert row["s"] == 4.0 and row["av"] == 3.0
+    assert row["mn"] == 1 and row["mx"] == 3 and row["u"] == 2
+    assert list(row["sl"]) == [2, 3, 4] and list(row["sl2"]) == [2, 3]
+    assert row["ceq"] == 2 and row["tb"] == "x" and row["lp"] == "007"
+    assert row["m"] and row["ux"] == 60
+    assert str(row["da"]).startswith("2024-01-03")
+    assert row["ba"] == 2 and row["bs"] == 16
+
+
+def test_bracket_literals_and_subscripts():
+    assert T("SELECT [1, 2, 3] AS a FROM t") == (
+        "SELECT array(1, 2, 3) AS a FROM t"
+    )
+    assert T("SELECT [[1], [2]] AS a FROM t") == (
+        "SELECT array(array(1), array(2)) AS a FROM t"
+    )
+    # CH subscripts are 1-based = Spark element_at, NOT Spark's 0-based [i]
+    assert T("SELECT arr[1] AS first FROM t") == (
+        "SELECT element_at(arr, 1) AS first FROM t"
+    )
+    assert T("SELECT t.arr[-1] FROM t") == "SELECT element_at(t.arr, -1) FROM t"
+    assert "'[not an array]'" in T("SELECT '[not an array]' FROM t")
+    with pytest.raises(ValueError, match="arrayElement"):
+        T("SELECT f(x)[1] FROM t")

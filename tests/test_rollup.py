@@ -193,3 +193,78 @@ def test_registered_rollup_query_matches_recompute(spark):
         (F.sum(cents) / F.lit(100.0)).alias("sum_value"),
     )
     assert _rows(got) == _rows(want)
+
+
+def test_materialized_view_ddl_drives_the_rollup(spark, tmp_path):
+    """r09: a verbatim CH CREATE MATERIALIZED VIEW (SummingMergeTree)
+    declares the rollup — parse the DDL, hand the spec to the
+    Replicator, and the maintained rollup must equal full recompute
+    after every batch, exactly as a hand-built RollupSpec does."""
+    from clickhouse_build_spark.sources.replication import rollup_from_mv
+
+    name, source, spec = rollup_from_mv(
+        """
+        CREATE MATERIALIZED VIEW mv_grp_totals
+        ENGINE = SummingMergeTree
+        ORDER BY grp
+        POPULATE
+        AS SELECT grp, count() AS n_rows, sum(v) AS total
+        FROM t GROUP BY grp
+        """
+    )
+    assert (name, source) == ("mv_grp_totals", "t")
+    assert spec.group_cols == ["grp"] and spec.value_col == "v"
+    rep = Replicator(
+        spark,
+        str(tmp_path / "tgt"),
+        key_cols=["k"],
+        version_col="ver",
+        n_buckets=4,
+        rollup=spec,
+    )
+    rep.replicate(
+        _batch(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1)]),
+        MAP,
+        mode=ReplicationMode.SNAPSHOT,
+    )
+    rep.apply_changes(
+        _batch(
+            spark,
+            [(2, "b", 20.0, 2, "u"), (3, "b", 3.0, 2, "d")],
+            with_op=True,
+        ),
+        MAP,
+    )
+    assert _rows(rep.read_rollup(MAP)) == _rows(_recompute(rep, spec))
+
+
+def test_materialized_view_ddl_rejects_unsupported_shapes(spark):
+    import pytest
+
+    from clickhouse_build_spark.functions.chsql import parse_materialized_view
+
+    with pytest.raises(ValueError, match="engine"):
+        parse_materialized_view(
+            "CREATE MATERIALIZED VIEW x ENGINE = MergeTree AS "
+            "SELECT a, count() FROM t GROUP BY a"
+        )
+    with pytest.raises(ValueError, match="one sum"):
+        parse_materialized_view(
+            "CREATE MATERIALIZED VIEW x ENGINE = SummingMergeTree AS "
+            "SELECT a, sum(v), sum(w) FROM t GROUP BY a"
+        )
+    with pytest.raises(ValueError, match="unsupported materialized-view"):
+        parse_materialized_view(
+            "CREATE MATERIALIZED VIEW x ENGINE = SummingMergeTree AS "
+            "SELECT a, avg(v) FROM t GROUP BY a"
+        )
+    with pytest.raises(ValueError, match="JOIN/WHERE/HAVING"):
+        parse_materialized_view(
+            "CREATE MATERIALIZED VIEW x ENGINE = SummingMergeTree AS "
+            "SELECT a, count() FROM t WHERE a > 1 GROUP BY a"
+        )
+    with pytest.raises(ValueError, match="TO"):
+        parse_materialized_view(
+            "CREATE MATERIALIZED VIEW x TO tgt ENGINE = SummingMergeTree "
+            "AS SELECT a, count() FROM t GROUP BY a"
+        )
