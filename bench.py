@@ -51,33 +51,32 @@ def _reference_record(repo_root: str) -> tuple[dict[str, float], float]:
 # their rows are adjudicated by run-to-run variance notes instead.
 _NO_RETIME_PREFIXES = ("build_", "cdc_incremental_rollup")
 
-# Session-artifact-backed queries (ADVICE r08): any query whose builder
-# lives in a plan module that routes through plans/artifacts.py caches
-# (trained models, dedup pair sets, at-rest indexes, the media corpus)
-# would re-time the WARM cached path and understate its quiet-row cost
-# vs the cold reference row. Derived from the module, not a name list,
-# so new cached queries are covered automatically; the over-exclusion
-# of a module's few uncached queries is conservative — their first
-# (cold) sample stands.
-_ARTIFACT_MODULES = frozenset(
-    f"clickhouse_build_spark.plans.{m}"
-    for m in (
-        "cdcrollup",
-        "dedup",
-        "kmeans",
-        "multimodal",
-        "perplexity",
-        "quality",
-        "similarity",
-        "builds",
-    )
+# FIRST-TOUCH rows (ADVICE r08, refined r09): a retime understates cost
+# only for the query that BUILDS a session artifact on its first
+# sample — the retime then reads the warm cache instead of paying the
+# build. Consumer rows read the same at-rest/persisted artifact in BOTH
+# samples (the build_* entries sort before their families on purpose),
+# so their retime is same-path and fair — the r09 quiet run proved the
+# module-wide exclusion wrong by sticking post-heavy-row transients
+# onto media/LM/quality consumer rows.
+_FIRST_TOUCH_ROWS = frozenset(
+    {
+        # trains the hashed bigram LM (sorts before its consumers)
+        "doc_lm_bigram_model",
+        # absorbs the shared Lloyd k-means training ('ann' < 'kmeans')
+        "emb_ann_kmeans_topk",
+        # trains its own sampled IVF centroids on first touch
+        "emb_ann_ivf_trained_topk",
+        # builds + exports the nprobe=2 probe table
+        "emb_semdedup_probe2_keepers",
+    }
 )
 
 
 def _retime_eligible(name: str) -> bool:
-    if name.startswith(_NO_RETIME_PREFIXES):
-        return False
-    return REGISTRY[name].builder.__module__ not in _ARTIFACT_MODULES
+    return not (
+        name.startswith(_NO_RETIME_PREFIXES) or name in _FIRST_TOUCH_ROWS
+    )
 
 
 def main() -> None:
