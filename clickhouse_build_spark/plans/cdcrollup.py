@@ -133,3 +133,67 @@ def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     rep = run_incremental_rollup(spark, sf_dir)
     return rep.read_rollup(TableMapping("public", "events", "user_state"))
+
+
+# The same maintained rollup, DECLARED in the user's own dialect (r09):
+# CH's standard rollup idiom is a SummingMergeTree MATERIALIZED VIEW,
+# so the engine accepts that DDL verbatim and parses it into the
+# RollupSpec the merge loop maintains (functions/chsql.py:
+# parse_materialized_view). This registered query gates the DDL path
+# end-to-end: parse → assert the spec is exactly what the shared CDC
+# run maintains → read the maintained rollup. A parse regression makes
+# the row fail loudly rather than silently diverging.
+MV_DDL = """
+    CREATE MATERIALIZED VIEW mv_event_type_totals
+    ENGINE = SummingMergeTree
+    ORDER BY event_type
+    AS SELECT event_type, count() AS n_rows, sum(value) AS sum_value
+    FROM user_state GROUP BY event_type
+"""
+
+
+@query(
+    "ch_dialect_mv_rollup",
+    oracle=f"""
+    WITH resolved AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    live AS (
+      SELECT * FROM resolved WHERE rn = 1 AND NOT ({TOMBSTONE_SQL})
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_value
+    FROM live
+    GROUP BY event_type
+    """,
+    tags=("dialect", "clickhouse-sql", "materialized-view", "ivm", "rollup"),
+)
+def ch_dialect_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-maintained rollup, declared as verbatim ClickHouse
+    ``CREATE MATERIALIZED VIEW ... ENGINE = SummingMergeTree`` DDL and
+    parsed into the maintained :class:`RollupSpec`. Reads the SAME
+    shared maintained artifact as ``cdc_incremental_rollup`` (a
+    |groups|-row scan — the declaration layer adds zero execution
+    cost); the oracle is the full recompute over resolved state, i.e.
+    the materialized-view-consistency contract for the DDL-declared
+    view.
+    """
+    from clickhouse_build_spark.sources.replication import rollup_from_mv
+
+    name, source, spec = rollup_from_mv(MV_DDL)
+    maintained = RollupSpec(group_cols=["event_type"], value_col="value")
+    if (name, source) != ("mv_event_type_totals", "user_state") or (
+        spec != maintained
+    ):
+        raise ValueError(
+            f"MV DDL parsed to {name}/{source}/{spec}, expected the "
+            f"maintained {maintained}"
+        )
+    rep = run_incremental_rollup(spark, sf_dir)
+    return rep.read_rollup(TableMapping("public", "events", "user_state"))
