@@ -395,6 +395,31 @@ FUNCS: dict[str, Rule] = {
     "uniqcombined": _rename("approx_count_distinct"),
     "uniqhll12": _rename("approx_count_distinct"),
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    # -State/-Merge combinator pair (AggregatingMergeTree lifecycle) —
+    # the same Datasketches mapping plans/aggstate.py pins semantics
+    # for: states are HLL sketches, merge unions + estimates.
+    "uniqstate": _rename("hll_sketch_agg"),
+    "uniqmerge": lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
+    # remaining -If combinators over the mapped aggregate names
+    "uniqif": lambda a: (
+        f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)"
+    ),
+    "uniqexactif": lambda a: (
+        f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)"
+    ),
+    "anyif": lambda a: f"first(CASE WHEN {a[1]} THEN {a[0]} END, true)",
+    "anylastif": lambda a: f"last(CASE WHEN {a[1]} THEN {a[0]} END, true)",
+    "medianif": lambda a: (
+        f"percentile_approx(CASE WHEN {a[1]} THEN {a[0]} END, 0.5)"
+    ),
+    "argmaxif": lambda a: (
+        f"max_by(CASE WHEN {a[2]} THEN {a[0]} END, "
+        f"CASE WHEN {a[2]} THEN {a[1]} END)"
+    ),
+    "argminif": lambda a: (
+        f"min_by(CASE WHEN {a[2]} THEN {a[0]} END, "
+        f"CASE WHEN {a[2]} THEN {a[1]} END)"
+    ),
     "argmax": _rename("max_by"),
     "argmin": _rename("min_by"),
     # CH aggregate any(x) → first(x); but `> ANY (SELECT ...)` is a

@@ -733,3 +733,34 @@ def test_bracket_literals_and_subscripts():
     assert "'[not an array]'" in T("SELECT '[not an array]' FROM t")
     with pytest.raises(ValueError, match="arrayElement"):
         T("SELECT f(x)[1] FROM t")
+
+
+def test_state_merge_and_remaining_if_combinators(spark):
+    """uniqState/uniqMerge map to the Datasketches pair aggstate.py
+    pins semantics for; the -If family wraps the mapped aggregates."""
+    assert T("SELECT uniqState(x) FROM t") == "SELECT hll_sketch_agg(x) FROM t"
+    assert T("SELECT uniqMerge(s) FROM t") == (
+        "SELECT hll_sketch_estimate(hll_union_agg(s)) FROM t"
+    )
+    assert T("uniqIf(u, c)") == "approx_count_distinct(CASE WHEN c THEN u END)"
+    assert T("uniqExactIf(u, c)") == "count(DISTINCT CASE WHEN c THEN u END)"
+    assert T("argMaxIf(n, ts, c)") == (
+        "max_by(CASE WHEN c THEN n END, CASE WHEN c THEN ts END)"
+    )
+    # two-stage lifecycle executes: per-day states, merged estimate ==
+    # direct uniqExact for this small exact-regime cardinality
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    from clickhouse_build_spark.catalog import load_tables
+
+    load_tables(spark, SF_SMOKE)
+    merged = run_ch_sql(
+        spark,
+        "SELECT uniqMerge(s) AS u FROM "
+        "(SELECT toDate(ts) AS d, uniqState(user_id) AS s "
+        "FROM events GROUP BY d)",
+    ).first()["u"]
+    exact = run_ch_sql(
+        spark, "SELECT uniqExact(user_id) AS u FROM events"
+    ).first()["u"]
+    assert merged == exact  # n_users << sketch exact regime at smoke SF
