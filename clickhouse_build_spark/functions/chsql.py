@@ -989,6 +989,135 @@ def _rewrite_final(text: str) -> str:
     return "".join(out)
 
 
+def _rewrite_asof_join(text: str) -> str:
+    """CH ``FROM p ASOF [LEFT] JOIN b ON p.k = b.k AND p.ts >= b.ts`` →
+    the union + ordered window carry-forward plan (r09; the SQL twin of
+    ``operators/asof.py``): tag both sides, union on the key, one
+    window per key ordered by (ts, side) carries the most recent build
+    ROW STRUCT forward, keep the probe rows. ONE shuffle on the key,
+    no row explosion — never the BroadcastNestedLoopJoin Spark would
+    plan for the raw range condition. Qualified references to either
+    alias in the select list and tail rewrite to the carried structs.
+
+    Supported: one ASOF JOIN per query; sides are table names or
+    parenthesized subqueries with aliases; ON = N equalities + exactly
+    one inequality (>=, >, <=, < — direction picks backward/forward,
+    strictness the equal-ts tiebreak). Deterministic ties require a
+    build side unique per (key, ts) — pre-dedupe in a subquery, as CH
+    itself leaves same-ts ties unspecified."""
+    import re
+
+    ms = _depth0_matches(text, r"\bASOF\s+(LEFT\s+)?JOIN\b")
+    if not ms:
+        return text
+    if len(ms) > 1:
+        raise ValueError("one ASOF JOIN per query")
+    m = ms[0]
+    left_outer = bool(m.group(1))
+    frm = [f for f in _depth0_matches(text, r"\bFROM\b") if f.start() < m.start()]
+    if not frm:
+        raise ValueError("ASOF JOIN without a FROM clause")
+    head = text[: frm[-1].start()]
+    src1_txt = text[frm[-1].end() : m.start()].strip()
+    rest = text[m.end() :]
+    on = _depth0_matches(rest, r"\bON\b")
+    if not on:
+        raise ValueError("ASOF JOIN requires ON")
+    src2_txt = rest[: on[0].start()].strip()
+    after_on = rest[on[0].end() :]
+    stop = _depth0_matches(
+        after_on,
+        r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS)\b",
+    )
+    cut = stop[0].start() if stop else len(after_on)
+    cond_txt = after_on[:cut].strip()
+    tail = after_on[cut:]
+
+    def parse_side(s: str) -> tuple[str, str]:
+        sm = re.fullmatch(
+            r"(?s)\s*(\w+|\(.*\))\s+(?:AS\s+)?(\w+)\s*", s, re.IGNORECASE
+        )
+        if not sm:
+            raise ValueError(
+                f"ASOF JOIN side needs 'table|(subquery) [AS] alias': {s!r}"
+            )
+        return sm.group(1), sm.group(2)
+
+    src1, a1 = parse_side(src1_txt)
+    src2, a2 = parse_side(src2_txt)
+
+    keys: list[tuple[str, str]] = []  # (probe expr, build expr)
+    ineq: tuple[str, str, str] | None = None  # (probe ts, op, build ts)
+    for cond in [
+        c.strip()
+        for c in re.split(r"(?i)\bAND\b", cond_txt)
+        if c.strip()
+    ]:
+        cm = re.fullmatch(
+            r"(?s)\s*(\w+)\.(\w+)\s*(=|>=|<=|>|<)\s*(\w+)\.(\w+)\s*", cond
+        )
+        if not cm:
+            raise ValueError(f"unsupported ASOF JOIN condition: {cond!r}")
+        lq, lc, op, rq, rc = cm.groups()
+        if {lq, rq} != {a1, a2}:
+            raise ValueError(
+                f"ASOF JOIN condition must relate {a1!r} and {a2!r}: {cond!r}"
+            )
+        if lq == a2:  # normalize probe-side first
+            lq, lc, rq, rc = rq, rc, lq, lc
+            op = {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "="}[op]
+        if op == "=":
+            keys.append((lc, rc))
+        elif ineq is not None:
+            raise ValueError("ASOF JOIN needs exactly one inequality")
+        else:
+            ineq = (lc, op, rc)
+    if not keys or ineq is None:
+        raise ValueError(
+            "ASOF JOIN ON needs at least one equality and exactly one "
+            "inequality"
+        )
+    pts, op, bts = ineq
+    ts_dir = "ASC" if op in (">=", ">") else "DESC"
+    # inclusive: build rows at equal ts sort BEFORE the probe (seen by
+    # the carry); strict: probe first (equal-ts build rows unseen)
+    p_dir = "ASC" if op in (">=", "<=") else "DESC"
+
+    klist = ", ".join(f"__k{i}" for i in range(len(keys)))
+    pk = ", ".join(f"{a1}.{k[0]} AS __k{i}" for i, k in enumerate(keys))
+    bk = ", ".join(f"{a2}.{k[1]} AS __k{i}" for i, k in enumerate(keys))
+    inner_filter = "" if left_outer else " AND __m IS NOT NULL"
+    joined = (
+        f"(SELECT __ps, __m FROM ("
+        f"SELECT __p, __ps, last_value(__bs, true) OVER ("
+        f"PARTITION BY {klist} ORDER BY __ts {ts_dir}, __p {p_dir} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __m "
+        f"FROM ("
+        f"SELECT {pk}, {a1}.{pts} AS __ts, 1 AS __p, "
+        f"struct({a1}.*) AS __ps, NULL AS __bs FROM {src1} AS {a1} "
+        f"UNION ALL "
+        f"SELECT {bk}, {a2}.{bts} AS __ts, 0 AS __p, "
+        f"NULL AS __ps, struct({a2}.*) AS __bs FROM {src2} AS {a2}"
+        f")) WHERE __p = 1{inner_filter}) AS __asof"
+    )
+
+    def subst(s: str) -> str:
+        lits = _literal_spans(s)
+        out, i = [], 0
+        for am in re.finditer(rf"\b({a1}|{a2})\.", s):
+            if any(x <= am.start() < y for x, y in lits):
+                continue
+            out.append(s[i : am.start()])
+            out.append(
+                "__asof.__ps." if am.group(1) == a1 else "__asof.__m."
+            )
+            i = am.end()
+        out.append(s[i:])
+        return "".join(out)
+
+    return f"{subst(head)}FROM {joined} {subst(tail)}".rstrip()
+
+
 def _strip_settings_and_global(text: str) -> str:
     """Drop the CH-only execution hints that change nothing
     semantically here: a trailing top-level ``SETTINGS k = v, ...``
@@ -1395,6 +1524,7 @@ def translate_ch_sql(text: str) -> str:
     text = re.sub(r"\{\s*(\w+)\s*:\s*[A-Za-z0-9() ]+\}", r":\1", text)
     text = _strip_settings_and_global(text)
     text = _rewrite_final(text)
+    text = _rewrite_asof_join(text)
     text = _rewrite_sample_clause(text)
     text = _rewrite_array_join(text)
     text = _rewrite_prewhere(text)

@@ -104,10 +104,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_semdedup_probe2_keepers",
     "emb_ivfpq_topk",
     # Held OUT to lead r10 (r06 evidence, redundantly covered, see
-    # header): stats_total, doc_top_tokens — plus ch_dialect_mv_rollup
-    # (NEW late in r09, locally hash-green at sf0.001/0.01; reads the
-    # same maintained artifact the in-window cdc_incremental_rollup
-    # evidence covers).
+    # header): stats_total, doc_top_tokens — plus the two NEW-late-in-
+    # r09 rows ch_dialect_mv_rollup (hash-green at sf0.001/0.01; reads
+    # the same maintained artifact the in-window cdc_incremental_rollup
+    # evidence covers) and ch_dialect_asof_join (hash-green at
+    # sf0.001/0.01/0.1 vs DuckDB's NATIVE ASOF JOIN).
 ]
 
 

@@ -386,3 +386,49 @@ def ch_dialect_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY nation
         """,
     )
+
+
+@query(
+    "ch_dialect_asof_join",
+    oracle="""
+    WITH errs AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, ts
+    )
+    SELECT v.event_id AS view_id, v.user_id AS user_id, v.ts AS view_ts,
+           e.event_id AS err_id, e.ts AS err_ts
+    FROM events v
+    ASOF LEFT JOIN errs e
+      ON v.user_id = e.user_id AND v.ts >= e.ts
+    WHERE v.event_type = 'view'
+    """,
+    tags=("dialect", "clickhouse-sql", "asof-join"),
+)
+def ch_dialect_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ASOF LEFT JOIN`` through the translator (r09): for every view
+    event, the latest error at-or-before it per user — the verbatim CH
+    market-data/event-enrichment idiom. The rewrite emits the union +
+    ordered window carry-forward plan (the SQL twin of
+    ``operators/asof.py``; one shuffle on the key, no row explosion,
+    never the BroadcastNestedLoopJoin a raw range condition would
+    plan), with the build side pre-deduped to one row per (user, ts)
+    so equal-ts ties are deterministic on both engines. The oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — two independent
+    implementations of the operator agreeing hash-exact.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT v.event_id AS view_id, v.user_id AS user_id,
+               v.ts AS view_ts,
+               e.event_id AS err_id, e.ts AS err_ts
+        FROM events AS v
+        ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                        FROM events WHERE event_type = 'error'
+                        GROUP BY user_id, ts) AS e
+        ON v.user_id = e.user_id AND v.ts >= e.ts
+        WHERE v.event_type = 'view'
+        """,
+    )

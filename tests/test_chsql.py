@@ -764,3 +764,28 @@ def test_state_merge_and_remaining_if_combinators(spark):
         spark, "SELECT uniqExact(user_id) AS u FROM events"
     ).first()["u"]
     assert merged == exact  # n_users << sketch exact regime at smoke SF
+
+
+def test_asof_join_rewrite_shape_and_loud_failures():
+    t = T(
+        "SELECT v.event_id AS i FROM events AS v ASOF LEFT JOIN errs AS e "
+        "ON v.user_id = e.user_id AND v.ts >= e.ts WHERE v.event_type = 'view'"
+    )
+    f = _flat(t)
+    # union + ordered window carry-forward, probe refs -> carried structs
+    assert "UNION ALL" in f and "last_value(__bs, true) OVER" in f
+    assert "ORDER BY __ts ASC, __p ASC" in f  # >= : backward, inclusive
+    assert "__asof.__ps.event_id AS i" in f
+    assert "__asof.__ps.event_type = 'view'" in f
+    # inner join filters unmatched probes; LEFT keeps them
+    t2 = T("SELECT v.x AS x FROM a AS v ASOF JOIN b AS e ON v.k = e.k AND v.ts > e.ts")
+    assert "__m IS NOT NULL" in t2 and "ORDER BY __ts ASC, __p DESC" in t2
+    # normalization: condition written build-side-first flips
+    t3 = T("SELECT v.x AS x FROM a AS v ASOF JOIN b AS e ON e.k = v.k AND e.ts <= v.ts")
+    assert "ORDER BY __ts ASC, __p ASC" in t3
+    with pytest.raises(ValueError, match="exactly one inequality"):
+        T("SELECT v.x FROM a AS v ASOF JOIN b AS e ON v.k = e.k AND v.t >= e.t AND v.u > e.u")
+    with pytest.raises(ValueError, match="at least one equality"):
+        T("SELECT v.x FROM a AS v ASOF JOIN b AS e ON v.ts >= e.ts")
+    with pytest.raises(ValueError, match="ASOF JOIN side"):
+        T("SELECT v.x FROM a JOIN c ON a.k = c.k ASOF JOIN b AS e ON a.k = e.k AND a.t >= e.t")
