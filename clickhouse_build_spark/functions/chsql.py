@@ -321,6 +321,20 @@ DICTIONARIES: dict[str, tuple[str, str]] = {
 }
 
 
+def register_dictionary(name: str, table: str, key_col: str) -> None:
+    """Declare an external dictionary: ``dictGet('{name}', attr, key)``
+    will rewrite to a lookup against ``table`` (a registered view) on
+    ``key_col``. The public face of the DICTIONARIES catalog — an app
+    migrating off CH declares its dictionaries once at startup, the
+    same way the engine's ``REPLACING_KEYS`` declares FINAL contracts."""
+    import re
+
+    for v in (name, table, key_col):
+        if not re.fullmatch(r"[\w.]+", v):
+            raise ValueError(f"invalid dictionary identifier: {v!r}")
+    DICTIONARIES[name.lower()] = (table, key_col)
+
+
 def _dict_get(args: list[str], default: str | None = None) -> str:
     import re
 
@@ -1045,6 +1059,10 @@ def _rewrite_asof_join(text: str) -> str:
 
     src1, a1 = parse_side(src1_txt)
     src2, a2 = parse_side(src2_txt)
+    if a1.lower() == a2.lower():
+        raise ValueError(
+            f"ASOF JOIN sides need distinct aliases, both are {a1!r}"
+        )
 
     keys: list[tuple[str, str]] = []  # (probe expr, build expr)
     ineq: tuple[str, str, str] | None = None  # (probe ts, op, build ts)

@@ -789,3 +789,27 @@ def test_asof_join_rewrite_shape_and_loud_failures():
         T("SELECT v.x FROM a AS v ASOF JOIN b AS e ON v.ts >= e.ts")
     with pytest.raises(ValueError, match="ASOF JOIN side"):
         T("SELECT v.x FROM a JOIN c ON a.k = c.k ASOF JOIN b AS e ON a.k = e.k AND a.t >= e.t")
+
+
+def test_register_dictionary_and_asof_alias_guard(spark):
+    from clickhouse_build_spark.functions.chsql import (
+        DICTIONARIES,
+        register_dictionary,
+        run_ch_sql,
+    )
+    from clickhouse_build_spark.catalog import load_tables
+
+    register_dictionary("suppliers", "supplier", "s_suppkey")
+    try:
+        load_tables(spark, SF_SMOKE)
+        row = run_ch_sql(
+            spark,
+            "SELECT dictGet('suppliers', 's_name', 1) AS n",
+        ).first()
+        assert row["n"] is not None
+    finally:
+        DICTIONARIES.pop("suppliers", None)
+    with pytest.raises(ValueError, match="invalid dictionary"):
+        register_dictionary("x; drop", "t", "k")
+    with pytest.raises(ValueError, match="distinct aliases"):
+        T("SELECT a.x FROM t AS a ASOF JOIN u AS a ON a.k = a.k AND a.t >= a.t")
