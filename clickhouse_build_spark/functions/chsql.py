@@ -221,7 +221,7 @@ def _json_length(args: list[str]) -> str:
 _FDT_MAP = {
     # CH formatDateTime %-specifier → JDK DateTimeFormatter pattern.
     # %M follows MODERN ClickHouse (month name; %i is minutes).
-    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd",
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "MM", "d": "dd",
     "H": "HH", "I": "hh", "i": "mm", "M": "MMMM", "S": "ss",
     "p": "a", "j": "DDD", "a": "EEE", "W": "EEEE",
     "F": "yyyy-MM-dd", "D": "MM/dd/yy", "T": "HH:mm:ss", "R": "HH:mm",
@@ -637,6 +637,15 @@ def _rewrite_brackets(s: str) -> str:
                 prev_sig.isalnum() or prev_sig == "_"
             ) and prev_word not in _BRACKET_KEYWORDS
             if prev_sig and prev_sig in ")]":
+                # subscript directly after one of OUR OWN single-piece
+                # emissions (an array literal or a previous subscript)
+                # is unambiguous — pop it as the operand
+                if out and out[-1].startswith(("array(", "try_element_at(")):
+                    operand = out.pop()
+                    out.append(f"try_element_at({operand}, {inner})")
+                    prev_sig, prev_word = ")", ""
+                    i = j
+                    continue
                 raise ValueError(
                     "subscript after an expression is ambiguous — use "
                     "arrayElement(expr, i)"
@@ -645,7 +654,15 @@ def _rewrite_brackets(s: str) -> str:
                 ops: list[str] = []
                 while out and (re.fullmatch(r"\w+", out[-1]) or out[-1] == "."):
                     ops.insert(0, out.pop())
-                out.append(f"element_at({''.join(ops)}, {inner})")
+                # try_element_at: out-of-range yields NULL instead of
+                # Spark-4-ANSI's INVALID_ARRAY_INDEX error (CH returns
+                # the type default — NULL is the documented delta that
+                # keeps valid CH queries executable; review r09)
+                out.append(f"try_element_at({''.join(ops)}, {inner})")
+            elif prev_word == "in":
+                # `x IN [1, 2]` — Spark's IN wants a parenthesized
+                # list, not an array literal (review r09)
+                out.append(f"({inner})")
             else:
                 out.append(f"array({inner})")
             prev_sig, prev_word = ")", ""
@@ -1104,6 +1121,14 @@ def _rewrite_asof_join(text: str) -> str:
     klist = ", ".join(f"__k{i}" for i in range(len(keys)))
     pk = ", ".join(f"{a1}.{k[0]} AS __k{i}" for i, k in enumerate(keys))
     bk = ", ".join(f"{a2}.{k[1]} AS __k{i}" for i, k in enumerate(keys))
+    # ASOF equality never matches NULL (CH/DuckDB semantics), but the
+    # window PARTITION BY groups NULL keys together — so NULL-key build
+    # rows are filtered out (they can match nothing) and NULL-key
+    # probes sit in build-free partitions, correctly carrying no match
+    # (review r09).
+    b_not_null = " AND ".join(
+        f"{a2}.{k[1]} IS NOT NULL" for k in keys
+    )
     inner_filter = "" if left_outer else " AND __m IS NOT NULL"
     joined = (
         f"(SELECT __ps, __m FROM ("
@@ -1115,7 +1140,8 @@ def _rewrite_asof_join(text: str) -> str:
         f"struct({a1}.*) AS __ps, NULL AS __bs FROM {src1} AS {a1} "
         f"UNION ALL "
         f"SELECT {bk}, {a2}.{bts} AS __ts, 0 AS __p, "
-        f"NULL AS __ps, struct({a2}.*) AS __bs FROM {src2} AS {a2}"
+        f"NULL AS __ps, struct({a2}.*) AS __bs FROM {src2} AS {a2} "
+        f"WHERE {b_not_null}"
         f")) WHERE __p = 1{inner_filter}) AS __asof"
     )
 
@@ -1271,45 +1297,46 @@ def _rewrite_topk(text: str) -> str:
         # leave the text for the (unsupported-name) loud failure path
         return text
     pieces = []
-    if agg_items:
-        # the USING join needs the raw key columns even when every key
-        # item is re-aliased in the select list; a key that IS a select
-        # alias is already covered by its defining item
+    if keys:
+        # The pieces join on a STRUCT of the group keys — struct
+        # equality treats NULLs as equal, matching GROUP BY semantics
+        # (a raw-column USING join would silently drop NULL-key groups;
+        # review r09). Only __agg carries the raw key columns, so bare
+        # key references in the select list and tail stay unambiguous;
+        # an alias key derives from its defining expression.
+        jk_exprs = ", ".join(alias_def.get(k, k) for k in keys)
         bare = {i for i in agg_items if re.fullmatch(r"[\w.]+", i)}
         inner_sel = ", ".join(
             [k for k in keys if k not in bare and k not in alias_def]
             + agg_items
+            + [f"struct({jk_exprs}) AS __jk"]
         )
-        gb_sql = f" GROUP BY {key_list}" if keys else ""
-        pieces.append(f"(SELECT {inner_sel} FROM {src}{gb_sql}) AS __agg")
-    kp = f"{key_list}, " if keys else ""
-    # at the deepest level (over the raw source) an alias key must be
-    # re-derived from its defining expression
-    kp_proj = (
-        ", ".join(
-            f"{alias_def[k]} AS {k}" if k in alias_def else k for k in keys
+        pieces.append(
+            f"(SELECT {inner_sel} FROM {src} GROUP BY {key_list}) AS __agg"
         )
-        + ", "
-        if keys
-        else ""
-    )
-    part = f"PARTITION BY {key_list} " if keys else ""
+    elif agg_items:
+        pieces.append(
+            f"(SELECT {', '.join(agg_items)} FROM {src}) AS __agg"
+        )
+    jkp = "__jk, " if keys else ""
+    jk_deep = f"struct({', '.join(alias_def.get(k, k) for k in keys)}) AS __jk, " if keys else ""
+    part = "PARTITION BY __jk " if keys else ""
     for i, (n, x, w) in enumerate(topks):
         c = f"sum({w})" if w else "count(*)"
         tk = (
-            f"(SELECT {kp}transform(array_sort(collect_list("
+            f"(SELECT {jkp}transform(array_sort(collect_list("
             f"struct(__rn, __val))), s -> s.__val) AS __topk{i} "
-            f"FROM (SELECT {kp}__val, row_number() OVER ({part}"
+            f"FROM (SELECT {jkp}__val, row_number() OVER ({part}"
             f"ORDER BY __c DESC, __val) AS __rn "
-            f"FROM (SELECT {kp_proj}{x} AS __val, {c} AS __c FROM {src} "
-            f"GROUP BY {key_list}{', ' if keys else ''}{x})) "
+            f"FROM (SELECT {jk_deep}{x} AS __val, {c} AS __c FROM {src} "
+            f"GROUP BY {'__jk, ' if keys else ''}{x})) "
             f"WHERE __rn <= {n}"
-            f"{f' GROUP BY {key_list}' if keys else ''}) AS __tk{i}"
+            f"{' GROUP BY __jk' if keys else ''}) AS __tk{i}"
         )
         pieces.append(tk)
     if keys:
         join = pieces[0] + "".join(
-            f" JOIN {p} USING ({key_list})" for p in pieces[1:]
+            f" JOIN {p} USING (__jk)" for p in pieces[1:]
         )
     else:
         join = pieces[0] + "".join(f" CROSS JOIN {p}" for p in pieces[1:])

@@ -1007,10 +1007,26 @@ def _ivfpq_export_dir(sf_dir: str) -> str:
     )
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` — a version dir's OWN mtime
+    is its creation time (new exports only touch deeper levels), so
+    liveness must look at the tree (review r09)."""
+    newest = _os.path.getmtime(path)
+    for root, dirs, files in _os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(
+                    newest, _os.path.getmtime(_os.path.join(root, name))
+                )
+            except OSError:
+                pass
+    return newest
+
+
 def _evict_stale_versions() -> None:
     """Best-effort removal of at-rest version dirs other than the
-    current code version that have not been touched for >6h — old
-    enough that no live session is reading them."""
+    current code version whose entire TREE is untouched for >6h — old
+    enough that no live session is reading or writing them."""
     import shutil
     import time
 
@@ -1023,18 +1039,42 @@ def _evict_stale_versions() -> None:
             continue
         p = _os.path.join(_AT_REST_BASE, name)
         try:
-            if time.time() - _os.path.getmtime(p) > 6 * 3600:
+            if time.time() - _newest_mtime(p) > 6 * 3600:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
 
 
-def _publish_atomic(write, final_path: str) -> None:
+def _export_matches_corpus(
+    spark: SparkSession, path: str, n: int, fp: int
+) -> bool:
+    """Does the existing export at ``path`` carry the live corpus's
+    discriminators? Every row embeds (n_corpus, fp_corpus), so one row
+    decides. Unreadable/empty exports count as stale."""
+    try:
+        r = (
+            spark.read.parquet(path)
+            .select("n_corpus", "fp_corpus")
+            .first()
+        )
+        return r is not None and (r[0], r[1]) == (n, fp)
+    except Exception:
+        return False
+
+
+def _publish_atomic(write, final_path: str, is_current=None) -> None:
     """Write an export via ``write(staging_path)`` then atomically
-    rename into ``final_path``. If another same-version session already
-    published (deterministic content — same code, same corpus), keep
-    theirs and drop the staging copy. Staging lives under a .staging
-    sibling so the oracle's ``{root}/*/cell=*`` glob never sees it."""
+    rename into ``final_path``. Staging lives under a .staging sibling
+    so the oracle's ``{root}/*/cell=*`` glob never sees it.
+
+    If another same-version session already published, the existing
+    export wins ONLY when ``is_current`` confirms it still describes
+    the live corpus — a corpus REGENERATED at an unchanged sf_dir path
+    (same md5 subdir, same code version) must REPLACE the stale export,
+    because the engine reads the export unfiltered (only the DuckDB
+    oracle filters on the embedded discriminators; review r09). A
+    replacement failure raises rather than silently serving stale
+    codes."""
     import shutil
 
     _evict_stale_versions()
@@ -1049,7 +1089,17 @@ def _publish_atomic(write, final_path: str) -> None:
     try:
         _os.rename(staging, final_path)
     except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
+        if is_current is not None and not is_current(final_path):
+            shutil.rmtree(final_path, ignore_errors=True)
+            _os.rename(staging, final_path)  # loud on failure
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+    # keep the version tree's liveness visible to other sessions'
+    # eviction scans
+    try:
+        _os.utime(f"{_AT_REST_BASE}/{_AT_REST_VERSION}")
+    except OSError:
+        pass
 
 
 # Order-free corpus fingerprint: per-row integer (first embedding
@@ -1233,6 +1283,7 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("cell")
             .parquet(staging),
             path,
+            is_current=lambda p: _export_matches_corpus(spark, p, n, fp),
         )
         return path
 
@@ -1525,6 +1576,9 @@ def shared_ivfpq_probes(
             .partitionBy("cell")
             .parquet(staging),
             path,
+            is_current=lambda p: _export_matches_corpus(
+                spark, p, int(d["n"]), int(d["fp"])
+            ),
         )
         return path
 

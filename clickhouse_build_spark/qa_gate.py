@@ -37,7 +37,12 @@ __all__ = ["qa_check"]
 # and identifiers that merely CONTAIN "any" must not trip it.
 _ANY_DECL = re.compile(r"(:\s*any\b|\bas\s+any\b|<\s*any\s*>)")
 _UNKNOWN_DECL = re.compile(r"(:\s*unknown\b|\bas\s+unknown\b)")
-_TYPE_GUARD = re.compile(r"\btypeof\b|\binstanceof\b|\bin\s+\w+\b")
+# typeof/instanceof narrowing only — a bare `in` alternative would
+# match the English word in any comment or string and defeat the rule
+# (review r09); the TS `'k' in obj` guard form is matched explicitly.
+_TYPE_GUARD = re.compile(
+    r"\btypeof\b|\binstanceof\b|['\"]\w+['\"]\s+in\s+\w+"
+)
 
 _CLICKHOUSE = re.compile(r"@clickhouse/client|ClickHouseClient|ClickHouse")
 _POSTGRES = re.compile(r"from\s+['\"]pg['\"]|\bPool\b|Postgres")

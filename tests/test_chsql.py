@@ -617,7 +617,9 @@ def test_topk_rewrite_is_exact_ranked_count():
     f = _flat(t)
     assert "row_number() OVER" in f and "__rn <= 3" in f
     assert "ORDER BY __c DESC, __val" in f  # count desc, value asc tiebreak
-    assert "USING(event_type)" in f.replace("USING (", "USING(")
+    # the join key is a STRUCT of the group keys so NULL groups survive
+    assert "USING(__jk)" in f.replace("USING (", "USING(")
+    assert "struct(event_type) AS __jk" in f
     # the sibling count() is computed once in __agg, not re-aggregated
     assert f.count("count(*) AS cnt") == 1 and "cnt FROM" in f
 
@@ -725,11 +727,12 @@ def test_bracket_literals_and_subscripts():
     assert T("SELECT [[1], [2]] AS a FROM t") == (
         "SELECT array(array(1), array(2)) AS a FROM t"
     )
-    # CH subscripts are 1-based = Spark element_at, NOT Spark's 0-based [i]
+    # CH subscripts are 1-based = Spark element_at, NOT Spark's 0-based
+    # [i]; try_ so ANSI out-of-range yields NULL not an error
     assert T("SELECT arr[1] AS first FROM t") == (
-        "SELECT element_at(arr, 1) AS first FROM t"
+        "SELECT try_element_at(arr, 1) AS first FROM t"
     )
-    assert T("SELECT t.arr[-1] FROM t") == "SELECT element_at(t.arr, -1) FROM t"
+    assert T("SELECT t.arr[-1] FROM t") == "SELECT try_element_at(t.arr, -1) FROM t"
     assert "'[not an array]'" in T("SELECT '[not an array]' FROM t")
     with pytest.raises(ValueError, match="arrayElement"):
         T("SELECT f(x)[1] FROM t")
@@ -813,3 +816,53 @@ def test_register_dictionary_and_asof_alias_guard(spark):
         register_dictionary("x; drop", "t", "k")
     with pytest.raises(ValueError, match="distinct aliases"):
         T("SELECT a.x FROM t AS a ASOF JOIN u AS a ON a.k = a.k AND a.t >= a.t")
+
+
+def test_review_r09_fixes(spark):
+    """Regression pins for the r09 self-review findings."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    # IN [..] becomes a parenthesized list, not array()
+    t = _flat(T("SELECT x FROM t WHERE x IN [1, 2] AND y NOT IN [3]")).replace("IN(", "IN (")
+    assert "IN (1, 2)" in t and "IN (3)" in t and "array" not in t
+    # subscripts are try_element_at (ANSI out-of-range -> NULL, not error)
+    assert "try_element_at(arr, 9)" in T("SELECT arr[9] FROM t")
+    row = run_ch_sql(
+        spark, "SELECT [1, 2][9] IS NULL AS oob"
+    ).first()
+    assert row is None or row["oob"]  # executes, no INVALID_ARRAY_INDEX
+    # %c is zero-padded month like CH
+    assert "date_format(ts, 'MM')" in T("SELECT formatDateTime(ts, '%c') FROM t")
+    # topK: NULL group keys survive (struct join key), verified live
+    spark.sql(
+        "SELECT * FROM VALUES (NULL, 'a'), (NULL, 'a'), (NULL, 'b'), "
+        "(1, 'c') AS t(k, x)"
+    ).createOrReplaceTempView("__tk_null_src")
+    rows = {
+        (r["k"], r["t"], r["c"])
+        for r in run_ch_sql(
+            spark,
+            "SELECT k, arrayStringConcat(topK(2)(x), ',') AS t, "
+            "count() AS c FROM __tk_null_src GROUP BY k",
+        ).collect()
+    }
+    assert rows == {(None, "a,b", 3), (1, "c", 1)}
+    # ASOF: NULL keys never match (build side filtered)
+    spark.sql(
+        "SELECT * FROM VALUES (CAST(NULL AS INT), 10, 'p1'), (1, 10, 'p2') "
+        "AS t(k, ts, tag)"
+    ).createOrReplaceTempView("__asof_p")
+    spark.sql(
+        "SELECT * FROM VALUES (CAST(NULL AS INT), 5, 'bN'), (1, 5, 'b1') "
+        "AS t(k, ts, tag)"
+    ).createOrReplaceTempView("__asof_b")
+    rows = {
+        (r["ptag"], r["btag"])
+        for r in run_ch_sql(
+            spark,
+            "SELECT p.tag AS ptag, b.tag AS btag FROM __asof_p AS p "
+            "ASOF LEFT JOIN __asof_b AS b "
+            "ON p.k = b.k AND p.ts >= b.ts",
+        ).collect()
+    }
+    assert rows == {("p1", None), ("p2", "b1")}

@@ -69,3 +69,19 @@ def test_import_alias_binding_is_checked_not_source_name():
         "export const p = new PgPool();\n"
     )
     assert got["approved"]
+
+
+def test_prose_in_does_not_count_as_type_guard():
+    """review r09: the English word 'in' inside a comment must not
+    satisfy the unknown-needs-a-guard rule."""
+    got = qa_check(
+        "// stored in cache\nexport const x: unknown = load();\n"
+    )
+    assert not got["approved"] and "unknown" in got["reason"]
+    # the real TS `'k' in obj` guard form still passes
+    got2 = qa_check(
+        "export function f(x: unknown): boolean {\n"
+        "  return typeof x === 'object' && x !== null && 'k' in x;\n"
+        "}\n"
+    )
+    assert got2["approved"]
