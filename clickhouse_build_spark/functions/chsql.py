@@ -143,6 +143,20 @@ def _count(args: list[str]) -> str:
 _NULL_OR_EMPTY: Rule = lambda a: f"(({a[0]}) IS NULL OR ({a[0]}) = '')"
 
 
+def _ch_backrefs(repl: str) -> str:
+    """CH regexp replacements reference groups as ``\\1``; Java (Spark)
+    uses ``$1``. Convert inside single-quoted literals; non-literal
+    replacement expressions pass through untouched."""
+    t = repl.strip()
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        import re as _re
+
+        # raw source may carry \3 or the doubled \\3 escape form —
+        # both mean "group 3" once the literal is parsed
+        return "'" + _re.sub(r"\\\\?(\d)", r"$\1", t[1:-1]) + "'"
+    return repl
+
+
 # ------------------------------------------------- JSON family (r09)
 # CH's JSONExtract*/JSONHas/JSONLength navigate by literal keys and
 # 1-based indexes; they map to get_json_object/json_object_keys/
@@ -563,6 +577,180 @@ FUNCS: dict[str, Rule] = {
     "bitnot": lambda a: f"(~({a[0]}))",
     "bitshiftleft": _rename("shiftleft"),
     "bitshiftright": _rename("shiftright"),
+    "bitcount": _rename("bit_count"),
+    # --- r09 second breadth batch -----------------------------------
+    # URL family (CH SQL reference "URL functions") → Spark parse_url.
+    # CH returns '' for absent parts where parse_url yields NULL — the
+    # coalesce mirrors CH.
+    "protocol": lambda a: f"coalesce(parse_url({a[0]}, 'PROTOCOL'), '')",
+    "domain": lambda a: f"coalesce(parse_url({a[0]}, 'HOST'), '')",
+    "domainwithoutwww": lambda a: (
+        f"regexp_replace(coalesce(parse_url({a[0]}, 'HOST'), ''),"
+        " '^www\\\\.', '')"
+    ),
+    "topleveldomain": lambda a: (
+        f"regexp_extract(coalesce(parse_url({a[0]}, 'HOST'), ''),"
+        " '\\\\.([^.]+)$', 1)"
+    ),
+    "path": lambda a: f"coalesce(parse_url({a[0]}, 'PATH'), '')",
+    # CH pathFull = path + query-string; Spark FILE = same
+    "pathfull": lambda a: f"coalesce(parse_url({a[0]}, 'FILE'), '')",
+    "querystring": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY'), '')",
+    "fragment": lambda a: f"coalesce(parse_url({a[0]}, 'REF'), '')",
+    "extracturlparameter": lambda a: (
+        f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')"
+    ),
+    "cutquerystring": lambda a: f"regexp_replace({a[0]}, '\\\\?.*$', '')",
+    "cutfragment": lambda a: f"regexp_replace({a[0]}, '#.*$', '')",
+    "cutquerystringandfragment": lambda a: (
+        f"regexp_replace({a[0]}, '[?#].*$', '')"
+    ),
+    # url_encode form-encodes spaces as '+'; CH emits %20. url_decode
+    # folds '+' to space; CH keeps literal '+'. The replaces align both.
+    "encodeurlcomponent": lambda a: (
+        f"replace(url_encode({a[0]}), '+', '%20')"
+    ),
+    "decodeurlcomponent": lambda a: (
+        f"url_decode(replace({a[0]}, '+', '%2B'))"
+    ),
+    # statistical aggregates (value-exact renames)
+    "stddevpop": _rename("stddev_pop"),
+    "stddevsamp": _rename("stddev_samp"),
+    "varpop": _rename("var_pop"),
+    "varsamp": _rename("var_samp"),
+    "covarpop": _rename("covar_pop"),
+    "covarsamp": _rename("covar_samp"),
+    "avgweighted": lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+    "groupbitand": _rename("bit_and"),
+    "groupbitor": _rename("bit_or"),
+    "groupbitxor": _rename("bit_xor"),
+    # array breadth. arrayFirst/arrayLast yield NULL on no-match where
+    # CH yields the element type's default (0, '') — NULL is the honest
+    # Spark-typed answer and is what group_by_use_nulls-era CH moves
+    # toward; documented deviation.
+    "arrayfirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
+    "arraylast": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)",
+    "arrayfirstindex": lambda a: (
+        f"array_position(transform({a[1]}, {a[0]}), true)"
+    ),
+    "arraylastindex": lambda a: (
+        f"(CASE WHEN array_position(reverse(transform({a[1]}, {a[0]})), true)"
+        f" = 0 THEN 0 ELSE size({a[1]}) + 1 -"
+        f" array_position(reverse(transform({a[1]}, {a[0]})), true) END)"
+    ),
+    # cumulative / pairwise forms keep the element type via x - x zeros
+    "arraycumsum": lambda a: (
+        f"transform({a[0]}, (x, i) -> "
+        f"aggregate(slice({a[0]}, 1, i + 1), x - x, (acc, y) -> acc + y))"
+    ),
+    "arraydifference": lambda a: (
+        f"transform({a[0]}, (x, i) -> "
+        f"if(i = 0, x - x, x - element_at({a[0]}, i)))"
+    ),
+    "arrayintersect": _rename("array_intersect"),
+    "hasall": lambda a: f"forall({a[1]}, __ha -> array_contains({a[0]}, __ha))",
+    "hasany": _rename("arrays_overlap"),
+    "arraycompact": lambda a: (
+        f"transform(filter(transform({a[0]}, (x, i) -> struct(x AS v, i AS i)),"
+        f" s -> s.i = 0 OR NOT (s.v <=> element_at({a[0]}, s.i))), s -> s.v)"
+    ),
+    "arraypushback": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arraypushfront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "arraypopback": lambda a: (
+        f"slice({a[0]}, 1, greatest(0, size({a[0]}) - 1))"
+    ),
+    "arraypopfront": lambda a: (
+        f"slice({a[0]}, 2, greatest(0, size({a[0]}) - 1))"
+    ),
+    "arrayenumerate": lambda a: (
+        f"(CASE WHEN size({a[0]}) = 0 THEN array()"
+        f" ELSE sequence(1, size({a[0]})) END)"
+    ),
+    # CH range is end-EXCLUSIVE and empty-safe; Spark sequence is
+    # inclusive and runs BACKWARD when stop < start — guard both.
+    "range": lambda a: (
+        f"(CASE WHEN ({a[0]}) <= 0 THEN array()"
+        f" ELSE sequence(0, ({a[0]}) - 1) END)"
+        if len(a) == 1
+        else f"(CASE WHEN ({a[1]}) <= ({a[0]}) THEN array()"
+        f" ELSE sequence({a[0]}, ({a[1]}) - 1"
+        f"{', ' + a[2] if len(a) > 2 else ''}) END)"
+    ),
+    # string breadth
+    "startswith": _rename("startswith"),
+    "endswith": _rename("endswith"),
+    "reverseutf8": _rename("reverse"),
+    "mid": _rename("substr"),
+    "substringindex": _rename("substring_index"),
+    "positioncaseinsensitive": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))"
+    ),
+    "countsubstrings": lambda a: (
+        f"(size(split({a[0]}, concat('\\\\Q', {a[1]}, '\\\\E'))) - 1)"
+    ),
+    "multisearchany": lambda a: (
+        f"exists({a[1]}, __ms -> contains({a[0]}, __ms))"
+    ),
+    "concatwithseparator": _rename("concat_ws"),
+    "tokens": lambda a: (
+        f"filter(split({a[0]}, '[^a-zA-Z0-9]+'), __tk -> __tk <> '')"
+    ),
+    # CH regexp replacements use \1 backrefs, Spark (Java) uses $1 —
+    # convert inside literal replacement strings
+    "replaceregexpall": lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, {_ch_backrefs(a[2])})"
+    ),
+    "replaceone": lambda a: (
+        f"(CASE WHEN locate({a[1]}, {a[0]}) = 0 THEN {a[0]} ELSE "
+        f"concat(substr({a[0]}, 1, locate({a[1]}, {a[0]}) - 1), {a[2]}, "
+        f"substr({a[0]}, locate({a[1]}, {a[0]}) + length({a[1]}))) END)"
+    ),
+    # binary hash functions: CH returns FixedString bytes (users wrap in
+    # hex()); Spark's md5/sha2 return lowercase hex STRINGS — unhex
+    # restores the byte contract so hex(MD5(x)) round-trips uppercase
+    # exactly like CH.
+    "md5": lambda a: f"unhex(md5({a[0]}))",
+    "sha256": lambda a: f"unhex(sha2({a[0]}, 256))",
+    # math breadth
+    "roundbankers": _rename("bround"),
+    "intdivorzero": lambda a: (
+        f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) DIV ({a[1]}) END)"
+    ),
+    "moduloorzero": lambda a: (
+        f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) % ({a[1]}) END)"
+    ),
+    "exp2": lambda a: f"power(2, {a[0]})",
+    "exp10": lambda a: f"power(10, {a[0]})",
+    "isnan": _rename("isnan"),
+    "isfinite": lambda a: (
+        f"(NOT isnan({a[0]}) AND abs({a[0]}) <> double('Infinity'))"
+    ),
+    "isinfinite": lambda a: f"(abs({a[0]}) = double('Infinity'))",
+    # date breadth
+    "toquarter": _rename("quarter"),
+    "todayofyear": _rename("dayofyear"),
+    "toisoweek": _rename("weekofyear"),
+    "tolastdayofmonth": _rename("last_day"),
+    "todate32": _rename("to_date"),
+    "addweeks": _add_unit("WEEK"),
+    "subtractweeks": _add_unit("WEEK", sign="-"),
+    "addseconds": _add_unit("SECOND"),
+    "subtractseconds": _add_unit("SECOND", sign="-"),
+    "addquarters": _add_unit("QUARTER"),
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "tostartoffiveminutes": lambda a: (
+        f"timestamp_seconds(300 * (unix_timestamp({a[0]}) DIV 300))"
+    ),
+    "tostartoftenminutes": lambda a: (
+        f"timestamp_seconds(600 * (unix_timestamp({a[0]}) DIV 600))"
+    ),
+    "tostartoffifteenminutes": lambda a: (
+        f"timestamp_seconds(900 * (unix_timestamp({a[0]}) DIV 900))"
+    ),
+    # window helpers: CH's frame-bounded lag/lead — positional lag/lead
+    # under the query's own OVER clause (passed through verbatim)
+    "laginframe": _rename("lag"),
+    "leadinframe": _rename("lead"),
 }
 
 # name(q...)(x...) combinators: rule receives (param_args, value_args)

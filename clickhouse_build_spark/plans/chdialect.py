@@ -432,3 +432,158 @@ def ch_dialect_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE v.event_type = 'view'
         """,
     )
+
+
+@query(
+    "ch_dialect_url_report",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'com' ELSE 'org' END AS tld,
+           source || '.example.' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'com' ELSE 'org' END) AS dom,
+           count(*) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS en_paths,
+           CAST(count(DISTINCT n_chars % 7) AS BIGINT) AS pages
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("dialect", "clickhouse-sql", "url"),
+)
+def ch_dialect_url_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH URL-function family (SQL reference "URL functions":
+    ``domain``/``path``/``topLevelDomain``/``extractURLParameter``)
+    run as a verbatim CH string: URLs synthesized in-query from the
+    documents columns, then parsed BACK apart via the translator's
+    ``parse_url`` mappings — the oracle re-derives every output from
+    the raw columns instead, so a translation error in either
+    direction (build or parse) breaks the hash.
+
+    Scale: ``parse_url`` is JVM codegen over the scanned column; the
+    aggregate shuffles one row per (tld, dom) group.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT topLevelDomain(url) AS tld,
+               domainWithoutWWW(url) AS dom,
+               count() AS n,
+               sum(toInt64(startsWith(path(url), '/en'))) AS en_paths,
+               uniqExact(extractURLParameter(url, 'p')) AS pages
+        FROM (
+          SELECT concat('https://www.', source, '.example.',
+                        if(modulo(doc_id, 3) = 0, 'com', 'org'),
+                        '/', lang, '/doc-', toString(doc_id),
+                        '?p=', toString(modulo(n_chars, 7)), '#sec-1') AS url
+          FROM documents
+        )
+        GROUP BY tld, dom
+        """,
+    )
+
+
+@query(
+    "ch_dialect_rollup_stats",
+    oracle="""
+    SELECT event_type,
+           year(ts) * 100 + month(ts) AS ym,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(bit_or(user_id & 255) AS BIGINT) AS bits
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+    tags=("dialect", "clickhouse-sql", "rollup", "bit-agg"),
+)
+def ch_dialect_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ... WITH ROLLUP`` passed through the translator
+    (Spark parses the identical clause; subtotal keys surface as NULL —
+    DuckDB ROLLUP and modern CH ``group_by_use_nulls=1`` agree) plus
+    the ``groupBitOr``/``bitAnd`` bit-aggregate mapping. Money stays
+    hash-exact via per-row integer cents (the repo's standard
+    tie-immune recipe); every aggregate is integer arithmetic so the
+    subtotal rows cannot FP-flap.
+
+    Scale: rollup is one shuffle with Expand — Spark plans the three
+    grouping sets over a single scan, no re-read per level.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT event_type,
+               toYYYYMM(ts) AS ym,
+               count() AS n,
+               sum(toInt64(floor(plus(multiply(value, 100), 0.5)))) AS cents,
+               max(toInt64(floor(value * 100 + 0.5))) AS max_cents,
+               groupBitOr(bitAnd(user_id, 255)) AS bits
+        FROM events
+        GROUP BY event_type, ym WITH ROLLUP
+        """,
+    )
+
+
+@query(
+    "ch_dialect_token_arrays",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id % 5 AS g,
+             list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+                         t -> t <> '') AS tk,
+             list_transform(
+               list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+                           t -> t <> ''),
+               t -> length(t)) AS ln
+      FROM documents
+    )
+    SELECT g, count(*) AS n,
+      CAST(sum(coalesce(list_sum(ln), 0)) AS BIGINT) AS cum_len,
+      CAST(sum(coalesce(list_position(
+             list_transform(tk, t -> starts_with(t, 'a')), true), 0))
+           AS BIGINT) AS first_a,
+      CAST(sum(coalesce(list_sum(
+             list_filter(ln, (x, i) -> i = 1 OR x <> ln[i-1])), 0))
+           AS BIGINT) AS compact_len,
+      CAST(sum(CASE WHEN len(list_intersect(tk, ['lorem', 'the', 'de'])) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS has_common
+    FROM lens GROUP BY g
+    """,
+    tags=("dialect", "clickhouse-sql", "array-hof"),
+)
+def ch_dialect_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH array higher-order breadth batch in one verbatim string:
+    ``tokens`` (non-alnum splitter), ``arrayMap`` lambda, ``arrayCumSum``
+    (type-preserving ``x - x`` fold seed), ``arrayFirstIndex``
+    (``array_position`` over the predicate map — 0 on miss, matching
+    CH), ``arrayCompact`` (consecutive-dedup via the index-struct
+    filter), ``hasAny`` (``arrays_overlap``) and bracket array
+    literals. The oracle mirrors each with DuckDB's list lambdas —
+    including the indexed ``list_filter`` for the compact step.
+
+    Scale: every lambda is JVM codegen inside the scan projection; the
+    5-group aggregate is one narrow shuffle. Tokens stay ASCII by
+    construction so UTF-16-unit vs codepoint length cannot diverge.
+    """
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT modulo(doc_id, 5) AS g,
+               count() AS n,
+               sum(coalesce(toInt64(arrayMax(arrayCumSum(
+                   arrayMap(t -> lengthUTF8(t), tokens(lower(text)))))), 0))
+                 AS cum_len,
+               sum(arrayFirstIndex(t -> startsWith(t, 'a'),
+                                   tokens(lower(text)))) AS first_a,
+               sum(coalesce(toInt64(arraySum(arrayCompact(
+                   arrayMap(t -> lengthUTF8(t), tokens(lower(text)))))), 0))
+                 AS compact_len,
+               sum(toInt64(hasAny(tokens(lower(text)),
+                                  ['lorem', 'the', 'de']))) AS has_common
+        FROM documents
+        GROUP BY g
+        """,
+    )

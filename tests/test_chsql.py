@@ -866,3 +866,141 @@ def test_review_r09_fixes(spark):
         ).collect()
     }
     assert rows == {("p1", None), ("p2", "b1")}
+
+
+def test_r09b_url_function_family(spark):
+    """URL family maps to parse_url with CH's ''-on-absent contract."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    row = run_ch_sql(
+        spark,
+        "SELECT protocol('https://www.ex.com/a/b?k=1&z=2#f') AS pr,"
+        " domain('https://www.ex.com/a?x=1') AS d,"
+        " domainWithoutWWW('https://www.ex.com/a') AS dw,"
+        " topLevelDomain('https://sub.ex.org/a') AS tld,"
+        " path('https://ex.com/a/b?k=1') AS p,"
+        " pathFull('https://ex.com/a/b?k=1') AS pf,"
+        " queryString('https://ex.com/a?k=1&z=2#f') AS qs,"
+        " fragment('https://ex.com/a#sec') AS fr,"
+        " extractURLParameter('https://ex.com/?a=1&b=2', 'b') AS b,"
+        " extractURLParameter('https://ex.com/?a=1', 'zz') AS miss,"
+        " cutQueryString('https://ex.com/a?q=1') AS cq,"
+        " cutFragment('https://ex.com/a#x') AS cf,"
+        " encodeURLComponent('1 2&x') AS enc,"
+        " decodeURLComponent('1%202+3') AS dec",
+    ).first()
+    assert row["pr"] == "https" and row["d"] == "www.ex.com"
+    assert row["dw"] == "ex.com" and row["tld"] == "org"
+    assert row["p"] == "/a/b" and row["pf"] == "/a/b?k=1"
+    assert row["qs"] == "k=1&z=2" and row["fr"] == "sec"
+    assert row["b"] == "2" and row["miss"] == ""
+    assert row["cq"] == "https://ex.com/a" and row["cf"] == "https://ex.com/a"
+    # CH-style %20 (not form '+'); '+' survives decode as a literal
+    assert row["enc"] == "1%202%26x" and row["dec"] == "1 2+3"
+
+
+def test_r09b_array_breadth(spark):
+    """arrayFirst/Last/FirstIndex, cumSum/difference (type-preserving),
+    compact, push/pop, hasAll/hasAny, range/enumerate guards."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    row = run_ch_sql(
+        spark,
+        "SELECT arrayFirst(x -> x > 1, [1, 2, 3]) AS fst,"
+        " arrayFirst(x -> x > 9, [1]) AS fmiss,"
+        " arrayLast(x -> x < 3, [1, 2, 3]) AS lst,"
+        " arrayFirstIndex(x -> x = 2, [1, 2, 3]) AS fi,"
+        " arrayFirstIndex(x -> x = 9, [1]) AS fimiss,"
+        " arrayLastIndex(x -> x = 2, [2, 1, 2]) AS li,"
+        " arrayCumSum([1, 2, 3]) AS cs,"
+        " arrayDifference([10, 13, 17]) AS ad,"
+        " arrayCompact([1, 1, 2, 2, 1]) AS ac,"
+        " arrayIntersect([1, 2, 3], [2, 3, 4]) AS ai,"
+        " hasAll([1, 2, 3], [1, 3]) AS ha,"
+        " hasAll([1, 2], [9]) AS hamiss,"
+        " hasAny([1, 2], [2, 9]) AS hy,"
+        " arrayPushBack([1, 2], 9) AS pb,"
+        " arrayPushFront([1, 2], 9) AS pf,"
+        " arrayPopBack([1, 2, 3]) AS pob,"
+        " arrayPopFront([1, 2, 3]) AS pof,"
+        " range(4) AS r, range(0) AS r0, range(2, 5) AS r2,"
+        " arrayEnumerate([7, 8]) AS en",
+    ).first()
+    assert row["fst"] == 2 and row["fmiss"] is None and row["lst"] == 2
+    assert row["fi"] == 2 and row["fimiss"] == 0 and row["li"] == 3
+    assert list(row["cs"]) == [1, 3, 6] and list(row["ad"]) == [0, 3, 4]
+    assert list(row["ac"]) == [1, 2, 1] and list(row["ai"]) == [2, 3]
+    assert row["ha"] and not row["hamiss"] and row["hy"]
+    assert list(row["pb"]) == [1, 2, 9] and list(row["pf"]) == [9, 1, 2]
+    assert list(row["pob"]) == [1, 2] and list(row["pof"]) == [2, 3]
+    assert list(row["r"]) == [0, 1, 2, 3] and list(row["r0"]) == []
+    assert list(row["r2"]) == [2, 3, 4] and list(row["en"]) == [1, 2]
+
+
+def test_r09b_string_math_date_breadth(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    row = run_ch_sql(
+        spark,
+        "SELECT startsWith('hello', 'he') AS sw,"
+        " endsWith('hello', 'lo') AS ew,"
+        " countSubstrings('aXbXc', 'X') AS ns,"
+        " positionCaseInsensitive('HeLLo', 'll') AS pc,"
+        " multiSearchAny('haystack', ['ned', 'hay']) AS msa,"
+        " tokens('a-b c_1!') AS tk,"
+        " replaceRegexpAll('2024-01-02', '(\\\\d+)-(\\\\d+)-(\\\\d+)',"
+        "                  '\\\\3/\\\\2/\\\\1') AS rr,"
+        " replaceOne('aXbX', 'X', '-') AS ro,"
+        " substringIndex('a.b.c', '.', 2) AS si,"
+        " hex(MD5('abc')) AS h,"
+        " roundBankers(2.5) AS rb,"
+        " intDivOrZero(7, 0) AS iz, moduloOrZero(7, 0) AS mz,"
+        " exp2(10) AS e2, bitCount(7) AS bc,"
+        " isNaN(0.0) AS nn, isFinite(3.0) AS fin,"
+        " isInfinite(double('Infinity')) AS inf,"
+        " toQuarter(toDate('2024-05-03')) AS q,"
+        " toDayOfYear(toDate('2024-02-01')) AS dy,"
+        " toLastDayOfMonth(toDate('2024-02-01')) AS ld,"
+        " addWeeks(toDate('2024-01-01'), 2) AS aw,"
+        " toStartOfFiveMinutes(toDateTime('2024-01-01 00:07:33')) AS s5",
+    ).first()
+    assert row["sw"] and row["ew"] and row["ns"] == 2 and row["pc"] == 3
+    assert row["msa"] and list(row["tk"]) == ["a", "b", "c", "1"]
+    assert row["rr"] == "02/01/2024" and row["ro"] == "a-bX"
+    assert row["si"] == "a.b"
+    assert row["h"] == "900150983CD24FB0D6963F7D28E17F72"
+    assert float(row["rb"]) == 2.0
+    assert row["iz"] == 0 and row["mz"] == 0
+    assert row["e2"] == 1024.0 and row["bc"] == 3
+    assert not row["nn"] and row["fin"] and row["inf"]
+    assert row["q"] == 2 and row["dy"] == 32
+    assert str(row["ld"]) == "2024-02-29"
+    assert str(row["aw"]).startswith("2024-01-15")
+    assert str(row["s5"]) == "2024-01-01 00:05:00"
+
+
+def test_r09b_stat_aggregates_and_rollup(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, stddevPop(x) AS sp, stddevSamp(x) AS ss,"
+        " varPop(x) AS vp, varSamp(x) AS vs,"
+        " avgWeighted(x, w) AS aw, groupBitOr(b) AS bo,"
+        " groupBitAnd(b) AS ba, groupBitXor(b) AS bx"
+        " FROM (SELECT 1 AS k, 1 AS x, 2 AS w, 5 AS b"
+        "       UNION ALL SELECT 1, 3, 1, 3) GROUP BY k",
+    ).collect()
+    r = rows[0]
+    assert r["sp"] == 1.0 and r["vs"] == 2.0
+    assert abs(r["aw"] - 5.0 / 3.0) < 1e-12
+    assert r["bo"] == 7 and r["ba"] == 1 and r["bx"] == 6
+    # WITH ROLLUP passes through to Spark's identical clause
+    roll = run_ch_sql(
+        spark,
+        "SELECT k, count() AS n FROM"
+        " (SELECT 1 AS k UNION ALL SELECT 1 UNION ALL SELECT 2)"
+        " GROUP BY k WITH ROLLUP",
+    ).collect()
+    assert (None, 3) in [(r["k"], r["n"]) for r in roll]
+    assert len(roll) == 3
