@@ -529,3 +529,88 @@ def winnow_fingerprints(
         .select(id_col, grams.alias("__g"))
         .select(id_col, F.explode(fps).alias("fingerprint"))
     )
+
+
+# ------------------------------------------------- duplicated-span dedup
+
+
+def duplicate_token_spans(
+    df: DataFrame, id_col: str, text_col: str, l: int = 5
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the suffix-array pass, re-expressed
+    relationally): token-level ``l``-gram occurrences shared by >= 2
+    DISTINCT documents, merged into maximal per-document spans.
+
+    Returns (id, span_start, span_end, span_tokens) — 1-based token
+    positions, one row per maximal duplicated span. Span surgery
+    (scrubbing the text) is a cheap per-row slice once the spans exist.
+
+    Plan shape / 100 TB notes: one explode to l-gram md5 rows, one
+    count-distinct shuffle on the gram hash (the suffix array's
+    equivalent global structure, but hash-partitioned instead of
+    sorted), one join back (AQE broadcasts the dup-gram side when the
+    duplicate fraction is small — typical for web corpora), then a
+    per-document window merge whose partition is the document: no
+    global sort anywhere. Hot grams (boilerplate) fan the join, not
+    the window — cap them upstream with ``hot_bucket_filter`` if a
+    corpus has degenerate boilerplate.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(id_col, words.alias("__w"))
+        .filter(F.size("__w") >= l)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("__w") - (l - 1))).alias(
+                "pos"
+            ),
+            "__w",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("__w", F.col("pos"), l))).alias(
+                "__g"
+            ),
+        )
+    )
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__g")
+    )
+    # (id, pos) is unique by construction — the join adds no duplicates
+    flagged = grams.join(dup, "__g").select(id_col, "pos")
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (l - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "__ni",
+        F.when(
+            F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__ni").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (l - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_build_spark.catalog import load_tables
 from clickhouse_build_spark.operators.dedup import (
+    duplicate_token_spans,
     minhash_component_sql,
     minhash_lsh_pairs,
     portable_hash_sql,
@@ -36,6 +37,7 @@ SIMHASH_MAX_HAMMING = 5
 SIMHASH_BANDS = 8
 WINNOW_K = 3
 WINNOW_W = 4
+SPAN_L = 5  # ExactSubstr duplicated-span minimum match length (tokens)
 
 # ------------------------------------------------------- oracle generators
 
@@ -339,6 +341,95 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing docs."""
     docs = load_tables(spark, sf_dir)["documents"]
     return winnow_fingerprints(docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
+
+
+@query(
+    "doc_dup_span_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {SPAN_L}
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, len(w) - {SPAN_L - 2})) AS pos,
+             unnest(list_transform(range(1, len(w) - {SPAN_L - 2}),
+                    i -> md5(array_to_string(w[i:i+{SPAN_L - 1}], ' ')))) AS g
+      FROM toks
+    ),
+    dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {SPAN_L - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM flagged
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_L - 1} AS e
+      FROM isl2 GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS total_toks
+      FROM documents
+    )
+    SELECT sp.doc_id AS doc_id,
+           t.total_toks AS total_toks,
+           CAST(count(*) AS BIGINT) AS dup_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST((sum(e - s + 1) * 1000) // t.total_toks AS BIGINT)
+             AS dup_permille
+    FROM spans sp JOIN tot t ON sp.doc_id = t.doc_id
+    GROUP BY sp.doc_id, t.total_toks
+    """,
+    tags=("dedup", "substring", "exact-substr", "spans"),
+)
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span statistics per document (Lee et al.
+    2022, arXiv:2107.06499): maximal spans of >= SPAN_L consecutive
+    tokens shared verbatim with at least one OTHER document, merged
+    from overlapping duplicated 5-grams, plus the duplicated-token
+    fraction (integer permille — FP-free). The spans feed span-surgery
+    scrubbing; the permille feeds document-level filter thresholds
+    (the paper's "drop documents that are mostly boilerplate" policy).
+
+    Scale: see ``operators/dedup.py:duplicate_token_spans`` — one gram
+    shuffle + one per-doc window; no global sort, no suffix array.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    spans = duplicate_token_spans(docs, "doc_id", "text", l=SPAN_L)
+    tot = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("total_toks")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+        )
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "total_toks",
+            "dup_spans",
+            "dup_tokens",
+            F.expr("CAST((dup_tokens * 1000) DIV total_toks AS BIGINT)").alias(
+                "dup_permille"
+            ),
+        )
+    )
 
 
 def _keepers_oracle() -> str:

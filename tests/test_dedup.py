@@ -155,3 +155,73 @@ def test_dedup_keepers_on_planted_corpus(spark):
     n_survivors = len(set(k.values()))
     n_dup_partners = sum(1 for d, kp in k.items() if kp != d)
     assert n_survivors == n_docs - n_dup_partners
+
+
+class TestDuplicateTokenSpans:
+    """ExactSubstr-style span detection on planted duplicates."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_planted_shared_span_is_found_and_merged(self, spark):
+        from clickhouse_build_spark.operators.dedup import (
+            duplicate_token_spans,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+        df = self._df(
+            spark,
+            [
+                (1, f"intro one two {shared} tail1 x y"),
+                (2, f"{shared} completely different ending here"),
+                (3, "no overlap at all in this document text"),
+            ],
+        )
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+            for r in duplicate_token_spans(df, "doc_id", "text", l=5).collect()
+        }
+        # doc 1: shared tokens occupy positions 4-9; two overlapping
+        # 5-gram hits (pos 4, 5) merge into ONE maximal span
+        assert spans[1] == (4, 9, 6)
+        # doc 2: same six tokens at positions 1-6
+        assert spans[2] == (1, 6, 6)
+        assert 3 not in spans
+
+    def test_within_doc_repeat_is_not_flagged(self, spark):
+        from clickhouse_build_spark.operators.dedup import (
+            duplicate_token_spans,
+        )
+
+        rep = "p q r s t"
+        df = self._df(
+            spark,
+            [
+                (1, f"{rep} filler {rep} more filler words"),
+                (2, "another unrelated doc body with enough tokens"),
+            ],
+        )
+        # the 5-gram repeats WITHIN doc 1 only — count(DISTINCT doc)
+        # is 1, so nothing is a cross-document duplicate
+        assert duplicate_token_spans(df, "doc_id", "text", l=5).count() == 0
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        from clickhouse_build_spark.operators.dedup import (
+            duplicate_token_spans,
+        )
+
+        s1 = "a1 a2 a3 a4 a5"
+        s2 = "b1 b2 b3 b4 b5"
+        df = self._df(
+            spark,
+            [
+                (1, f"{s1} gapword other filler {s2} trailing bits"),
+                (2, f"{s1} then something else entirely {s2}"),
+            ],
+        )
+        rows = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_token_spans(df, "doc_id", "text", l=5).collect()
+        )
+        assert [r for r in rows if r[0] == 1] == [(1, 1, 5), (1, 9, 13)]
+        assert [r for r in rows if r[0] == 2] == [(2, 1, 5), (2, 10, 14)]
