@@ -759,6 +759,20 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantileexact": lambda p, v: f"percentile({v[0]}, {p[0]})",
     "quantiles": lambda p, v: f"percentile_approx({v[0]}, array({', '.join(p)}))",
     "quantilesexact": lambda p, v: f"percentile({v[0]}, array({', '.join(p)}))",
+    # sketch-backed CH variants — all map to Spark's t-digest-style
+    # approx percentile (same accuracy contract: mergeable sketch,
+    # rank-error bounded)
+    "quantiletdigest": lambda p, v: f"percentile_approx({v[0]}, {p[0]})",
+    "quantilestdigest": lambda p, v: (
+        f"percentile_approx({v[0]}, array({', '.join(p)}))"
+    ),
+    "quantiletiming": lambda p, v: f"percentile_approx({v[0]}, {p[0]})",
+    "quantilebfloat16": lambda p, v: f"percentile_approx({v[0]}, {p[0]})",
+    # deterministic variant: the determinator arg (v[1]) only steadies
+    # CH's reservoir sampling — irrelevant to a mergeable sketch
+    "quantiledeterministic": lambda p, v: (
+        f"percentile_approx({v[0]}, {p[0]})"
+    ),
 }
 
 _WORD0 = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")

@@ -114,9 +114,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # sf0.001/0.01; reads the same maintained artifact the in-window
     # cdc_incremental_rollup evidence covers) and ch_dialect_asof_join
     # (hash-green at sf0.001/0.01/0.1 vs DuckDB's NATIVE ASOF JOIN).
-    # The r09 continuation adds doc_dup_span_stats (ExactSubstr
-    # duplicated-span detection) to the same lead list — hash-green
-    # locally at sf0.001/0.01/0.1.
+    # The r09 continuation adds doc_dup_span_stats + doc_span_scrubbed
+    # (ExactSubstr duplicated-span detection and span surgery) to the
+    # same lead list — both hash-green locally at sf0.001/0.01/0.1.
 ]
 
 

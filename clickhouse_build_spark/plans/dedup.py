@@ -343,9 +343,12 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
 
 
-@query(
-    "doc_dup_span_stats",
-    oracle=f"""
+def _span_cte() -> str:
+    """The shared DuckDB CTE chain deriving ExactSubstr duplicated
+    spans (doc_id, island, s, e) — the oracle twin of
+    ``operators/dedup.py:duplicate_token_spans``; both the stats and
+    the scrub oracle compose on top of it."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w
       FROM documents
@@ -380,7 +383,12 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans AS (
       SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_L - 1} AS e
       FROM isl2 GROUP BY 1, 2
-    ),
+    )"""
+
+
+@query(
+    "doc_dup_span_stats",
+    oracle=f"""{_span_cte()},
     tot AS (
       SELECT doc_id, len(string_split(text, ' ')) AS total_toks
       FROM documents
@@ -429,6 +437,75 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup_permille"
             ),
         )
+    )
+
+
+@query(
+    "doc_span_scrubbed",
+    oracle=f"""{_span_cte()},
+    spa AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS sp
+      FROM spans GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id,
+             string_split(d.text, ' ') AS w,
+             spa.sp AS sp
+      FROM documents d LEFT JOIN spa ON d.doc_id = spa.doc_id
+    ),
+    kept AS (
+      SELECT doc_id, w,
+             CASE WHEN sp IS NULL THEN w
+                  ELSE list_filter(w, (t, i) ->
+                         len(list_filter(sp, r -> i >= r.s AND i <= r.e)) = 0)
+             END AS k
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS total_toks,
+           CAST(len(k) AS BIGINT) AS kept_toks,
+           md5(coalesce(array_to_string(k, ' '), '')) AS scrub_md5
+    FROM kept
+    """,
+    tags=("dedup", "substring", "exact-substr", "scrub"),
+)
+def doc_span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span surgery — the corpus AFTER removing every duplicated span
+    found by :func:`duplicate_token_spans` (all occurrences; the
+    harshest, fully deterministic ExactSubstr policy). Emits per-doc
+    before/after token counts and the md5 of the scrubbed token
+    stream — content-exact without hashing megabytes of text through
+    the compare harness.
+
+    Scale: the span list joins back per document (spans exist only for
+    docs with duplicates — a LEFT join whose right side is the small
+    flagged subset), and the per-token filter is an O(tokens × spans)
+    JVM lambda inside the scan projection, no extra shuffle.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    spans = duplicate_token_spans(docs, "doc_id", "text", l=SPAN_L)
+    spa = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    base = docs.join(spa, "doc_id", "left").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.coalesce("sp", F.array()).alias("sp"),
+    )
+    # Spark's filter lambda index is 0-based; spans are 1-based
+    kept = base.select(
+        "doc_id",
+        "w",
+        F.expr(
+            "filter(w, (t, i) -> NOT exists(sp, "
+            "r -> i + 1 >= r.span_start AND i + 1 <= r.span_end))"
+        ).alias("k"),
+    )
+    return kept.select(
+        "doc_id",
+        F.size("w").cast("long").alias("total_toks"),
+        F.size("k").cast("long").alias("kept_toks"),
+        F.md5(F.concat_ws(" ", "k")).alias("scrub_md5"),
     )
 
 

@@ -1004,3 +1004,19 @@ def test_r09b_stat_aggregates_and_rollup(spark):
     ).collect()
     assert (None, 3) in [(r["k"], r["n"]) for r in roll]
     assert len(roll) == 3
+
+
+def test_r09b_sketch_quantile_variants(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    row = run_ch_sql(
+        spark,
+        "SELECT quantileTDigest(0.5)(x) AS td,"
+        " quantileTiming(0.5)(x) AS tm,"
+        " quantileBFloat16(0.5)(x) AS bf,"
+        " quantileDeterministic(0.5)(x, x) AS dt,"
+        " quantilesTDigest(0.25, 0.75)(x) AS tds"
+        " FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3)",
+    ).first()
+    assert row["td"] == 2 and row["tm"] == 2 and row["bf"] == 2
+    assert row["dt"] == 2 and list(row["tds"]) == [1, 3]

@@ -225,3 +225,29 @@ class TestDuplicateTokenSpans:
         )
         assert [r for r in rows if r[0] == 1] == [(1, 1, 5), (1, 9, 13)]
         assert [r for r in rows if r[0] == 2] == [(2, 1, 5), (2, 10, 14)]
+
+
+def test_scrub_removes_exactly_the_stats_span_tokens(spark):
+    """Cross-query invariant: doc_span_scrubbed's kept count equals
+    total - dup_tokens from doc_dup_span_stats for every flagged doc,
+    and untouched docs keep every token."""
+    from clickhouse_build_spark.plans.dedup import (
+        doc_dup_span_stats,
+        doc_span_scrubbed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stats = {
+        r["doc_id"]: (r["total_toks"], r["dup_tokens"])
+        for r in doc_dup_span_stats(spark, sf).collect()
+    }
+    scrubbed = {
+        r["doc_id"]: (r["total_toks"], r["kept_toks"])
+        for r in doc_span_scrubbed(spark, sf).collect()
+    }
+    assert stats, "sf0.001 should contain duplicated spans"
+    for doc_id, (total, dup) in stats.items():
+        assert scrubbed[doc_id] == (total, total - dup)
+    for doc_id, (total, kept) in scrubbed.items():
+        if doc_id not in stats:
+            assert kept == total
