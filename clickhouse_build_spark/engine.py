@@ -73,8 +73,12 @@ class Engine:
         :func:`clickhouse_build_spark.functions.chsql.translate_pg_sql`.
         """
         if dialect == "clickhouse":
+            from clickhouse_build_spark.functions.chmeta import try_ch_meta
             from clickhouse_build_spark.functions.chsql import translate_ch_sql
 
+            meta = try_ch_meta(self.spark, self.catalog, text)
+            if meta is not None:
+                return meta
             text = translate_ch_sql(text)
         elif dialect == "postgres":
             from clickhouse_build_spark.functions.chsql import translate_pg_sql
