@@ -751,7 +751,43 @@ FUNCS: dict[str, Rule] = {
     # under the query's own OVER clause (passed through verbatim)
     "laginframe": _rename("lag"),
     "leadinframe": _rename("lead"),
+    # Map-aggregate family: CH sumMap/minMap/maxMap((keys, values) or a
+    # Map column) → sorted-key struct('keys','values'). Pure aggregate
+    # expression — Spark allows collect_list inside the higher-order
+    # lambdas (the analyzer extracts aggregates first) and dedupes the
+    # repeated identical collect_list. Type-preserving zero via v - v.
+    "summap": lambda a: _map_agg(a, "sum"),
+    "minmap": lambda a: _map_agg(a, "min"),
+    "maxmap": lambda a: _map_agg(a, "max"),
 }
+
+
+def _map_agg(a: list[str], mode: str) -> str:
+    if len(a) == 1:
+        ka, va = f"map_keys({a[0]})", f"map_values({a[0]})"
+    else:
+        ka, va = a[0], a[1]
+    # NOTE: sum accumulates in the VALUE type (ints stay ints, like
+    # CH); DECIMAL values are unsupported (decimal + widens precision,
+    # breaking aggregate()'s fixed accumulator type) — cast to Float64
+    # first.
+    pairs = (
+        f"flatten(collect_list(zip_with({ka}, {va}, "
+        f"(__mk, __mv) -> struct(__mk AS k, __mv AS v))))"
+    )
+    keys = f"array_sort(array_distinct(transform({pairs}, __p -> __p.k)))"
+    per_key = f"transform(filter({pairs}, __p -> __p.k = __sk), __p -> __p.v)"
+    if mode == "sum":
+        vals = (
+            f"transform({keys}, __sk -> aggregate({per_key}, "
+            f"element_at({per_key}, 1) - element_at({per_key}, 1), "
+            f"(__acc, __pv) -> __acc + __pv))"
+        )
+    elif mode == "min":
+        vals = f"transform({keys}, __sk -> array_min({per_key}))"
+    else:
+        vals = f"transform({keys}, __sk -> array_max({per_key}))"
+    return f"named_struct('keys', {keys}, 'values', {vals})"
 
 # name(q...)(x...) combinators: rule receives (param_args, value_args)
 PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {

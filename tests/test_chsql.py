@@ -1020,3 +1020,35 @@ def test_r09b_sketch_quantile_variants(spark):
     ).first()
     assert row["td"] == 2 and row["tm"] == 2 and row["bf"] == 2
     assert row["dt"] == 2 and list(row["tds"]) == [1, 3]
+
+
+def test_r09b_map_aggregate_family(spark):
+    """sumMap/minMap/maxMap: per-key merge across rows, sorted keys,
+    type-preserving sums (CH tuple-of-arrays as struct keys/values)."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, sumMap(ka, va) AS sm, minMap(ka, va) AS mn,"
+        " maxMap(ka, va) AS mx FROM"
+        " (SELECT 1 AS g, ['a', 'b'] AS ka, [1, 2] AS va"
+        "  UNION ALL SELECT 1, ['b', 'c'], [5, 7]"
+        "  UNION ALL SELECT 2, ['z'], [9])"
+        " GROUP BY g",
+    ).collect()
+    by_g = {r["g"]: r for r in rows}
+    assert list(by_g[1]["sm"]["keys"]) == ["a", "b", "c"]
+    assert list(by_g[1]["sm"]["values"]) == [1, 7, 7]
+    assert list(by_g[1]["mn"]["values"]) == [1, 2, 7]
+    assert list(by_g[1]["mx"]["values"]) == [1, 5, 7]
+    assert list(by_g[2]["sm"]["keys"]) == ["z"]
+    assert list(by_g[2]["sm"]["values"]) == [9]
+    # Map-typed single-argument form
+    r = run_ch_sql(
+        spark,
+        "SELECT sumMap(m) AS sm FROM"
+        " (SELECT map('x', toFloat64(1.5), 'y', toFloat64(2.0)) AS m"
+        "  UNION ALL SELECT map('y', toFloat64(3.0)))",
+    ).first()
+    assert list(r["sm"]["keys"]) == ["x", "y"]
+    assert list(r["sm"]["values"]) == [1.5, 5.0]
