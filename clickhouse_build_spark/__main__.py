@@ -40,6 +40,29 @@ def _cmd_qa(args: argparse.Namespace) -> dict:
     return qa_check(code, file_path=args.file, purpose=args.purpose or "")
 
 
+def _cmd_sql(args: argparse.Namespace) -> dict:
+    """One-shot query endpoint — the ``clickhouse-client --query``
+    analogue: catalog views + dialect translation + CH meta-statements
+    (SHOW TABLES / DESCRIBE / EXPLAIN ...) through ``Engine.sql``."""
+    from clickhouse_build_spark.engine import Engine
+    from clickhouse_build_spark.session import get_spark
+
+    spark = get_spark(app_name="sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine(args.sf_dir, spark=spark)
+    params: dict[str, str] | None = None
+    if args.param:
+        params = dict(kv.split("=", 1) for kv in args.param)
+    df = engine.sql(args.query, params=params, dialect=args.dialect)
+    rows = engine.to_rows(df, limit=args.limit)
+    return {
+        "columns": df.columns,
+        "rows": rows,
+        "row_count": len(rows),
+        "truncated": args.limit is not None and len(rows) == args.limit,
+    }
+
+
 def _cmd_data_migrator(args: argparse.Namespace) -> dict:
     from clickhouse_build_spark.migrator import plan_replication
     from clickhouse_build_spark.scanner import scan_repo
@@ -266,6 +289,26 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("file", help="source file to validate")
     q.add_argument("--purpose", default="", help="what the code is for")
     q.set_defaults(fn=_cmd_qa)
+
+    sq = sub.add_parser(
+        "sql", help="run one query against the catalog (clickhouse-client analogue)"
+    )
+    sq.add_argument("sf_dir", help="directory holding the catalog parquet tables")
+    sq.add_argument("query", help="SQL text (or a CH meta-statement)")
+    sq.add_argument(
+        "--dialect",
+        default="clickhouse",
+        choices=["clickhouse", "postgres", "spark"],
+    )
+    sq.add_argument(
+        "--param",
+        action="append",
+        default=None,
+        metavar="NAME=VALUE",
+        help="named query parameter (repeatable)",
+    )
+    sq.add_argument("--limit", type=int, default=1000)
+    sq.set_defaults(fn=_cmd_sql)
 
     d = sub.add_parser("data-migrator", help="scan → replication plan")
     d.add_argument("repo")

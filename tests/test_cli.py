@@ -116,3 +116,33 @@ def test_stream_ingest_command(tmp_path):
     (feed / "c2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
     res = run_cli("stream-ingest", *args)
     assert res["rows"] == 4  # id 5 deleted, id 2 updated in place
+
+
+def test_sql_command_ch_dialect():
+    res = run_cli(
+        "sql",
+        "/root/testdata/sf0.001",
+        "SELECT count() AS n, uniqExact(o_custkey) AS buyers FROM orders",
+    )
+    assert res["columns"] == ["n", "buyers"]
+    assert res["row_count"] == 1 and res["rows"][0]["n"] == 1500
+
+
+def test_sql_command_params_and_limit():
+    res = run_cli(
+        "sql",
+        "/root/testdata/sf0.001",
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = {st:String} "
+        "ORDER BY o_orderkey",
+        "--param",
+        "st=F",
+        "--limit",
+        "5",
+    )
+    assert res["row_count"] == 5 and res["truncated"] is True
+
+
+def test_sql_command_meta_statement():
+    res = run_cli("sql", "/root/testdata/sf0.001", "DESCRIBE nation")
+    assert res["columns"] == ["name", "type"]
+    assert any(r["name"] == "n_nationkey" for r in res["rows"])
