@@ -63,6 +63,8 @@ _FIRST_TOUCH_ROWS = frozenset(
     {
         # trains the hashed bigram LM (sorts before its consumers)
         "doc_lm_bigram_model",
+        # trains the DSIR feature table ('importance' < 'sample')
+        "doc_dsir_importance",
         # absorbs the shared Lloyd k-means training ('ann' < 'kmeans')
         "emb_ann_kmeans_topk",
         # trains its own sampled IVF centroids on first touch

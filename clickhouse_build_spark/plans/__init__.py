@@ -28,6 +28,7 @@ from clickhouse_build_spark.plans import chclauses  # noqa: E402,F401
 from clickhouse_build_spark.plans import kmeans  # noqa: E402,F401
 from clickhouse_build_spark.plans import aggstate  # noqa: E402,F401
 from clickhouse_build_spark.plans import retrieval  # noqa: E402,F401
+from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-9 ranking — stale-evidence rotation is POLICY

@@ -1,0 +1,77 @@
+"""DSIR importance resampling: feature-table boundedness, weight
+semantics (target docs score higher on average), and Gumbel-top-k
+sample invariants. Cross-engine exactness is covered by the registered
+oracles in test_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_build_spark.plans.dsir import (
+    DSIR_BUCKETS,
+    DSIR_TARGET_LANG,
+    doc_bigram_dsir_buckets,
+    doc_dsir_importance,
+    doc_dsir_sample,
+    dsir_weights,
+    shared_dsir_features,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_feature_table_bounded(spark):
+    feat = shared_dsir_features(spark, SF_SMOKE)
+    rows = feat.collect()
+    assert 0 < len(rows) <= DSIR_BUCKETS
+    assert all(0 <= r.b < DSIR_BUCKETS for r in rows)
+    assert len({r.b for r in rows}) == len(rows)
+
+
+def test_target_docs_weigh_higher_on_average(spark):
+    """The whole point of DSIR: documents from the target distribution
+    receive higher importance weights in aggregate."""
+    per = doc_dsir_importance(spark, SF_SMOKE)
+    avg = {
+        r.is_target: r.a
+        for r in per.groupBy(
+            (F.col("lang") == DSIR_TARGET_LANG).alias("is_target")
+        )
+        .agg(F.avg(F.col("weight_x1e6") / F.col("n_feats")).alias("a"))
+        .collect()
+    }
+    assert avg[True] > avg[False]
+
+
+def test_sample_is_top_20pct_and_target_enriched(spark):
+    per = doc_dsir_importance(spark, SF_SMOKE)
+    n = per.count()
+    sample = doc_dsir_sample(spark, SF_SMOKE).collect()
+    n_sampled = sum(r.n_sampled for r in sample)
+    assert n_sampled == max(1, n // 5)
+    # enrichment: target share of the sample > target share of the corpus
+    target_share_corpus = (
+        per.filter(F.col("lang") == DSIR_TARGET_LANG).count() / n
+    )
+    target_share_sample = (
+        sum(r.n_sampled for r in sample if r.lang == DSIR_TARGET_LANG)
+        / n_sampled
+    )
+    assert target_share_sample > target_share_corpus
+
+
+def test_weights_are_integer_sums_of_feature_rows(spark):
+    """Rejoin one document's buckets to the feature table and assert
+    the operator's integer sum matches."""
+    from clickhouse_build_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    feat = shared_dsir_features(spark, SF_SMOKE)
+    bg = doc_bigram_dsir_buckets(docs)
+    per = {r.doc_id: r for r in dsir_weights(bg, feat).collect()}
+    target = min(per)
+    llr = {r.b: r.llr_x1e6 for r in feat.collect()}
+    doc_buckets = [
+        r.b for r in bg.filter(F.col("doc_id") == target).collect()
+    ]
+    assert per[target].n_feats == len(doc_buckets)
+    assert per[target].weight_x1e6 == sum(llr[b] for b in doc_buckets)
