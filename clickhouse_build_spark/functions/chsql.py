@@ -151,9 +151,16 @@ def _ch_backrefs(repl: str) -> str:
     if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
         import re as _re
 
+        # a literal '$' in the CH replacement would read as a Java
+        # group reference after conversion — escape it first
+        # (ADVICE r09: replaceRegexpAll(s, 'x', 'costs $5')). The
+        # emitted text is SQL SOURCE: Spark's literal parser consumes
+        # one backslash, so '\\$' at source level is what hands Java
+        # the escaped '\$'.
+        body = t[1:-1].replace("$", "\\\\$")
         # raw source may carry \3 or the doubled \\3 escape form —
         # both mean "group 3" once the literal is parsed
-        return "'" + _re.sub(r"\\\\?(\d)", r"$\1", t[1:-1]) + "'"
+        return "'" + _re.sub(r"\\\\?(\d)", r"$\1", body) + "'"
     return repl
 
 
@@ -287,7 +294,14 @@ def _format_datetime(args: list[str]) -> str:
 def _to_start_of_interval(args: list[str]) -> str:
     """CH ``toStartOfInterval(t, INTERVAL n unit)`` → epoch-aligned
     bucket start (CH's own alignment: sub-day units align to the epoch,
-    weeks to Monday 1970-01-05, month/quarter/year to 1970-01)."""
+    weeks to Monday 1970-01-05, month/quarter/year to 1970-01).
+
+    Timezone contract (ADVICE r09): sub-day buckets go through
+    ``unix_timestamp``, so alignment follows the SPARK SESSION timezone
+    where CH aligns in the column's timezone — identical in a UTC
+    session (the engine default: ``spark.sql.session.timeZone=UTC``),
+    divergent for day/hour buckets otherwise. Set the session to the
+    column's CH timezone when translating non-UTC workloads."""
     import re
 
     m = re.fullmatch(r"(?is)\s*INTERVAL\s+(\d+)\s+(\w+)\s*", args[1])
@@ -607,8 +621,11 @@ FUNCS: dict[str, Rule] = {
     ),
     # url_encode form-encodes spaces as '+'; CH emits %20. url_decode
     # folds '+' to space; CH keeps literal '+'. The replaces align both.
+    # Two more RFC-3986-vs-form-encoding deltas (ADVICE r09): Java
+    # encodes '~' as %7E (CH keeps it) and keeps '*' (CH encodes %2A).
     "encodeurlcomponent": lambda a: (
-        f"replace(url_encode({a[0]}), '+', '%20')"
+        f"replace(replace(replace(url_encode({a[0]}), "
+        f"'+', '%20'), '%7E', '~'), '*', '%2A')"
     ),
     "decodeurlcomponent": lambda a: (
         f"url_decode(replace({a[0]}, '+', '%2B'))"
@@ -1052,6 +1069,36 @@ def _split_depth0(text: str, sep: str = ",") -> list[str]:
     return [p for p in parts if p]
 
 
+# Sentinel prefix shielding *internally emitted* Spark SQL from the CH
+# function-map pass. The clause rewrites run BEFORE the function pass
+# (translate_ch_sql ordering), so any Spark function they emit whose
+# name collides with a CH mapping would get re-mapped as if the user
+# had written CH — e.g. the SAMPLE band's portable MD5
+# (operators/dedup.py:portable_hash_spark_sql) was clobbered by the
+# `md5 → unhex(md5(...))` byte-contract mapping (the r9
+# ch_dialect_sample_limit_by regression). Purely-internal fragments
+# shield every map-hit name; translate_ch_sql strips the prefix as its
+# final act, after the function pass can no longer see the names.
+_INTERNAL = "__chb_keep__"
+
+
+def _shield_internal(sql: str) -> str:
+    """Prefix every FUNCS/PARAMETRIC-mapped function name in an
+    internally-generated Spark SQL fragment so the later CH
+    function-map pass leaves it untouched. Only for fragments that
+    contain NO user-written CH expressions."""
+    import re
+
+    def sub(m):
+        name = m.group(1)
+        lo = name.lower()
+        if lo in FUNCS or lo in PARAMETRIC:
+            return f"{_INTERNAL}{name}{m.group(2)}"
+        return m.group(0)
+
+    return re.sub(r"\b([A-Za-z_][A-Za-z0-9_]*)(\s*\()", sub, sql)
+
+
 def _rewrite_sample_clause(text: str) -> str:
     """CH ``FROM table SAMPLE k/n [OFFSET m/n]`` → a hash-band-filtered
     subquery aliased as the table (``functions/dialect.py:sample_clause``
@@ -1088,7 +1135,7 @@ def _rewrite_sample_clause(text: str) -> str:
             raise ValueError(
                 f"SAMPLE on {tbl!r}: no sampling key declared (SAMPLE_KEYS)"
             )
-        band = sample_clause_spark_sql(key, num, den, off_num)
+        band = _shield_internal(sample_clause_spark_sql(key, num, den, off_num))
         out.append(text[i : m.start()])
         out.append(f"FROM (SELECT * FROM {tbl} WHERE {band}) AS {tbl}")
         i = m.end()
@@ -1397,7 +1444,40 @@ def _rewrite_asof_join(text: str) -> str:
         out.append(s[i:])
         return "".join(out)
 
-    return f"{subst(head)}FROM {joined} {subst(tail)}".rstrip()
+    def expand_stars(s: str) -> str:
+        # A bare `*` in the select list would silently return the
+        # internal __ps/__m structs (ADVICE r09 medium) — expand it to
+        # the joined row instead. `alias.*` needs nothing: subst maps
+        # it to the struct-star `__asof.__ps.*`. A `*` preceded by an
+        # operand (word char / `)`) is multiplication and is left
+        # alone; only SELECT/DISTINCT/`,`-preceded stars expand.
+        lits = _literal_spans(s)
+        d, out, last = 0, [], 0
+        for i, ch in enumerate(s):
+            if any(a <= i < b for a, b in lits):
+                continue
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "*" and d == 0 and (i == 0 or s[i - 1] != "."):
+                j = i - 1
+                while j >= 0 and s[j].isspace():
+                    j -= 1
+                bare = j < 0 or s[j] == ","
+                if not bare and (s[j].isalnum() or s[j] == "_"):
+                    k = j
+                    while k >= 0 and (s[k].isalnum() or s[k] == "_"):
+                        k -= 1
+                    bare = s[k + 1 : j + 1].lower() in ("select", "distinct")
+                if bare:
+                    out.append(s[last:i])
+                    out.append("__asof.__ps.*, __asof.__m.*")
+                    last = i + 1
+        out.append(s[last:])
+        return "".join(out)
+
+    return f"{subst(expand_stars(head))}FROM {joined} {subst(tail)}".rstrip()
 
 
 def _strip_settings_and_global(text: str) -> str:
@@ -1814,7 +1894,7 @@ def translate_ch_sql(text: str) -> str:
     text = _rewrite_with_totals(text)
     text = _rewrite_topk(text)
     text = _rewrite_limit_by(text)
-    return _rewrite(_rewrite_brackets(text))
+    return _rewrite(_rewrite_brackets(text)).replace(_INTERNAL, "")
 
 
 def run_ch_sql(spark, text: str, params: dict[str, Any] | None = None):

@@ -44,9 +44,67 @@ _TYPE_GUARD = re.compile(
     r"\btypeof\b|\binstanceof\b|['\"]\w+['\"]\s+in\s+\w+"
 )
 
-_CLICKHOUSE = re.compile(r"@clickhouse/client|ClickHouseClient|ClickHouse")
-_POSTGRES = re.compile(r"from\s+['\"]pg['\"]|\bPool\b|Postgres")
+# Identifier-level engine markers, matched on comment-and-string
+# stripped code (ADVICE r09: a comment mentioning 'ClickHouse' in
+# PG-only code must not trip the CH-only rejection); module-path
+# markers are read from the import specifiers separately.
+_CH_IDENT = re.compile(r"ClickHouseClient|ClickHouse")
+_PG_IDENT = re.compile(r"\bPool\b|Postgres")
 _ENV_CHECK = re.compile(r"process\.env\.")
+_REQUIRE = re.compile(r"require\(\s*['\"]([^'\"]+)['\"]\s*\)")
+
+
+def _strip_comments_and_strings(code: str) -> str:
+    """Blank ``//`` / ``/* */`` comments and the CONTENTS of
+    '/"/` string literals (quotes and newlines kept, so offsets into
+    the original stay line-accurate). Engine-detection rules run on
+    this form so prose never trips them."""
+    out: list[str] = []
+    i, n = 0, len(code)
+
+    def blank(seg: str) -> str:
+        return "".join(ch if ch == "\n" else " " for ch in seg)
+
+    while i < n:
+        c = code[i]
+        if c == "/" and code[i : i + 2] == "//":
+            j = code.find("\n", i)
+            j = n if j < 0 else j
+            out.append(blank(code[i:j]))
+            i = j
+        elif c == "/" and code[i : i + 2] == "/*":
+            j = code.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out.append(blank(code[i:j]))
+            i = j
+        elif c in "'\"`":
+            j = i + 1
+            while j < n and code[j] != c:
+                if code[j] == "\\":
+                    j += 1
+                j += 1
+            closed = j < n
+            out.append(c + blank(code[i + 1 : j]) + (c if closed else ""))
+            i = j + 1 if closed else n
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _db_usage(code: str) -> tuple[bool, bool, bool]:
+    """(uses_clickhouse, uses_postgres, has_env_check) — identifiers on
+    stripped code, module markers on the actual import specifiers."""
+    stripped = _strip_comments_and_strings(code)
+    mods = [m.group(4) for m in _IMPORT.finditer(code)]
+    mods += _REQUIRE.findall(code)
+    uses_ch = bool(_CH_IDENT.search(stripped)) or any(
+        "clickhouse" in m.lower() for m in mods
+    )
+    uses_pg = bool(_PG_IDENT.search(stripped)) or any(
+        m == "pg" or m.startswith("pg/") for m in mods
+    )
+    return uses_ch, uses_pg, bool(_ENV_CHECK.search(stripped))
 
 # `import { A, B as C } from 'x'` / `import X from 'x'` /
 # `import * as ns from 'x'`
@@ -104,8 +162,7 @@ def qa_check(code: str, file_path: str = "", purpose: str = "") -> dict:
         }
 
     # --- 2. backwards compatibility -------------------------------------
-    uses_ch = bool(_CLICKHOUSE.search(code))
-    uses_pg = bool(_POSTGRES.search(code))
+    uses_ch, uses_pg, has_env = _db_usage(code)
     if uses_ch and not uses_pg:
         return {
             "approved": False,
@@ -114,7 +171,7 @@ def qa_check(code: str, file_path: str = "", purpose: str = "") -> dict:
                 "breaking existing users."
             ),
         }
-    if uses_ch and uses_pg and not _ENV_CHECK.search(code):
+    if uses_ch and uses_pg and not has_env:
         return {
             "approved": False,
             "reason": (

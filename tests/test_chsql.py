@@ -1052,3 +1052,204 @@ def test_r09b_map_aggregate_family(spark):
     ).first()
     assert list(r["sm"]["keys"]) == ["x", "y"]
     assert list(r["sm"]["values"]) == [1.5, 5.0]
+
+
+# -------------------- r10: every clause rewrite EXECUTES (VERDICT r09 #1)
+# The r9 SAMPLE regression shipped because the clause tests asserted the
+# rewritten STRING but never ran it — a later function-map pass clobbered
+# the rewrite's internal MD5 and no test noticed. Each test here executes
+# the translated SQL against the real catalog and checks values against a
+# hand-written native-Spark equivalent.
+
+
+def test_exec_sample_clause(engine):
+    from clickhouse_build_spark.functions.dialect import sample_clause_spark_sql
+
+    got = engine.sql(
+        "SELECT count() AS n FROM orders SAMPLE 1/8 OFFSET 3/8",
+        dialect="clickhouse",
+    ).first()["n"]
+    band = sample_clause_spark_sql("o_orderkey", 1, 8, 3)
+    want = engine.sql(
+        f"SELECT count(*) AS n FROM orders WHERE {band}"
+    ).first()["n"]
+    assert got == want and got > 0
+
+
+def test_exec_sample_plus_limit_by(engine):
+    """The exact r9-regression composition: SAMPLE + LIMIT BY in one query."""
+    from clickhouse_build_spark.functions.dialect import sample_clause_spark_sql
+
+    got = _rows(
+        engine.sql(
+            "SELECT o_orderstatus AS st, o_orderkey AS k FROM orders "
+            "SAMPLE 1/2 ORDER BY k ASC LIMIT 2 BY st",
+            dialect="clickhouse",
+        ).orderBy("st", "k")
+    )
+    band = sample_clause_spark_sql("o_orderkey", 1, 2, 0)
+    want = _rows(
+        engine.sql(
+            "SELECT st, k FROM (SELECT o_orderstatus AS st, o_orderkey AS k, "
+            "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC) AS rn "
+            f"FROM orders WHERE {band}) WHERE rn <= 2"
+        ).orderBy("st", "k")
+    )
+    assert got == want and len(got) > 0
+
+
+def test_exec_final(engine):
+    got = engine.sql(
+        "SELECT count() AS n FROM events FINAL", dialect="clickhouse"
+    ).first()["n"]
+    want = engine.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events"
+    ).first()["n"]
+    assert got == want and got > 0
+
+
+def test_exec_array_join(engine):
+    got = engine.sql(
+        "SELECT n_name, x FROM nation ARRAY JOIN [1, 2] AS x",
+        dialect="clickhouse",
+    )
+    rows = _rows(got.orderBy("n_name", "x"))
+    base = engine.sql("SELECT count(*) AS n FROM nation").first()["n"]
+    assert len(rows) == 2 * base
+    assert {r[1] for r in rows} == {1, 2}
+
+
+def test_exec_prewhere(engine):
+    got = engine.sql(
+        "SELECT count() AS n FROM orders PREWHERE o_totalprice > 1000 "
+        "WHERE o_orderstatus = 'F'",
+        dialect="clickhouse",
+    ).first()["n"]
+    want = engine.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_totalprice > 1000 AND o_orderstatus = 'F'"
+    ).first()["n"]
+    assert got == want and got > 0
+
+
+def test_exec_with_totals(engine):
+    rows = _rows(
+        engine.sql(
+            "SELECT o_orderstatus AS st, count() AS n FROM orders "
+            "GROUP BY st WITH TOTALS",
+            dialect="clickhouse",
+        )
+    )
+    groups = {r[0]: r[1] for r in rows if r[0] is not None}
+    totals = [r[1] for r in rows if r[0] is None]
+    assert len(totals) == 1 and totals[0] == sum(groups.values())
+    assert len(groups) >= 2
+
+
+def test_exec_asof_join(engine):
+    got = _rows(
+        engine.sql(
+            "SELECT v.event_id AS i, e.ts AS m_ts FROM "
+            "(SELECT * FROM events WHERE event_type = 'view') AS v "
+            "ASOF LEFT JOIN "
+            "(SELECT * FROM events WHERE event_type = 'error') AS e "
+            "ON v.user_id = e.user_id AND v.ts >= e.ts",
+            dialect="clickhouse",
+        ).orderBy("i")
+    )
+    want = _rows(
+        engine.sql(
+            "SELECT i, max(ets) AS m_ts FROM ("
+            " SELECT v.event_id AS i, e.ts AS ets"
+            " FROM (SELECT * FROM events WHERE event_type = 'view') v"
+            " LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e"
+            " ON v.user_id = e.user_id AND e.ts <= v.ts) GROUP BY i"
+        ).orderBy("i")
+    )
+    assert got == want and len(got) > 0
+
+
+def test_exec_asof_bare_star_expands_to_joined_row(engine):
+    """ADVICE r09 medium: bare `SELECT *` must yield the joined row, not
+    the internal __ps/__m structs."""
+    df = engine.sql(
+        "SELECT * FROM "
+        "(SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') AS v "
+        "ASOF JOIN "
+        "(SELECT user_id, ts AS ets FROM events WHERE event_type = 'error') AS e "
+        "ON v.user_id = e.user_id AND v.ts >= e.ets",
+        dialect="clickhouse",
+    )
+    assert not any(c.startswith("__") for c in df.columns)
+    assert df.columns == ["user_id", "ts", "event_id", "user_id", "ets"]
+    r = df.limit(1).collect()
+    assert len(r) == 1
+
+
+def test_exec_topk(engine):
+    got = engine.sql(
+        "SELECT topK(2)(o_orderstatus) AS t FROM orders",
+        dialect="clickhouse",
+    ).first()["t"]
+    counts = {
+        r["st"]: r["n"]
+        for r in engine.sql(
+            "SELECT o_orderstatus AS st, count(*) AS n FROM orders GROUP BY st"
+        ).collect()
+    }
+    want = [s for s, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))][:2]
+    assert list(got) == want
+
+
+def test_exec_limit_by(engine):
+    got = _rows(
+        engine.sql(
+            "SELECT o_custkey AS c, o_orderkey AS k FROM orders "
+            "ORDER BY k ASC LIMIT 2 BY c",
+            dialect="clickhouse",
+        ).orderBy("c", "k")
+    )
+    want = _rows(
+        engine.sql(
+            "SELECT c, k FROM (SELECT o_custkey AS c, o_orderkey AS k, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS rn "
+            "FROM orders) WHERE rn <= 2"
+        ).orderBy("c", "k")
+    )
+    assert got == want and len(got) > 0
+
+
+def test_sample_band_md5_survives_function_pass():
+    """The r9 regression in miniature: the md5→unhex(md5) byte-contract
+    mapping must not clobber the SAMPLE band's internal portable hash."""
+    t = T("SELECT count() AS n FROM orders SAMPLE 1/8 OFFSET 3/8")
+    assert "unhex" not in t and "__chb_keep__" not in t
+    assert "MD5(CONCAT('sample:'" in t
+    # user-written md5 still gets the byte-contract mapping
+    t2 = T("SELECT hex(MD5(o_comment)) AS h FROM orders SAMPLE 1/2")
+    assert "unhex(md5(o_comment))" in t2
+    assert "unhex(md5(CONCAT('sample:'" not in t2
+
+
+def test_backref_dollar_literal_escaped(spark):
+    # ADVICE r09: a literal '$' in the CH replacement must not read as a
+    # Java group reference.
+    t = T("SELECT replaceRegexpAll(s, 'x+', 'costs $5') AS r FROM t")
+    assert "\\\\$5" in t
+    r = spark.sql(
+        "SELECT " + T("replaceRegexpAll('axxb', 'x+', 'costs $5')") + " AS r"
+    ).first()["r"]
+    assert r == "acosts $5b"
+
+
+def test_encode_url_component_rfc3986_deltas(spark):
+    # ADVICE r09: '~' stays literal (Java form-encodes %7E), '*' encodes
+    # %2A (Java keeps it), ' ' encodes %20 (Java '+').
+    r = spark.sql(
+        "SELECT " + T("encodeURLComponent('a b~c*')") + " AS r"
+    ).first()["r"]
+    assert r == "a%20b~c%2A"
+    d = spark.sql(
+        "SELECT " + T("decodeURLComponent('a%20b~c%2A')") + " AS d"
+    ).first()["d"]
+    assert d == "a b~c*"
