@@ -996,7 +996,29 @@ def _at_rest_code_version() -> str:
     return h.hexdigest()[:10]
 
 
-_AT_REST_BASE = _os.environ.get("CHB_AT_REST_ROOT", "/tmp/chb_at_rest")
+def _resolve_at_rest_base() -> str:
+    """At-rest export root. $CHB_AT_REST_ROOT wins verbatim; the
+    DEFAULT is a per-user 0700 directory under the system tempdir
+    (VERDICT r09 #8 — a world-shared predictable /tmp path could be
+    pre-created/poisoned by another local user). The default dir is
+    created eagerly with restrictive perms so no other user can claim
+    the name first with looser ones."""
+    env = _os.environ.get("CHB_AT_REST_ROOT")
+    if env:
+        return env
+    import tempfile
+
+    uid = _os.getuid() if hasattr(_os, "getuid") else "u"
+    base = _os.path.join(tempfile.gettempdir(), f"chb_at_rest_{uid}")
+    try:
+        _os.makedirs(base, mode=0o700, exist_ok=True)
+        _os.chmod(base, 0o700)
+    except OSError:
+        pass
+    return base
+
+
+_AT_REST_BASE = _resolve_at_rest_base()
 _AT_REST_VERSION = _at_rest_code_version()
 IVFPQ_AT_REST_ROOT = f"{_AT_REST_BASE}/{_AT_REST_VERSION}/ivfpq"
 

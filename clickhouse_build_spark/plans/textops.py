@@ -196,19 +196,36 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stop-shingle document-frequency cap for the exact Jaccard verifier
+# (VERDICT r09 #6, mirroring hot_bucket_filter's rationale): a
+# boilerplate shingle shared by 10^5 documents contributes 10^10
+# streamed pairs and near-zero near-dup signal. Shingles with df above
+# the cap are dropped from the UNIVERSE (both the intersection and the
+# per-doc counts), so Jaccard is computed consistently over the capped
+# shingle space — and the DuckDB oracle applies the identical cap, so
+# the result stays hash-exact for every pair below it.
+JACCARD_DF_CAP = 100
+
 @query(
     "doc_near_dup_jaccard",
-    oracle="""
+    oracle=f"""
     WITH docs AS (
       SELECT doc_id, string_split(text, ' ') AS w
       FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(w) - 1),
                                    i -> array_to_string(w[i:i+2], ' '))) AS shingle
       FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) WHERE df <= {JACCARD_DF_CAP}
     ),
     cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
     pairs AS (
@@ -253,9 +270,14 @@ def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-executed the shingle explode three times (once per branch) and
     # shuffled the shingle table twice more for the join. Persist so the
     # per-doc-count branch and the pair branch share one execution.
+    # Stop-shingle cap (VERDICT r09 #6): a shingle's collect_set is its
+    # document frequency — dropping df > JACCARD_DF_CAP rows removes
+    # the one-array-per-hot-shingle blowup AND its quadratic pair mass
+    # before any pair is generated. The oracle applies the same cap.
     grp = (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= JACCARD_DF_CAP)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cnt = (

@@ -75,3 +75,16 @@ def test_weights_are_integer_sums_of_feature_rows(spark):
     ]
     assert per[target].n_feats == len(doc_buckets)
     assert per[target].weight_x1e6 == sum(llr[b] for b in doc_buckets)
+
+
+def test_dsir_sample_plan_has_no_global_window(spark):
+    """VERDICT r09 #5: the sampling plan must not rank the whole corpus
+    through a partition-less window — the fast path is bracket +
+    TakeOrderedAndProject over the boundary slice only."""
+    from clickhouse_build_spark.plans.dsir import doc_dsir_sample
+    from tests.conftest import SF_SMOKE
+
+    df = doc_dsir_sample(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

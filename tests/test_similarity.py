@@ -296,3 +296,24 @@ def test_ivfpq_cells_derive_from_corpus_size(spark):
     assert ivfpq_nprobe(c) == max(IVFPQ_NPROBE, -(-c // 4))
     # the clamp ends: tiny corpora keep the floor, huge ones the cap
     assert ivfpq_nprobe(IVFPQ_CELLS_MIN) == IVFPQ_CELLS_MIN // 4
+
+
+def test_at_rest_default_root_is_user_private(monkeypatch):
+    """VERDICT r09 #8: without $CHB_AT_REST_ROOT the export root must be
+    a per-user 0700 directory, not a world-shared predictable path."""
+    import os
+    import stat
+    import tempfile
+
+    from clickhouse_build_spark.plans import similarity as sim
+
+    monkeypatch.delenv("CHB_AT_REST_ROOT", raising=False)
+    base = sim._resolve_at_rest_base()
+    assert base == os.path.join(
+        tempfile.gettempdir(), f"chb_at_rest_{os.getuid()}"
+    )
+    mode = stat.S_IMODE(os.stat(base).st_mode)
+    assert mode == 0o700
+    # explicit env override still wins verbatim
+    monkeypatch.setenv("CHB_AT_REST_ROOT", "/some/where")
+    assert sim._resolve_at_rest_base() == "/some/where"
