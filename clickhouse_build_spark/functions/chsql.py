@@ -598,6 +598,30 @@ FUNCS: dict[str, Rule] = {
     # coalesce mirrors CH.
     "protocol": lambda a: f"coalesce(parse_url({a[0]}, 'PROTOCOL'), '')",
     "domain": lambda a: f"coalesce(parse_url({a[0]}, 'HOST'), '')",
+    # CH's "first significant subdomain" rule (r10): the label before
+    # the TLD, except when that label is one of {com, net, org, co}
+    # (composite TLDs like .com.tr), where one more label is kept.
+    # cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/')
+    # = 'clickhouse.com.tr'. CH consults the full public-suffix list;
+    # this maps the rule CH documents for its default (short) list.
+    "cuttofirstsignificantsubdomain": lambda a: (
+        f"(CASE WHEN parse_url({a[0]}, 'HOST') IS NULL THEN '' ELSE "
+        f"concat_ws('.', slice(split(parse_url({a[0]}, 'HOST'), '\\\\.'), "
+        f"greatest(1, size(split(parse_url({a[0]}, 'HOST'), '\\\\.')) - "
+        f"(CASE WHEN size(split(parse_url({a[0]}, 'HOST'), '\\\\.')) >= 3 "
+        f"AND element_at(split(parse_url({a[0]}, 'HOST'), '\\\\.'), "
+        f"size(split(parse_url({a[0]}, 'HOST'), '\\\\.')) - 1) "
+        f"IN ('com', 'net', 'org', 'co') THEN 2 ELSE 1 END)), 1000)) END)"
+    ),
+    "firstsignificantsubdomain": lambda a: (
+        f"(CASE WHEN parse_url({a[0]}, 'HOST') IS NULL THEN '' ELSE "
+        f"element_at(split(parse_url({a[0]}, 'HOST'), '\\\\.'), "
+        f"greatest(1, size(split(parse_url({a[0]}, 'HOST'), '\\\\.')) - "
+        f"(CASE WHEN size(split(parse_url({a[0]}, 'HOST'), '\\\\.')) >= 3 "
+        f"AND element_at(split(parse_url({a[0]}, 'HOST'), '\\\\.'), "
+        f"size(split(parse_url({a[0]}, 'HOST'), '\\\\.')) - 1) "
+        f"IN ('com', 'net', 'org', 'co') THEN 2 ELSE 1 END))) END)"
+    ),
     "domainwithoutwww": lambda a: (
         f"regexp_replace(coalesce(parse_url({a[0]}, 'HOST'), ''),"
         " '^www\\\\.', '')"
@@ -637,6 +661,12 @@ FUNCS: dict[str, Rule] = {
     "varsamp": _rename("var_samp"),
     "covarpop": _rename("covar_pop"),
     "covarsamp": _rename("covar_samp"),
+    "corr": _rename("corr"),
+    "retention": lambda a: _retention(a),
+    # anyHeavy returns a heavy hitter (CH's approximate majority
+    # element); Spark's exact `mode` satisfies the same contract
+    # (deterministic here, where CH's is sampling-dependent)
+    "anyheavy": _rename("mode"),
     "avgweighted": lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
     "groupbitand": _rename("bit_and"),
     "groupbitor": _rename("bit_or"),
@@ -826,7 +856,128 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantiledeterministic": lambda p, v: (
         f"percentile_approx({v[0]}, {p[0]})"
     ),
+    "windowfunnel": lambda p, v: _window_funnel(p, v),
+    "sequencematch": lambda p, v: _sequence_match(p, v),
 }
+
+
+# --------------------- CH behavioral-analytics aggregates (r10,
+# VERDICT r09 missing #2). All three rewrite structurally onto codegen
+# built-ins (collect_list + array_sort + aggregate fold) — the
+# per-group event stream never leaves the JVM, and the fold state is
+# O(levels), so a group of any size folds in one pass.
+
+
+def _retention(a: list[str]) -> str:
+    """CH ``retention(cond1, ..., condN)`` → array of 0/1 flags:
+    element 1 = cond1 held on some event; element i = cond1 AND condi
+    both held (CH's documented semantics — no time ordering). Pure
+    boolean aggregates, no event materialization at all."""
+    if len(a) < 2:
+        raise ValueError("retention needs at least 2 conditions")
+    first = f"max({a[0]})"
+    elems = [f"CAST(coalesce({first}, false) AS INT)"] + [
+        f"CAST(coalesce({first} AND max({c}), false) AS INT)" for c in a[1:]
+    ]
+    return f"array({', '.join(elems)})"
+
+
+def _window_funnel(p: list[str], v: list[str]) -> str:
+    """CH ``windowFunnel(window)(ts, cond1, ..., condN)`` → max funnel
+    level reached by a chain ``t1 <= ... <= tk`` with every condi in
+    order and ``tk - t1 <= window`` (seconds).
+
+    The fold keeps, per level, the MAX feasible chain-start time
+    (greater start = more window slack, so it dominates — the greedy is
+    exact for the exists-chain semantics). Events are processed in
+    ``array_sort`` order of ``struct(t, m1..mN)``; transitions read the
+    PRE-event state, so one event never advances two levels. CH leaves
+    same-timestamp order undefined; this pins it to the struct order
+    (the engine's test corpus is tie-free per (user, ts)).
+
+    Only the default mode is supported — ``strict_order`` /
+    ``strict_increase`` / ``strict_dedup`` fail loudly."""
+    if len(p) != 1:
+        raise ValueError(
+            "windowFunnel: only the default mode is supported "
+            "(windowFunnel(window)(ts, cond, ...))"
+        )
+    if len(v) < 2:
+        raise ValueError("windowFunnel needs (timestamp, cond1, ...)")
+    w_us = f"(CAST({p[0]} AS BIGINT) * 1000000)"
+    ts, conds = v[0], v[1:]
+    n = len(conds)
+    fields = ", ".join(
+        [f"unix_micros(CAST({ts} AS TIMESTAMP)) AS t"]
+        + [f"({c}) AS m{i + 1}" for i, c in enumerate(conds)]
+    )
+    elems = [
+        "IF(x.m1, greatest(element_at(acc, 1), x.t), element_at(acc, 1))"
+    ]
+    for k in range(2, n + 1):
+        prev = f"element_at(acc, {k - 1})"
+        cur = f"element_at(acc, {k})"
+        elems.append(
+            f"IF(x.m{k} AND {prev} >= 0 AND x.t - {prev} <= {w_us}, "
+            f"greatest({cur}, {prev}), {cur})"
+        )
+    return (
+        f"size(filter(aggregate("
+        f"array_sort(collect_list(struct({fields}))), "
+        f"array_repeat(CAST(-1 AS BIGINT), {n}), "
+        f"(acc, x) -> array({', '.join(elems)})), a -> a >= 0))"
+    )
+
+
+def _sequence_match(p: list[str], v: list[str]) -> str:
+    """CH ``sequenceMatch('(?1)(?2)...')(ts, cond1, ..., condN)`` → 1
+    if the pattern's conditions occur as an ordered subsequence of the
+    group's events (intervening events allowed, CH semantics), else 0.
+
+    Supported pattern elements: ``(?N)`` references and ``.*`` (a
+    no-op under subsequence semantics). Time-constraint elements
+    ``(?t op value)`` fail loudly — their exact distributed form needs
+    a Pareto frontier per level, not a scalar fold."""
+    import re
+
+    if len(p) != 1:
+        raise ValueError("sequenceMatch takes exactly one pattern")
+    pat = p[0].strip()
+    if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
+        raise ValueError("sequenceMatch pattern must be a string literal")
+    body, steps, i = pat[1:-1], [], 0
+    while i < len(body):
+        if body.startswith(".*", i):
+            i += 2
+            continue
+        m = re.match(r"\(\?(\d+)\)", body[i:])
+        if not m:
+            raise ValueError(
+                f"unsupported sequenceMatch pattern at {body[i:]!r} "
+                "(only (?N) and .* are supported)"
+            )
+        steps.append(int(m.group(1)))
+        i += m.end()
+    ts, conds = v[0], v[1:]
+    if not steps:
+        raise ValueError("sequenceMatch pattern references no conditions")
+    if any(not 1 <= s <= len(conds) for s in steps):
+        raise ValueError("sequenceMatch pattern references a missing cond")
+    fields = ", ".join(
+        [f"unix_micros(CAST({ts} AS TIMESTAMP)) AS t"]
+        + [f"({c}) AS m{i + 1}" for i, c in enumerate(conds)]
+    )
+    k = len(steps)
+    elems = [f"(element_at(acc, 1) OR x.m{steps[0]})"] + [
+        f"(element_at(acc, {j + 1}) OR (x.m{steps[j]} AND element_at(acc, {j})))"
+        for j in range(1, k)
+    ]
+    return (
+        f"IF(element_at(aggregate("
+        f"array_sort(collect_list(struct({fields}))), "
+        f"array_repeat(false, {k}), "
+        f"(acc, x) -> array({', '.join(elems)})), {k}), 1, 0)"
+    )
 
 _WORD0 = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
 
@@ -1097,6 +1248,100 @@ def _shield_internal(sql: str) -> str:
         return m.group(0)
 
     return re.sub(r"\b([A-Za-z_][A-Za-z0-9_]*)(\s*\()", sub, sql)
+
+
+def _rewrite_with_fill(text: str) -> str:
+    """CH ``ORDER BY col WITH FILL FROM a TO b [STEP s]`` → dense-grid
+    FULL OUTER JOIN (the translator-level twin of
+    ``plans/chclauses.py:fill_series_days``): generate the grid with
+    ``sequence`` (TO is EXCLUSIVE, per CH), join the query onto it, and
+    coalesce the remaining output columns to 0 on gap rows.
+
+    Contract (documented deltas): single integer fill key with literal
+    numeric bounds at the top level; non-key output columns must be
+    numeric (CH fills strings with ``''`` — a string column here would
+    coalesce to '0' via Spark's implicit cast, so don't). Every select
+    item must carry a resolvable alias. Violations fail loudly.
+
+    Scale: the grid is ``(b-a)/s`` rows built by one ``sequence`` —
+    no driver round-trip; the join key is the fill column, and original
+    rows outside [a, b) are preserved by the FULL OUTER join exactly as
+    CH preserves them."""
+    import re
+
+    ms = _depth0_matches(
+        text,
+        r"\bORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)"
+        r"(?:\s+STEP\s+(\d+))?\s*$",
+    )
+    if not ms:
+        if _depth0_matches(text, r"\bWITH\s+FILL\b"):
+            raise ValueError(
+                "WITH FILL: only 'ORDER BY key WITH FILL FROM a TO b "
+                "[STEP s]' with one key and literal integer bounds is "
+                "supported at the top level"
+            )
+        return text
+    m = ms[0]
+    key, lo, hi, step = m.group(1), m.group(2), m.group(3), m.group(4) or "1"
+    inner = text[: m.start()].rstrip()
+    # output aliases from the top-level select list
+    sel = _depth0_matches(inner, r"\bSELECT\b")
+    frm = _depth0_matches(inner, r"\bFROM\b")
+    if not sel or not frm:
+        raise ValueError("WITH FILL: could not locate the select list")
+    items = _split_top_level_commas(inner[sel[0].end() : frm[0].start()])
+    aliases = []
+    for it in items:
+        am = re.search(r"\bAS\s+(\w+)\s*$", it.strip(), re.IGNORECASE)
+        name = am.group(1) if am else it.strip()
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(
+                f"WITH FILL: select item {it.strip()!r} needs an alias"
+            )
+        aliases.append(name)
+    if key not in aliases:
+        raise ValueError(
+            f"WITH FILL key {key!r} is not an output column of the query"
+        )
+    others = [a for a in aliases if a != key]
+    # fill rows (no matching query row) get 0; REAL rows keep their
+    # values verbatim, including NULLs — CH never rewrites them
+    out_cols = ", ".join(
+        [f"coalesce(__q.{key}, __g.__fill) AS {key}"]
+        + [
+            f"(CASE WHEN __q.{key} IS NULL THEN 0 ELSE __q.{a} END) AS {a}"
+            for a in others
+        ]
+    )
+    b = f"CAST({hi} AS BIGINT)"
+    grid = (
+        f"SELECT explode(filter(sequence(CAST({lo} AS BIGINT), {b}, "
+        f"CAST({step} AS BIGINT)), __v -> __v < {b})) AS __fill"
+    )
+    return (
+        f"WITH __q AS ({inner}), __g AS ({grid}) "
+        f"SELECT {out_cols} FROM __g FULL OUTER JOIN __q "
+        f"ON __q.{key} = __g.__fill ORDER BY {key}"
+    )
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0 outside literals."""
+    lits = _literal_spans(s)
+    out, d, last = [], 0, 0
+    for i, ch in enumerate(s):
+        if any(a <= i < b for a, b in lits):
+            continue
+        if ch in "([":
+            d += 1
+        elif ch in ")]":
+            d -= 1
+        elif ch == "," and d == 0:
+            out.append(s[last:i])
+            last = i + 1
+    out.append(s[last:])
+    return out
 
 
 def _rewrite_sample_clause(text: str) -> str:
@@ -1879,13 +2124,16 @@ def translate_ch_sql(text: str) -> str:
     ``SAMPLE k/n [OFFSET m/n]`` (hash-band subquery), ``FROM t FINAL``
     (latest-per-key subquery per REPLACING_KEYS), ``[LEFT] ARRAY JOIN``
     (LATERAL VIEW explode), ``PREWHERE`` (WHERE conjunction),
-    ``GROUP BY ... WITH TOTALS`` (GROUPING SETS) and top-level
-    ``LIMIT n BY keys`` (row_number window subquery).
+    ``GROUP BY ... WITH TOTALS`` (GROUPING SETS), top-level
+    ``LIMIT n BY keys`` (row_number window subquery) and
+    ``ORDER BY k WITH FILL FROM a TO b [STEP s]`` (dense-grid FULL
+    OUTER JOIN, numeric contract — see ``_rewrite_with_fill``).
     """
     import re
 
     text = re.sub(r"\{\s*(\w+)\s*:\s*[A-Za-z0-9() ]+\}", r":\1", text)
     text = _strip_settings_and_global(text)
+    text = _rewrite_with_fill(text)
     text = _rewrite_final(text)
     text = _rewrite_asof_join(text)
     text = _rewrite_sample_clause(text)

@@ -1253,3 +1253,136 @@ def test_encode_url_component_rfc3986_deltas(spark):
         "SELECT " + T("decodeURLComponent('a%20b~c%2A')") + " AS d"
     ).first()["d"]
     assert d == "a b~c*"
+
+
+# ------------------- r10: behavioral aggregates + WITH FILL (VERDICT #4/#9)
+
+
+def test_window_funnel_executes_inline(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    # user 1: full chain inside 100s; user 2: step2 outside the window;
+    # user 3: steps out of order; user 4: level 1 only
+    rows = run_ch_sql(
+        spark,
+        "SELECT uid, windowFunnel(100)(t, e = 'a', e = 'b', e = 'c') AS lvl "
+        "FROM (SELECT * FROM VALUES "
+        "(1, TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(1, TIMESTAMP'2024-01-01 00:00:30', 'b'),"
+        "(1, TIMESTAMP'2024-01-01 00:01:00', 'c'),"
+        "(2, TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(2, TIMESTAMP'2024-01-01 00:10:00', 'b'),"
+        "(3, TIMESTAMP'2024-01-01 00:00:00', 'b'),"
+        "(3, TIMESTAMP'2024-01-01 00:00:10', 'a'),"
+        "(4, TIMESTAMP'2024-01-01 00:00:00', 'a')"
+        " AS t(uid, t, e)) GROUP BY uid",
+    ).collect()
+    got = {r["uid"]: r["lvl"] for r in rows}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 1}
+
+
+def test_window_funnel_late_chain_start_found(spark):
+    """The max-start greedy must find a chain from a LATER cond1 event
+    when the earliest one is out of window."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(60)(t, e = 'a', e = 'b') AS lvl FROM (SELECT * "
+        "FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:05:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:05:30', 'b')"
+        " AS t(t, e))",
+    ).first()
+    assert r["lvl"] == 2
+
+
+def test_sequence_match_executes_inline(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    rows = run_ch_sql(
+        spark,
+        "SELECT uid, sequenceMatch('(?1).*(?2)')(t, e = 'a', e = 'c') AS hit "
+        "FROM (SELECT * FROM VALUES "
+        "(1, TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(1, TIMESTAMP'2024-01-01 00:00:30', 'b'),"
+        "(1, TIMESTAMP'2024-01-01 00:01:00', 'c'),"
+        "(2, TIMESTAMP'2024-01-01 00:00:00', 'c'),"
+        "(2, TIMESTAMP'2024-01-01 00:00:30', 'a')"
+        " AS t(uid, t, e)) GROUP BY uid",
+    ).collect()
+    got = {r["uid"]: r["hit"] for r in rows}
+    assert got == {1: 1, 2: 0}
+    # permuted references work: (?2)(?1) over the same data
+    r2 = run_ch_sql(
+        spark,
+        "SELECT uid, sequenceMatch('(?2)(?1)')(t, e = 'a', e = 'c') AS hit "
+        "FROM (SELECT * FROM VALUES "
+        "(2, TIMESTAMP'2024-01-01 00:00:00', 'c'),"
+        "(2, TIMESTAMP'2024-01-01 00:00:30', 'a')"
+        " AS t(uid, t, e)) GROUP BY uid",
+    ).first()
+    assert r2["hit"] == 1
+
+
+def test_retention_executes_inline(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        "SELECT retention(e = 'a', e = 'b', e = 'z') AS r FROM (SELECT * "
+        "FROM VALUES ('a'), ('b'), ('c') AS t(e))",
+    ).first()
+    assert list(r["r"]) == [1, 1, 0]
+
+
+def test_behavioral_fail_loudly():
+    with pytest.raises(ValueError, match="default mode"):
+        T("SELECT windowFunnel(100, 'strict_order')(t, a, b) FROM x")
+    with pytest.raises(ValueError, match="only \\(\\?N\\)"):
+        T("SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(t, a, b) FROM x")
+    with pytest.raises(ValueError, match="missing cond"):
+        T("SELECT sequenceMatch('(?3)')(t, a, b) FROM x")
+    with pytest.raises(ValueError, match="at least 2"):
+        T("SELECT retention(a) FROM x")
+
+
+def test_with_fill_rewrite_and_execution(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, sum(v) AS s FROM (SELECT * FROM VALUES (1, 10), (1, 5), "
+        "(4, 7), (9, 1) AS t(k, v)) GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 6 STEP 2",
+    ).collect()
+    got = [(r["k"], r["s"]) for r in rows]
+    # grid {0,2,4}: 0 and 2 are gap rows; 1 and 9 are original rows
+    # outside/off the grid and must survive; TO=6 is exclusive
+    assert got == [(0, 0), (1, 15), (2, 0), (4, 7), (9, 1)]
+
+
+def test_with_fill_fail_loudly():
+    with pytest.raises(ValueError, match="WITH FILL"):
+        T("SELECT k FROM t ORDER BY k WITH FILL")  # no bounds
+    with pytest.raises(ValueError, match="not an output column"):
+        T("SELECT a AS x FROM t ORDER BY k WITH FILL FROM 0 TO 5")
+
+
+def test_url_significant_subdomain(spark):
+    got = spark.sql(
+        "SELECT "
+        + T("cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/path')")
+        + " AS a, "
+        + T("firstSignificantSubdomain('https://news.clickhouse.com.tr/x')")
+        + " AS b, "
+        + T("cutToFirstSignificantSubdomain('http://www.example.com/')")
+        + " AS c, "
+        + T("firstSignificantSubdomain('http://example.com')")
+        + " AS d"
+    ).first()
+    assert got["a"] == "clickhouse.com.tr"
+    assert got["b"] == "clickhouse"
+    assert got["c"] == "example.com"
+    assert got["d"] == "example"
