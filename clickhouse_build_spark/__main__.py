@@ -8,12 +8,17 @@ Reference commands (``main.py:33-44``): ``scanner``, ``data-migrator``,
 - ``data-migrator REPO``    — scan → replication plan (the reference's
   ClickPipe config semantics: database/destination/mode/tableMappings
   + assumption log).
-- ``migrate REPO``          — chains the two (``main.py:329-390``
-  without the interactive gates; there is no code-migration step —
-  this engine IS the analytical target, so queries run here directly).
+- ``code-migrator REPO``    — deterministic strategy-pattern client
+  emission (scan → emit → QA gate), the reference's third capability
+  (``src/agents/code_migrator.py``) without the LLM.
+- ``migrate REPO``          — chains scanner + data-migrator
+  (``main.py:329-390`` without the interactive gates).
 - ``replicate SRC TARGET``  — actually run a table replication between
   parquet locations in any mode (the step the reference delegates to
   ClickPipes).
+- ``eval {scanner,data-migrator,qa,all}`` — the reference's ``eval``
+  command: score each deterministic component against the reference's
+  own ground truth with its own scoring rules.
 
 Every command prints one JSON document to stdout.
 """
@@ -61,6 +66,26 @@ def _cmd_sql(args: argparse.Namespace) -> dict:
         "row_count": len(rows),
         "truncated": args.limit is not None and len(rows) == args.limit,
     }
+
+
+def _cmd_code_migrator(args: argparse.Namespace) -> dict:
+    """The reference's third capability (``main.py`` code-migrator /
+    ``src/agents/code_migrator.py``), deterministic: scan → emit the
+    strategy-pattern TypeScript client, every file QA-gated."""
+    from clickhouse_build_spark.code_emitter import migrate_code
+
+    result = migrate_code(args.repo, out_dir=args.out)
+    if not args.with_files:
+        result.pop("files", None)
+    return result
+
+
+def _cmd_eval(args: argparse.Namespace) -> dict:
+    """The reference's ``eval`` command (``main.py:403-455``) —
+    reference-style scored summaries from the deterministic evals."""
+    from clickhouse_build_spark.evals import run_eval
+
+    return run_eval(args.agent)
 
 
 def _cmd_data_migrator(args: argparse.Namespace) -> dict:
@@ -318,6 +343,32 @@ def main(argv: list[str] | None = None) -> int:
         choices=["snapshot", "cdc", "cdc_only"],
     )
     d.set_defaults(fn=_cmd_data_migrator)
+
+    cm = sub.add_parser(
+        "code-migrator",
+        help="scan → emit the strategy-pattern client (QA-gated)",
+    )
+    cm.add_argument("repo")
+    cm.add_argument(
+        "--out",
+        default=None,
+        help="write the generated files under this directory",
+    )
+    cm.add_argument(
+        "--with-files",
+        action="store_true",
+        help="include full file bodies in the JSON output",
+    )
+    cm.set_defaults(fn=_cmd_code_migrator)
+
+    ev = sub.add_parser(
+        "eval",
+        help="run a reference eval (scanner / data-migrator / qa / all)",
+    )
+    ev.add_argument(
+        "agent", choices=["scanner", "data-migrator", "qa", "all"]
+    )
+    ev.set_defaults(fn=_cmd_eval)
 
     m = sub.add_parser("migrate", help="scanner + data-migrator chained")
     m.add_argument("repo")

@@ -162,8 +162,17 @@ def qa_check(code: str, file_path: str = "", purpose: str = "") -> dict:
         }
 
     # --- 2. backwards compatibility -------------------------------------
+    # Strategy-arm exemption (r10): one arm of a declared strategy
+    # pattern is legitimately single-engine — the fallback lives in the
+    # sibling arm, and the CHANGE-level check (code_emitter.py) owns
+    # proving the whole change keeps PG + the env toggle. The golden
+    # corpus's own lib/clickhouse.ts / lib/strategies/clickhouse.ts are
+    # this shape; the reference's LLM validator approved them from the
+    # same purpose context. A CH-only file NOT declared as a strategy
+    # arm (the ground truth's 'missing_env_check' router) still rejects.
+    strategy_arm = "strategy" in purpose.lower() or "/strategies/" in file_path
     uses_ch, uses_pg, has_env = _db_usage(code)
-    if uses_ch and not uses_pg:
+    if uses_ch and not uses_pg and not strategy_arm:
         return {
             "approved": False,
             "reason": (

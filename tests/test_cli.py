@@ -146,3 +146,29 @@ def test_sql_command_meta_statement():
     res = run_cli("sql", "/root/testdata/sf0.001", "DESCRIBE nation")
     assert res["columns"] == ["name", "type"]
     assert any(r["name"] == "n_nationkey" for r in res["rows"])
+
+
+@pytest.mark.skipif(not APP.is_dir(), reason="reference eval app missing")
+def test_code_migrator_command(tmp_path):
+    res = run_cli("code-migrator", str(APP), "--out", str(tmp_path))
+    assert res["scan_found"] is True
+    assert res["strategy"]["environment_variable"] == "USE_CLICKHOUSE"
+    assert res["strategy"]["total_query_sites"] == 4
+    assert all(v["approved"] for v in res["qa"].values())
+    assert (tmp_path / "lib" / "strategies" / "clickhouse.ts").is_file()
+    assert "files" not in res  # bodies only with --with-files
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/root/reference/eval").is_dir(),
+    reason="reference eval ground truth missing",
+)
+def test_eval_command_matches_pytest_scores():
+    """VERDICT r09 missing #3: the eval subcommand's scores must equal
+    the pytest equivalents' bars — scanner F1 >= 0.8 on all 3 apps,
+    data-migrator field-exact 3/3, QA 6/6."""
+    res = run_cli("eval", "all")
+    assert res["scanner"]["all_passed"] and res["scanner"]["total"] == 3
+    assert all(c["f1_score"] >= 0.8 for c in res["scanner"]["cases"])
+    assert res["data-migrator"]["all_passed"] and res["data-migrator"]["total"] == 3
+    assert res["qa"]["all_passed"] and res["qa"]["total"] == 6
