@@ -59,6 +59,54 @@ class ReplicationPlan:
             "assumptions": self.assumptions,
         }
 
+    def as_clickpipe(self) -> dict:
+        """The reference's LITERAL ClickPipe artifact
+        (``src/tools/data_migrator.py:57-99``): the env-templated
+        payload plus the envsubst-curl command a user pastes to create
+        the pipe. Credentials stay ``${VAR}`` placeholders — the
+        command's export preamble names every variable to fill."""
+        import json
+
+        payload = {
+            "name": f"{self.database_name.title()} Migration",
+            "source": {
+                "postgres": {
+                    "host": "${POSTGRES_HOST}",
+                    "port": "${POSTGRES_PORT}",
+                    "database": self.database_name,
+                    "credentials": {
+                        "username": "${POSTGRES_USER}",
+                        "password": "${POSTGRES_PASSWORD}",
+                    },
+                    "settings": {"replicationMode": self.replication_mode},
+                    "tableMappings": self.table_mappings,
+                }
+            },
+            "destination": {"database": self.destination_database},
+        }
+        # the port placeholder must substitute to a JSON number
+        payload_json = json.dumps(payload, indent=2).replace(
+            '"${POSTGRES_PORT}"', "${POSTGRES_PORT}"
+        )
+        command = (
+            "export ORGANIZATION_ID=<REPLACE_ME>\n"
+            "export SERVICE_ID=<REPLACE_ME>\n"
+            "export POSTGRES_HOST=<REPLACE_ME>\n"
+            "export POSTGRES_PORT=<REPLACE_ME>\n"
+            "export POSTGRES_USER=<REPLACE_ME>\n"
+            "export POSTGRES_PASSWORD=<REPLACE_ME>\n"
+            "\n"
+            "envsubst <<'EOF' | curl -X POST "
+            '"https://api.clickhouse.cloud/v1/organizations/'
+            '$ORGANIZATION_ID/services/$SERVICE_ID/clickpipes/" \\\n'
+            "  --header 'Authorization: Basic (...)' \\\n"
+            "  --header 'Content-Type: application/json' \\\n"
+            "  --data @-\n"
+            f"{payload_json}\n"
+            "EOF"
+        )
+        return {"payload": payload, "command": command}
+
 
 def plan_replication(
     scan: "dict | object",

@@ -31,94 +31,81 @@ from clickhouse_build_spark.plans import retrieval  # noqa: E402,F401
 from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-9 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) 44 of the 46
-# r06-evidence rows pre-listed by the r08 rotation note (the 33-item
-# held-out tail + the 13 displaced rows), oldest evidence on the board;
-# (b) the three queries NEW this round (the translator's JSON / topK +
-# interval-dates / dictGet driver rows) and the three whose PLAN
-# changed (the corpus-derived IVFPQ nlist replacing the pinned 16 —
-# VERDICT r08 #1's explicit done-criterion names emb_semdedup_keepers,
-# emb_semdedup_probe2_keepers and emb_ivfpq_topk in CORRECTNESS_r09).
-# That sums to 52, so TWO of the 46 are held to lead r10, chosen for
-# the most redundant in-window coverage: stats_total (trivial global
-# agg, re-timed as a bench probe every round, machinery shared with
-# the r07-evidenced stats family) and doc_top_tokens (explode+count —
-# same machinery as doc_top_bigrams r07 and ch_dialect_array_join_tokens
-# r08, with doc_token_stats-adjacent coverage in this window). Both are
-# re-verified by the local full-registry sf0.01 oracle gate this round.
-# The other nlist-affected rows (build_ivfpq_index r08, emb_pq_codes /
-# emb_pq_adc_topk r08) keep fresh r08 evidence and are re-verified by
-# the local gate. After this rotation the only latest-evidence rows
-# predating r07 are the two named holdouts.
+# iteration order. Round-10 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) the five r09
+# holdouts whose latest evidence was r06 (oldest on the board); (b) the
+# ten rows that have NEVER had a driver row (late-r09 adds + this
+# round's funnel/retention/fill_corr); (c) the four whose plan or
+# semantics changed in r10 (the repaired SAMPLE+LIMIT BY composition,
+# the df-capped Jaccard verifier, the warm-served trained-IVF row and
+# the build row that now warms it); (d) 31 of the 46 rows whose latest
+# evidence is r07, alphabetical. The 15 r07-age rows that did not fit
+# are enumerated in the (d) comment below and MUST lead the r11
+# rotation; every out-of-window row is still re-verified by the local
+# full-registry sf0.01 oracle gate at the end of each round.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) r06-evidence rows, oldest first (44 of 46) —
-    "customer_latest_order_argmax",
-    "customer_order_gaps",
-    "customers_except_returners",
-    "doc_bpe_token_counts",
+    # — (a) r10 leads: the r09 holdouts (r06 evidence) —
+    "stats_total",
+    "doc_top_tokens",
+    "distinct_counts",
+    "doc_split_counts",
+    "list_filtered",
+    # — (b) never-in-window rows (new in r09/r10) —
+    "doc_dup_span_stats",
+    "doc_span_scrubbed",
+    "ch_dialect_asof_join",
+    "ch_dialect_mv_rollup",
+    "doc_bm25_topk",
+    "doc_dsir_importance",
+    "doc_dsir_sample",
+    "ch_dialect_funnel",
+    "ch_dialect_retention",
+    "ch_dialect_fill_corr",
+    # — (c) plan/semantics changed in r10 —
+    "ch_dialect_sample_limit_by",
     "doc_near_dup_jaccard",
-    "doc_token_histogram",
-    "doc_winnow_fingerprints",
-    "emb_label_centroids",
-    "emb_normalize_quantize",
-    "events_json_props",
-    "media_audio_chunks",
-    "media_image_features",
-    "media_jpeg_transcode",
-    "media_resize_features",
-    "nation_revenue_ranks",
-    "order_value_distribution",
-    "part_stats_min_max_avg",
-    "price_percentiles_by_flag",
-    "q10_returned_items",
-    "q12_priority_shipping_caseagg",
-    "q18_large_volume_customers",
-    "q6_forecast_revenue",
-    "rolling_30day_customer_spend",
-    "stats_by_month",
-    "status_priority_pivot",
-    "status_priority_profile",
-    "top3_orders_per_customer",
-    "user_sessions_30min",
-    "weekly_retention_cohorts",
-    "emb_ann_lsh_topk_batch",
-    "emb_knn_cosine",
-    "emb_ann_ivf_topk",
     "emb_ann_ivf_trained_topk",
-    "cdc_latest_event_per_user",
-    "ch_dialect_status_profile",
-    "events_asof_last_error",
-    "events_props_as_map",
-    "events_sliding_10min_step5",
-    "events_type_counts_salted",
-    "events_views_in_error_windows",
-    "stats_daily_top30",
-    # — (b) NEW in round 9 (translator JSON / topK+intervals / dictGet) —
-    "ch_dialect_json_props",
-    "ch_dialect_topk_intervals",
-    "ch_dialect_dictget",
-    # — (b) plan changed in round 9: corpus-derived nlist (sqrt(n)) —
-    "emb_semdedup_keepers",
-    "emb_semdedup_probe2_keepers",
-    "emb_ivfpq_topk",
-    # — (c) NEW in the r09 continuation (URL family / WITH ROLLUP +
-    # bit-aggregates / array-HOF breadth through the translator) —
-    "ch_dialect_url_report",
-    "ch_dialect_rollup_stats",
-    "ch_dialect_token_arrays",
-    # Held OUT to lead r10 (r06 evidence, redundantly covered, see
-    # header): stats_total, doc_top_tokens, distinct_counts,
-    # doc_split_counts, list_filtered (the last three displaced for the
-    # (c) rows — trivial agg/filter shapes whose operators are
-    # re-proven every round by the TPC-H family) — plus the two
-    # NEW-late-in-r09 rows ch_dialect_mv_rollup (hash-green at
-    # sf0.001/0.01; reads the same maintained artifact the in-window
-    # cdc_incremental_rollup evidence covers) and ch_dialect_asof_join
-    # (hash-green at sf0.001/0.01/0.1 vs DuckDB's NATIVE ASOF JOIN).
-    # The r09 continuation adds doc_dup_span_stats + doc_span_scrubbed
-    # (ExactSubstr duplicated-span detection and span surgery) to the
-    # same lead list — both hash-green locally at sf0.001/0.01/0.1.
+    "build_ivfpq_index",
+    # — (d) stalest remaining evidence (r07 driver rows), alphabetical;
+    # 15 more r07-age rows did not fit the 50 and MUST lead r11:
+    # orders_zorder_profile, part_attributes_unpivot,
+    # q14_promo_revenue_share, q17_small_quantity_revenue,
+    # q19_disjunctive_revenue, q1_pricing_summary, q21_waiting_suppliers,
+    # q22_idle_rich_customers, q3_shipping_priority,
+    # q5_local_supplier_volume, running_customer_revenue,
+    # signup_purchase_funnel, stats_by_category, stats_by_month_pg_shape,
+    # top_customers_by_revenue.
+    "build_dedup_artifacts",
+    "build_media_corpus",
+    "build_quality_model",
+    "clean_corpus",
+    "corpus_quality_filter",
+    "customer_order_span",
+    "customers_without_orders",
+    "doc_dedup_cluster_sizes",
+    "doc_emb_semantic_dup_check",
+    "doc_exact_dedup",
+    "doc_fuzzy_dedup_keepers",
+    "doc_incremental_dedup",
+    "doc_lang_id",
+    "doc_minhash_lsh_dedup",
+    "doc_pack_sequences",
+    "doc_quality_classifier_model",
+    "doc_quality_scores",
+    "doc_simhash",
+    "doc_top_bigrams",
+    "emb_ann_lsh_topk",
+    "emb_fuzzy_dedup_keepers",
+    "emb_lsh_bucketed_cosine_pairs",
+    "emb_near_dup_cosine",
+    "emb_pq_adc_topk",
+    "emb_pq_codes",
+    "event_value_histogram",
+    "events_tumbling_10min",
+    "media_adpcm_chunks",
+    "media_mdct_chunks",
+    "media_pframe_frames",
+    "media_video_frame_sample",
 ]
 
 

@@ -424,6 +424,11 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leaves one-hit slack on both sides.
 IVF_RECALL_FLOOR = 0.7
 IVF_TRAINED_NPROBE = 4
+# Coarse-cell count for the IVF-Flat trained index (distinct from the
+# corpus-scaled IVFPQ nlist — this row pins the small-k trainer path).
+# The artifact is WARMED by build_ivfpq_index so the query row measures
+# steady-state serving, not first-touch training (VERDICT r09 #10).
+IVF_TRAINED_CELLS = 16
 
 
 @query(
@@ -468,7 +473,9 @@ def emb_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     v = _vectors(spark, sf_dir)
-    centroids = shared_ivf_centroids(spark, sf_dir, k=16, iters=5)
+    centroids = shared_ivf_centroids(
+        spark, sf_dir, k=IVF_TRAINED_CELLS, iters=5
+    )
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
     corpus = v.filter(F.col("vec_id") != QUERY_VEC_ID)
     assigned = ivf_assign(corpus, centroids)

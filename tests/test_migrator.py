@@ -68,3 +68,26 @@ def test_explicit_values_generate_no_assumptions():
     assert plan.destination_database == "warehouse"
     # only the ordering-key assumption remains
     assert len([a for a in plan.assumptions if "assuming" in a]) == 0
+
+
+def test_clickpipe_artifact_shape():
+    """The reference's literal ClickPipe payload + envsubst-curl command
+    (src/tools/data_migrator.py:57-99) — env placeholders kept, port
+    unquoted so substitution yields a JSON number, mappings verbatim."""
+    plan = plan_replication({"tables": ["expenses"]}, "cdc")
+    art = plan.as_clickpipe()
+    pg = art["payload"]["source"]["postgres"]
+    assert pg["host"] == "${POSTGRES_HOST}"
+    assert pg["settings"]["replicationMode"] == "cdc"
+    assert pg["tableMappings"] == [
+        {
+            "sourceSchemaName": "public",
+            "sourceTable": "expenses",
+            "targetTable": "expenses",
+        }
+    ]
+    assert art["payload"]["destination"]["database"] == "postgres"
+    cmd = art["command"]
+    assert cmd.startswith("export ORGANIZATION_ID=")
+    assert 'envsubst <<\'EOF\'' in cmd and cmd.rstrip().endswith("EOF")
+    assert '"port": ${POSTGRES_PORT}' in cmd  # number after envsubst
