@@ -686,20 +686,47 @@ FUNCS: dict[str, Rule] = {
         f" array_position(reverse(transform({a[1]}, {a[0]})), true) END)"
     ),
     # cumulative / pairwise forms keep the element type via x - x zeros
+    # LINEAR running-sum fold (r10): the old per-index slice+aggregate
+    # re-evaluated an O(n) prefix sum for every element — O(n²) per row
+    # with the full source expression recomputed inside each slice
+    # (ch_dialect_token_arrays read 24 s at sf0.1 from this alone).
+    # array_append copies are O(n²) memcpy of scalars — negligible next
+    # to expression re-evaluation. `x - x` keeps the zero generic over
+    # the element's numeric type. DECIMAL-typed arrays fail loudly at
+    # analysis (addition widens decimal precision so no fixed
+    # accumulator type exists) — CH itself types fractional array
+    # literals as Float64, so cast to toFloat64 first, as CH would.
     "arraycumsum": lambda a: (
-        f"transform({a[0]}, (x, i) -> "
-        f"aggregate(slice({a[0]}, 1, i + 1), x - x, (acc, y) -> acc + y))"
+        f"aggregate({a[0]}, slice({a[0]}, 1, 0), (acc, x) -> "
+        f"array_append(acc, x + IF(size(acc) = 0, x - x, "
+        f"element_at(acc, size(acc)))))"
     ),
+    # LINEAR fold (r10, same hazard as arrayCumSum): the indexed
+    # transform re-evaluated the SOURCE expression inside the lambda
+    # per element — O(n²) when the array is derived (tokens/arrayMap
+    # chains). The previous raw element rides in a 1-element array so
+    # the accumulator stays type-stable with no NULL-typing problem.
     "arraydifference": lambda a: (
-        f"transform({a[0]}, (x, i) -> "
-        f"if(i = 0, x - x, x - element_at({a[0]}, i)))"
+        f"aggregate({a[0]}, "
+        f"named_struct('o', slice(transform({a[0]}, __ad -> __ad - __ad), 1, 0), "
+        f"'p', slice({a[0]}, 1, 0)), "
+        f"(acc, x) -> named_struct("
+        f"'o', array_append(acc.o, IF(size(acc.p) = 0, x - x, "
+        f"x - element_at(acc.p, 1))), "
+        f"'p', array(x)), "
+        f"acc -> acc.o)"
     ),
     "arrayintersect": _rename("array_intersect"),
     "hasall": lambda a: f"forall({a[1]}, __ha -> array_contains({a[0]}, __ha))",
     "hasany": _rename("arrays_overlap"),
+    # LINEAR fold (r10): consecutive-dedup keeping the first of each
+    # run — appends only when the last kept element differs (<=> keeps
+    # CH's NULL-run collapsing). Single source reference, no per-element
+    # re-evaluation of a derived array.
     "arraycompact": lambda a: (
-        f"transform(filter(transform({a[0]}, (x, i) -> struct(x AS v, i AS i)),"
-        f" s -> s.i = 0 OR NOT (s.v <=> element_at({a[0]}, s.i))), s -> s.v)"
+        f"aggregate({a[0]}, slice({a[0]}, 1, 0), "
+        f"(acc, x) -> IF(size(acc) > 0 AND "
+        f"element_at(acc, size(acc)) <=> x, acc, array_append(acc, x)))"
     ),
     "arraypushback": lambda a: f"concat({a[0]}, array({a[1]}))",
     "arraypushfront": lambda a: f"concat(array({a[1]}), {a[0]})",
