@@ -71,11 +71,24 @@ def detect_package_manager(repo_path: str) -> tuple[str, str]:
 def extract_sql(code: str) -> str | None:
     """Pull the SQL text out of a scanned code snippet: the first
     backtick template literal or quoted string containing SELECT.
-    ``${whereClause}`` interpolations are kept as placeholders."""
+    ``${whereClause}`` interpolations are kept as placeholders.
+    String-concatenated builders (``query += \\`GROUP BY ...\\```, the
+    prisma app's raw monthly query) are stitched back together: after
+    the SELECT literal, subsequent literals that BEGIN with a clause
+    keyword are appended in order."""
+    _CONT = re.compile(
+        r"^\s*(AND|WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|OFFSET)\b",
+        re.IGNORECASE,
+    )
     for pat in (r"`([^`]*)`", r"'([^']*)'", r'"([^"]*)"'):
-        for m in re.finditer(pat, code, re.DOTALL):
-            if re.search(r"\bSELECT\b", m.group(1), re.IGNORECASE):
-                return re.sub(r"\s+", " ", m.group(1)).strip()
+        lits = [m.group(1) for m in re.finditer(pat, code, re.DOTALL)]
+        for i, lit in enumerate(lits):
+            if re.search(r"\bSELECT\b", lit, re.IGNORECASE):
+                parts = [lit]
+                for nxt in lits[i + 1 :]:
+                    if _CONT.match(nxt):
+                        parts.append(nxt)
+                return re.sub(r"\s+", " ", " ".join(parts)).strip()
     return None
 
 
@@ -134,11 +147,182 @@ def pg_sql_to_ch(sql: str) -> str:
 class MethodSpec:
     name: str
     result_iface: str
-    pg_sql: str
+    pg_sql: str  # raw apps: scanned text VERBATIM; ORM apps: derived equivalent
     ch_sql: str
     fields: list[tuple[str, str]]  # (name, ts_type)
     location: str
     query_type: str
+    orm: str = "none"  # none | drizzle | prisma
+    orm_call: str = ""  # the scanned ORM call, kept verbatim for the PG arm
+    prisma_kind: str = ""  # aggregate | groupBy (prisma specs only)
+    prisma_sumcol: str = ""
+    group_col: str = ""
+
+
+# --------------------------------------------- ORM call parsers (r10)
+#
+# The reference's golden corpora cover three app shapes (orm_none /
+# orm_drizzleorm / orm_prismaorm). For ORM apps the PG strategy keeps
+# the ORM CALL verbatim (never rewrite the postgres side) while the CH
+# strategy gets raw CH SQL derived from the call's semantics with the
+# golden idioms: drizzle's string-typed sum() becomes
+# sum(toFloat64(col)) (corpus/orm_drizzleorm.txt:453-513), prisma's
+# _sum stays sum(col) (corpus/orm_prismaorm.txt), COALESCE labels
+# become if(empty(...)), DATE_TRUNC('month') becomes toStartOfMonth.
+# A PG-equivalent raw SQL is ALSO derived for each ORM call — not
+# emitted into the client (the ORM call is the PG truth) but reported
+# in the summary and used by the e2e round-trip to prove the CH
+# variant computes the same rows.
+
+
+def _drizzle_raw(sql_tpl: str) -> str:
+    return re.sub(r"\$\{expenses\.(\w+)\}", r"\1", sql_tpl).strip()
+
+
+def parse_drizzle(code: str) -> dict | None:
+    """``db.select({...}).from(expenses)...`` → canonical spec."""
+    m = re.search(r"db\s*\.\s*select\(\{", code)
+    if not m or ".from(" not in code:
+        return None
+    # brace-depth scan: `${expenses.col}` interpolations nest braces
+    depth, i = 1, m.end()
+    while i < len(code) and depth:
+        if code[i] == "{":
+            depth += 1
+        elif code[i] == "}":
+            depth -= 1
+        i += 1
+    fields = []
+    body = code[m.end() : i - 1]
+    item_pat = re.compile(
+        r"(\w+):\s*(count\(\)"
+        r"|sum\(expenses\.(\w+)\)"
+        r"|sql(?:<[^>]*>)?`([^`]*)`"
+        r"|expenses\.(\w+))",
+        re.DOTALL,
+    )
+    exprs: dict[str, str] = {}  # normalized source expr -> alias
+    for im in item_pat.finditer(body):
+        alias, kind = im.group(1), im.group(2)
+        if kind == "count()":
+            fields.append((alias, "COUNT(*)", "COUNT(*)", "number"))
+            exprs["count()"] = alias
+        elif im.group(3):
+            col = im.group(3)
+            fields.append(
+                (alias, f"sum(toFloat64({col}))", f"SUM({col})", "number")
+            )
+            exprs[f"sum(expenses.{col})"] = alias
+        elif im.group(4) is not None:
+            raw = _drizzle_raw(im.group(4))
+            fields.append(
+                (alias, pg_sql_to_ch(raw), raw, _field_type(raw, alias))
+            )
+            exprs[re.sub(r"\s+", "", im.group(4))] = alias
+        else:
+            col = im.group(5)
+            fields.append((alias, col, col, _field_type(col, alias)))
+            exprs[f"expenses.{col}"] = alias
+
+    def to_alias(ref: str) -> str | None:
+        ref = ref.strip()
+        sm = re.fullmatch(r"sql(?:<[^>]*>)?`([^`]*)`", ref, re.DOTALL)
+        if sm:
+            return exprs.get(re.sub(r"\s+", "", sm.group(1)))
+        return exprs.get(re.sub(r"\s+", "", ref))
+
+    group = None
+    gm = re.search(r"\.groupBy\(\s*(.*?)\s*\)\s*[.;]", code, re.DOTALL)
+    if gm:
+        group = to_alias(
+            gm.group(1) if gm.group(1).startswith("sql")
+            else gm.group(1)
+        )
+        if group is None:
+            raise ValueError(
+                f"drizzle groupBy target not in the select list: {gm.group(1)!r}"
+            )
+    order = None
+    om = re.search(r"\.orderBy\(\s*(desc\()?\s*(.*?)\s*\)?\s*\)\s*[.;]", code, re.DOTALL)
+    if om:
+        direction = "DESC" if om.group(1) else "ASC"
+        target = to_alias(om.group(2))
+        if target is None:
+            raise ValueError(
+                f"drizzle orderBy target not in the select list: {om.group(2)!r}"
+            )
+        order = (target, direction)
+    lm = re.search(r"\.limit\((\d+)\)", code)
+    return {
+        "fields": fields,
+        "group": group,
+        "order": order,
+        "limit": int(lm.group(1)) if lm else None,
+        "orm": "drizzle",
+    }
+
+
+def parse_prisma(code: str) -> dict | None:
+    """``prisma.<model>.aggregate({...})`` / ``groupBy({...})`` →
+    canonical spec (aliases follow the golden corpus: _count → count,
+    _sum.X → total)."""
+    m = re.search(r"prisma\.\w+\.(aggregate|groupBy)\(\{(.*)\}\s*\)", code, re.DOTALL)
+    if not m:
+        return None
+    kind, body = m.group(1), m.group(2)
+    fields = []
+    group = None
+    bym = re.search(r"by:\s*\[\s*'(\w+)'\s*\]", body)
+    if kind == "groupBy":
+        if not bym:
+            raise ValueError("prisma groupBy without a by: column")
+        col = bym.group(1)
+        fields.append((col, col, col, _field_type(col, col)))
+        group = col
+    if re.search(r"_count:", body):
+        fields.append(("count", "COUNT(*)", "COUNT(*)", "number"))
+    sm = re.search(r"_sum:\s*\{\s*(\w+):\s*true\s*\}", body)
+    if sm:
+        fields.append(
+            ("total", f"sum({sm.group(1)})", f"SUM({sm.group(1)})", "number")
+        )
+    order = None
+    om = re.search(
+        r"orderBy:\s*\{\s*_sum:\s*\{\s*(\w+):\s*'(asc|desc)'", body
+    )
+    if om:
+        order = ("total", om.group(2).upper())
+    else:
+        om2 = re.search(r"orderBy:\s*\{\s*(\w+):\s*'(asc|desc)'", body)
+        if om2:
+            order = (om2.group(1), om2.group(2).upper())
+    tm = re.search(r"take:\s*(\d+)", body)
+    return {
+        "fields": fields,
+        "group": group,
+        "order": order,
+        "limit": int(tm.group(1)) if tm else None,
+        "orm": "prisma",
+        "prisma_kind": kind,
+        "prisma_sumcol": sm.group(1) if sm else "",
+    }
+
+
+def _spec_sql(spec: dict, table: str, dialect: str) -> str:
+    """Canonical spec → one SQL string (index 1 = CH expr, 2 = PG)."""
+    i = 1 if dialect == "ch" else 2
+    sels = ", ".join(
+        f"{f[i]} as {f[0]}" if f[i] != f[0] else f[0]
+        for f in spec["fields"]
+    )
+    sql = f"SELECT {sels} FROM {table} ${{whereClause}}"
+    if spec["group"]:
+        sql += f" GROUP BY {spec['group']}"
+    if spec["order"]:
+        sql += f" ORDER BY {spec['order'][0]} {spec['order'][1]}"
+    if spec["limit"]:
+        sql += f" LIMIT {spec['limit']}"
+    return sql
 
 
 _NUMERIC_ALIASES = frozenset(
@@ -200,11 +384,12 @@ def _method_name(sql: str, taken: set[str]) -> str:
             base = "getMonthlyStats"
         else:
             col = re.sub(r"\W", "", key.split(".")[-1])
-            base = (
-                "getDailyStats"
-                if col.lower() == "date"
-                else f"get{col[:1].upper()}{col[1:]}Stats"
-            )
+            if col.lower() == "date":
+                base = "getDailyStats"
+            elif col.lower() == "month":
+                base = "getMonthlyStats"
+            else:
+                base = f"get{col[:1].upper()}{col[1:]}Stats"
     name, i = base, 2
     while name in taken:
         name, i = f"{base}{i}", i + 1
@@ -212,30 +397,60 @@ def _method_name(sql: str, taken: set[str]) -> str:
     return name
 
 
-def build_method_specs(queries: list[dict]) -> list[MethodSpec]:
+def build_method_specs(
+    queries: list[dict], table: str = "expenses"
+) -> list[MethodSpec]:
     taken: set[str] = set()
     specs = []
     for q in queries:
-        sql = extract_sql(q["code"])
-        if sql is None:
-            continue
-        _check_interpolations(sql)
-        name = _method_name(sql, taken)
-        fields = []
-        for expr, alias in _select_items(sql):
-            if alias == "*":
-                fields = [("row", "Record<string, string | number | null>")]
-                break
-            fields.append((alias, _field_type(expr, alias)))
+        code = q["code"]
+        sql = extract_sql(code)
+        spec = None
+        if sql is None or "${" in sql.replace("${whereClause}", ""):
+            spec = parse_drizzle(code) or parse_prisma(code)
+            if spec is None:
+                if sql is not None:
+                    _check_interpolations(sql)  # raises with the culprit
+                raise ValueError(
+                    "scanned analytical query is neither raw SQL nor a "
+                    f"supported ORM call: {code[:120]!r}"
+                )
+            sql = None
+        if spec is not None:
+            pg_sql = _spec_sql(spec, table, "pg")
+            ch_sql = _spec_sql(spec, table, "ch")
+            fields = [(f[0], f[3]) for f in spec["fields"]]
+            orm = spec["orm"]
+            orm_call = re.sub(
+                r"^(//[^\n]*\n\s*)?const\s+\w+\s*=\s*await\s+", "", code.strip()
+            ).rstrip(";\n ")
+            name = _method_name(pg_sql.replace("${whereClause}", ""), taken)
+        else:
+            pg_sql, ch_sql = sql, pg_sql_to_ch(sql)
+            orm, orm_call = "none", ""
+            fields = []
+            for expr, alias in _select_items(sql):
+                if alias == "*":
+                    fields = [
+                        ("row", "Record<string, string | number | null>")
+                    ]
+                    break
+                fields.append((alias, _field_type(expr, alias)))
+            name = _method_name(sql, taken)
         specs.append(
             MethodSpec(
                 name=name,
                 result_iface=name[3:] + "Row",
-                pg_sql=sql,
-                ch_sql=pg_sql_to_ch(sql),
+                pg_sql=pg_sql,
+                ch_sql=ch_sql,
                 fields=fields,
                 location=q.get("location", ""),
                 query_type=q.get("description", ""),
+                orm=orm,
+                orm_call=orm_call,
+                prisma_kind=(spec or {}).get("prisma_kind", ""),
+                prisma_sumcol=(spec or {}).get("prisma_sumcol", ""),
+                group_col=(spec or {}).get("group") or "",
             )
         )
     return specs
@@ -326,10 +541,19 @@ def _emit_ch_strategy(specs: list[MethodSpec]) -> str:
         "",
     ]
     for s in specs:
+        if "${whereClause}" in s.ch_sql:
+            q_line = f"    const query = `{s.ch_sql}`;"
+        else:
+            # scanned text carried a literal base WHERE (the prisma
+            # app's string-built monthly query) — splice at runtime
+            q_line = (
+                f"    const query = `{s.ch_sql}`"
+                ".replace('WHERE 1=1', whereClause);"
+            )
         parts += [
             f"  async {s.name}(filter: DateFilter): Promise<{s.result_iface}[]> {{",
             "    const { whereClause, params } = this.buildWhereClause(filter);",
-            f"    const query = `{s.ch_sql}`;",
+            q_line,
             f"    return executeClickHouseQuery<{s.result_iface}>(query, params);",
             "  }",
             "",
@@ -338,7 +562,11 @@ def _emit_ch_strategy(specs: list[MethodSpec]) -> str:
     return "\n".join(parts) + "\n"
 
 
-def _emit_pg_strategy(specs: list[MethodSpec]) -> str:
+def _emit_pg_strategy(specs: list[MethodSpec], orm: str = "none") -> str:
+    if orm == "drizzle":
+        return _emit_pg_strategy_drizzle(specs)
+    if orm == "prisma":
+        return _emit_pg_strategy_prisma(specs)
     parts = [
         "import { Pool } from 'pg';",
         _ifaces_import(specs),
@@ -375,34 +603,200 @@ def _emit_pg_strategy(specs: list[MethodSpec]) -> str:
     return "\n".join(parts) + "\n"
 
 
-def _emit_factory(specs: list[MethodSpec]) -> str:
-    return """import { Pool } from 'pg';
-import { DatabaseStrategy } from './types';
-import { ClickHouseStrategy } from './strategies/clickhouse';
-import { PostgreSQLStrategy } from './strategies/postgres';
+def _indent_call(call: str, pad: str = "      ") -> str:
+    return "\n".join(
+        pad + line.strip() for line in call.splitlines() if line.strip()
+    )
 
-const pgPool = new Pool({
-  host: process.env.DB_HOST || 'localhost',
-  database: process.env.DB_NAME || 'app_db',
-  user: process.env.DB_USER || 'postgres',
-  password: process.env.DB_PASSWORD || '',
-  port: parseInt(process.env.DB_PORT || '5432', 10),
-});
+
+def _emit_pg_strategy_drizzle(specs: list[MethodSpec]) -> str:
+    """PG arm for a drizzle app: the scanned builder calls VERBATIM
+    (never rewrite the postgres side), re-homed onto the injected db
+    handle — the golden corpus's PostgreSQLStrategy shape
+    (``corpus/orm_drizzleorm.txt:583-650``)."""
+    parts = [
+        "import { and, count, desc, gte, lte, sql, sum } from 'drizzle-orm';",
+        "import { NodePgDatabase } from 'drizzle-orm/node-postgres';",
+        "// adjust the schema import to the app's drizzle schema module",
+        "import { expenses } from '../db/schema';",
+        _ifaces_import(specs),
+        "",
+        "export class PostgreSQLStrategy implements DatabaseStrategy {",
+        "  constructor(private db: NodePgDatabase<{ expenses: typeof expenses }>) {}",
+        "",
+        "  private buildWhereCondition(filter: DateFilter) {",
+        "    const conditions = [];",
+        "    if (filter.startDate) {",
+        "      conditions.push(gte(expenses.date, filter.startDate));",
+        "    }",
+        "    if (filter.endDate) {",
+        "      conditions.push(lte(expenses.date, filter.endDate));",
+        "    }",
+        "    return conditions.length > 0 ? and(...conditions) : undefined;",
+        "  }",
+        "",
+    ]
+    for s in specs:
+        call = s.orm_call.replace("db.", "this.db.", 1)
+        # golden-style field mapping: drizzle count() is number, sum()
+        # is string|null — normalize numerics with Number()
+        mapping = ", ".join(
+            f"{a}: Number(row.{a} ?? 0)" if t == "number" else f"{a}: row.{a}"
+            for a, t in s.fields
+        )
+        parts += [
+            f"  async {s.name}(filter: DateFilter): Promise<{s.result_iface}[]> {{",
+            "    const whereCondition = this.buildWhereCondition(filter);",
+            "    const result = await " + _indent_call(call).lstrip() + ";",
+            f"    return result.map(row => ({{ {mapping} }}));",
+            "  }",
+            "",
+        ]
+    parts.append("}")
+    return "\n".join(parts) + "\n"
+
+
+def _emit_pg_strategy_prisma(specs: list[MethodSpec]) -> str:
+    """PG arm for a prisma app: aggregate/groupBy calls verbatim on the
+    injected client; raw-SQL sites (prisma cannot express DATE_TRUNC)
+    run through ``$queryRawUnsafe`` exactly as the golden corpus does
+    (``corpus/orm_prismaorm.txt:533``)."""
+    parts = [
+        "import { PrismaClient } from '@prisma/client';",
+        _ifaces_import(specs),
+        "",
+        "export class PostgreSQLStrategy implements DatabaseStrategy {",
+        "  constructor(private prisma: PrismaClient) {}",
+        "",
+        "  private buildPrismaWhere(filter: DateFilter): { date?: { gte?: string; lte?: string } } {",
+        "    const date: { gte?: string; lte?: string } = {};",
+        "    if (filter.startDate) {",
+        "      date.gte = filter.startDate;",
+        "    }",
+        "    if (filter.endDate) {",
+        "      date.lte = filter.endDate;",
+        "    }",
+        "    return Object.keys(date).length > 0 ? { date } : {};",
+        "  }",
+        "",
+    ]
+    for s in specs:
+        if s.orm == "prisma":
+            call = s.orm_call.replace("prisma.", "this.prisma.", 1)
+
+            def fld(a: str, t: str) -> str:
+                # golden mapping: _count.id -> count, _sum.<col> -> total
+                if a == "count":
+                    return f"{a}: row._count.id"
+                if a == "total" and s.prisma_sumcol:
+                    return (
+                        f"{a}: row._sum.{s.prisma_sumcol} ? "
+                        f"Number(row._sum.{s.prisma_sumcol}) : 0"
+                    )
+                return f"{a}: row.{a}"
+
+            mapping = ", ".join(fld(a, t) for a, t in s.fields)
+            if s.prisma_kind == "aggregate":
+                body = [
+                    "    const result = await "
+                    + _indent_call(call).lstrip()
+                    + ";",
+                    f"    return [result].map(row => ({{ {mapping} }}));",
+                ]
+            else:
+                body = [
+                    "    const result = await "
+                    + _indent_call(call).lstrip()
+                    + ";",
+                    f"    return result.map(row => ({{ {mapping} }}));",
+                ]
+            parts += [
+                f"  async {s.name}(filter: DateFilter): Promise<{s.result_iface}[]> {{",
+                "    const where = this.buildPrismaWhere(filter);",
+                *body,
+                "  }",
+                "",
+            ]
+        else:  # raw-SQL site inside a prisma app
+            parts += [
+                f"  async {s.name}(filter: DateFilter): Promise<{s.result_iface}[]> {{",
+                "    const params: string[] = [];",
+                "    let whereClause = 'WHERE 1=1';",
+                "    if (filter.startDate) {",
+                "      params.push(filter.startDate);",
+                "      whereClause += ` AND date >= $${params.length}`;",
+                "    }",
+                "    if (filter.endDate) {",
+                "      params.push(filter.endDate);",
+                "      whereClause += ` AND date <= $${params.length}`;",
+                "    }",
+                # the scanned app builds the filter dynamically; restore
+                # that by splicing the built clause over the base WHERE
+                f"    const query = `{s.pg_sql}`.replace('WHERE 1=1', whereClause);",
+                f"    return this.prisma.$queryRawUnsafe<{s.result_iface}[]>(query, ...params);",
+                "  }",
+                "",
+            ]
+    parts.append("}")
+    return "\n".join(parts) + "\n"
+
+
+def _emit_factory(specs: list[MethodSpec], orm: str = "none") -> str:
+    if orm == "drizzle":
+        pg_imports = (
+            "import { Pool } from 'pg';\n"
+            "import { drizzle } from 'drizzle-orm/node-postgres';\n"
+            "// adjust the schema import to the app's drizzle schema module\n"
+            "import { expenses } from '../db/schema';"
+        )
+        pg_handle = (
+            "const pgPool = new Pool({\n"
+            "  host: process.env.DB_HOST || 'localhost',\n"
+            "  database: process.env.DB_NAME || 'app_db',\n"
+            "  user: process.env.DB_USER || 'postgres',\n"
+            "  password: process.env.DB_PASSWORD || '',\n"
+            "  port: parseInt(process.env.DB_PORT || '5432', 10),\n"
+            "});\n"
+            "const db = drizzle(pgPool, { schema: { expenses } });"
+        )
+        pg_ctor = "new PostgreSQLStrategy(db)"
+    elif orm == "prisma":
+        pg_imports = "import { PrismaClient } from '@prisma/client';"
+        pg_handle = "const pgPool = new PrismaClient();"
+        pg_ctor = "new PostgreSQLStrategy(pgPool)"
+    else:
+        pg_imports = "import { Pool } from 'pg';"
+        pg_handle = (
+            "const pgPool = new Pool({\n"
+            "  host: process.env.DB_HOST || 'localhost',\n"
+            "  database: process.env.DB_NAME || 'app_db',\n"
+            "  user: process.env.DB_USER || 'postgres',\n"
+            "  password: process.env.DB_PASSWORD || '',\n"
+            "  port: parseInt(process.env.DB_PORT || '5432', 10),\n"
+            "});"
+        )
+        pg_ctor = "new PostgreSQLStrategy(pgPool)"
+    return f"""{pg_imports}
+import {{ DatabaseStrategy }} from './types';
+import {{ ClickHouseStrategy }} from './strategies/clickhouse';
+import {{ PostgreSQLStrategy }} from './strategies/postgres';
+
+{pg_handle}
 
 // Strategy pattern for OLAP reads: PostgreSQL stays the default;
 // USE_CLICKHOUSE=true (env or .env) flips analytical queries over.
-export function createDatabaseStrategy(): DatabaseStrategy {
+export function createDatabaseStrategy(): DatabaseStrategy {{
   const useClickHouse = process.env.USE_CLICKHOUSE === 'true';
-  if (useClickHouse) {
+  if (useClickHouse) {{
     return new ClickHouseStrategy();
-  }
-  return new PostgreSQLStrategy(pgPool);
-}
+  }}
+  return {pg_ctor};
+}}
 
 export const dbStrategy = createDatabaseStrategy();
 
 // OLTP writes always stay on PostgreSQL
-export { pgPool };
+export {{ pgPool }};
 
 // Default export preserved for backwards compatibility
 export default pgPool;
@@ -426,13 +820,15 @@ def emit_migration(scan: Any, repo_path: str = "") -> dict:
             ),
             "scan_found": False,
         }
-    specs = build_method_specs(scan_d["queries"])
+    table = (scan_d.get("tables") or ["expenses"])[0]
+    specs = build_method_specs(scan_d["queries"], table=table)
+    orm = next((s.orm for s in specs if s.orm != "none"), "none")
     files = {
         "lib/clickhouse.ts": _emit_client(),
         "lib/types.ts": _emit_types(specs),
         "lib/strategies/clickhouse.ts": _emit_ch_strategy(specs),
-        "lib/strategies/postgres.ts": _emit_pg_strategy(specs),
-        "lib/db.ts": _emit_factory(specs),
+        "lib/strategies/postgres.ts": _emit_pg_strategy(specs, orm),
+        "lib/db.ts": _emit_factory(specs, orm),
     }
     qa = {}
     for path, content in files.items():
@@ -472,12 +868,18 @@ def emit_migration(scan: Any, repo_path: str = "") -> dict:
                 "PostgreSQLStrategy (default) and ClickHouseStrategy, "
                 "selected by USE_CLICKHOUSE"
             ),
+            "orm": orm,
             "query_sites": [
                 {
                     "file": s.location.split(":")[0],
                     "location": s.location,
                     "query_type": s.query_type,
                     "method": s.name,
+                    "orm": s.orm,
+                    # the PG-side SQL (scanned verbatim for raw sites,
+                    # derived for ORM sites) the round-trip test proves
+                    # the CH variant against
+                    "pg_equivalent_sql": s.pg_sql,
                 }
                 for s in specs
             ],

@@ -49,7 +49,12 @@ _TYPE_GUARD = re.compile(
 # PG-only code must not trip the CH-only rejection); module-path
 # markers are read from the import specifiers separately.
 _CH_IDENT = re.compile(r"ClickHouseClient|ClickHouse")
-_PG_IDENT = re.compile(r"\bPool\b|Postgres")
+# Postgres-path markers include the PG ORM clients the reference's
+# golden corpora keep as the fallback arm (drizzle's NodePgDatabase,
+# PrismaClient). 'Postgres' alone misses the capital-S 'PostgreSQL'.
+_PG_IDENT = re.compile(
+    r"\bPool\b|Postgres|PostgreSQL|PrismaClient|NodePgDatabase"
+)
 _ENV_CHECK = re.compile(r"process\.env\.")
 _REQUIRE = re.compile(r"require\(\s*['\"]([^'\"]+)['\"]\s*\)")
 

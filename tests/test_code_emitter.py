@@ -199,3 +199,63 @@ def test_migrate_code_writes_out_dir(tmp_path):
     r = migrate_code(str(APP), out_dir=str(tmp_path))
     assert (tmp_path / "lib" / "db.ts").is_file()
     assert r["written_to"] == str(tmp_path)
+
+
+ORM_APPS = [
+    pathlib.Path("/root/reference/eval_repos/pg-expense-drizzleorm"),
+    pathlib.Path("/root/reference/eval_repos/pg-expense-prisma"),
+]
+
+
+@pytest.mark.parametrize("app", ORM_APPS, ids=lambda p: p.name)
+def test_orm_apps_emit_and_roundtrip(app, engine):
+    """r10 ORM extension: drizzle/prisma apps emit the golden-shaped
+    strategy layer (ORM calls kept verbatim on the PG arm, raw CH SQL
+    derived on the CH arm) and every derived CH query returns the same
+    rows as the derived PG-equivalent."""
+    if not app.is_dir():
+        pytest.skip("reference eval app not available")
+    r = migrate_code(str(app))
+    assert r["strategy"]["orm"] == (
+        "drizzle" if "drizzle" in app.name else "prisma"
+    )
+    assert all(v["approved"] for v in r["qa"].values())
+    assert [q["method"] for q in r["strategy"]["query_sites"]] == [
+        "getTotalStats",
+        "getCategoryStats",
+        "getMonthlyStats",
+        "getDailyStats",
+    ]
+    pg = r["files"]["lib/strategies/postgres.ts"]
+    if r["strategy"]["orm"] == "drizzle":
+        # the ORM calls survive verbatim — never rewritten
+        assert "this.db.select({" in pg
+        assert "sql<Date>`DATE_TRUNC('month', ${expenses.date})`" in pg
+    else:
+        assert "this.prisma.expense.aggregate({" in pg
+        assert "$queryRawUnsafe" in pg
+    ch_qs = _queries(r["files"]["lib/strategies/clickhouse.ts"])
+    sites = r["strategy"]["query_sites"]
+    assert len(ch_qs) == len(sites) == 4
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    for ch_q, site in zip(ch_qs, sites):
+        pg_sql = site["pg_equivalent_sql"] or ch_q  # raw sites: same text
+        got = sorted(
+            _norm(
+                engine.sql(
+                    ch_q.replace("${whereClause}", "WHERE 1=1"),
+                    dialect="clickhouse",
+                ).collect()
+            ),
+            key=key,
+        )
+        want = sorted(
+            _norm(
+                engine.sql(
+                    pg_sql.replace("${whereClause}", "WHERE 1=1"),
+                    dialect="postgres",
+                ).collect()
+            ),
+            key=key,
+        )
+        assert got == want and len(got) > 0, (site["method"], ch_q)
