@@ -159,3 +159,148 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("score_x1e6"), F.asc("doc_id")
     ).limit(BM25_TOPK)
+
+
+# ------------------------------------------------- hybrid fusion (r10)
+
+# Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+# the standard hybrid-retrieval combiner — rank-based, so the lexical
+# and vector arms need no score calibration. Contributions are INTEGER
+# (10^9 DIV (60 + rank)), so fusion is exact across engines.
+RRF_K = 60
+RRF_POOL = 50
+RRF_TOPK = 10
+RRF_CONTRIB_NUM = 1_000_000_000
+
+
+def _rrf_contrib(rank: str) -> str:
+    """Integer RRF contribution — same string for both engines (DuckDB
+    // and Spark DIV both truncate positive integers)."""
+    return f"({RRF_CONTRIB_NUM} DIV ({RRF_K} + {rank}))"
+
+
+_RRF_ORACLE_BM25_CTE = _BM25_ORACLE[: _BM25_ORACLE.rfind("SELECT doc_id")]
+
+
+def _rrf_oracle() -> str:
+    from clickhouse_build_spark.plans.similarity import (
+        QUERY_VEC_ID,
+        _cos_sql,
+    )
+
+    contrib_l = _rrf_contrib("r_lex").replace(" DIV ", " // ")
+    contrib_v = _rrf_contrib("r_vec").replace(" DIV ", " // ")
+    return f"""
+{_RRF_ORACLE_BM25_CTE.rstrip()},
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY score_x1e6 DESC, doc_id) AS BIGINT) AS r_lex
+  FROM (SELECT doc_id, score_x1e6 FROM per
+        ORDER BY score_x1e6 DESC, doc_id LIMIT {RRF_POOL})
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(floor({_cos_sql('CAST(e.embedding AS DOUBLE[])', 'q.qe')}
+              * 1000000 + 0.5) AS BIGINT) AS cos_x1e6
+  FROM embeddings e, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+vec AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY cos_x1e6 DESC, doc_id) AS BIGINT) AS r_vec
+  FROM (SELECT doc_id, cos_x1e6 FROM cos
+        ORDER BY cos_x1e6 DESC, doc_id LIMIT {RRF_POOL})
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(lex.r_lex, 0) AS r_lex,
+         COALESCE(vec.r_vec, 0) AS r_vec,
+         CAST((CASE WHEN lex.r_lex IS NULL THEN 0
+                    ELSE {contrib_l} END)
+            + (CASE WHEN vec.r_vec IS NULL THEN 0
+                    ELSE {contrib_v} END) AS BIGINT) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, r_lex, r_vec, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOPK}
+"""
+
+
+@query("doc_hybrid_rrf_topk", _rrf_oracle(), tags=("retrieval", "hybrid", "ann"))
+def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with exact
+    embedding-cosine ranking by reciprocal-rank fusion — the standard
+    two-arm RAG retrieval stage, composed entirely from this engine's
+    existing operators (``bm25_scores`` + the shared left-associated
+    cosine) and integer-exact against the DuckDB re-derivation.
+
+    Scale: each arm is a ``TakeOrderedAndProject`` top-{RRF_POOL}
+    (no global sort); the rank windows run over those CONSTANT-bounded
+    pools, so the partition-less window touches ≤{RRF_POOL} rows by
+    construction. Fusion is a full outer join of two ≤{RRF_POOL}-row
+    frames. Nothing here grows with the corpus except the two arm
+    scans themselves."""
+    from pyspark.sql import Window
+
+    from clickhouse_build_spark.plans.similarity import (
+        QUERY_VEC_ID,
+        _vectors,
+        cosine,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    lex_pool = (
+        bm25_scores(docs)
+        .orderBy(F.desc("score_x1e6"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_x1e6"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("e").alias("qe")
+    )
+    vec_pool = (
+        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(cosine(F.col("e"), F.col("qe")) * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("cos_x1e6"),
+        )
+        .orderBy(F.desc("cos_x1e6"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    vec = vec_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_x1e6"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_vec"),
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r_lex", F.lit(0)).alias("r_lex"),
+        F.coalesce("r_vec", F.lit(0)).alias("r_vec"),
+        (
+            F.when(
+                F.col("r_lex").isNull(), F.lit(0).cast("long")
+            ).otherwise(F.expr(_rrf_contrib("r_lex")))
+            + F.when(
+                F.col("r_vec").isNull(), F.lit(0).cast("long")
+            ).otherwise(F.expr(_rrf_contrib("r_vec")))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)

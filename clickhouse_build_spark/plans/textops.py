@@ -1168,3 +1168,123 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
         F.expr("coalesce(n_oov, 0) * 10000 DIV n_tokens").alias("oov_x10k"),
     )
+
+
+# ------------------------------------- temperature resampling (r10)
+
+# Domain-balance temperature sampling — the standard multilingual /
+# multi-domain mixing step (e.g. the T=0.5..0.7 smoothing of mBERT /
+# XLM-R / mT5 pretraining mixes): domain weights w_d ∝ n_d^ALPHA pull
+# probability mass from head domains toward the tail. ALPHA=0.5 =
+# square-root smoothing. Everything is integer-exact: sqrt is
+# IEEE-correctly-rounded on both engines and sits behind the x1e6
+# floor; quotas and selection are pure integer arithmetic.
+TEMP_ALPHA_SQRT_SCALE = 1_000_000
+TEMP_SAMPLE_RATE_DIV = 5  # target K = max(1, N/5), the DSIR rate
+TEMP_HASH_SEED = "temp-sample"
+
+
+@query(
+    "doc_temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    weighted AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))
+                  * {TEMP_ALPHA_SQRT_SCALE} + 0.5) AS BIGINT) AS w_x1e6
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             CAST(sum(w_x1e6) AS BIGINT) AS w_total
+      FROM weighted
+    ),
+    quotas AS (
+      SELECT lang, n_docs, w_x1e6,
+             CAST((GREATEST(1, n_total // {TEMP_SAMPLE_RATE_DIV}) * w_x1e6)
+                  // w_total AS BIGINT) AS quota
+      FROM weighted CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('{TEMP_HASH_SEED}:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id) AS rk
+      FROM documents
+    ),
+    picked AS (
+      SELECT r.lang, r.doc_id
+      FROM ranked r JOIN quotas q ON r.lang = q.lang AND r.rk <= q.quota
+    )
+    SELECT q.lang, q.n_docs, q.quota,
+           CAST(COALESCE(count(p.doc_id), 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(sum(p.doc_id), 0) AS BIGINT) AS sample_fp
+    FROM quotas q LEFT JOIN picked p ON q.lang = p.lang
+    GROUP BY q.lang, q.n_docs, q.quota
+    """,
+    tags=("text", "sampling", "mixing", "temperature"),
+)
+def doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain resampling: per-language quotas
+    ∝ n^0.5 over a 20% target budget, members chosen by deterministic
+    hash rank within each language — the data-mixing step a
+    multilingual pretraining pipeline runs after cleaning.
+
+    Scale: one grouped count (|langs| rows, broadcast), one PARTITIONED
+    rank window (per-language order by the portable hash — no global
+    window), one broadcast quota join. The sample fingerprint (sum of
+    selected doc_ids) pins the exact member set cross-engine, not just
+    the counts.
+    """
+    from clickhouse_build_spark.operators.dedup import portable_hash
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double"))
+            * TEMP_ALPHA_SQRT_SCALE
+            + 0.5
+        )
+        .cast("long")
+        .alias("w_x1e6"),
+    )
+    tot = weighted.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("w_x1e6").alias("w_total")
+    )
+    quotas = weighted.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(
+            f"CAST((GREATEST(1, n_total DIV {TEMP_SAMPLE_RATE_DIV})"
+            f" * w_x1e6) DIV w_total AS BIGINT)"
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        portable_hash(F.col("doc_id").cast("string"), TEMP_HASH_SEED),
+        F.asc("doc_id"),
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    picked = ranked.join(F.broadcast(quotas), "lang").filter(
+        F.col("rk") <= F.col("quota")
+    )
+    agg = picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sample_fp"),
+    )
+    return quotas.join(agg, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "quota",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce("sample_fp", F.lit(0)).cast("long").alias("sample_fp"),
+    )
