@@ -885,6 +885,7 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     ),
     "windowfunnel": lambda p, v: _window_funnel(p, v),
     "sequencematch": lambda p, v: _sequence_match(p, v),
+    "sequencecount": lambda p, v: _sequence_count(p, v),
 }
 
 
@@ -922,12 +923,19 @@ def _window_funnel(p: list[str], v: list[str]) -> str:
     same-timestamp order undefined; this pins it to the struct order
     (the engine's test corpus is tie-free per (user, ts)).
 
-    Only the default mode is supported — ``strict_order`` /
-    ``strict_increase`` / ``strict_dedup`` fail loudly."""
-    if len(p) != 1:
+    ``strict_increase`` mode (chain timestamps strictly increasing) is
+    supported via a committed/pending two-state fold: ``com`` holds
+    chain states from events with ts STRICTLY before the current one
+    (promoted from ``pen`` whenever the timestamp advances), so
+    transitions can never chain within a tie group. ``strict_order`` /
+    ``strict_dedup`` fail loudly."""
+    mode = None
+    if len(p) == 2:
+        mode = p[1].strip().strip("'\"").lower()
+    if len(p) not in (1, 2) or (mode not in (None, "strict_increase")):
         raise ValueError(
-            "windowFunnel: only the default mode is supported "
-            "(windowFunnel(window)(ts, cond, ...))"
+            "windowFunnel: only the default and 'strict_increase' modes "
+            "are supported (windowFunnel(window[, mode])(ts, cond, ...))"
         )
     if len(v) < 2:
         raise ValueError("windowFunnel needs (timestamp, cond1, ...)")
@@ -938,6 +946,36 @@ def _window_funnel(p: list[str], v: list[str]) -> str:
         [f"unix_micros(CAST({ts} AS TIMESTAMP)) AS t"]
         + [f"({c}) AS m{i + 1}" for i, c in enumerate(conds)]
     )
+    if mode == "strict_increase":
+        rd = "IF(x.t > acc.t, acc.pen, acc.com)"
+        elems = [
+            "IF(x.m1, greatest(element_at(acc.pen, 1), x.t), "
+            "element_at(acc.pen, 1))"
+        ]
+        for k in range(2, n + 1):
+            prev = f"element_at({rd}, {k - 1})"
+            cur = f"element_at(acc.pen, {k})"
+            elems.append(
+                f"IF(x.m{k} AND {prev} >= 0 AND x.t - {prev} <= {w_us}, "
+                f"greatest({cur}, {prev}), {cur})"
+            )
+        init = (
+            "named_struct("
+            f"'com', array_repeat(CAST(-1 AS BIGINT), {n}), "
+            f"'pen', array_repeat(CAST(-1 AS BIGINT), {n}), "
+            "'t', CAST(-9223372036854775808 AS BIGINT))"
+        )
+        step = (
+            "named_struct("
+            f"'com', {rd}, "
+            f"'pen', array({', '.join(elems)}), "
+            "'t', x.t)"
+        )
+        return (
+            f"size(filter(aggregate("
+            f"array_sort(collect_list(struct({fields}))), "
+            f"{init}, (acc, x) -> {step}, acc -> acc.pen), a -> a >= 0))"
+        )
     elems = [
         "IF(x.m1, greatest(element_at(acc, 1), x.t), element_at(acc, 1))"
     ]
@@ -956,6 +994,64 @@ def _window_funnel(p: list[str], v: list[str]) -> str:
     )
 
 
+def _parse_seq_pattern(p: list[str], v: list[str]) -> tuple[list[int], str]:
+    """Shared pattern/arg validation for sequenceMatch/sequenceCount:
+    returns (step condition indexes, struct field list SQL)."""
+    import re
+
+    if len(p) != 1:
+        raise ValueError("sequence pattern aggregates take exactly one pattern")
+    pat = p[0].strip()
+    if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
+        raise ValueError("sequence pattern must be a string literal")
+    body, steps, i = pat[1:-1], [], 0
+    while i < len(body):
+        if body.startswith(".*", i):
+            i += 2
+            continue
+        m = re.match(r"\(\?(\d+)\)", body[i:])
+        if not m:
+            raise ValueError(
+                f"unsupported sequence pattern at {body[i:]!r} "
+                "(only (?N) and .* are supported)"
+            )
+        steps.append(int(m.group(1)))
+        i += m.end()
+    ts, conds = v[0], v[1:]
+    if not steps:
+        raise ValueError("sequence pattern references no conditions")
+    if any(not 1 <= s <= len(conds) for s in steps):
+        raise ValueError("sequence pattern references a missing cond")
+    fields = ", ".join(
+        [f"unix_micros(CAST({ts} AS TIMESTAMP)) AS t"]
+        + [f"({c}) AS m{i + 1}" for i, c in enumerate(conds)]
+    )
+    return steps, fields
+
+
+def _sequence_count(p: list[str], v: list[str]) -> str:
+    """CH ``sequenceCount('(?1)(?2)...')(ts, conds...)`` → the number
+    of NON-OVERLAPPING ordered matches of the pattern. Greedy
+    advance-on-first-match over the time-sorted events is optimal for
+    non-overlapping subsequence counting (exchange argument), so one
+    O(n) fold with state (progress, count) is exact."""
+    steps, fields = _parse_seq_pattern(p, v)
+    k = len(steps)
+    adv = " ".join(
+        f"WHEN acc.p = {j} AND x.m{steps[j]} THEN "
+        + ("0" if j == k - 1 else str(j + 1))
+        for j in range(k)
+    )
+    newp = f"(CASE {adv} ELSE acc.p END)"
+    newc = f"(acc.c + IF(acc.p = {k - 1} AND x.m{steps[k - 1]}, 1, 0))"
+    return (
+        f"aggregate(array_sort(collect_list(struct({fields}))), "
+        f"named_struct('p', 0, 'c', 0), "
+        f"(acc, x) -> named_struct('p', {newp}, 'c', {newc}), "
+        f"acc -> acc.c)"
+    )
+
+
 def _sequence_match(p: list[str], v: list[str]) -> str:
     """CH ``sequenceMatch('(?1)(?2)...')(ts, cond1, ..., condN)`` → 1
     if the pattern's conditions occur as an ordered subsequence of the
@@ -965,35 +1061,7 @@ def _sequence_match(p: list[str], v: list[str]) -> str:
     no-op under subsequence semantics). Time-constraint elements
     ``(?t op value)`` fail loudly — their exact distributed form needs
     a Pareto frontier per level, not a scalar fold."""
-    import re
-
-    if len(p) != 1:
-        raise ValueError("sequenceMatch takes exactly one pattern")
-    pat = p[0].strip()
-    if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
-        raise ValueError("sequenceMatch pattern must be a string literal")
-    body, steps, i = pat[1:-1], [], 0
-    while i < len(body):
-        if body.startswith(".*", i):
-            i += 2
-            continue
-        m = re.match(r"\(\?(\d+)\)", body[i:])
-        if not m:
-            raise ValueError(
-                f"unsupported sequenceMatch pattern at {body[i:]!r} "
-                "(only (?N) and .* are supported)"
-            )
-        steps.append(int(m.group(1)))
-        i += m.end()
-    ts, conds = v[0], v[1:]
-    if not steps:
-        raise ValueError("sequenceMatch pattern references no conditions")
-    if any(not 1 <= s <= len(conds) for s in steps):
-        raise ValueError("sequenceMatch pattern references a missing cond")
-    fields = ", ".join(
-        [f"unix_micros(CAST({ts} AS TIMESTAMP)) AS t"]
-        + [f"({c}) AS m{i + 1}" for i, c in enumerate(conds)]
-    )
+    steps, fields = _parse_seq_pattern(p, v)
     k = len(steps)
     elems = [f"(element_at(acc, 1) OR x.m{steps[0]})"] + [
         f"(element_at(acc, {j + 1}) OR (x.m{steps[j]} AND element_at(acc, {j})))"
@@ -1299,18 +1367,22 @@ def _rewrite_with_fill(text: str) -> str:
     ms = _depth0_matches(
         text,
         r"\bORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)"
-        r"(?:\s+STEP\s+(\d+))?\s*$",
+        r"(?:\s+STEP\s+(\d+))?"
+        r"(?:\s+INTERPOLATE\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
     )
     if not ms:
         if _depth0_matches(text, r"\bWITH\s+FILL\b"):
             raise ValueError(
                 "WITH FILL: only 'ORDER BY key WITH FILL FROM a TO b "
-                "[STEP s]' with one key and literal integer bounds is "
-                "supported at the top level"
+                "[STEP s] [INTERPOLATE (cols)]' with one key and literal "
+                "integer bounds is supported at the top level"
             )
         return text
     m = ms[0]
     key, lo, hi, step = m.group(1), m.group(2), m.group(3), m.group(4) or "1"
+    interp = [
+        c.strip() for c in (m.group(5) or "").split(",") if c.strip()
+    ]
     inner = text[: m.start()].rstrip()
     # output aliases from the top-level select list
     sel = _depth0_matches(inner, r"\bSELECT\b")
@@ -1332,14 +1404,34 @@ def _rewrite_with_fill(text: str) -> str:
             f"WITH FILL key {key!r} is not an output column of the query"
         )
     others = [a for a in aliases if a != key]
-    # fill rows (no matching query row) get 0; REAL rows keep their
-    # values verbatim, including NULLs — CH never rewrites them
+    bad = [c for c in interp if c not in others]
+    if bad:
+        raise ValueError(
+            f"INTERPOLATE column(s) {bad} not in the query's output "
+            "(only bare output-column carry-forward is supported)"
+        )
+
+    def col_out(a: str) -> str:
+        if a in interp:
+            # carry-forward on gap rows (CH INTERPOLATE (col) default:
+            # previous row's value). The window spans the RESULT set —
+            # |grid| + |groups| rows, bounded by the aggregation's
+            # output, never the corpus.
+            return (
+                f"(CASE WHEN __q.{key} IS NULL THEN "
+                f"coalesce(last_value(__q.{a}, true) OVER ("
+                f"ORDER BY coalesce(__q.{key}, __g.__fill) "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+                f"ELSE __q.{a} END) AS {a}"
+            )
+        return f"(CASE WHEN __q.{key} IS NULL THEN 0 ELSE __q.{a} END) AS {a}"
+
+    # fill rows (no matching query row) get 0 (or the INTERPOLATE
+    # carry); REAL rows keep their values verbatim, including NULLs —
+    # CH never rewrites them
     out_cols = ", ".join(
         [f"coalesce(__q.{key}, __g.__fill) AS {key}"]
-        + [
-            f"(CASE WHEN __q.{key} IS NULL THEN 0 ELSE __q.{a} END) AS {a}"
-            for a in others
-        ]
+        + [col_out(a) for a in others]
     )
     b = f"CAST({hi} AS BIGINT)"
     grid = (

@@ -1338,7 +1338,7 @@ def test_retention_executes_inline(spark):
 
 
 def test_behavioral_fail_loudly():
-    with pytest.raises(ValueError, match="default mode"):
+    with pytest.raises(ValueError, match="strict_increase"):
         T("SELECT windowFunnel(100, 'strict_order')(t, a, b) FROM x")
     with pytest.raises(ValueError, match="only \\(\\?N\\)"):
         T("SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(t, a, b) FROM x")
@@ -1386,3 +1386,74 @@ def test_url_significant_subdomain(spark):
     assert got["b"] == "clickhouse"
     assert got["c"] == "example.com"
     assert got["d"] == "example"
+
+
+def test_window_funnel_strict_increase(spark):
+    """strict_increase refuses equal-timestamp chaining that the
+    default mode's sorted processing would allow."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    data = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:00', 'b'),"
+        "(TIMESTAMP'2024-01-01 00:00:10', 'b')"
+        " AS t(t, e))"
+    )
+    strict = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100, 'strict_increase')(t, e = 'a', e = 'b') "
+        f"AS lvl FROM {data}",
+    ).first()["lvl"]
+    assert strict == 2  # via the later 'b' at +10s, not the tie
+    strict2 = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(5, 'strict_increase')(t, e = 'a', e = 'b') "
+        "AS lvl FROM (SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:00', 'b')"
+        " AS t(t, e))",
+    ).first()["lvl"]
+    assert strict2 == 1  # the only 'b' ties with 'a' — strictness blocks
+
+
+def test_sequence_count_nonoverlapping(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        "SELECT sequenceCount('(?1)(?2)')(t, e = 'a', e = 'b') AS n "
+        "FROM (SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:01', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:02', 'b'),"
+        "(TIMESTAMP'2024-01-01 00:00:03', 'x'),"
+        "(TIMESTAMP'2024-01-01 00:00:04', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:05', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:06', 'b')"
+        " AS t(t, e))",
+    ).first()["n"]
+    assert r == 2  # (1s,2s) and (4s,6s) — the 5s 'a' can't overlap
+
+
+def test_with_fill_interpolate_carry(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, sum(v) AS s, max(v) AS m FROM (SELECT * FROM VALUES "
+        "(1, 10), (4, 7) AS t(k, v)) GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 6 INTERPOLATE (m)",
+    ).collect()
+    got = [(r["k"], r["s"], r["m"]) for r in rows]
+    # s zero-fills; m carries the previous real value (0 before any)
+    assert got == [
+        (0, 0, 0),
+        (1, 10, 10),
+        (2, 0, 10),
+        (3, 0, 10),
+        (4, 7, 7),
+        (5, 0, 7),
+    ]
+    with pytest.raises(ValueError, match="INTERPOLATE"):
+        T("SELECT k, sum(v) AS s FROM t GROUP BY k "
+          "ORDER BY k WITH FILL FROM 0 TO 5 INTERPOLATE (zz)")
