@@ -104,8 +104,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_tumbling_10min",
     "media_adpcm_chunks",
     "media_mdct_chunks",
-    "media_pframe_frames",
-    "media_video_frame_sample",
+    # — (e) new in late r10 (never-in-window; displace the two freshest
+    # (d) rows media_pframe_frames / media_video_frame_sample, which
+    # join the r11 lead list alongside the 15 enumerated above) —
+    "doc_hybrid_rrf_topk",
+    "doc_temperature_sample",
 ]
 
 
