@@ -36,12 +36,28 @@ def _reference_record(repo_root: str) -> tuple[dict[str, float], float]:
         return {}, -1.0
     try:
         rec = json.load(open(ref))
+        # A record carrying failures (explicit list, or legacy -1.0
+        # sentinel rows) is NOT usable as a reference — a crashed query
+        # hid inside round 10's "zero failures" sf1 record this way
+        # (VERDICT r11 #1). Refuse it loudly rather than comparing
+        # against a total that silently excludes the crash.
+        failed = rec.get("failures") or [
+            k for k, v in rec.get("queries", {}).items()
+            if isinstance(v, (int, float)) and v < 0
+        ]
+        if failed:
+            sys.exit(
+                f"bench: reference record {ref} contains failed rows "
+                f"{sorted(failed)} — not usable as SPARK_GRAFT_BENCH_REF"
+            )
         rows = {
             k: float(v)
             for k, v in rec.get("queries", {}).items()
             if isinstance(v, (int, float)) and v > 0
         }
         return rows, float(rec.get("sf", -1.0))
+    except SystemExit:
+        raise
     except Exception:
         return {}, -1.0
 
@@ -146,17 +162,28 @@ def main() -> None:
             timings[name] = min(timings[name], t1)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # Failures are LOUD (VERDICT r11 #2): every -1.0 row is surfaced in
+    # a top-level "failures" list (so a crash can never hide inside a
+    # "zero failures" total again), echoed to stderr, and flips the
+    # exit code — the JSON line still prints first so the driver
+    # records the partial run.
+    failures = sorted(k for k, v in timings.items() if v < 0)
+    record = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        record["failures"] = failures
+    print(json.dumps(record))
+    if failures:
+        print(
+            f"bench: {len(failures)} FAILED queries: {failures}",
+            file=sys.stderr,
         )
-    )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
