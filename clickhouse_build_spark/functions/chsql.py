@@ -923,93 +923,166 @@ def _retention(a: list[str]) -> str:
     return f"array({', '.join(elems)})"
 
 
+_FUNNEL_MODES = frozenset(
+    {"strict_order", "strict_deduplication", "strict_dedup",
+     "strict_increase"}
+)
+
+
 def _window_funnel(p: list[str], v: list[str]) -> str:
-    """CH ``windowFunnel(window)(ts, cond1, ..., condN)`` → max funnel
-    level reached by a chain ``t1 <= ... <= tk`` with every condi in
-    order and ``tk - t1 <= window`` (seconds).
+    """CH ``windowFunnel(window[, mode...])(ts, cond1, ..., condN)`` →
+    max funnel level reached by a chain ``t1 <= ... <= tk`` with every
+    condi in order and ``tk - t1 <= window`` (seconds).
 
-    The fold keeps, per level, the MAX feasible chain-start time
-    (greater start = more window slack, so it dominates — the greedy is
-    exact for the exists-chain semantics). Events are processed in
-    ``array_sort`` order of ``struct(t, m1..mN)``; transitions read the
-    PRE-event state, so one event never advances two levels. CH leaves
-    same-timestamp order undefined; this pins it to the struct order
-    (the engine's test corpus is tie-free per (user, ts)).
+    Structure mirrors ClickHouse's published single-pass algorithm
+    (AggregateFunctions/AggregateFunctionWindowFunnel.h): every row
+    explodes into one ``(t, i)`` ENTRY per matched condition (so a row
+    matching cond1 AND cond2 can serve both chain steps, and tied
+    timestamps chain ``t1 <= t2`` exactly as CH's pair sort orders
+    them — fixing the r10 struct-sort tie divergence vs the ``>=``
+    oracles), entries sort by ``(t, i)``, and a fold keeps per level
+    the chain's (start, last-event) times, overwriting on each
+    feasible transition — overwrites are monotone in the start time,
+    so the single kept chain dominates.
 
-    ``strict_increase`` mode (chain timestamps strictly increasing) is
-    supported via a committed/pending two-state fold: ``com`` holds
-    chain states from events with ts STRICTLY before the current one
-    (promoted from ``pen`` whenever the timestamp advances), so
-    transitions can never chain within a tie group. ``strict_order`` /
-    ``strict_dedup`` fail loudly."""
-    mode = None
-    if len(p) == 2:
-        mode = p[1].strip().strip("'\"").lower()
-    if len(p) not in (1, 2) or (mode not in (None, "strict_increase")):
-        raise ValueError(
-            "windowFunnel: only the default and 'strict_increase' modes "
-            "are supported (windowFunnel(window[, mode])(ts, cond, ...))"
-        )
+    Modes (combinable, as in CH):
+    - ``strict_increase``: a transition additionally requires the
+      previous level's last event time STRICTLY below the entry's.
+    - ``strict_dedup`` (= ``strict_deduplication``): an entry for a
+      level ≥ 2 that is ALREADY reached freezes processing and returns
+      that level.
+    - ``strict_order``: rows matching NO condition become interrupter
+      entries — once a cond1 event has been seen, an interrupter ends
+      processing, and a level-k entry whose level k-1 is not yet
+      reached ends processing with the current level.
+    """
+    modes: set[str] = set()
+    for m in p[1:]:
+        mode = m.strip().strip("'\"").lower()
+        if mode not in _FUNNEL_MODES:
+            raise ValueError(
+                f"windowFunnel: unknown mode {mode!r} (supported: "
+                "strict_order, strict_dedup, strict_increase)"
+            )
+        modes.add("strict_dedup" if mode == "strict_deduplication" else mode)
+    if len(p) < 1:
+        raise ValueError("windowFunnel needs a window argument")
     if len(v) < 2:
         raise ValueError("windowFunnel needs (timestamp, cond1, ...)")
     w_us = f"(CAST({p[0]} AS BIGINT) * 1000000)"
     ts, conds = v[0], v[1:]
     n = len(conds)
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_dedup" in modes
+    strict_increase = "strict_increase" in modes
+
     fields = ", ".join(
         [f"unix_micros(CAST({ts} AS TIMESTAMP)) AS t"]
         + [f"({c}) AS m{i + 1}" for i, c in enumerate(conds)]
     )
-    if mode == "strict_increase":
-        rd = "IF(x.t > acc.t, acc.pen, acc.com)"
-        elems = [
-            "IF(x.m1, greatest(element_at(acc.pen, 1), x.t), "
-            "element_at(acc.pen, 1))"
-        ]
-        for k in range(2, n + 1):
-            prev = f"element_at({rd}, {k - 1})"
-            cur = f"element_at(acc.pen, {k})"
-            elems.append(
-                f"IF(x.m{k} AND {prev} >= 0 AND x.t - {prev} <= {w_us}, "
-                f"greatest({cur}, {prev}), {cur})"
-            )
-        init = (
-            "named_struct("
-            f"'com', array_repeat(CAST(-1 AS BIGINT), {n}), "
-            f"'pen', array_repeat(CAST(-1 AS BIGINT), {n}), "
-            "'t', CAST(-9223372036854775808 AS BIGINT))"
-        )
-        step = (
-            "named_struct("
-            f"'com', {rd}, "
-            f"'pen', array({', '.join(elems)}), "
-            "'t', x.t)"
-        )
-        return (
-            f"size(filter(aggregate("
-            f"array_sort(collect_list(struct({fields}))), "
-            f"{init}, (acc, x) -> {step}, acc -> acc.pen), a -> a >= 0))"
-        )
-    elems = [
-        "IF(x.m1, greatest(element_at(acc, 1), x.t), element_at(acc, 1))"
+    # one (t, i) entry per matched condition; interrupter (t, 0)
+    # entries only exist under strict_order, exactly as CH stores them
+    entry_elems = [
+        f"IF(r.m{i}, named_struct('t', r.t, 'i', {i}), NULL)"
+        for i in range(1, n + 1)
     ]
-    for k in range(2, n + 1):
-        prev = f"element_at(acc, {k - 1})"
-        cur = f"element_at(acc, {k})"
-        elems.append(
-            f"IF(x.m{k} AND {prev} >= 0 AND x.t - {prev} <= {w_us}, "
-            f"greatest({cur}, {prev}), {cur})"
+    if strict_order:
+        none = " OR ".join(f"r.m{i}" for i in range(1, n + 1))
+        entry_elems.append(
+            f"IF(NOT ({none}), named_struct('t', r.t, 'i', 0), NULL)"
         )
+    entries = (
+        f"array_sort(flatten(transform(collect_list(struct({fields})), "
+        f"r -> filter(array({', '.join(entry_elems)}), e -> e IS NOT NULL))))"
+    )
+
+    need_r = strict_order or strict_dedup
+    prefix = "size(filter(acc.f, a -> a >= 0))"
+    # early-return triggers, evaluated against the PRE-entry state
+    hit_break = f"(x.i = 0 AND acc.fe)" if strict_order else "false"
+    hit_dedup = (
+        "(x.i >= 2 AND element_at(acc.f, x.i) >= 0)"
+        if strict_dedup
+        else "false"
+    )
+    hit_order = (
+        "(x.i >= 2 AND acc.fe AND element_at(acc.f, x.i - 1) < 0)"
+        if strict_order
+        else "false"
+    )
+    frozen = f"(acc.r >= 0 OR {hit_break} OR {hit_dedup} OR {hit_order})" \
+        if need_r else "false"
+
+    def chain_ok(k: int) -> str:
+        c = (
+            f"x.i = {k} AND element_at(acc.f, {k - 1}) >= 0 "
+            f"AND x.t - element_at(acc.f, {k - 1}) <= {w_us}"
+        )
+        if strict_increase:
+            c += f" AND element_at(acc.l, {k - 1}) < x.t"
+        return c
+
+    f_elems, l_elems = [], []
+    for k in range(1, n + 1):
+        if k == 1:
+            new_f = "IF(x.i = 1, x.t, element_at(acc.f, 1))"
+            new_l = "IF(x.i = 1, x.t, element_at(acc.l, 1))"
+        else:
+            new_f = (
+                f"IF({chain_ok(k)}, element_at(acc.f, {k - 1}), "
+                f"element_at(acc.f, {k}))"
+            )
+            new_l = f"IF({chain_ok(k)}, x.t, element_at(acc.l, {k}))"
+        if need_r:
+            new_f = f"IF({frozen}, element_at(acc.f, {k}), {new_f})"
+            new_l = f"IF({frozen}, element_at(acc.l, {k}), {new_l})"
+        f_elems.append(new_f)
+        l_elems.append(new_l)
+
+    state_fields = [f"'f', array({', '.join(f_elems)})"]
+    init_fields = [f"'f', array_repeat(CAST(-1 AS BIGINT), {n})"]
+    if strict_increase:
+        state_fields.append(f"'l', array({', '.join(l_elems)})")
+        init_fields.append(f"'l', array_repeat(CAST(-1 AS BIGINT), {n})")
+    if strict_order:
+        state_fields.append("'fe', IF(acc.r >= 0, acc.fe, acc.fe OR x.i = 1)")
+        init_fields.append("'fe', false")
+    if need_r:
+        # CH RETURNS the moment the top level is reached — under
+        # strict_dedup that is semantic, not an optimization: a later
+        # duplicate entry must not downgrade an already-complete funnel
+        top = "x.i = 1" if n == 1 else chain_ok(n)
+        new_r = (
+            "CASE WHEN acc.r >= 0 THEN acc.r "
+            + (f"WHEN {hit_break} THEN {prefix} " if strict_order else "")
+            + (f"WHEN {hit_dedup} THEN x.i " if strict_dedup else "")
+            + (f"WHEN {hit_order} THEN {prefix} " if strict_order else "")
+            + f"WHEN {top} THEN {n} "
+            + "ELSE -1 END"
+        )
+        state_fields.append(f"'r', {new_r}")
+        init_fields.append("'r', -1")
+    init = f"named_struct({', '.join(init_fields)})"
+    step = f"named_struct({', '.join(state_fields)})"
+    final = (
+        f"IF(acc.r >= 0, acc.r, {prefix})" if need_r else prefix
+    )
     return (
-        f"size(filter(aggregate("
-        f"array_sort(collect_list(struct({fields}))), "
-        f"array_repeat(CAST(-1 AS BIGINT), {n}), "
-        f"(acc, x) -> array({', '.join(elems)})), a -> a >= 0))"
+        f"aggregate({entries}, {init}, (acc, x) -> {step}, "
+        f"acc -> {final})"
     )
 
 
-def _parse_seq_pattern(p: list[str], v: list[str]) -> tuple[list[int], str]:
+def _parse_seq_pattern(
+    p: list[str], v: list[str]
+) -> tuple[list[int], list[tuple[str, int] | None], str]:
     """Shared pattern/arg validation for sequenceMatch/sequenceCount:
-    returns (step condition indexes, struct field list SQL)."""
+    returns (step condition indexes, per-edge time constraints, struct
+    field list SQL). ``constraints[j]`` is ``(op, micros)`` binding the
+    gap between matched steps j and j+1, or None. Supported pattern
+    elements: ``(?N)``, ``.*``, and ``(?t op N)`` with op in
+    < <= > >= (seconds, as CH); ``(?t==N)`` needs set membership, not
+    a min/max frontier, and fails loudly."""
     import re
 
     if len(p) != 1:
@@ -1017,29 +1090,66 @@ def _parse_seq_pattern(p: list[str], v: list[str]) -> tuple[list[int], str]:
     pat = p[0].strip()
     if not (len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'"):
         raise ValueError("sequence pattern must be a string literal")
-    body, steps, i = pat[1:-1], [], 0
+    body = pat[1:-1]
+    steps: list[int] = []
+    constraints: list[tuple[str, int] | None] = []
+    pending: tuple[str, int] | None = None
+    i = 0
     while i < len(body):
         if body.startswith(".*", i):
             i += 2
+            continue
+        m = re.match(r"\(\?t\s*(<=|>=|==|<|>)\s*(\d+)\)", body[i:])
+        if m:
+            op, secs = m.group(1), int(m.group(2))
+            if op == "==":
+                raise ValueError(
+                    "sequence pattern (?t==N) is not supported (only "
+                    "< <= > >= time constraints)"
+                )
+            if not steps:
+                raise ValueError(
+                    "sequence time constraint must follow a (?N) step"
+                )
+            if pending is not None:
+                raise ValueError(
+                    "two time constraints between the same steps"
+                )
+            pending = (op, secs * 1_000_000)
+            i += m.end()
             continue
         m = re.match(r"\(\?(\d+)\)", body[i:])
         if not m:
             raise ValueError(
                 f"unsupported sequence pattern at {body[i:]!r} "
-                "(only (?N) and .* are supported)"
+                "(only (?N), (?t op N) and .* are supported)"
             )
+        if steps:
+            constraints.append(pending)
+            pending = None
         steps.append(int(m.group(1)))
         i += m.end()
+    if pending is not None:
+        raise ValueError("trailing time constraint binds no following step")
     ts, conds = v[0], v[1:]
     if not steps:
         raise ValueError("sequence pattern references no conditions")
     if any(not 1 <= s <= len(conds) for s in steps):
         raise ValueError("sequence pattern references a missing cond")
+    # sort key: timestamp, then NEGATED step-match flags in step order —
+    # within a tie group an event matching step j sorts before one
+    # matching only step j+1, so tied distinct events chain with the
+    # ``t1 <= t2`` semantics the declarative >= oracles use (the m
+    # fields after them are deterministic tiebreakers)
     fields = ", ".join(
         [f"unix_micros(CAST({ts} AS TIMESTAMP)) AS t"]
+        + [
+            f"(NOT ({conds[s - 1]})) AS s{j + 1}"
+            for j, s in enumerate(steps)
+        ]
         + [f"({c}) AS m{i + 1}" for i, c in enumerate(conds)]
     )
-    return steps, fields
+    return steps, constraints, fields
 
 
 def _sequence_count(p: list[str], v: list[str]) -> str:
@@ -1048,7 +1158,12 @@ def _sequence_count(p: list[str], v: list[str]) -> str:
     advance-on-first-match over the time-sorted events is optimal for
     non-overlapping subsequence counting (exchange argument), so one
     O(n) fold with state (progress, count) is exact."""
-    steps, fields = _parse_seq_pattern(p, v)
+    steps, constraints, fields = _parse_seq_pattern(p, v)
+    if any(c is not None for c in constraints):
+        raise ValueError(
+            "sequenceCount does not support (?t op N) time constraints "
+            "(the non-overlapping greedy is not exact under them)"
+        )
     k = len(steps)
     adv = " ".join(
         f"WHEN acc.p = {j} AND x.m{steps[j]} THEN "
@@ -1070,21 +1185,76 @@ def _sequence_match(p: list[str], v: list[str]) -> str:
     if the pattern's conditions occur as an ordered subsequence of the
     group's events (intervening events allowed, CH semantics), else 0.
 
-    Supported pattern elements: ``(?N)`` references and ``.*`` (a
-    no-op under subsequence semantics). Time-constraint elements
-    ``(?t op value)`` fail loudly — their exact distributed form needs
-    a Pareto frontier per level, not a scalar fold."""
-    steps, fields = _parse_seq_pattern(p, v)
+    Supported pattern elements: ``(?N)`` references, ``.*`` (a no-op
+    under subsequence semantics), and ``(?t op N)`` adjacent-step time
+    constraints with op in < <= > >= (r12). Constraints fold over an
+    EXACT per-level (min, max) frontier of achievable matched-event
+    timestamps: a transition on an event at time t needs only one
+    achievable predecessor satisfying the gap constraint, and each
+    one-sided gap test is monotone in the predecessor timestamp —
+    ``t - prev <= N`` ⇔ ``prev >= t - N`` ⇔ ``max_prev >= t - N``,
+    ``t - prev > N`` ⇔ ``min_prev <= t - N`` — so the set's min/max
+    decide feasibility exactly, and the newly achievable value at the
+    next level is always the event's own t. ``(?t==N)`` needs full set
+    membership and fails loudly."""
+    steps, constraints, fields = _parse_seq_pattern(p, v)
     k = len(steps)
-    elems = [f"(element_at(acc, 1) OR x.m{steps[0]})"] + [
-        f"(element_at(acc, {j + 1}) OR (x.m{steps[j]} AND element_at(acc, {j})))"
-        for j in range(1, k)
+    if not any(c is not None for c in constraints):
+        elems = [f"(element_at(acc, 1) OR x.m{steps[0]})"] + [
+            f"(element_at(acc, {j + 1}) OR "
+            f"(x.m{steps[j]} AND element_at(acc, {j})))"
+            for j in range(1, k)
+        ]
+        return (
+            f"IF(element_at(aggregate("
+            f"array_sort(collect_list(struct({fields}))), "
+            f"array_repeat(false, {k}), "
+            f"(acc, x) -> array({', '.join(elems)})), {k}), 1, 0)"
+        )
+    LO, HI = "-9223372036854775808", "9223372036854775807"
+    mn_elems = [
+        f"IF(x.m{steps[0]}, least(element_at(acc.mn, 1), x.t), "
+        "element_at(acc.mn, 1))"
     ]
+    mx_elems = [
+        f"IF(x.m{steps[0]}, greatest(element_at(acc.mx, 1), x.t), "
+        "element_at(acc.mx, 1))"
+    ]
+    for j in range(1, k):
+        reached = f"element_at(acc.mx, {j}) > {LO}"
+        c = constraints[j - 1]
+        if c is None:
+            ok = reached
+        else:
+            op, us = c
+            if op in ("<=", "<"):
+                # gap op us ⇔ prev {>=,>} t - us ⇔ max_prev {>=,>} t - us
+                cmp = ">=" if op == "<=" else ">"
+                ok = f"({reached} AND element_at(acc.mx, {j}) {cmp} x.t - {us})"
+            else:
+                cmp = "<=" if op == ">=" else "<"
+                ok = f"({reached} AND element_at(acc.mn, {j}) {cmp} x.t - {us})"
+        adv = f"(x.m{steps[j]} AND {ok})"
+        mn_elems.append(
+            f"IF({adv}, least(element_at(acc.mn, {j + 1}), x.t), "
+            f"element_at(acc.mn, {j + 1}))"
+        )
+        mx_elems.append(
+            f"IF({adv}, greatest(element_at(acc.mx, {j + 1}), x.t), "
+            f"element_at(acc.mx, {j + 1}))"
+        )
+    init = (
+        f"named_struct('mn', array_repeat(CAST({HI} AS BIGINT), {k}), "
+        f"'mx', array_repeat(CAST({LO} AS BIGINT), {k}))"
+    )
+    step = (
+        f"named_struct('mn', array({', '.join(mn_elems)}), "
+        f"'mx', array({', '.join(mx_elems)}))"
+    )
     return (
-        f"IF(element_at(aggregate("
-        f"array_sort(collect_list(struct({fields}))), "
-        f"array_repeat(false, {k}), "
-        f"(acc, x) -> array({', '.join(elems)})), {k}), 1, 0)"
+        f"IF(aggregate(array_sort(collect_list(struct({fields}))), "
+        f"{init}, (acc, x) -> {step}, "
+        f"acc -> element_at(acc.mx, {k}) > {LO}), 1, 0)"
     )
 
 _WORD0 = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")

@@ -31,84 +31,79 @@ from clickhouse_build_spark.plans import retrieval  # noqa: E402,F401
 from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-10 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) the five r09
-# holdouts whose latest evidence was r06 (oldest on the board); (b) the
-# ten rows that have NEVER had a driver row (late-r09 adds + this
-# round's funnel/retention/fill_corr); (c) the four whose plan or
-# semantics changed in r10 (the repaired SAMPLE+LIMIT BY composition,
-# the df-capped Jaccard verifier, the warm-served trained-IVF row and
-# the build row that now warms it); (d) 31 of the 46 rows whose latest
-# evidence is r07, alphabetical. The 15 r07-age rows that did not fit
-# are enumerated in the (d) comment below and MUST lead the r11
-# rotation; every out-of-window row is still re-verified by the local
-# full-registry sf0.01 oracle gate at the end of each round.
+# iteration order. Round-12 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) the 17 rows
+# whose newest driver evidence is still r07 (the 15 enumerated in the
+# r10 deferral note plus the two media rows displaced late in r10);
+# (b) this round's new or semantics-changed queries (the strict-mode
+# funnel + timed sequenceMatch additions, the zero-variance-safe corr
+# rewrite under ch_dialect_fill_corr, the entry-exploded funnel fold
+# under ch_dialect_funnel, and the bucket-bracket doc_temperature_sample);
+# (c) 28 of the 45 rows whose newest evidence is r08-or-older,
+# alphabetical. The 17 that did not fit MUST lead the r13 rotation:
+# nation_customer_supplier_balance, orders_sample_band,
+# q11_major_revenue_parts, q13_order_count_distribution,
+# q15_top_supplier, q16_supplier_count_by_part, q20_bulk_part_suppliers,
+# q2_min_cost_supplier, q4_priority_order_check, q7_nation_trade_flows,
+# q8_nation_market_share, q9_product_profit,
+# returned_and_urgent_intersect, status_priority_cube,
+# status_priority_grouping_sets, status_priority_rollup,
+# urgent_order_customers_semi. Every out-of-window row is still
+# re-verified by the local full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) r10 leads: the r09 holdouts (r06 evidence) —
-    "stats_total",
-    "doc_top_tokens",
-    "distinct_counts",
-    "doc_split_counts",
-    "list_filtered",
-    # — (b) never-in-window rows (new in r09/r10) —
-    "doc_dup_span_stats",
-    "doc_span_scrubbed",
-    "ch_dialect_asof_join",
-    "ch_dialect_mv_rollup",
-    "doc_bm25_topk",
-    "doc_dsir_importance",
-    "doc_dsir_sample",
-    "ch_dialect_funnel",
-    "ch_dialect_retention",
+    # — (a) r07-age evidence, the r10/r11 deferral list —
+    "orders_zorder_profile",
+    "part_attributes_unpivot",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "running_customer_revenue",
+    "signup_purchase_funnel",
+    "stats_by_category",
+    "stats_by_month_pg_shape",
+    "top_customers_by_revenue",
+    "media_pframe_frames",
+    "media_video_frame_sample",
+    # — (b) new or semantics-changed in r12 —
+    "ch_dialect_funnel_strict",
+    "ch_dialect_seq_timed",
     "ch_dialect_fill_corr",
-    # — (c) plan/semantics changed in r10 —
-    "ch_dialect_sample_limit_by",
-    "doc_near_dup_jaccard",
-    "emb_ann_ivf_trained_topk",
-    "build_ivfpq_index",
-    # — (d) stalest remaining evidence (r07 driver rows), alphabetical;
-    # 15 more r07-age rows did not fit the 50 and MUST lead r11:
-    # orders_zorder_profile, part_attributes_unpivot,
-    # q14_promo_revenue_share, q17_small_quantity_revenue,
-    # q19_disjunctive_revenue, q1_pricing_summary, q21_waiting_suppliers,
-    # q22_idle_rich_customers, q3_shipping_priority,
-    # q5_local_supplier_volume, running_customer_revenue,
-    # signup_purchase_funnel, stats_by_category, stats_by_month_pg_shape,
-    # top_customers_by_revenue.
-    "build_dedup_artifacts",
-    "build_media_corpus",
-    "build_quality_model",
-    "clean_corpus",
-    "corpus_quality_filter",
-    "customer_order_span",
-    "customers_without_orders",
-    "doc_dedup_cluster_sizes",
-    "doc_emb_semantic_dup_check",
-    "doc_exact_dedup",
-    "doc_fuzzy_dedup_keepers",
-    "doc_incremental_dedup",
-    "doc_lang_id",
-    "doc_minhash_lsh_dedup",
-    "doc_pack_sequences",
-    "doc_quality_classifier_model",
-    "doc_quality_scores",
-    "doc_simhash",
-    "doc_top_bigrams",
-    "emb_ann_lsh_topk",
-    "emb_fuzzy_dedup_keepers",
-    "emb_lsh_bucketed_cosine_pairs",
-    "emb_near_dup_cosine",
-    "emb_pq_adc_topk",
-    "emb_pq_codes",
-    "event_value_histogram",
-    "events_tumbling_10min",
-    "media_adpcm_chunks",
-    "media_mdct_chunks",
-    # — (e) new in late r10 (never-in-window; displace the two freshest
-    # (d) rows media_pframe_frames / media_video_frame_sample, which
-    # join the r11 lead list alongside the 15 enumerated above) —
-    "doc_hybrid_rrf_topk",
+    "ch_dialect_funnel",
     "doc_temperature_sample",
+    # — (c) r08-or-older evidence, alphabetical (28 of 45) —
+    "approx_distinct_and_percentiles",
+    "big_spender_segments_having",
+    "cdc_incremental_rollup",
+    "ch_dialect_array_join_tokens",
+    "ch_dialect_final_latest",
+    "ch_dialect_monthly_stats",
+    "ch_dialect_prewhere_totals",
+    "corpus_perplexity_bands",
+    "curated_training_corpus",
+    "doc_chunk_text",
+    "doc_contamination_screen",
+    "doc_lm_bigram_model",
+    "doc_lm_perplexity",
+    "doc_oov_rate",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_repetition_stats",
+    "doc_simhash_dup_pairs",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "emb_ann_kmeans_topk",
+    "emb_kmeans_assign",
+    "emb_kmeans_centroids",
+    "events_daily_with_fill",
+    "events_top3_users_limit_by",
+    "events_uniq_state_merge",
+    "nation_account_union",
 ]
 
 

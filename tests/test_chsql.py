@@ -1338,14 +1338,23 @@ def test_retention_executes_inline(spark):
 
 
 def test_behavioral_fail_loudly():
-    with pytest.raises(ValueError, match="strict_increase"):
-        T("SELECT windowFunnel(100, 'strict_order')(t, a, b) FROM x")
-    with pytest.raises(ValueError, match="only \\(\\?N\\)"):
-        T("SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(t, a, b) FROM x")
+    # the r12 never-list: unknown funnel modes, (?t==N) equality
+    # constraints (need set membership, not a min/max frontier), and
+    # time-constrained sequenceCount (greedy not exact under them)
+    with pytest.raises(ValueError, match="unknown mode"):
+        T("SELECT windowFunnel(100, 'strict_once')(t, a, b) FROM x")
+    with pytest.raises(ValueError, match="t==N"):
+        T("SELECT sequenceMatch('(?1)(?t==3600)(?2)')(t, a, b) FROM x")
+    with pytest.raises(ValueError, match="sequenceCount does not"):
+        T("SELECT sequenceCount('(?1)(?t<=10)(?2)')(t, a, b) FROM x")
     with pytest.raises(ValueError, match="missing cond"):
         T("SELECT sequenceMatch('(?3)')(t, a, b) FROM x")
     with pytest.raises(ValueError, match="at least 2"):
         T("SELECT retention(a) FROM x")
+    with pytest.raises(ValueError, match="must follow"):
+        T("SELECT sequenceMatch('(?t<=10)(?1)')(t, a) FROM x")
+    with pytest.raises(ValueError, match="trailing"):
+        T("SELECT sequenceMatch('(?1)(?t<=10)')(t, a) FROM x")
 
 
 def test_with_fill_rewrite_and_execution(spark):
@@ -1509,3 +1518,237 @@ def test_corr_bitexact_vs_native_on_nondegenerate(spark):
         spark, "SELECT corr(x, y) AS c FROM corr_nd"
     ).collect()[0]["c"]
     assert translated == native
+
+
+def test_window_funnel_tie_chaining_matches_ge_oracle(spark):
+    """r12 tie fix (ADVICE r10): default-mode chains are ``t1 <= t2``,
+    so a cond2 event AT the same timestamp as the cond1 event advances
+    the funnel — matching CH's (t, cond-index) entry sort and the
+    declarative ``>=`` oracles. The old struct-sort fold processed the
+    cond2 row first and missed the tie chain."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100)(t, e = 'a', e = 'b') AS lvl FROM "
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:00', 'b')"
+        " AS t(t, e))",
+    ).first()
+    assert r["lvl"] == 2
+
+
+def test_window_funnel_multi_match_row_advances_both_levels(spark):
+    """One row matching cond1 AND cond2 contributes one entry per
+    condition (CH stores (ts, idx) pairs per matched cond), so it can
+    serve both chain steps."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100)(t, v >= 1, v >= 2) AS lvl FROM "
+        "(SELECT * FROM VALUES (TIMESTAMP'2024-01-01 00:00:00', 5)"
+        " AS t(t, v))",
+    ).first()
+    assert r["lvl"] == 2
+
+
+def test_window_funnel_strict_order(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    # interrupting event 'x' between 'a' and 'b' kills the funnel
+    data = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:10', 'x'),"
+        "(TIMESTAMP'2024-01-01 00:00:20', 'b')"
+        " AS t(t, e))"
+    )
+    strict = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100, 'strict_order')(t, e = 'a', e = 'b') "
+        f"AS lvl FROM {data}",
+    ).first()["lvl"]
+    assert strict == 1
+    loose = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100)(t, e = 'a', e = 'b') "
+        f"AS lvl FROM {data}",
+    ).first()["lvl"]
+    assert loose == 2
+    # an out-of-order cond event (c before its b) also ends processing
+    data2 = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:10', 'c'),"
+        "(TIMESTAMP'2024-01-01 00:00:20', 'b'),"
+        "(TIMESTAMP'2024-01-01 00:00:30', 'c')"
+        " AS t(t, e))"
+    )
+    strict2 = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100, 'strict_order')"
+        f"(t, e = 'a', e = 'b', e = 'c') AS lvl FROM {data2}",
+    ).first()["lvl"]
+    assert strict2 == 1
+    # interrupters BEFORE the first cond1 event are ignored
+    data3 = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'x'),"
+        "(TIMESTAMP'2024-01-01 00:00:10', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:20', 'b')"
+        " AS t(t, e))"
+    )
+    strict3 = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100, 'strict_order')(t, e = 'a', e = 'b') "
+        f"AS lvl FROM {data3}",
+    ).first()["lvl"]
+    assert strict3 == 2
+
+
+def test_window_funnel_strict_dedup(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    # second 'b' arrives while level 2 is set and before any 'c':
+    # processing freezes at level 2 even though a 'c' follows
+    data = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:10', 'b'),"
+        "(TIMESTAMP'2024-01-01 00:00:20', 'b'),"
+        "(TIMESTAMP'2024-01-01 00:00:30', 'c')"
+        " AS t(t, e))"
+    )
+    strict = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100, 'strict_dedup')"
+        f"(t, e = 'a', e = 'b', e = 'c') AS lvl FROM {data}",
+    ).first()["lvl"]
+    assert strict == 2
+    loose = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100)"
+        f"(t, e = 'a', e = 'b', e = 'c') AS lvl FROM {data}",
+    ).first()["lvl"]
+    assert loose == 3
+    # repeated cond1 events never trigger dedup (CH branch order)
+    data2 = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:10', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:20', 'b')"
+        " AS t(t, e))"
+    )
+    strict2 = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100, 'strict_dedup')(t, e = 'a', e = 'b') "
+        f"AS lvl FROM {data2}",
+    ).first()["lvl"]
+    assert strict2 == 2
+
+
+def test_sequence_match_time_constraints(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    data = (
+        "(SELECT * FROM VALUES "
+        "(1, TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(1, TIMESTAMP'2024-01-01 01:30:00', 'b'),"
+        "(2, TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(2, TIMESTAMP'2024-01-01 00:10:00', 'b')"
+        " AS t(uid, t, e)) "
+    )
+    # (?t<=3600): uid 1's gap is 90min (no), uid 2's is 10min (yes)
+    rows = run_ch_sql(
+        spark,
+        "SELECT uid, sequenceMatch('(?1)(?t<=3600)(?2)')(t, e = 'a', "
+        f"e = 'b') AS hit FROM {data} GROUP BY uid",
+    ).collect()
+    assert {r["uid"]: r["hit"] for r in rows} == {1: 0, 2: 1}
+    # (?t>3600): reversed verdicts
+    rows = run_ch_sql(
+        spark,
+        "SELECT uid, sequenceMatch('(?1)(?t>3600)(?2)')(t, e = 'a', "
+        f"e = 'b') AS hit FROM {data} GROUP BY uid",
+    ).collect()
+    assert {r["uid"]: r["hit"] for r in rows} == {1: 1, 2: 0}
+
+
+def test_sequence_match_frontier_uses_best_predecessor(spark):
+    """The (min, max) frontier must find a LATER step-1 event when the
+    earliest violates a <= gap constraint, and the EARLIEST when a >
+    constraint needs an old predecessor."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    data = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 02:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 02:30:00', 'b')"
+        " AS t(t, e)) "
+    )
+    hit = run_ch_sql(
+        spark,
+        "SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(t, e = 'a', "
+        f"e = 'b') AS hit FROM {data}",
+    ).first()["hit"]
+    assert hit == 1  # via the 02:00 'a', not the 00:00 one
+    hit2 = run_ch_sql(
+        spark,
+        "SELECT sequenceMatch('(?1)(?t>7200)(?2)')(t, e = 'a', "
+        f"e = 'b') AS hit FROM {data}",
+    ).first()["hit"]
+    assert hit2 == 1  # via the 00:00 'a' (gap 9000s > 7200)
+    miss = run_ch_sql(
+        spark,
+        "SELECT sequenceMatch('(?1)(?t>9000)(?2)')(t, e = 'a', "
+        f"e = 'b') AS hit FROM {data}",
+    ).first()["hit"]
+    assert miss == 0
+
+
+def test_sequence_match_tie_chains_in_step_order(spark):
+    """Tied distinct events chain t1 <= t2: the negated step-flag sort
+    key processes the step-1 event first within a tie group."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        "SELECT sequenceMatch('(?1)(?2)')(t, e = 'a', e = 'c') AS hit "
+        "FROM (SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'c'),"
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a')"
+        " AS t(t, e))",
+    ).first()
+    assert r["hit"] == 1
+
+
+def test_window_funnel_combined_modes(spark):
+    """Modes combine as in CH: strict_order + strict_increase both
+    applied."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    # tie between a and b: strict_increase blocks the tie chain;
+    # the later b would chain, but the 'x' interrupter kills it first
+    data = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:00:00', 'b'),"
+        "(TIMESTAMP'2024-01-01 00:00:05', 'x'),"
+        "(TIMESTAMP'2024-01-01 00:00:10', 'b')"
+        " AS t(t, e))"
+    )
+    r = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100, 'strict_order', 'strict_increase')"
+        f"(t, e = 'a', e = 'b') AS lvl FROM {data}",
+    ).first()["lvl"]
+    assert r == 1
+    r2 = run_ch_sql(
+        spark,
+        "SELECT windowFunnel(100, 'strict_increase')"
+        f"(t, e = 'a', e = 'b') AS lvl FROM {data}",
+    ).first()["lvl"]
+    assert r2 == 2
