@@ -426,6 +426,18 @@ def build_method_specs(
             ).rstrip(";\n ")
             name = _method_name(pg_sql.replace("${whereClause}", ""), taken)
         else:
+            # a raw query needs a DateFilter splice point: either the
+            # ${whereClause} interpolation or the literal 'WHERE 1=1'
+            # that the emitted strategy rewrites at runtime. Without
+            # one, the emitted method would silently IGNORE the filter
+            # on the CH arm and over-bind parameters on the PG arm
+            # (ADVICE r10) — fail at emit time instead.
+            if "${whereClause}" not in sql and "WHERE 1=1" not in sql:
+                raise ValueError(
+                    "raw analytical query has no DateFilter splice point "
+                    "(${whereClause} or 'WHERE 1=1'): "
+                    f"{sql[:120]!r}"
+                )
             pg_sql, ch_sql = sql, pg_sql_to_ch(sql)
             orm, orm_call = "none", ""
             fields = []

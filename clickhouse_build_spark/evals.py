@@ -62,18 +62,26 @@ def eval_scanner() -> dict:
         result = scan_repo(repo)
         exp = [_parse_loc(q["location"]) for q in case["expected"]["queries"]]
         got = [_parse_loc(q.location) for q in result.queries]
+        # mirror the reference's scoring EXACTLY (ADVICE r10): each
+        # ACTUAL location greedily takes the FIRST unmatched expected
+        # with IoU >= 0.5 (reference eval/scanner/eval.py:125-132), and
+        # paths compare by suffix as in its paths_match — not best-IoU
+        # per expected, which can differ under overlapping ranges
         matched, used = 0, set()
-        for epath, elo, ehi in exp:
-            best, best_iou = None, 0.0
-            for idx, (gpath, glo, ghi) in enumerate(got):
-                if idx in used or gpath != epath:
+        for gpath, glo, ghi in got:
+            for j, (epath, elo, ehi) in enumerate(exp):
+                if j in used:
                     continue
-                iou = _iou((elo, ehi), (glo, ghi))
-                if iou >= 0.5 and iou > best_iou:
-                    best, best_iou = idx, iou
-            if best is not None:
-                used.add(best)
-                matched += 1
+                if not (
+                    gpath == epath
+                    or gpath.endswith(epath)
+                    or epath.endswith(gpath)
+                ):
+                    continue
+                if _iou((elo, ehi), (glo, ghi)) >= 0.5:
+                    used.add(j)
+                    matched += 1
+                    break
         precision = matched / len(got) if got else 0.0
         recall = matched / len(exp) if exp else 0.0
         f1 = (

@@ -156,8 +156,18 @@ def _ch_backrefs(repl: str) -> str:
         # (ADVICE r09: replaceRegexpAll(s, 'x', 'costs $5')). The
         # emitted text is SQL SOURCE: Spark's literal parser consumes
         # one backslash, so '\\$' at source level is what hands Java
-        # the escaped '\$'.
-        body = t[1:-1].replace("$", "\\\\$")
+        # the escaped '\$'. Escape only a '$' that is UNESCAPED at the
+        # parsed level: k source backslashes parse to k//2 literal
+        # backslashes ahead of the '$', so the dollar already reads as
+        # Java '\$' exactly when k//2 is odd — a blanket replace turned
+        # an already-escaped '\\$' into a dangling Java group reference
+        # after a literal backslash (ADVICE r10).
+        body = _re.sub(
+            r"(\\*)\$",
+            lambda m: m.group(1)
+            + ("\\\\$" if (len(m.group(1)) // 2) % 2 == 0 else "$"),
+            t[1:-1],
+        )
         # raw source may carry \3 or the doubled \\3 escape form —
         # both mean "group 3" once the literal is parsed
         return "'" + _re.sub(r"\\\\?(\d)", r"$\1", body) + "'"

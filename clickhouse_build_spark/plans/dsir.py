@@ -291,22 +291,33 @@ def _dsir_top_k(keyed: DataFrame) -> DataFrame:
     """
     from pyspark import StorageLevel
 
+    # persist scoped to the GUARD phase only: the two bounded .first()
+    # pulls below read the cached frame, then it is released before the
+    # returned (lazy) plan is handed back — the r10 form never
+    # unpersisted, leaking the cached blocks for the rest of the
+    # session on every run (ADVICE r10)
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    p_hi = 1.0 - _DSIR_RATE + _DSIR_MARGIN
-    p_lo = 1.0 - _DSIR_RATE - _DSIR_MARGIN
-    row = keyed.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("key_x1e6", [p_hi, p_lo], 10000).alias("ts"),
-    ).first()
-    n = row["n"]
-    k = max(1, n // 5)
-    t_hi, t_lo = (row["ts"] or [None, None]) if n else (None, None)
-    if t_hi is not None:
-        cnts = keyed.agg(
-            F.sum((F.col("key_x1e6") > t_hi).cast("long")).alias("c_hi"),
-            F.sum((F.col("key_x1e6") > t_lo).cast("long")).alias("c_lo"),
+    try:
+        p_hi = 1.0 - _DSIR_RATE + _DSIR_MARGIN
+        p_lo = 1.0 - _DSIR_RATE - _DSIR_MARGIN
+        row = keyed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("key_x1e6", [p_hi, p_lo], 10000).alias("ts"),
         ).first()
-        c_hi, c_lo = cnts["c_hi"] or 0, cnts["c_lo"] or 0
+        n = row["n"]
+        k = max(1, n // 5)
+        t_hi, t_lo = (row["ts"] or [None, None]) if n else (None, None)
+        if t_hi is not None:
+            cnts = keyed.agg(
+                F.sum((F.col("key_x1e6") > t_hi).cast("long")).alias("c_hi"),
+                F.sum((F.col("key_x1e6") > t_lo).cast("long")).alias("c_lo"),
+            ).first()
+            c_hi, c_lo = cnts["c_hi"] or 0, cnts["c_lo"] or 0
+        else:
+            c_hi = c_lo = None
+    finally:
+        keyed.unpersist(blocking=False)
+    if t_hi is not None:
         if c_hi <= k <= c_lo:
             sure = keyed.filter(F.col("key_x1e6") > t_hi)
             boundary = (

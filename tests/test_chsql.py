@@ -1752,3 +1752,24 @@ def test_window_funnel_combined_modes(spark):
         f"(t, e = 'a', e = 'b') AS lvl FROM {data}",
     ).first()["lvl"]
     assert r2 == 2
+
+
+def test_backref_preescaped_dollar_passes_through(spark):
+    """ADVICE r10: a replacement literal already carrying a source-level
+    backslash before the dollar ('\\\\$' in SQL source) is escaped at
+    the parsed level — re-escaping it produced a literal backslash
+    followed by a DANGLING '$' (IllegalArgumentException in Java)."""
+    t = T(r"SELECT replaceRegexpAll(s, 'x+', 'a\\$b') AS r FROM t")
+    # the odd-backslash dollar is left alone
+    assert r"a\\$b" in t
+    r = spark.sql(
+        "SELECT " + T(r"replaceRegexpAll('axxc', 'x+', 'a\\$b')") + " AS r"
+    ).first()["r"]
+    assert r == "aa$bc"
+    # group backrefs still convert, escaped dollars coexist
+    r2 = spark.sql(
+        "SELECT "
+        + T(r"replaceRegexpAll('price 42', '(\\d+)', '$\\1')")
+        + " AS r"
+    ).first()["r"]
+    assert r2 == "price $42"

@@ -178,6 +178,25 @@ def test_extract_sql_and_error_contract():
     assert out["scan_found"] is False and "error" in out
 
 
+def test_raw_query_without_splice_point_fails_loudly():
+    # ADVICE r10: a raw query with neither ${whereClause} nor the
+    # literal 'WHERE 1=1' has no DateFilter splice point — the emitted
+    # CH arm would silently drop the filter; must fail at emit time
+    bad = {
+        "queries": [
+            {
+                "description": "x",
+                "code": "pool.query(`SELECT count(*) AS n FROM t`)",
+                "location": "x.ts:L1",
+            }
+        ],
+        "tables": ["t"],
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="splice point"):
+        emit_migration(bad)
+
+
 def test_unsupported_interpolation_fails_loudly():
     bad = {
         "queries": [
