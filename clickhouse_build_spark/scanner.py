@@ -122,6 +122,10 @@ def classify(snippet: str) -> tuple[bool, str]:
 
 
 def extract_tables(snippet: str) -> list[str]:
+    # full-line // comments can carry SQL keywords in prose ("two-table
+    # JOIN aggregate") — strip them before table extraction so a comment
+    # word never becomes a phantom table (r12 hostile fixture)
+    snippet = re.sub(r"(?m)^\s*//.*$", "", snippet)
     tables = []
     for regex in (TABLE_RE, BUILDER_FROM_RE):
         for m in regex.finditer(snippet):
@@ -131,7 +135,55 @@ def extract_tables(snippet: str) -> list[str]:
     return tables
 
 
-_TEMPLATE_RE = re.compile(r"`[^`]*`", re.DOTALL)
+def _scan_template(text: str, i: int) -> int:
+    """``text[i]`` is a backtick; return the index just past the
+    matching closing backtick, tracking ``${ ... }`` interpolations and
+    templates NESTED inside them — the ``$queryRaw`` composition
+    pattern where a Prisma.sql template sits inside the outer literal.
+    A flat backtick-to-backtick regex cut the outer literal at the
+    first inner backtick (r12 hostile fixture)."""
+    n = len(text)
+    i += 1
+    while i < n:
+        c = text[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "`":
+            return i + 1
+        if c == "$" and i + 1 < n and text[i + 1] == "{":
+            i += 2
+            depth = 1
+            while i < n and depth:
+                ch = text[i]
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "`":
+                    i = _scan_template(text, i)
+                    continue
+                if ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth -= 1
+                i += 1
+            continue
+        i += 1
+    return n
+
+
+def _template_spans(text: str) -> list[tuple[int, int]]:
+    """Top-level template-literal spans (start, end) with nesting."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "`":
+            j = _scan_template(text, i)
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
 # ORM/builder chain heads: prisma `x.groupBy({`/`x.aggregate({`, drizzle
 # `db.select({ count: count(), ... })` — the chain continues across
 # `.from/.where/.groupBy/.orderBy` lines.
@@ -192,13 +244,13 @@ def _candidate_blocks(text: str) -> list[tuple[int, int, str]]:
     # merged across `var +=` fragments.
     frag_groups: dict[str, list[tuple[int, int, str]]] = {}
     anon_frags: list[tuple[int, int, str]] = []
-    for m in _TEMPLATE_RE.finditer(text):
-        body = m.group(0)[1:-1]
-        if not CANDIDATE_RE.search(body) or is_covered(m.start()):
+    for t_start, t_end in _template_spans(text):
+        body = text[t_start + 1 : t_end - 1]
+        if not CANDIDATE_RE.search(body) or is_covered(t_start):
             continue
-        covered.append((m.start(), m.end()))
-        lo = line_of(m.start())
-        hi = line_of(m.end() - 1)
+        covered.append((t_start, t_end))
+        lo = line_of(t_start)
+        hi = line_of(t_end - 1)
         # statement start: walk back while the previous line doesn't end a
         # statement/block (max 3 lines — covers `await pool.query(`).
         start = lo
@@ -217,7 +269,7 @@ def _candidate_blocks(text: str) -> list[tuple[int, int, str]]:
         while depth > 0 and end + 1 < len(lines) and end - hi < 10:
             end += 1
             depth += lines[end].count("(") - lines[end].count(")")
-        prefix = text[offsets[lo] : m.start()]
+        prefix = text[offsets[lo] : t_start]
         am = _ASSIGN_RE.search(prefix.rstrip().rstrip("`").rstrip())
         code = "\n".join(lines[start : end + 1])
         if am:
