@@ -110,5 +110,13 @@ def test_join_aggregate_roundtrips_ch_equals_pg(scan, spark):
     eng = Engine(SF_SMOKE, spark=spark)
     got = eng.sql(s.ch_sql, dialect="clickhouse").collect()
     want = eng.sql(s.pg_sql, dialect="postgres").collect()
-    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # sum(amount) over doubles is partition-order-dependent in the last
+    # ulp, so float columns compare with tolerance, the rest exactly
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(tuple(g), tuple(w)):
+            if isinstance(gv, float):
+                assert gv == pytest.approx(wv, rel=1e-9)
+            else:
+                assert gv == wv
     assert len(got) == 3 and got[0]["total"] >= got[-1]["total"]
