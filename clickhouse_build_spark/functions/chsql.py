@@ -1091,8 +1091,9 @@ def _parse_seq_pattern(
     field list SQL). ``constraints[j]`` is ``(op, micros)`` binding the
     gap between matched steps j and j+1, or None. Supported pattern
     elements: ``(?N)``, ``.*``, and ``(?t op N)`` with op in
-    < <= > >= (seconds, as CH); ``(?t==N)`` needs set membership, not
-    a min/max frontier, and fails loudly."""
+    < <= > >= == (seconds, as CH); sequenceMatch dispatches ``==``
+    patterns to the achieved-set fold, sequenceCount rejects all
+    time constraints."""
     import re
 
     if len(p) != 1:
@@ -1112,11 +1113,6 @@ def _parse_seq_pattern(
         m = re.match(r"\(\?t\s*(<=|>=|==|<|>)\s*(\d+)\)", body[i:])
         if m:
             op, secs = m.group(1), int(m.group(2))
-            if op == "==":
-                raise ValueError(
-                    "sequence pattern (?t==N) is not supported (only "
-                    "< <= > >= time constraints)"
-                )
             if not steps:
                 raise ValueError(
                     "sequence time constraint must follow a (?N) step"
@@ -1190,6 +1186,49 @@ def _sequence_count(p: list[str], v: list[str]) -> str:
     )
 
 
+def _sequence_match_set_fold(
+    steps: list[int],
+    constraints: list[tuple[str, int] | None],
+    fields: str,
+) -> str:
+    """Exact sequenceMatch fold for patterns with a ``(?t==N)``
+    constraint: level j keeps the DEDUPLICATED array of timestamps at
+    which a length-j prefix match can end. Equality feasibility is set
+    membership (``array_contains(level[j-1], t - N)``); one-sided ops
+    in the same pattern use ``exists`` over the same arrays, so mixed
+    constraints stay exact. Dedup on append bounds each level by the
+    group's distinct timestamps — the same order of state the untimed
+    plan already materializes via ``collect_list``."""
+    k = len(steps)
+
+    def feas(j: int) -> str:
+        # can a length-j prefix extend to level j+1 on an event at x.t?
+        lvl = f"element_at(acc, {j})"
+        c = constraints[j - 1]
+        if c is None:
+            return f"size({lvl}) > 0"
+        op, us = c
+        if op == "==":
+            return f"array_contains({lvl}, x.t - {us})"
+        cmp = {"<=": ">=", "<": ">", ">=": "<=", ">": "<"}[op]
+        return f"exists({lvl}, p -> p {cmp} x.t - {us})"
+
+    elems = []
+    for j in range(k):
+        lvl = f"element_at(acc, {j + 1})"
+        ok = f"x.m{steps[j]}" if j == 0 else f"(x.m{steps[j]} AND {feas(j)})"
+        elems.append(
+            f"IF({ok} AND NOT array_contains({lvl}, x.t), "
+            f"array_append({lvl}, x.t), {lvl})"
+        )
+    return (
+        f"IF(aggregate(array_sort(collect_list(struct({fields}))), "
+        f"array_repeat(CAST(array() AS ARRAY<BIGINT>), {k}), "
+        f"(acc, x) -> array({', '.join(elems)}), "
+        f"acc -> size(element_at(acc, {k})) > 0), 1, 0)"
+    )
+
+
 def _sequence_match(p: list[str], v: list[str]) -> str:
     """CH ``sequenceMatch('(?1)(?2)...')(ts, cond1, ..., condN)`` → 1
     if the pattern's conditions occur as an ordered subsequence of the
@@ -1197,18 +1236,25 @@ def _sequence_match(p: list[str], v: list[str]) -> str:
 
     Supported pattern elements: ``(?N)`` references, ``.*`` (a no-op
     under subsequence semantics), and ``(?t op N)`` adjacent-step time
-    constraints with op in < <= > >= (r12). Constraints fold over an
-    EXACT per-level (min, max) frontier of achievable matched-event
-    timestamps: a transition on an event at time t needs only one
-    achievable predecessor satisfying the gap constraint, and each
-    one-sided gap test is monotone in the predecessor timestamp —
+    constraints with op in < <= > >= == (r12). One-sided constraints
+    fold over an EXACT per-level (min, max) frontier of achievable
+    matched-event timestamps: a transition on an event at time t needs
+    only one achievable predecessor satisfying the gap constraint, and
+    each one-sided gap test is monotone in the predecessor timestamp —
     ``t - prev <= N`` ⇔ ``prev >= t - N`` ⇔ ``max_prev >= t - N``,
     ``t - prev > N`` ⇔ ``min_prev <= t - N`` — so the set's min/max
     decide feasibility exactly, and the newly achievable value at the
-    next level is always the event's own t. ``(?t==N)`` needs full set
-    membership and fails loudly."""
+    next level is always the event's own t. ``(?t==N)`` is NOT
+    monotone in the predecessor, so any pattern containing it switches
+    to the exact achieved-SET fold (``_sequence_match_set_fold``):
+    per-level deduplicated arrays of achieved timestamps answer the
+    equality-membership test with ``array_contains``. State is
+    O(distinct matched timestamps) per group instead of O(1) — still
+    bounded by the group the plan already collects."""
     steps, constraints, fields = _parse_seq_pattern(p, v)
     k = len(steps)
+    if any(c is not None and c[0] == "==" for c in constraints):
+        return _sequence_match_set_fold(steps, constraints, fields)
     if not any(c is not None for c in constraints):
         elems = [f"(element_at(acc, 1) OR x.m{steps[0]})"] + [
             f"(element_at(acc, {j + 1}) OR "

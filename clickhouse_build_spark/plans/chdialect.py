@@ -912,3 +912,51 @@ def ch_dialect_seq_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+@query(
+    "ch_dialect_seq_exact",
+    oracle="""
+    WITH s AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+               FROM events WHERE event_type = 'signup'),
+    p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+          FROM events WHERE event_type = 'purchase'),
+    hit AS (
+      SELECT DISTINCT s.user_id
+      FROM s JOIN p ON p.user_id = s.user_id
+       AND p.d = s.d + INTERVAL 1 DAY
+    )
+    SELECT CAST(count(*) AS BIGINT) AS next_day_purchasers FROM hit
+    """,
+    tags=("dialect", "clickhouse-sql", "sequence", "behavioral", "timed"),
+)
+def ch_dialect_seq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceMatch`` with an EQUALITY time constraint ``(?t==N)``
+    (closes the last r12 sequence never-list entry): users who
+    purchased exactly the day after a signup, on day-truncated event
+    times — ``(?t==86400)`` over ``toStartOfDay(ts)``. Equality is not
+    monotone in the predecessor timestamp, so the translator's
+    (min, max) frontier is out; ``_sequence_match_set_fold`` keeps the
+    deduplicated per-level achieved-timestamp arrays and answers the
+    gap test with ``array_contains``. The oracle is the independent
+    exists-pair formulation on the same day buckets.
+
+    Scale: one grouped collect per user (the shape every behavioral
+    aggregate here uses); fold state is O(distinct event days per
+    user), bounded by the group already materialized."""
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT CAST(sum(h) AS BIGINT) AS next_day_purchasers
+        FROM (
+          SELECT user_id,
+                 toInt64(sequenceMatch('(?1)(?t==86400)(?2)')(
+                     toStartOfDay(ts),
+                     event_type = 'signup',
+                     event_type = 'purchase')) AS h
+          FROM events
+          GROUP BY user_id
+        )
+        """,
+    )

@@ -1338,13 +1338,14 @@ def test_retention_executes_inline(spark):
 
 
 def test_behavioral_fail_loudly():
-    # the r12 never-list: unknown funnel modes, (?t==N) equality
-    # constraints (need set membership, not a min/max frontier), and
-    # time-constrained sequenceCount (greedy not exact under them)
+    # the r12 never-list: unknown funnel modes and time-constrained
+    # sequenceCount (greedy not exact under them); (?t==N) left the
+    # list in r12b (exact achieved-set fold)
     with pytest.raises(ValueError, match="unknown mode"):
         T("SELECT windowFunnel(100, 'strict_once')(t, a, b) FROM x")
-    with pytest.raises(ValueError, match="t==N"):
-        T("SELECT sequenceMatch('(?1)(?t==3600)(?2)')(t, a, b) FROM x")
+    assert "array_contains" in T(
+        "SELECT sequenceMatch('(?1)(?t==3600)(?2)')(t, a, b) FROM x"
+    )
     with pytest.raises(ValueError, match="sequenceCount does not"):
         T("SELECT sequenceCount('(?1)(?t<=10)(?2)')(t, a, b) FROM x")
     with pytest.raises(ValueError, match="missing cond"):
@@ -1709,6 +1710,113 @@ def test_sequence_match_frontier_uses_best_predecessor(spark):
     assert miss == 0
 
 
+def test_sequence_match_exact_gap(spark):
+    """(?t==N) matches only a predecessor at EXACTLY t-N — the set
+    fold's membership test, which the min/max frontier cannot answer:
+    here min (0s) and max (7200s) step-1 times both fail the ==3600
+    test while the middle one passes."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    data = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 01:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 02:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 02:00:00', 'b')"
+        " AS t(t, e)) "
+    )
+    hit = run_ch_sql(
+        spark,
+        "SELECT sequenceMatch('(?1)(?t==3600)(?2)')(t, e = 'a', "
+        f"e = 'b') AS hit FROM {data}",
+    ).first()["hit"]
+    assert hit == 1  # via the 01:00 'a' only
+    miss = run_ch_sql(
+        spark,
+        "SELECT sequenceMatch('(?1)(?t==1800)(?2)')(t, e = 'a', "
+        f"e = 'b') AS hit FROM {data}",
+    ).first()["hit"]
+    assert miss == 0  # no 'a' sits exactly 30min before the 'b'
+
+
+def test_sequence_match_exact_gap_mixed_constraints(spark):
+    """A pattern mixing == with a one-sided op stays exact: the set
+    fold answers <= via exists() over the same achieved arrays."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    # chain must be a --(==3600)--> b --(<=600)--> c
+    data = (
+        "(SELECT * FROM VALUES "
+        "(1, TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(1, TIMESTAMP'2024-01-01 01:00:00', 'b'),"
+        "(1, TIMESTAMP'2024-01-01 01:05:00', 'c'),"
+        "(2, TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(2, TIMESTAMP'2024-01-01 01:00:00', 'b'),"
+        "(2, TIMESTAMP'2024-01-01 02:00:00', 'c')"
+        " AS t(uid, t, e)) "
+    )
+    rows = run_ch_sql(
+        spark,
+        "SELECT uid, sequenceMatch('(?1)(?t==3600)(?2)(?t<=600)(?3)')("
+        f"t, e = 'a', e = 'b', e = 'c') AS hit FROM {data} GROUP BY uid",
+    ).collect()
+    assert {r["uid"]: r["hit"] for r in rows} == {1: 1, 2: 0}
+
+
+def test_sequence_match_exact_gap_vs_bruteforce(spark):
+    """Randomized cross-check: the set fold agrees with an O(n^2 k)
+    reference DP on 40 random event groups for a 3-step pattern with
+    mixed ==/<= constraints."""
+    import random
+
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    rng = random.Random(7)
+    GAP1, GAP2 = 60, 120  # seconds: a --(==60)--> b --(<=120)--> c
+    groups = []
+    for gid in range(40):
+        n = rng.randrange(1, 12)
+        evs = [
+            (rng.randrange(0, 300), rng.choice("abc")) for _ in range(n)
+        ]
+        groups.append((gid, evs))
+
+    def ref_match(evs):
+        # achieved-set DP, trivially correct
+        evs = sorted(evs)
+        lv1, lv2, lv3 = set(), set(), set()
+        for t, e in evs:
+            new1 = {t} if e == "a" else set()
+            new2 = {t} if e == "b" and (t - GAP1) in lv1 else set()
+            new3 = (
+                {t}
+                if e == "c" and any(t - p <= GAP2 for p in lv2)
+                else set()
+            )
+            lv1 |= new1
+            lv2 |= new2
+            lv3 |= new3
+        return 1 if lv3 else 0
+
+    values = ",".join(
+        f"({gid}, TIMESTAMP'2024-01-01 00:00:00' + INTERVAL {t} SECOND, "
+        f"'{e}')"
+        for gid, evs in groups
+        for t, e in evs
+    )
+    rows = run_ch_sql(
+        spark,
+        "SELECT gid, sequenceMatch('(?1)(?t==60)(?2)(?t<=120)(?3)')("
+        "t, e = 'a', e = 'b', e = 'c') AS hit "
+        f"FROM (SELECT * FROM VALUES {values} AS t(gid, t, e)) "
+        "GROUP BY gid",
+    ).collect()
+    got = {r["gid"]: r["hit"] for r in rows}
+    want = {gid: ref_match(evs) for gid, evs in groups}
+    assert got == want
+    assert sum(want.values()) not in (0, len(groups)), "degenerate corpus"
+
+
 def test_sequence_match_tie_chains_in_step_order(spark):
     """Tied distinct events chain t1 <= t2: the negated step-flag sort
     key processes the step-1 event first within a tie group."""
@@ -1723,6 +1831,105 @@ def test_sequence_match_tie_chains_in_step_order(spark):
         " AS t(t, e))",
     ).first()
     assert r["hit"] == 1
+
+
+def test_window_funnel_vs_bruteforce_all_modes(spark):
+    """Randomized cross-check of the SQL funnel fold against a clean
+    Python implementation of ClickHouse's published single-pass
+    algorithm (AggregateFunctionWindowFunnel.h), for EVERY combination
+    of the three modes. The reference shares the semantics, not the
+    mechanics — it exercises the fold's entry explosion, (t, i) sort,
+    freeze logic and simultaneous array updates on corpora the planted
+    fixtures can't enumerate."""
+    import itertools as it
+    import random
+
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    N, WINDOW = 3, 100  # conds, seconds
+    rng = random.Random(23)
+    groups = []
+    for gid in range(50):
+        rows = []
+        for _ in range(rng.randrange(1, 10)):
+            t = rng.randrange(0, 300)
+            flags = tuple(rng.random() < 0.3 for _ in range(N))
+            rows.append((t, flags))
+        groups.append((gid, rows))
+
+    def ref_funnel(rows, strict_order, strict_dedup, strict_increase):
+        entries = []
+        for t, flags in rows:
+            matched = [i + 1 for i in range(N) if flags[i]]
+            entries.extend((t, i) for i in matched)
+            if strict_order and not matched:
+                entries.append((t, 0))
+        entries.sort()
+        f = [-1] * (N + 1)
+        last = [-1] * (N + 1)
+        fe = False
+        need_r = strict_order or strict_dedup
+
+        def level():
+            return sum(1 for k in range(1, N + 1) if f[k] >= 0)
+
+        def chain_ok(k, t):
+            ok = f[k - 1] >= 0 and t - f[k - 1] <= WINDOW
+            if strict_increase:
+                ok = ok and last[k - 1] < t
+            return ok
+
+        for t, i in entries:
+            if strict_order and i == 0 and fe:
+                return level()
+            if strict_dedup and i >= 2 and f[i] >= 0:
+                return i
+            if strict_order and i >= 2 and fe and f[i - 1] < 0:
+                return level()
+            if need_r and (
+                (N == 1 and i == 1) or (N > 1 and i == N and chain_ok(N, t))
+            ):
+                return N
+            if i == 1:
+                f[1] = t
+                last[1] = t
+            elif i >= 2 and chain_ok(i, t):
+                f[i] = f[i - 1]
+                last[i] = t
+            if strict_order and i == 1:
+                fe = True
+        return level()
+
+    values = ",".join(
+        f"({gid}, TIMESTAMP'2024-01-01 00:00:00' + INTERVAL {t} SECOND, "
+        f"{str(c1).lower()}, {str(c2).lower()}, {str(c3).lower()})"
+        for gid, rows in groups
+        for t, (c1, c2, c3) in rows
+    )
+    for combo in it.chain.from_iterable(
+        it.combinations(("strict_order", "strict_dedup", "strict_increase"), r)
+        for r in range(4)
+    ):
+        mode_args = "".join(f", '{m}'" for m in combo)
+        rows = run_ch_sql(
+            spark,
+            f"SELECT gid, windowFunnel({WINDOW}{mode_args})("
+            "t, c1, c2, c3) AS lvl "
+            f"FROM (SELECT * FROM VALUES {values} AS t(gid, t, c1, c2, c3)) "
+            "GROUP BY gid",
+        ).collect()
+        got = {r["gid"]: r["lvl"] for r in rows}
+        want = {
+            gid: ref_funnel(
+                rws,
+                "strict_order" in combo,
+                "strict_dedup" in combo,
+                "strict_increase" in combo,
+            )
+            for gid, rws in groups
+        }
+        assert got == want, f"funnel fold diverges from CH reference {combo}"
+        assert len(set(want.values())) > 1, f"degenerate corpus for {combo}"
 
 
 def test_window_funnel_combined_modes(spark):
