@@ -1158,18 +1158,60 @@ def _parse_seq_pattern(
     return steps, constraints, fields
 
 
+def _sequence_count_timed(
+    steps: list[int],
+    constraints: list[tuple[str, int] | None],
+    fields: str,
+) -> str:
+    """Time-constrained ``sequenceCount``: the exact MAXIMUM number of
+    sequential non-overlapping chains (chain i+1 starts strictly after
+    chain i's completing event — CH's documented "starts to search for
+    the next chain after the current chain is matched").
+
+    The single-pointer greedy that serves the untimed count is NOT
+    exact under gap constraints (it can bind step 1 to a predecessor
+    that violates a later gap while another predecessor satisfies it),
+    so this fold keeps the full achieved-set DP of
+    ``_sequence_match_set_fold`` plus a counter: every entry at which
+    the final level becomes feasible is the EARLIEST completion of a
+    chain in the current segment — count it and RESET the levels, so
+    the next chain sees only later entries. Earliest-completion
+    restart is optimal for sequential chain counting by the classic
+    activity-selection exchange argument, so the count is the true
+    maximum, not a greedy artifact."""
+    k = len(steps)
+    arr = "acc.s"
+    complete = (
+        f"(x.m{steps[k - 1]} AND "
+        f"{_set_fold_feas(steps, constraints, arr, k - 1)})"
+    )
+    elems = _set_fold_elems(steps, constraints, arr)
+    empty = f"array_repeat(CAST(array() AS ARRAY<BIGINT>), {k})"
+    return (
+        f"aggregate(array_sort(collect_list(struct({fields}))), "
+        f"named_struct('s', {empty}, 'c', 0), "
+        f"(acc, x) -> IF({complete}, "
+        f"named_struct('s', {empty}, 'c', acc.c + 1), "
+        f"named_struct('s', array({', '.join(elems)}), 'c', acc.c)), "
+        f"acc -> acc.c)"
+    )
+
+
 def _sequence_count(p: list[str], v: list[str]) -> str:
     """CH ``sequenceCount('(?1)(?2)...')(ts, conds...)`` → the number
     of NON-OVERLAPPING ordered matches of the pattern. Greedy
     advance-on-first-match over the time-sorted events is optimal for
     non-overlapping subsequence counting (exchange argument), so one
-    O(n) fold with state (progress, count) is exact."""
+    O(n) fold with state (progress, count) is exact. Patterns with
+    ``(?t op N)`` time constraints (r12b) dispatch to the achieved-set
+    DP with reset-on-completion (``_sequence_count_timed``)."""
     steps, constraints, fields = _parse_seq_pattern(p, v)
     if any(c is not None for c in constraints):
-        raise ValueError(
-            "sequenceCount does not support (?t op N) time constraints "
-            "(the non-overlapping greedy is not exact under them)"
-        )
+        if len(steps) < 2:
+            raise ValueError(
+                "sequence time constraint must bind two steps"
+            )
+        return _sequence_count_timed(steps, constraints, fields)
     k = len(steps)
     adv = " ".join(
         f"WHEN acc.p = {j} AND x.m{steps[j]} THEN "
@@ -1186,6 +1228,52 @@ def _sequence_count(p: list[str], v: list[str]) -> str:
     )
 
 
+def _set_fold_feas(
+    steps: list[int],
+    constraints: list[tuple[str, int] | None],
+    arr: str,
+    j: int,
+) -> str:
+    """Can a length-j achieved prefix (levels stored in the
+    array-of-arrays expression ``arr``) extend to level j+1 on an
+    event at ``x.t``? Equality gaps are set membership; one-sided ops
+    are ``exists`` over the same achieved arrays — both exact."""
+    lvl = f"element_at({arr}, {j})"
+    c = constraints[j - 1]
+    if c is None:
+        return f"size({lvl}) > 0"
+    op, us = c
+    if op == "==":
+        return f"array_contains({lvl}, x.t - {us})"
+    cmp = {"<=": ">=", "<": ">", ">=": "<=", ">": "<"}[op]
+    return f"exists({lvl}, p -> p {cmp} x.t - {us})"
+
+
+def _set_fold_elems(
+    steps: list[int],
+    constraints: list[tuple[str, int] | None],
+    arr: str,
+) -> list[str]:
+    """Per-level update expressions for the achieved-set fold: level
+    j+1 appends the event's own t when the event matches step j+1 and
+    a feasible length-j prefix exists. Dedup on append bounds each
+    level by the group's distinct timestamps — the same order of
+    state the plan already materializes via ``collect_list``."""
+    elems = []
+    for j in range(len(steps)):
+        lvl = f"element_at({arr}, {j + 1})"
+        ok = (
+            f"x.m{steps[j]}"
+            if j == 0
+            else f"(x.m{steps[j]} AND {_set_fold_feas(steps, constraints, arr, j)})"
+        )
+        elems.append(
+            f"IF({ok} AND NOT array_contains({lvl}, x.t), "
+            f"array_append({lvl}, x.t), {lvl})"
+        )
+    return elems
+
+
 def _sequence_match_set_fold(
     steps: list[int],
     constraints: list[tuple[str, int] | None],
@@ -1193,34 +1281,10 @@ def _sequence_match_set_fold(
 ) -> str:
     """Exact sequenceMatch fold for patterns with a ``(?t==N)``
     constraint: level j keeps the DEDUPLICATED array of timestamps at
-    which a length-j prefix match can end. Equality feasibility is set
-    membership (``array_contains(level[j-1], t - N)``); one-sided ops
-    in the same pattern use ``exists`` over the same arrays, so mixed
-    constraints stay exact. Dedup on append bounds each level by the
-    group's distinct timestamps — the same order of state the untimed
-    plan already materializes via ``collect_list``."""
+    which a length-j prefix match can end (``_set_fold_elems``), and
+    the group matches iff the top level is non-empty after the fold."""
     k = len(steps)
-
-    def feas(j: int) -> str:
-        # can a length-j prefix extend to level j+1 on an event at x.t?
-        lvl = f"element_at(acc, {j})"
-        c = constraints[j - 1]
-        if c is None:
-            return f"size({lvl}) > 0"
-        op, us = c
-        if op == "==":
-            return f"array_contains({lvl}, x.t - {us})"
-        cmp = {"<=": ">=", "<": ">", ">=": "<=", ">": "<"}[op]
-        return f"exists({lvl}, p -> p {cmp} x.t - {us})"
-
-    elems = []
-    for j in range(k):
-        lvl = f"element_at(acc, {j + 1})"
-        ok = f"x.m{steps[j]}" if j == 0 else f"(x.m{steps[j]} AND {feas(j)})"
-        elems.append(
-            f"IF({ok} AND NOT array_contains({lvl}, x.t), "
-            f"array_append({lvl}, x.t), {lvl})"
-        )
+    elems = _set_fold_elems(steps, constraints, "acc")
     return (
         f"IF(aggregate(array_sort(collect_list(struct({fields}))), "
         f"array_repeat(CAST(array() AS ARRAY<BIGINT>), {k}), "

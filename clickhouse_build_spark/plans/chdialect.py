@@ -915,6 +915,61 @@ def ch_dialect_seq_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ch_dialect_seq_count_timed",
+    oracle="""
+    WITH RECURSIVE chains AS (
+      SELECT user_id, 0 AS n, TIMESTAMP '1970-01-01' AS last_end
+      FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT c.user_id, c.n + 1, nxt.e
+      FROM chains c
+      JOIN LATERAL (
+        SELECT min(p.ts) AS e
+        FROM events s, events p
+        WHERE s.user_id = c.user_id AND p.user_id = c.user_id
+          AND s.event_type = 'signup' AND p.event_type = 'purchase'
+          AND s.ts > c.last_end
+          AND p.ts >= s.ts
+          AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
+      ) nxt ON nxt.e IS NOT NULL
+    )
+    SELECT CAST(sum(mx) AS BIGINT) AS chains_total
+    FROM (SELECT user_id, max(n) AS mx FROM chains GROUP BY user_id)
+    """,
+    tags=("dialect", "clickhouse-sql", "sequence", "behavioral", "timed"),
+)
+def ch_dialect_seq_count_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained ``sequenceCount`` (closes the r12 sequence
+    never-list): total non-overlapping signup → purchase-within-1h
+    chains across users. The single-pointer greedy that serves the
+    untimed count is not exact under gap constraints, so the
+    translator folds the achieved-set DP with reset-on-completion
+    (``_sequence_count_timed``) — earliest-completion restart is the
+    true maximum by the activity-selection exchange argument, and a
+    brute-force cross-check in tests verifies that claim on random
+    corpora. The oracle simulates the same sequential-chain semantics
+    INDEPENDENTLY: a recursive CTE walks each user's timeline, binding
+    the next chain to the earliest feasible completion strictly after
+    the previous one.
+
+    Scale: one grouped collect per user; DP state O(distinct matched
+    timestamps per segment), reset at every completed chain."""
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT CAST(sum(c) AS BIGINT) AS chains_total
+        FROM (
+          SELECT user_id, sequenceCount('(?1)(?t<=3600)(?2)')(ts,
+              event_type = 'signup', event_type = 'purchase') AS c
+          FROM events
+          GROUP BY user_id
+        )
+        """,
+    )
+
+
+@query(
     "ch_dialect_seq_exact",
     oracle="""
     WITH s AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d

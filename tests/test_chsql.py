@@ -1346,8 +1346,10 @@ def test_behavioral_fail_loudly():
     assert "array_contains" in T(
         "SELECT sequenceMatch('(?1)(?t==3600)(?2)')(t, a, b) FROM x"
     )
-    with pytest.raises(ValueError, match="sequenceCount does not"):
-        T("SELECT sequenceCount('(?1)(?t<=10)(?2)')(t, a, b) FROM x")
+    # timed sequenceCount left the never-list in r12b too (reset-scan DP)
+    assert "named_struct('s'" in T(
+        "SELECT sequenceCount('(?1)(?t<=10)(?2)')(t, a, b) FROM x"
+    )
     with pytest.raises(ValueError, match="missing cond"):
         T("SELECT sequenceMatch('(?3)')(t, a, b) FROM x")
     with pytest.raises(ValueError, match="at least 2"):
@@ -1831,6 +1833,99 @@ def test_sequence_match_tie_chains_in_step_order(spark):
         " AS t(t, e))",
     ).first()
     assert r["hit"] == 1
+
+
+def test_sequence_count_time_constrained(spark):
+    """Timed sequenceCount counts sequential non-overlapping chains;
+    the reset-scan DP finds a chain the single-pointer greedy would
+    miss (greedy binds step 1 to the earliest 'a', which violates the
+    gap; the 02:00 'a' satisfies it)."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    data = (
+        "(SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 00:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 02:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 02:30:00', 'b'),"
+        "(TIMESTAMP'2024-01-01 03:00:00', 'a'),"
+        "(TIMESTAMP'2024-01-01 03:20:00', 'b')"
+        " AS t(t, e)) "
+    )
+    n = run_ch_sql(
+        spark,
+        "SELECT sequenceCount('(?1)(?t<=3600)(?2)')(t, e = 'a', "
+        f"e = 'b') AS n FROM {data}",
+    ).first()["n"]
+    assert n == 2  # (02:00->02:30) then (03:00->03:20)
+    n_eq = run_ch_sql(
+        spark,
+        "SELECT sequenceCount('(?1)(?t==1800)(?2)')(t, e = 'a', "
+        f"e = 'b') AS n FROM {data}",
+    ).first()["n"]
+    assert n_eq == 1  # only the 02:00->02:30 gap is exactly 30min
+
+
+def test_sequence_count_timed_vs_bruteforce(spark):
+    """Randomized cross-check: the reset-scan DP count equals the TRUE
+    maximum number of sequential non-overlapping chains, computed by
+    an exponential brute force over all chain placements — verifying
+    the activity-selection optimality claim, not just mirroring the
+    fold."""
+    import random
+    from functools import lru_cache
+
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    rng = random.Random(31)
+    GAP = 60  # seconds, (?1)(?t<=60)(?2)
+    groups = []
+    for gid in range(40):
+        n = rng.randrange(2, 11)
+        groups.append(
+            (gid, [(rng.randrange(0, 240), rng.choice("ab")) for _ in range(n)])
+        )
+
+    def max_chains(rows):
+        # rows sorted exactly as the fold sorts: (t, NOT step1-match,
+        # NOT step2-match); chain = (a at i) then (b at j>i) with
+        # t_j - t_i <= GAP; the next chain uses only indexes > j
+        rows = sorted(
+            (t, e != "a", e != "b", e) for t, e in rows
+        )
+        n = len(rows)
+
+        @lru_cache(maxsize=None)
+        def f(s):
+            if s >= n:
+                return 0
+            best = f(s + 1)
+            for i in range(s, n):
+                if rows[i][3] != "a":
+                    continue
+                for j in range(i + 1, n):
+                    if rows[j][3] == "b" and rows[j][0] - rows[i][0] <= GAP:
+                        best = max(best, 1 + f(j + 1))
+            return best
+
+        return f(0)
+
+    values = ",".join(
+        f"({gid}, TIMESTAMP'2024-01-01 00:00:00' + INTERVAL {t} SECOND, "
+        f"'{e}')"
+        for gid, rows in groups
+        for t, e in rows
+    )
+    rows = run_ch_sql(
+        spark,
+        f"SELECT gid, sequenceCount('(?1)(?t<={GAP})(?2)')("
+        "t, e = 'a', e = 'b') AS n "
+        f"FROM (SELECT * FROM VALUES {values} AS t(gid, t, e)) "
+        "GROUP BY gid",
+    ).collect()
+    got = {r["gid"]: r["n"] for r in rows}
+    want = {gid: max_chains(rws) for gid, rws in groups}
+    assert got == want
+    assert len(set(want.values())) > 1, "degenerate corpus"
 
 
 def test_window_funnel_vs_bruteforce_all_modes(spark):
