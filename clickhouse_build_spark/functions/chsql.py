@@ -392,6 +392,89 @@ def _dict_get(args: list[str], default: str | None = None) -> str:
     sub = f"(SELECT {attr[1:-1]} FROM {tbl} WHERE {key} = ({args[2]}))"
     return f"coalesce({sub}, {default})" if default is not None else sub
 
+def _regex_group_idx(pattern: str) -> str:
+    """CH ``extract``/``extractAll`` take the WHOLE match when the
+    regex has no capture group and the FIRST subpattern otherwise;
+    Spark's regexp_extract* take the group index explicitly (and
+    default to 1 — the r09 gotcha). The pattern must be a string
+    literal so the choice is decidable at translate time."""
+    p = pattern.strip()
+    if not (len(p) >= 2 and p[0] == "'" and p[-1] == "'"):
+        raise ValueError(
+            "extract/extractAll need a literal regex pattern (the "
+            "whole-match vs first-group choice is made at translate time)"
+        )
+    body, i, has_group = p[1:-1], 0, False
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        if body[i] == "(" and not body.startswith("(?", i):
+            has_group = True
+            break
+        i += 1
+    return "1" if has_group else "0"
+
+
+def _ch_transform(a: list[str]) -> str:
+    """CH lookup ``transform(x, [from...], [to...][, default])`` → a
+    CASE chain (CH returns x itself when unmatched and no default is
+    given). The from/to arrays must be literals — a CASE with
+    translate-time arms is the only form that stays inside codegen.
+    NOT Spark's higher-order ``transform`` (the CH name collides); the
+    arity and array-literal shape disambiguate."""
+    if len(a) not in (3, 4):
+        raise ValueError("transform takes (x, [from], [to][, default])")
+
+    def elems(s: str, which: str) -> list[str]:
+        s = s.strip()
+        if not (s.startswith("array(") and s.endswith(")")):
+            raise ValueError(
+                f"transform: {which} must be an array literal"
+            )
+        return _split_depth0(s[len("array("):-1])
+
+    frm, to = elems(a[1], "from"), elems(a[2], "to")
+    if len(frm) != len(to) or not frm:
+        raise ValueError("transform: from/to need equal non-zero lengths")
+    arms = " ".join(
+        f"WHEN ({a[0]}) = ({f}) THEN ({t})" for f, t in zip(frm, to)
+    )
+    default = a[3] if len(a) == 4 else a[0]
+    return f"(CASE {arms} ELSE ({default}) END)"
+
+
+_ARRAY_REDUCE_AGGS = {
+    "sum": lambda arr: f"aggregate({arr}, CAST(0 AS DOUBLE), (__ra, __rx) -> __ra + __rx)",
+    "min": lambda arr: f"array_min({arr})",
+    "max": lambda arr: f"array_max({arr})",
+    "avg": lambda arr: (
+        f"(aggregate({arr}, CAST(0 AS DOUBLE), (__ra, __rx) -> __ra + __rx)"
+        f" / size({arr}))"
+    ),
+    "count": lambda arr: f"size({arr})",
+    "uniq": lambda arr: f"size(array_distinct({arr}))",
+    "uniqexact": lambda arr: f"size(array_distinct({arr}))",
+    "any": lambda arr: f"element_at({arr}, 1)",
+    "anylast": lambda arr: f"element_at({arr}, -1)",
+}
+
+
+def _array_reduce(a: list[str]) -> str:
+    """CH ``arrayReduce('agg', arr)`` for the common aggregate names;
+    unknown aggregates fail loudly at translate time."""
+    name = a[0].strip().strip("'\"").lower()
+    rule = _ARRAY_REDUCE_AGGS.get(name)
+    if rule is None:
+        raise ValueError(
+            f"arrayReduce: unsupported aggregate {name!r} (supported: "
+            f"{sorted(_ARRAY_REDUCE_AGGS)})"
+        )
+    if len(a) != 2:
+        raise ValueError("arrayReduce takes ('agg', array)")
+    return rule(a[1])
+
+
 FUNCS: dict[str, Rule] = {
     # corpus core (SURVEY §2.8 F1-F7)
     "count": _count,  # bare count() → count(*)
@@ -585,6 +668,33 @@ FUNCS: dict[str, Rule] = {
     "match": lambda a: f"(({a[0]}) RLIKE ({a[1]}))",
     "concatassumeinjective": _rename("concat"),
     "assumenotnull": lambda a: a[0],
+    # regex extraction (whole-match vs first-group decided at
+    # translate time from the literal pattern, exactly as CH does)
+    "extract": lambda a: (
+        f"regexp_extract({a[0]}, {a[1]}, {_regex_group_idx(a[1])})"
+    ),
+    "extractall": lambda a: (
+        f"regexp_extract_all({a[0]}, {a[1]}, {_regex_group_idx(a[1])})"
+    ),
+    "countmatches": _rename("regexp_count"),
+    # base64 (CH returns String; Spark unbase64 returns BINARY)
+    "base64encode": _rename("base64"),
+    "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+    "trybase64decode": lambda a: (
+        f"CAST(try_to_binary({a[0]}, 'base64') AS STRING)"
+    ),
+    # decimal casts (CH width -> Spark precision; scale is literal)
+    "todecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {int(a[1])}))",
+    "todecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {int(a[1])}))",
+    "todecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {int(a[1])}))",
+    # Map-type accessors
+    "mapkeys": _rename("map_keys"),
+    "mapvalues": _rename("map_values"),
+    "mapcontains": _rename("map_contains_key"),
+    "mapfromarrays": _rename("map_from_arrays"),
+    # lookup transform / arrayReduce (translate-time expansions)
+    "transform": _ch_transform,
+    "arrayreduce": _array_reduce,
     # time
     "tounixtimestamp": _rename("unix_timestamp"),
     "fromunixtimestamp": _rename("timestamp_seconds"),
@@ -2309,7 +2419,7 @@ def _rewrite_topk(text: str) -> str:
     for i, (n, x, w) in enumerate(topks):
         c = f"sum({w})" if w else "count(*)"
         tk = (
-            f"(SELECT {jkp}transform(array_sort(collect_list("
+            f"(SELECT {jkp}{_INTERNAL}transform(array_sort(collect_list("
             f"struct(__rn, __val))), s -> s.__val) AS __topk{i} "
             f"FROM (SELECT {jkp}__val, row_number() OVER ({part}"
             f"ORDER BY __c DESC, __val) AS __rn "

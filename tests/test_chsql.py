@@ -1835,6 +1835,50 @@ def test_sequence_match_tie_chains_in_step_order(spark):
     assert r["hit"] == 1
 
 
+def test_scalar_additions_r12b(spark):
+    """extract/extractAll (whole-match vs first-group at translate
+    time), countMatches, base64, toDecimal, map accessors, the CH
+    lookup transform (NOT Spark's higher-order one), arrayReduce."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        """
+        SELECT
+          extract('ab12cd34', '\\\\d+') AS whole,
+          extract('ab12cd34', '[a-z]+(\\\\d+)') AS grp,
+          extractAll('ab12cd34', '\\\\d+') AS all_whole,
+          extractAll('ab12cd34', '([a-z])\\\\d') AS all_grp,
+          countMatches('ab12cd34', '\\\\d') AS nm,
+          base64Encode('hi') AS b64,
+          base64Decode('aGk=') AS uh,
+          toDecimal64(1.5, 2) AS dec2,
+          mapKeys(map('a', 1)) AS mk,
+          mapContains(map('a', 1), 'a') AS mc,
+          transform(2, [1, 2, 3], ['a', 'b', 'c'], '?') AS tr,
+          transform(9, [1, 2], [10, 20]) AS tr_keep,
+          arrayReduce('sum', [1, 2, 3]) AS rsum,
+          arrayReduce('uniqExact', [1, 1, 2]) AS runiq
+        """,
+    ).first()
+    assert r["whole"] == "12" and r["grp"] == "12"
+    assert list(r["all_whole"]) == ["12", "34"]
+    assert list(r["all_grp"]) == ["b", "d"]
+    assert r["nm"] == 4
+    assert r["b64"] == "aGk=" and r["uh"] == "hi"
+    assert str(r["dec2"]) == "1.50"
+    assert list(r["mk"]) == ["a"] and r["mc"] is True
+    assert r["tr"] == "b" and r["tr_keep"] == 9
+    assert r["rsum"] == 6.0 and r["runiq"] == 2
+
+    with pytest.raises(ValueError, match="literal regex"):
+        T("SELECT extract(s, p) FROM x")
+    with pytest.raises(ValueError, match="array literal"):
+        T("SELECT transform(x, f, t, d) FROM x")
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        T("SELECT arrayReduce('median', a) FROM x")
+
+
 def test_sequence_count_time_constrained(spark):
     """Timed sequenceCount counts sequential non-overlapping chains;
     the reset-scan DP finds a chain the single-pointer greedy would
