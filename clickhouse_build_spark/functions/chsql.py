@@ -2292,6 +2292,113 @@ def _strip_settings_and_global(text: str) -> str:
     return "".join(out)
 
 
+def _rewrite_any_join(text: str) -> str:
+    """CH ``ANY`` join strictness — ``[LEFT|INNER|RIGHT] ANY JOIN``
+    (both CH spellings: ``LEFT ANY JOIN`` and the legacy
+    ``ANY LEFT JOIN``) → dedupe the build side to ONE row per join key
+    in a subquery, then a plain join of the same kind. CH documents
+    "at most one match" with an UNSPECIFIED pick among duplicates;
+    this rewrite pins the pick deterministically by ordering duplicate
+    key groups on ``xxhash64(to_json(struct(*)))`` — a content hash,
+    so the kept row is stable across runs and partitionings (identical
+    rows are interchangeable), which keeps oracle hashes reproducible
+    where CH itself would flap.
+
+    The build side is the right table for LEFT/INNER ANY and the left
+    table for RIGHT ANY. Supported: one ANY JOIN per query, table or
+    parenthesized-subquery sides with aliases, ON with top-level
+    equality conjunctions only (``USING`` and inequalities fail
+    loudly).
+
+    Scale: the dedup is one window over the build side partitioned by
+    the join key — the same shuffle the join itself needs, and AQE can
+    plan the deduped side as the broadcast build when it is small."""
+    import re
+
+    pat = (
+        r"\b(?:ANY\s+(LEFT|INNER|RIGHT)\s+JOIN|"
+        r"(LEFT|INNER|RIGHT)\s+ANY\s+JOIN|ANY\s+()JOIN)\b"
+    )
+    ms = _depth0_matches(text, pat)
+    if not ms:
+        return text
+    if len(ms) > 1:
+        raise ValueError("one ANY JOIN per query")
+    m = ms[0]
+    kind = (m.group(1) or m.group(2) or "INNER").upper()
+    frm = [f for f in _depth0_matches(text, r"\bFROM\b") if f.start() < m.start()]
+    if not frm:
+        raise ValueError("ANY JOIN without a FROM clause")
+    src1_txt = text[frm[-1].end() : m.start()].strip()
+    rest = text[m.end() :]
+    on = _depth0_matches(rest, r"\bON\b")
+    if not on:
+        raise ValueError(
+            "ANY JOIN requires ON (USING is not supported)"
+        )
+    src2_txt = rest[: on[0].start()].strip()
+    after_on = rest[on[0].end() :]
+    stop = _depth0_matches(
+        after_on,
+        r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS)\b",
+    )
+    cut = stop[0].start() if stop else len(after_on)
+    cond_txt = after_on[:cut].strip()
+
+    def parse_side(s: str) -> tuple[str, str]:
+        sm = re.fullmatch(
+            r"(?s)\s*(\w+|\(.*\))\s+(?:AS\s+)?(\w+)\s*", s, re.IGNORECASE
+        )
+        if not sm:
+            raise ValueError(
+                f"ANY JOIN side needs 'table|(subquery) [AS] alias': {s!r}"
+            )
+        return sm.group(1), sm.group(2)
+
+    src1, a1 = parse_side(src1_txt)
+    src2, a2 = parse_side(src2_txt)
+    build_alias = a1 if kind == "RIGHT" else a2
+    build_keys: list[str] = []
+    for cond in [
+        c.strip() for c in re.split(r"(?i)\bAND\b", cond_txt) if c.strip()
+    ]:
+        cm = re.fullmatch(
+            r"(?s)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", cond
+        )
+        if not cm:
+            raise ValueError(
+                f"ANY JOIN supports only alias.col equality conditions: "
+                f"{cond!r}"
+            )
+        lq, lc, rq, rc = cm.groups()
+        if {lq, rq} != {a1, a2}:
+            raise ValueError(
+                f"ANY JOIN condition must relate {a1!r} and {a2!r}: {cond!r}"
+            )
+        build_keys.append(lc if lq == build_alias else rc)
+    if not build_keys:
+        raise ValueError("ANY JOIN ON needs at least one equality")
+
+    keep = _INTERNAL  # keep Spark names out of the CH function pass
+    klist = ", ".join(build_keys)
+    def dedup(src: str) -> str:
+        return (
+            f"(SELECT * EXCEPT (__rn) FROM (SELECT *, "
+            f"{keep}row_number() OVER (PARTITION BY {klist} "
+            f"ORDER BY {keep}xxhash64({keep}to_json({keep}struct(*)))) "
+            f"AS __rn FROM {src}) WHERE __rn = 1)"
+        )
+
+    if kind == "RIGHT":
+        new_src1, new_src2 = dedup(src1), src2
+    else:
+        new_src1, new_src2 = src1, dedup(src2)
+    joined = (
+        f"{new_src1} AS {a1} {kind} JOIN {new_src2} AS {a2} ON"
+    )
+    return text[: frm[-1].end()] + f" {joined}" + after_on
+
+
 def _rewrite_topk(text: str) -> str:
     """CH ``topK(n)(x)`` / ``topKWeighted(n)(x, w)`` aggregates → an
     EXACT structural rewrite (VERDICT r08 #5): per-(keys, x) counts,
@@ -2668,6 +2775,7 @@ def translate_ch_sql(text: str) -> str:
     text = _rewrite_with_fill(text)
     text = _rewrite_final(text)
     text = _rewrite_asof_join(text)
+    text = _rewrite_any_join(text)
     text = _rewrite_sample_clause(text)
     text = _rewrite_array_join(text)
     text = _rewrite_prewhere(text)

@@ -39,9 +39,9 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 # funnel + timed sequenceMatch additions, the zero-variance-safe corr
 # rewrite under ch_dialect_fill_corr, the entry-exploded funnel fold
 # under ch_dialect_funnel, and the bucket-bracket doc_temperature_sample);
-# (c) 26 of the 45 rows whose newest evidence is r08-or-older,
-# alphabetical. The 19 that did not fit MUST lead the r13 rotation:
-# events_uniq_state_merge, nation_account_union,
+# (c) 25 of the 45 rows whose newest evidence is r08-or-older,
+# alphabetical. The 20 that did not fit MUST lead the r13 rotation:
+# events_top3_users_limit_by, events_uniq_state_merge, nation_account_union,
 # nation_customer_supplier_balance, orders_sample_band,
 # q11_major_revenue_parts, q13_order_count_distribution,
 # q15_top_supplier, q16_supplier_count_by_part, q20_bulk_part_suppliers,
@@ -72,6 +72,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_video_frame_sample",
     # — (b) new or semantics-changed in r12 —
     "ch_dialect_funnel_strict",
+    "ch_dialect_any_join",
     "ch_dialect_seq_count_timed",
     "ch_dialect_seq_exact",
     "ch_dialect_seq_timed",
@@ -104,7 +105,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_kmeans_assign",
     "emb_kmeans_centroids",
     "events_daily_with_fill",
-    "events_top3_users_limit_by",
 ]
 
 

@@ -915,6 +915,42 @@ def ch_dialect_seq_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ch_dialect_any_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_buyers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("dialect", "clickhouse-sql", "any-join", "joins"),
+)
+def ch_dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``ANY`` join strictness through the translator (r12b):
+    customers per market segment that placed at least one order, via
+    ``ANY INNER JOIN`` — the build side dedupes to one row per join
+    key (``_rewrite_any_join``), so the join cannot explode and the
+    count equals the EXISTS semi-join the oracle states independently.
+    The duplicate-key pick is pinned with a content hash
+    (xxhash64 over the row's JSON), so enrichment columns would be
+    run-stable too — this query's output is pick-insensitive by
+    construction, which is what keeps the cross-engine hash exact.
+
+    Scale: the dedup window shuffles on the same key the join needs;
+    AQE can still broadcast the deduped side when small."""
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT c_mktsegment AS segment, count(*) AS n_buyers
+        FROM customer AS c
+        ANY INNER JOIN orders AS o ON c.c_custkey = o.o_custkey
+        GROUP BY c_mktsegment
+        """,
+    )
+
+
+@query(
     "ch_dialect_seq_count_timed",
     oracle="""
     WITH RECURSIVE chains AS (

@@ -1835,6 +1835,56 @@ def test_sequence_match_tie_chains_in_step_order(spark):
     assert r["hit"] == 1
 
 
+def test_any_join_semantics(spark):
+    """LEFT/INNER/RIGHT ANY JOIN: at most one build-side match per
+    probe row, with a deterministic content-hash pick among duplicate
+    keys; both CH spellings parse."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    left = (
+        "(SELECT * FROM VALUES (1, 'x'), (2, 'y'), (3, 'z') AS t(id, lv))"
+    )
+    right = (
+        "(SELECT * FROM VALUES (1, 'a'), (1, 'b'), (2, 'c') AS t(id, rv))"
+    )
+    rows = run_ch_sql(
+        spark,
+        f"SELECT l.id AS id, r.rv AS rv FROM {left} AS l "
+        f"LEFT ANY JOIN {right} AS r ON l.id = r.id ORDER BY l.id",
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]  # no row explosion
+    assert rows[1]["rv"] == "c" and rows[2]["rv"] is None
+    assert rows[0]["rv"] in ("a", "b")
+    # deterministic pick: same result on re-run
+    again = run_ch_sql(
+        spark,
+        f"SELECT l.id AS id, r.rv AS rv FROM {left} AS l "
+        f"ANY LEFT JOIN {right} AS r ON l.id = r.id ORDER BY l.id",
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+    inner = run_ch_sql(
+        spark,
+        f"SELECT count(*) AS n FROM {left} AS l "
+        f"INNER ANY JOIN {right} AS r ON l.id = r.id",
+    ).first()["n"]
+    assert inner == 2  # one match for id=1, one for id=2
+
+    rj = run_ch_sql(
+        spark,
+        f"SELECT r.id AS id, r.rv AS rv FROM "
+        f"(SELECT * FROM VALUES (1, 'x'), (1, 'y') AS t(id, lv)) AS l "
+        f"RIGHT ANY JOIN {right} AS r ON l.id = r.id ORDER BY r.rv",
+    ).collect()
+    # RIGHT ANY dedupes the LEFT side: each right row appears once
+    assert [r["rv"] for r in rj] == ["a", "b", "c"]
+
+    with pytest.raises(ValueError, match="equality"):
+        T("SELECT 1 FROM a AS x ANY LEFT JOIN b AS y ON x.k >= y.k")
+    with pytest.raises(ValueError, match="USING"):
+        T("SELECT 1 FROM a AS x LEFT ANY JOIN b AS y USING (k)")
+
+
 def test_scalar_additions_r12b(spark):
     """extract/extractAll (whole-match vs first-group at translate
     time), countMatches, base64, toDecimal, map accessors, the CH
