@@ -915,6 +915,43 @@ def ch_dialect_seq_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ch_dialect_limit_with_ties",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderpriority,
+             rank() OVER (ORDER BY o_orderpriority) AS r
+      FROM orders
+    ) t WHERE r <= 500
+    """,
+    tags=("dialect", "clickhouse-sql", "limit", "clauses"),
+)
+def ch_dialect_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT n WITH TIES`` through the translator (r12b): the first
+    500 orders by priority plus every order tied with the 500th
+    (priorities are heavily tied, so the tie spill is the point). The
+    rewrite computes the n-th sort key as max(struct(keys)) over an
+    ORDER BY/LIMIT subquery and filters on it — two
+    TakeOrderedAndProject-able branches, deliberately NOT the global
+    rank() window (single-reducer shape the plan lint forbids at
+    scale). The oracle IS the rank() formulation in DuckDB — the two
+    encodings agreeing is the semantics proof (rank() <= n ≡ WITH
+    TIES).
+
+    Scale: threshold branch is a top-n over the sort key; the filter
+    branch is a scan + predicate. No partition-less window."""
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        ORDER BY o_orderpriority
+        LIMIT 500 WITH TIES
+        """,
+    )
+
+
+@query(
     "ch_dialect_any_join",
     oracle="""
     SELECT c_mktsegment AS segment,

@@ -1835,6 +1835,58 @@ def test_sequence_match_tie_chains_in_step_order(spark):
     assert r["hit"] == 1
 
 
+def test_limit_with_ties(spark):
+    """LIMIT n WITH TIES keeps every row tied with the n-th sort key,
+    for ASC and DESC, via the threshold subquery (no global window)."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    data = (
+        "(SELECT * FROM VALUES (1, 'a'), (1, 'b'), (2, 'c'), (2, 'd'), "
+        "(3, 'e') AS t(k, v))"
+    )
+    rows = run_ch_sql(
+        spark,
+        f"SELECT k, v FROM {data} ORDER BY k LIMIT 3 WITH TIES",
+    ).collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [
+        (1, "a"), (1, "b"), (2, "c"), (2, "d")]
+    rows = run_ch_sql(
+        spark,
+        f"SELECT k, v FROM {data} ORDER BY k DESC LIMIT 2 WITH TIES",
+    ).collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [(2, "c"), (2, "d"), (3, "e")]
+    # n >= row count keeps everything
+    rows = run_ch_sql(
+        spark,
+        f"SELECT k, v FROM {data} ORDER BY k LIMIT 9 WITH TIES",
+    ).collect()
+    assert len(rows) == 5
+    # exact boundary with no tie spill: n lands on the last of a group
+    rows = run_ch_sql(
+        spark,
+        f"SELECT k, v FROM {data} ORDER BY k LIMIT 2 WITH TIES",
+    ).collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [(1, "a"), (1, "b")]
+    with pytest.raises(ValueError, match="uniform"):
+        T("SELECT a, b FROM x ORDER BY a ASC, b DESC LIMIT 2 WITH TIES")
+    with pytest.raises(ValueError, match="ORDER BY"):
+        T("SELECT a FROM x LIMIT 2 WITH TIES")
+
+
+def test_scalar_additions_uniqupto_sumcount(spark):
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        "SELECT uniqUpTo(2)(k) AS u2, uniqUpTo(5)(k) AS u5, "
+        "sumCount(k) AS sc FROM (SELECT * FROM VALUES (1), (1), (2), "
+        "(3) AS t(k))",
+    ).first()
+    assert r["u2"] == 3  # saturates at N+1
+    assert r["u5"] == 3  # exact below N
+    assert r["sc"]["sum"] == 7 and r["sc"]["count"] == 4
+
+
 def test_any_join_semantics(spark):
     """LEFT/INNER/RIGHT ANY JOIN: at most one build-side match per
     probe row, with a deterministic content-hash pick among duplicate
