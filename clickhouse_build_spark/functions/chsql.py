@@ -535,6 +535,25 @@ FUNCS: dict[str, Rule] = {
     # for: states are HLL sketches, merge unions + estimates.
     "uniqstate": _rename("hll_sketch_agg"),
     "uniqmerge": lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
+    # algebraic -State/-Merge pairs (AggregatingMergeTree lifecycle,
+    # r12b): where uniqState needs a sketch, these states are plain
+    # algebraic summaries — sum/min/max merge with themselves, count
+    # merges by sum, avg carries (sum, count)
+    "sumstate": _rename("sum"),
+    "summerge": _rename("sum"),
+    "countstate": lambda a: f"count({a[0] if a else '*'})",
+    "countmerge": _rename("sum"),
+    "minstate": _rename("min"),
+    "minmerge": _rename("min"),
+    "maxstate": _rename("max"),
+    "maxmerge": _rename("max"),
+    "avgstate": lambda a: (
+        f"named_struct('s', sum({a[0]}), 'c', count({a[0]}))"
+    ),
+    # CH avg finalizes to Float64 regardless of the input type
+    "avgmerge": lambda a: (
+        f"(CAST(sum(({a[0]}).s) AS DOUBLE) / sum(({a[0]}).c))"
+    ),
     # remaining -If combinators over the mapped aggregate names
     "uniqif": lambda a: (
         f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)"

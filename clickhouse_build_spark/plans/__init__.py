@@ -39,9 +39,9 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 # funnel + timed sequenceMatch additions, the zero-variance-safe corr
 # rewrite under ch_dialect_fill_corr, the entry-exploded funnel fold
 # under ch_dialect_funnel, and the bucket-bracket doc_temperature_sample);
-# (c) 24 of the 45 rows whose newest evidence is r08-or-older,
-# alphabetical. The 21 that did not fit MUST lead the r13 rotation:
-# events_daily_with_fill,
+# (c) 23 of the 45 rows whose newest evidence is r08-or-older,
+# alphabetical. The 22 that did not fit MUST lead the r13 rotation:
+# emb_kmeans_centroids, events_daily_with_fill,
 # events_top3_users_limit_by, events_uniq_state_merge, nation_account_union,
 # nation_customer_supplier_balance, orders_sample_band,
 # q11_major_revenue_parts, q13_order_count_distribution,
@@ -73,6 +73,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_video_frame_sample",
     # — (b) new or semantics-changed in r12 —
     "ch_dialect_funnel_strict",
+    "ch_dialect_algebraic_states",
     "ch_dialect_any_join",
     "ch_dialect_limit_with_ties",
     "ch_dialect_seq_count_timed",
@@ -105,7 +106,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_token_stats",
     "emb_ann_kmeans_topk",
     "emb_kmeans_assign",
-    "emb_kmeans_centroids",
 ]
 
 

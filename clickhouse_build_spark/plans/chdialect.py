@@ -915,6 +915,54 @@ def ch_dialect_seq_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ch_dialect_algebraic_states",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(count(value) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(value) AS avg_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("dialect", "clickhouse-sql", "aggstate", "rollup"),
+)
+def ch_dialect_algebraic_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic ``-State``/``-Merge`` pairs through the translator
+    (r12b — the AggregatingMergeTree lifecycle for sum/count/avg,
+    completing the family next to the sketch-backed
+    ``events_uniq_state_merge``): daily per-type states merged to
+    per-type totals; the oracle is the direct one-level aggregate, so
+    the hash match proves the two-level merge is lossless. Values go
+    through the repo's integer-cents recipe (floor(x*100+0.5)) so the
+    sums are exact integers in both engines — raw double sums are
+    partition-order-dependent in the last ulp.
+
+    Scale: the states layer is exactly the rollup a 100 TB ingest
+    stores per part; merging is one further grouped aggregate."""
+    load_tables(spark, sf_dir)
+    return run_ch_sql(
+        spark,
+        """
+        SELECT event_type,
+               sumMerge(ss) AS total_cents,
+               countMerge(cs) AS n_events,
+               avgMerge(avs) AS avg_cents
+        FROM (
+          SELECT event_type, toStartOfDay(ts) AS day,
+                 sumState(toInt64(floor(value * 100 + 0.5))) AS ss,
+                 countState(value) AS cs,
+                 avgState(toInt64(floor(value * 100 + 0.5))) AS avs
+          FROM events
+          GROUP BY event_type, toStartOfDay(ts)
+        )
+        GROUP BY event_type
+        """,
+    )
+
+
+@query(
     "ch_dialect_limit_with_ties",
     oracle="""
     SELECT o_orderkey, o_orderpriority FROM (

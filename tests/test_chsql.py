@@ -1835,6 +1835,29 @@ def test_sequence_match_tie_chains_in_step_order(spark):
     assert r["hit"] == 1
 
 
+def test_algebraic_state_merge_pairs(spark):
+    """-State/-Merge for sum/count/min/max/avg: a two-level rollup
+    (per-day states merged to a total) equals the direct aggregate —
+    CH's AggregatingMergeTree lifecycle for algebraic functions."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    data = (
+        "(SELECT * FROM VALUES (1, 10.0), (1, 20.0), (2, 5.0), "
+        "(2, 7.0), (2, 9.0) AS t(d, x))"
+    )
+    r = run_ch_sql(
+        spark,
+        "SELECT sumMerge(ss) AS s, countMerge(cs) AS c, "
+        "minMerge(mns) AS mn, maxMerge(mxs) AS mx, avgMerge(avs) AS av "
+        "FROM (SELECT d, sumState(x) AS ss, countState(x) AS cs, "
+        "minState(x) AS mns, maxState(x) AS mxs, avgState(x) AS avs "
+        f"FROM {data} GROUP BY d)",
+    ).first()
+    assert r["s"] == 51.0 and r["c"] == 5
+    assert r["mn"] == 5.0 and r["mx"] == 20.0
+    assert r["av"] == 51.0 / 5
+
+
 def test_limit_with_ties(spark):
     """LIMIT n WITH TIES keeps every row tied with the n-th sort key,
     for ASC and DESC, via the threshold subquery (no global window)."""
