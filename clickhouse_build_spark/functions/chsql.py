@@ -2998,6 +2998,32 @@ def translate_pg_sql(text: str) -> str:
         i = b
     text = "".join(out)
 
+    # PG ->> text extraction: expr ->> 'key' → get_json_object(expr,
+    # '$.key'); expr ->> N (0-based array index) → '$[N]'. Only the
+    # TEXT operator maps — get_json_object returns unquoted scalars,
+    # exactly ->>'s contract; PG's json-preserving -> has no faithful
+    # Spark twin and stays a loud analysis failure.
+    while True:
+        spans = _literal_spans(text)
+        i = text.find("->>")
+        while i >= 0 and any(a <= i < b for a, b in spans):
+            i = text.find("->>", i + 3)
+        if i < 0:
+            break
+        m = re.match(r"\s*(?:'([^']*)'|(\d+))", text[i + 3 :])
+        if not m:
+            raise ValueError(
+                "->> needs a literal string key or integer index"
+            )
+        path = f"$.{m.group(1)}" if m.group(1) is not None else f"$[{m.group(2)}]"
+        start = _cast_operand_start(text, i)
+        operand = text[start:i].rstrip()
+        text = (
+            text[:start]
+            + f"get_json_object({operand}, '{path}')"
+            + text[i + 3 + m.end() :]
+        )
+
     # rewrite innermost :: casts repeatedly (supports x::text::int chains)
     while True:
         spans = _literal_spans(text)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_build_spark.catalog import load_tables
-from clickhouse_build_spark.functions.chsql import run_ch_sql
+from clickhouse_build_spark.functions.chsql import run_ch_sql, run_pg_sql
 from clickhouse_build_spark.plans.registry import query
 
 
@@ -910,6 +910,41 @@ def ch_dialect_seq_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events
           GROUP BY user_id
         )
+        """,
+    )
+
+
+@query(
+    "pg_dialect_json_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+             AS k_mod,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY k_mod
+    """,
+    tags=("dialect", "postgres-sql", "json"),
+)
+def pg_dialect_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PG presentation of the JSON-props rollup (r12b): a
+    reference user's PG arm reads ``props ->> 'k'`` — the translator
+    maps the TEXT-extraction operator to ``get_json_object`` (whose
+    unquoted-scalar return is exactly ``->>``'s contract; the
+    json-preserving ``->`` has no faithful Spark twin and stays a loud
+    failure). Same rollup as ``ch_dialect_json_props``'s k_mod arm, so
+    the two dialect surfaces are provably congruent.
+
+    Scale: one grouped aggregate; get_json_object is codegen'd."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        SELECT (props ->> 'k')::int4 % 10 AS k_mod,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY (props ->> 'k')::int4 % 10
+        ORDER BY k_mod
         """,
     )
 

@@ -242,6 +242,35 @@ def test_pg_positional_params_and_casts():
     )
 
 
+def test_pg_json_text_extraction(spark):
+    """PG ``->>`` maps to get_json_object (unquoted-scalar contract
+    matches exactly); string keys, 0-based array indexes, composition
+    with ::casts; the json-preserving ``->`` stays unmapped."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as T,
+    )
+
+    assert T("SELECT props ->> 'k' FROM t") == (
+        "SELECT get_json_object(props, '$.k') FROM t"
+    )
+    assert T("SELECT (props ->> 'k')::int4 FROM t") == (
+        "SELECT CAST((get_json_object(props, '$.k')) AS INT) FROM t"
+    )
+    assert T("SELECT arr ->> 0 FROM t") == (
+        "SELECT get_json_object(arr, '$[0]') FROM t"
+    )
+    with pytest.raises(ValueError, match="literal string key"):
+        T("SELECT props ->> k FROM t")
+    r = run_pg_sql(
+        spark,
+        "SELECT (j ->> 'a')::int4 AS a, j ->> 'b' AS b, ja ->> 1 AS e1 "
+        "FROM (SELECT '{\"a\": 7, \"b\": \"x\"}' AS j, "
+        "'[10, 20]' AS ja) t",
+    ).first()
+    assert r["a"] == 7 and r["b"] == "x" and r["e1"] == "20"
+
+
 def test_pg_cast_operand_forms():
     from clickhouse_build_spark.functions.chsql import translate_pg_sql as T
 
