@@ -242,6 +242,33 @@ def test_pg_positional_params_and_casts():
     )
 
 
+def test_translator_identity_on_plain_sql():
+    """Plain ANSI/Spark SQL must survive the CH translator BYTE-
+    IDENTICAL (modulo the documented whitespace-before-paren
+    normalization): every clause rewriter and the function pass are
+    no-ops when no CH idiom is present. Guards against a rewriter
+    growing an over-eager match (the class of bug that would silently
+    corrupt user queries rather than failing loudly)."""
+    plain = [
+        "SELECT a, sum(b) AS s FROM t GROUP BY a HAVING sum(b) > 3 "
+        "ORDER BY a LIMIT 5",
+        "SELECT * FROM t1 JOIN t2 ON t1.k = t2.k WHERE t1.x IN "
+        "(SELECT x FROM t3) AND t1.y LIKE 'a%'",
+        "SELECT CASE WHEN x > 0 THEN 'p' ELSE 'n' END AS sgn, "
+        "count(*) AS n FROM t GROUP BY 1",
+        "WITH c AS (SELECT k, max(v) AS mv FROM t GROUP BY k) "
+        "SELECT c.k, c.mv FROM c WHERE c.mv IS NOT NULL",
+        "SELECT a, row_number() OVER (PARTITION BY g ORDER BY ts) "
+        "AS rn FROM events_tbl",
+        "SELECT x FROM t UNION ALL SELECT x FROM u EXCEPT SELECT x FROM v",
+        "SELECT coalesce(a, 0) + greatest(b, c) FROM t "
+        "WHERE ts BETWEEN DATE '2024-01-01' AND DATE '2024-06-30'",
+    ]
+    norm = lambda s: re.sub(r"\s+\(", "(", s)  # noqa: E731
+    for q in plain:
+        assert T(q) == norm(q), q
+
+
 def test_pg_json_text_extraction(spark):
     """PG ``->>`` maps to get_json_object (unquoted-scalar contract
     matches exactly); string keys, 0-based array indexes, composition
