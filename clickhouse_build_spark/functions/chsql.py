@@ -2974,6 +2974,90 @@ def _literal_spans(s: str) -> list[tuple[int, int]]:
     return spans
 
 
+def _rewrite_distinct_on(text: str) -> str:
+    """PG ``SELECT DISTINCT ON (keys) list FROM ... ORDER BY keys,
+    more...`` → first row per key group via a ``row_number`` window
+    partitioned on the keys and ordered by the REMAINING order items
+    (PG requires the ORDER BY to lead with the DISTINCT ON
+    expressions; so does this rewrite, loudly). With no remaining
+    order items PG's pick is unspecified — the rewrite pins it with
+    the same content-hash determinism as ANY JOIN
+    (``xxhash64(to_json(struct(*)))``). Output row order is
+    unspecified (Spark subquery order always is); a trailing LIMIT is
+    rejected — apply it in an outer query with its own ORDER BY.
+
+    Scale: one window shuffled on the keys — the latest-per-key shape
+    the CDC reader uses (``cdc_latest_event_per_user``)."""
+    import re
+
+    m = re.match(
+        r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(", text
+    )
+    if not m:
+        if re.search(r"(?i)\bDISTINCT\s+ON\s*\(", text):
+            raise ValueError(
+                "DISTINCT ON is supported only at the top level of the "
+                "query"
+            )
+        return text
+    # find the matching ')' of the ON (...) group
+    depth, i = 0, m.end() - 1
+    lits = _literal_spans(text)
+    while i < len(text):
+        if any(a <= i < b for a, b in lits):
+            i += 1
+            continue
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced parens in DISTINCT ON")
+    on_exprs = [e.strip() for e in _split_depth0(text[m.end() : i])]
+    rest = text[i + 1 :]
+    frm = _depth0_matches(rest, r"\bFROM\b")
+    if not frm:
+        raise ValueError("DISTINCT ON needs a FROM clause")
+    select_list = rest[: frm[0].start()].strip()
+    after_from = rest[frm[0].start() :]
+    obs = _depth0_matches(after_from, r"\bORDER\s+BY\b")
+    if not obs:
+        raise ValueError(
+            "DISTINCT ON requires an ORDER BY leading with the ON "
+            "expressions (as PG does)"
+        )
+    body = after_from[: obs[0].start()].strip()
+    order_txt = after_from[obs[0].end() :]
+    if _depth0_matches(order_txt, r"\bLIMIT\b"):
+        raise ValueError(
+            "DISTINCT ON with LIMIT is not supported — apply the LIMIT "
+            "in an outer query"
+        )
+    norm = lambda s: re.sub(r"\s+", " ", s).strip().lower()  # noqa: E731
+    items = [it.strip() for it in _split_depth0(order_txt)]
+    if len(items) < len(on_exprs):
+        raise ValueError("ORDER BY must lead with the DISTINCT ON keys")
+    for on, it in zip(on_exprs, items):
+        bare = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", it)
+        if norm(bare) != norm(on):
+            raise ValueError(
+                f"ORDER BY must lead with the DISTINCT ON keys: expected "
+                f"{on!r}, got {it!r}"
+            )
+    win_order = ", ".join(items[len(on_exprs) :]) or (
+        "xxhash64(to_json(struct(*)))"
+    )
+    return (
+        f"SELECT * EXCEPT (__rn) FROM (SELECT {select_list}, "
+        f"row_number() OVER (PARTITION BY {', '.join(on_exprs)} "
+        f"ORDER BY {win_order}) AS __rn {body}) AS __don "
+        f"WHERE __rn = 1"
+    )
+
+
 def translate_pg_sql(text: str) -> str:
     """Rewrite Postgres-dialect SQL to Spark SQL.
 
@@ -2997,6 +3081,7 @@ def translate_pg_sql(text: str) -> str:
         out.append(text[a:b])
         i = b
     text = "".join(out)
+    text = _rewrite_distinct_on(text)
 
     # PG ->> text extraction: expr ->> 'key' → get_json_object(expr,
     # '$.key'); expr ->> N (0-based array index) → '$[N]'. Only the

@@ -39,8 +39,9 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 # funnel + timed sequenceMatch additions, the zero-variance-safe corr
 # rewrite under ch_dialect_fill_corr, the entry-exploded funnel fold
 # under ch_dialect_funnel, and the bucket-bracket doc_temperature_sample);
-# (c) 22 of the 45 rows whose newest evidence is r08-or-older,
-# alphabetical. The 23 that did not fit MUST lead the r13 rotation:
+# (c) 21 of the 45 rows whose newest evidence is r08-or-older,
+# alphabetical. The 24 that did not fit MUST lead the r13 rotation:
+# emb_ann_kmeans_topk,
 # emb_kmeans_assign, emb_kmeans_centroids, events_daily_with_fill,
 # events_top3_users_limit_by, events_uniq_state_merge, nation_account_union,
 # nation_customer_supplier_balance, orders_sample_band,
@@ -79,6 +80,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ch_dialect_seq_count_timed",
     "ch_dialect_seq_exact",
     "ch_dialect_seq_timed",
+    "pg_dialect_distinct_on",
     "pg_dialect_json_props",
     "ch_dialect_fill_corr",
     "ch_dialect_funnel",
@@ -105,7 +107,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_stratified_sample",
     "doc_tfidf_top_terms",
     "doc_token_stats",
-    "emb_ann_kmeans_topk",
 ]
 
 

@@ -915,6 +915,38 @@ def ch_dialect_seq_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pg_dialect_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (user_id) user_id, ts, event_type
+    FROM events
+    ORDER BY user_id, ts DESC, event_id DESC
+    """,
+    tags=("dialect", "postgres-sql", "distinct-on", "cdc"),
+)
+def pg_dialect_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``DISTINCT ON`` through the translator (r12b): latest event
+    per user — the exact PG idiom a reference user's app writes for
+    the latest-per-key read the CDC family serves
+    (``cdc_latest_event_per_user``). The rewrite is one row_number
+    window partitioned on the ON keys and ordered by the residual
+    ORDER BY items (event_id tiebreak pins same-ts users). The oracle
+    runs the IDENTICAL PG text on DuckDB's NATIVE DISTINCT ON — two
+    independent implementations of the idiom agreeing.
+
+    Scale: one window shuffled on user_id; same shape as the CDC
+    reader contract."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        SELECT DISTINCT ON (user_id) user_id, ts, event_type
+        FROM events
+        ORDER BY user_id, ts DESC, event_id DESC
+        """,
+    )
+
+
+@query(
     "pg_dialect_json_props",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10

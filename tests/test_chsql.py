@@ -298,6 +298,40 @@ def test_pg_json_text_extraction(spark):
     assert r["a"] == 7 and r["b"] == "x" and r["e1"] == "20"
 
 
+def test_pg_distinct_on(spark):
+    """PG DISTINCT ON: first row per key in the residual ORDER BY;
+    ON keys must lead the ORDER BY (as PG requires); keyless residual
+    order pins the pick with the content hash; LIMIT rejected."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as T,
+    )
+
+    data = (
+        "(SELECT * FROM VALUES (1, 10, 'a'), (1, 20, 'b'), (2, 5, 'c') "
+        "AS t(uid, ts, v))"
+    )
+    rows = run_pg_sql(
+        spark,
+        f"SELECT DISTINCT ON (uid) uid, v FROM {data} t "
+        "ORDER BY uid, ts DESC",
+    ).collect()
+    assert sorted((r["uid"], r["v"]) for r in rows) == [(1, "b"), (2, "c")]
+    # multiple residual keys + direction on the ON key itself
+    rows = run_pg_sql(
+        spark,
+        f"SELECT DISTINCT ON (uid) uid, v FROM {data} t "
+        "ORDER BY uid DESC, ts ASC, v ASC",
+    ).collect()
+    assert sorted((r["uid"], r["v"]) for r in rows) == [(1, "a"), (2, "c")]
+    with pytest.raises(ValueError, match="lead with"):
+        T("SELECT DISTINCT ON (uid) uid FROM t ORDER BY ts DESC")
+    with pytest.raises(ValueError, match="ORDER BY"):
+        T("SELECT DISTINCT ON (uid) uid FROM t")
+    with pytest.raises(ValueError, match="LIMIT"):
+        T("SELECT DISTINCT ON (uid) uid FROM t ORDER BY uid, ts LIMIT 3")
+
+
 def test_pg_cast_operand_forms():
     from clickhouse_build_spark.functions.chsql import translate_pg_sql as T
 
