@@ -3109,6 +3109,55 @@ def translate_pg_sql(text: str) -> str:
             + text[i + 3 + m.end() :]
         )
 
+    # PG regex-match operators: expr ~ pat → RLIKE; ~* prepends (?i)
+    # inside the (required-literal) pattern; !~ / !~* negate. The
+    # infix form is disambiguated from any prefix use of '~' by
+    # requiring an operand ending (identifier/')'/quote) immediately
+    # before the operator.
+    while True:
+        lits = _literal_spans(text)
+        pos = None
+        _kw = frozenset(
+            "select where and or not then else when by on as in case end "
+            "from join having set values distinct all between like "
+            "union except intersect limit offset group order".split()
+        )
+        start = operand = None
+        for mm in re.finditer(r"!~\*|!~|~\*|~", text):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            j = mm.start() - 1
+            while j >= 0 and text[j].isspace():
+                j -= 1
+            if j < 0 or not (text[j].isalnum() or text[j] in ")'_\""):
+                continue  # prefix ~, not an infix match operator
+            s = _cast_operand_start(text, mm.start())
+            cand = text[s:mm.start()].rstrip()
+            if cand.lower() in _kw:
+                continue  # `SELECT ~5` — keyword, not an operand
+            pos, start, operand = mm, s, cand
+            break
+        if pos is None:
+            break
+        op = pos.group(0)
+        ci, neg = op.endswith("*"), op.startswith("!")
+        rhs = text[pos.end() :]
+        rm = re.match(r"\s*('(?:[^']|'')*'|\w+(?:\.\w+)*)", rhs)
+        if not rm:
+            raise ValueError(f"PG {op} needs a pattern operand")
+        pat = rm.group(1)
+        if ci:
+            if not pat.startswith("'"):
+                raise ValueError(
+                    f"PG {op} needs a literal pattern (the (?i) flag is "
+                    "spliced at translate time)"
+                )
+            pat = "'(?i)" + pat[1:]
+        expr = f"({operand} RLIKE {pat})"
+        if neg:
+            expr = f"(NOT {expr})"
+        text = text[:start] + expr + rhs[rm.end() :]
+
     # rewrite innermost :: casts repeatedly (supports x::text::int chains)
     while True:
         spans = _literal_spans(text)

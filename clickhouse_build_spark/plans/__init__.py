@@ -38,7 +38,9 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 # (b) this round's new or semantics-changed queries (the strict-mode
 # funnel + timed sequenceMatch additions, the zero-variance-safe corr
 # rewrite under ch_dialect_fill_corr, the entry-exploded funnel fold
-# under ch_dialect_funnel, and the bucket-bracket doc_temperature_sample);
+# under ch_dialect_funnel, the bucket-bracket doc_temperature_sample,
+# and the r12b adds: algebraic states, ANY JOIN, LIMIT WITH TIES,
+# timed sequenceCount, (?t==N) sequenceMatch, PG ->> and DISTINCT ON);
 # (c) 21 of the 45 rows whose newest evidence is r08-or-older,
 # alphabetical. The 24 that did not fit MUST lead the r13 rotation:
 # emb_ann_kmeans_topk,

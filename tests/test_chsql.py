@@ -298,6 +298,36 @@ def test_pg_json_text_extraction(spark):
     assert r["a"] == 7 and r["b"] == "x" and r["e1"] == "20"
 
 
+def test_pg_regex_match_operators(spark):
+    """PG ~ / ~* / !~ / !~* map to RLIKE (with a translate-time (?i)
+    splice for the case-insensitive forms); prefix ~ is left alone."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as T,
+    )
+
+    assert T("SELECT x FROM t WHERE name ~ '^ab'") == (
+        "SELECT x FROM t WHERE (name RLIKE '^ab')"
+    )
+    assert T("SELECT x FROM t WHERE name ~* '^ab'") == (
+        "SELECT x FROM t WHERE (name RLIKE '(?i)^ab')"
+    )
+    assert T("SELECT x FROM t WHERE name !~ '^ab'") == (
+        "SELECT x FROM t WHERE (NOT (name RLIKE '^ab'))"
+    )
+    assert T("SELECT ~5 AS b FROM t") == "SELECT ~5 AS b FROM t"
+    with pytest.raises(ValueError, match="literal pattern"):
+        T("SELECT x FROM t WHERE name ~* other_col")
+    r = run_pg_sql(
+        spark,
+        "SELECT count(*) FILTER (WHERE s ~ '^a') AS a_ct, "
+        "count(*) FILTER (WHERE s ~* '^A') AS ai_ct, "
+        "count(*) FILTER (WHERE s !~* '^a') AS no_a "
+        "FROM (SELECT * FROM VALUES ('abc'), ('Abc'), ('xyz') AS t(s))",
+    ).first()
+    assert r["a_ct"] == 1 and r["ai_ct"] == 2 and r["no_a"] == 1
+
+
 def test_pg_distinct_on(spark):
     """PG DISTINCT ON: first row per key in the residual ORDER BY;
     ON keys must lead the ORDER BY (as PG requires); keyless residual
