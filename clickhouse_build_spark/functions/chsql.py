@@ -405,13 +405,36 @@ def _regex_group_idx(pattern: str) -> str:
             "whole-match vs first-group choice is made at translate time)"
         )
     body, i, has_group = p[1:-1], 0, False
+    in_class = False
     while i < len(body):
-        if body[i] == "\\":
+        c = body[i]
+        if c == "\\":
             i += 2
             continue
-        if body[i] == "(" and not body.startswith("(?", i):
-            has_group = True
-            break
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            # '(' inside a [...] class is a literal, not a group
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            if body.startswith("(?", i):
+                # named groups (?<g>.../(?P<g>...) ARE capturing;
+                # lookbehinds (?<=/(?<! and every other (?... are not
+                if body.startswith("(?P<", i) or (
+                    body.startswith("(?<", i)
+                    and not body.startswith("(?<=", i)
+                    and not body.startswith("(?<!", i)
+                ):
+                    has_group = True
+                    break
+            else:
+                has_group = True
+                break
         i += 1
     return "1" if has_group else "0"
 
@@ -422,16 +445,26 @@ def _ch_transform(a: list[str]) -> str:
     given). The from/to arrays must be literals — a CASE with
     translate-time arms is the only form that stays inside codegen.
     NOT Spark's higher-order ``transform`` (the CH name collides); the
-    arity and array-literal shape disambiguate."""
+    arity and array-literal shape disambiguate — calls that do NOT
+    match the CH lookup shape (2-arg lambda form, or from/to args
+    that are not array literals) pass through unchanged to Spark's
+    builtin instead of raising (ADVICE r12)."""
+
+    def passthrough() -> str:
+        return f"transform({', '.join(a)})"
+
     if len(a) not in (3, 4):
-        raise ValueError("transform takes (x, [from], [to][, default])")
+        return passthrough()
+
+    def is_array_lit(s: str) -> bool:
+        s = s.strip()
+        return s.startswith("array(") and s.endswith(")")
+
+    if not (is_array_lit(a[1]) and is_array_lit(a[2])):
+        return passthrough()
 
     def elems(s: str, which: str) -> list[str]:
         s = s.strip()
-        if not (s.startswith("array(") and s.endswith(")")):
-            raise ValueError(
-                f"transform: {which} must be an array literal"
-            )
         return _split_depth0(s[len("array("):-1])
 
     frm, to = elems(a[1], "from"), elems(a[2], "to")
@@ -688,9 +721,14 @@ FUNCS: dict[str, Rule] = {
     "concatassumeinjective": _rename("concat"),
     "assumenotnull": lambda a: a[0],
     # regex extraction (whole-match vs first-group decided at
-    # translate time from the literal pattern, exactly as CH does)
+    # translate time from the literal pattern, exactly as CH does).
+    # The ANSI/CH `EXTRACT(unit FROM ts)` form parses as ONE arg —
+    # pass it through unchanged (Spark has the same builtin) instead
+    # of indexing a[1] (ADVICE r12).
     "extract": lambda a: (
-        f"regexp_extract({a[0]}, {a[1]}, {_regex_group_idx(a[1])})"
+        f"extract({', '.join(a)})"
+        if len(a) != 2
+        else f"regexp_extract({a[0]}, {a[1]}, {_regex_group_idx(a[1])})"
     ),
     "extractall": lambda a: (
         f"regexp_extract_all({a[0]}, {a[1]}, {_regex_group_idx(a[1])})"

@@ -302,14 +302,21 @@ def _dsir_top_k(keyed: DataFrame) -> DataFrame:
     """
     W = _DSIR_BUCKET_WIDTH
     kb = F.floor(F.col("key_x1e6") / W).cast("long")
-    hist = keyed.groupBy(kb.alias("kb")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).collect()
+    # Enforce the bound BEFORE materializing on the driver (ADVICE
+    # r12): limit(+1) caps the pull at the guard size; an overflowed
+    # histogram (len > MAX) takes the exact-global-rank fallback
+    # without ever holding the full histogram driver-side.
+    hist = (
+        keyed.groupBy(kb.alias("kb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(_DSIR_MAX_HIST_ROWS + 1)
+        .collect()
+    )
     if not hist:
         return keyed.limit(0)
-    n = sum(r["cnt"] for r in hist)
-    k = max(1, n // 5)
     if len(hist) <= _DSIR_MAX_HIST_ROWS:
+        n = sum(r["cnt"] for r in hist)
+        k = max(1, n // 5)
         cum = 0
         b_star, residual = None, 0
         for r in sorted(hist, key=lambda r: -r["kb"]):
@@ -327,6 +334,9 @@ def _dsir_top_k(keyed: DataFrame) -> DataFrame:
         )
         return sure.unionByName(boundary)
     # histogram overflow (pathological key range): exact global rank
+    # (n re-derived with a count — the truncated histogram can't sum it)
+    n = keyed.count()
+    k = max(1, n // 5)
     w = Window.orderBy(F.desc("key_x1e6"), F.asc("doc_id"))
     return (
         keyed.select("*", F.row_number().over(w).alias("rk"))

@@ -2118,8 +2118,11 @@ def test_scalar_additions_r12b(spark):
 
     with pytest.raises(ValueError, match="literal regex"):
         T("SELECT extract(s, p) FROM x")
-    with pytest.raises(ValueError, match="array literal"):
-        T("SELECT transform(x, f, t, d) FROM x")
+    # non-array-literal transform now passes through unchanged
+    # (ADVICE r12 — could be Spark's builtin), no longer raises
+    assert T("SELECT transform(x, f, t, d) FROM x") == (
+        "SELECT transform(x, f, t, d) FROM x"
+    )
     with pytest.raises(ValueError, match="unsupported aggregate"):
         T("SELECT arrayReduce('median', a) FROM x")
 
@@ -2364,3 +2367,55 @@ def test_backref_preescaped_dollar_passes_through(spark):
         + " AS r"
     ).first()["r"]
     assert r2 == "price $42"
+
+
+def test_ansi_extract_from_passes_through(spark):
+    """ADVICE r12: the FUNCS 'extract' rule intercepted the ANSI/CH
+    ``EXTRACT(unit FROM expr)`` form — the whole body parses as ONE
+    arg, so ``a[1]`` raised IndexError on valid SQL. The 1-arg form
+    now passes through byte-identical to Spark's builtin."""
+    q = "SELECT extract(YEAR FROM DATE '2024-05-17') AS y"
+    assert T(q) == q
+    assert spark.sql(T(q)).first()["y"] == 2024
+    # 2-arg regex form still maps
+    assert T("extract('ab12', '\\d+')") == (
+        "regexp_extract('ab12', '\\d+', 0)"
+    )
+
+
+def test_regex_group_idx_char_class_and_named_groups(spark):
+    """ADVICE r12: '(' inside a [...] character class is a literal,
+    not a capture group (extract('s','[(]x') must take the WHOLE
+    match / group 0); named groups (?<g>...) ARE capturing (group 1);
+    lookbehinds (?<=...)/(?<!...) are not."""
+    # char-class '(' -> group 0 (whole match)
+    t = T("extract('a(x b', '[(]x')")
+    assert t == "regexp_extract('a(x b', '[(]x', 0)"
+    assert spark.sql("SELECT " + t + " AS r").first()["r"] == "(x"
+    # escaped paren -> group 0
+    assert T(r"extract('a(x', '\(x')").endswith(", 0)")
+    # named group -> group 1 (doubled backslash: Spark's literal
+    # parser consumes one level before the Java regex sees \d)
+    t2 = T(r"extract('ab12cd', '(?<num>\\d+)')")
+    assert t2.endswith(", 1)")
+    assert spark.sql("SELECT " + t2 + " AS r").first()["r"] == "12"
+    # lookbehind is non-capturing -> group 0
+    t3 = T(r"extract('ab12', '(?<=b)\\d+')")
+    assert t3.endswith(", 0)")
+    assert spark.sql("SELECT " + t3 + " AS r").first()["r"] == "12"
+
+
+def test_higher_order_transform_passes_through(spark):
+    """ADVICE r12: Spark's higher-order ``transform(arr, x -> x+1)``
+    (2-arg lambda form) and 3-arg calls whose from/to are not array
+    literals pass through unchanged instead of raising."""
+    q = "SELECT transform(array(1, 2, 3), x -> x + 1) AS r"
+    assert T(q) == q
+    assert spark.sql(T(q)).first()["r"] == [2, 3, 4]
+    # 3-arg with non-literal arrays: passthrough (Spark will reject it
+    # at analysis, but the translator must not swallow it)
+    q2 = "SELECT transform(x, a, b) AS r FROM t"
+    assert T(q2) == q2
+    # CH lookup form still maps to CASE
+    t = T("transform(x, array(1, 2), array('a', 'b'), 'z')")
+    assert t.startswith("(CASE WHEN")
