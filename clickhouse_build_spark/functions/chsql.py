@@ -2955,7 +2955,108 @@ PG_TYPES = {
     "timestamptz": "TIMESTAMP",
     "bool": "BOOLEAN",
     "boolean": "BOOLEAN",
+    # JSON stays text on the Spark side; the JSON operators
+    # (->/->>/@>) parse where they need structure (r13)
+    "json": "STRING",
+    "jsonb": "STRING",
 }
+
+
+def _sql_str(s: str) -> str:
+    """A Python string as a Spark SQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _json_path_part(key: str | None, idx: str | None) -> str:
+    """One JSON-path step: ``.key`` for word keys, ``['key']`` for
+    keys with specials, ``[N]`` for array indexes (0-based in both PG
+    and the JsonPath engines)."""
+    import re
+
+    if key is not None:
+        return f".{key}" if re.fullmatch(r"\w+", key) else f"['{key}']"
+    return f"[{idx}]"
+
+
+def _pg_jsonb_contains(lhs: str, rhs_literal: str) -> str:
+    """PG jsonb containment ``lhs @> 'literal'`` expanded at translate
+    time to a conjunction of per-path checks over Spark's VARIANT
+    reader (``try_variant_get``), so the whole predicate stays inside
+    codegen with no UDF. Faithful to jsonb semantics for the app-query
+    shape: a literal RHS object whose values are scalars, nested
+    objects, or arrays of scalars (array containment = every RHS
+    element present in the LHS array; numbers compare numerically, so
+    5 matches 5.0 exactly as jsonb does). A non-object RHS or an array
+    of non-scalars is a loud translate-time failure — never a silent
+    wrong answer.
+
+    Reference parity: the reference's PG arm ships such predicates to
+    Postgres verbatim (src/tools/scanner grammar); here they must
+    execute on Spark.
+    """
+    import json
+
+    try:
+        obj = json.loads(rhs_literal.replace("''", "'"))
+    except ValueError as e:
+        raise ValueError(f"@>: RHS is not valid JSON: {e}") from None
+    if not isinstance(obj, dict):
+        raise ValueError(
+            "@>: only a literal JSON OBJECT right-hand side is "
+            "supported (top-level arrays/scalars are not app-query "
+            "shapes; write the predicate explicitly)"
+        )
+    pj = f"parse_json({lhs})"
+    conds: list[str] = []
+
+    def walk(path: str, v) -> None:
+        vg = f"try_variant_get({pj}, {_sql_str(path)}, 'variant')"
+        if isinstance(v, dict):
+            if not v:
+                # {} is contained in any object at this path
+                conds.append(f"startswith(to_json({vg}), '{{')")
+                return
+            for k, sub in v.items():
+                walk(path + _json_path_part(k, None), sub)
+        elif isinstance(v, list):
+            for e in v:
+                if isinstance(e, bool):
+                    conds.append(
+                        f"array_contains(CAST({vg} AS ARRAY<BOOLEAN>), "
+                        f"{str(e).lower()})"
+                    )
+                elif isinstance(e, str):
+                    conds.append(
+                        f"array_contains(CAST({vg} AS ARRAY<STRING>), "
+                        f"{_sql_str(e)})"
+                    )
+                elif isinstance(e, (int, float)):
+                    conds.append(
+                        f"array_contains(CAST({vg} AS ARRAY<DOUBLE>), "
+                        f"CAST({e} AS DOUBLE))"
+                    )
+                else:
+                    raise ValueError(
+                        "@>: array elements in the RHS must be scalars"
+                    )
+        elif isinstance(v, bool):
+            conds.append(f"to_json({vg}) = '{str(v).lower()}'")
+        elif v is None:
+            conds.append(f"to_json({vg}) = 'null'")
+        elif isinstance(v, str):
+            conds.append(
+                f"to_json({vg}) = "
+                f"{_sql_str(json.dumps(v, ensure_ascii=False))}"
+            )
+        else:  # number: jsonb compares numerically (5 contains 5.0)
+            conds.append(
+                f"try_cast(to_json({vg}) AS DOUBLE) = CAST({v} AS DOUBLE)"
+            )
+
+    if not obj:
+        return f"startswith(to_json({pj}), '{{')"
+    walk("$", obj)
+    return "(" + " AND ".join(conds) + ")"
 
 
 def _cast_operand_start(s: str, i: int) -> int:
@@ -3121,31 +3222,161 @@ def translate_pg_sql(text: str) -> str:
     text = "".join(out)
     text = _rewrite_distinct_on(text)
 
-    # PG ->> text extraction: expr ->> 'key' → get_json_object(expr,
-    # '$.key'); expr ->> N (0-based array index) → '$[N]'. Only the
-    # TEXT operator maps — get_json_object returns unquoted scalars,
-    # exactly ->>'s contract; PG's json-preserving -> has no faithful
-    # Spark twin and stays a loud analysis failure.
+    # string_agg(expr, delim ORDER BY keys) — PG puts the ORDER BY
+    # inside the call; Spark 4's native string_agg takes it as a
+    # WITHIN GROUP clause. Unordered string_agg passes through (the
+    # name and 2-arg form are identical in Spark 4.1).
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"\bstring_agg\s*\(", text, re.IGNORECASE):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            op = mm.end() - 1
+            _, close = _parse_args(text, op)
+            body = text[op + 1 : close]
+            ob = None
+            for om in re.finditer(r"\bORDER\s+BY\b", body, re.IGNORECASE):
+                blits = _literal_spans(body)
+                if any(a <= om.start() < b for a, b in blits):
+                    continue
+                if body[: om.start()].count("(") == body[
+                    : om.start()
+                ].count(")"):
+                    ob = om
+                    break
+            if ob is not None:
+                hit = (mm.start(), op, close, body, ob)
+                break
+        if hit is None:
+            break
+        s0, op, close, body, ob = hit
+        head, order_items = body[: ob.start()].rstrip(), body[ob.end() :]
+        text = (
+            text[:s0]
+            + f"string_agg({head}) WITHIN GROUP "
+            + f"(ORDER BY{order_items})"
+            + text[close + 1 :]
+        )
+
+    # PG JSON navigation: chains of -> (json-preserving) and ->> (text
+    # extraction) compose into ONE JsonPath at translate time
+    # (`j -> 'a' -> 'b' ->> 'c'` → get_json_object(j, '$.a.b.c')).
+    # A chain ENDING in ->> maps to get_json_object (whose
+    # unquoted-scalar return is exactly ->>'s contract). A chain
+    # ending in -> maps through Spark's VARIANT reader —
+    # to_json(try_variant_get(parse_json(j), path, 'variant')) — which
+    # re-serializes the value AS JSON text (strings keep their quotes,
+    # objects/arrays their structure, missing keys → NULL), the
+    # faithful twin of ->'s jsonb return that get_json_object cannot
+    # express (r13; previously a documented loud failure).
     while True:
         spans = _literal_spans(text)
-        i = text.find("->>")
-        while i >= 0 and any(a <= i < b for a, b in spans):
-            i = text.find("->>", i + 3)
-        if i < 0:
+        first = None
+        for mm in re.finditer(r"->>?", text):
+            if any(a <= mm.start() < b for a, b in spans):
+                continue
+            first = mm
             break
-        m = re.match(r"\s*(?:'([^']*)'|(\d+))", text[i + 3 :])
-        if not m:
-            raise ValueError(
-                "->> needs a literal string key or integer index"
+        if first is None:
+            break
+        start = _cast_operand_start(text, first.start())
+        operand = text[start : first.start()].rstrip()
+        i, parts, last_op = first.start(), [], None
+        while True:
+            om = re.match(r"->>?", text[i:])
+            if om is None:
+                break
+            opx = om.group(0)
+            km = re.match(r"\s*(?:'([^']*)'|(\d+))", text[i + len(opx) :])
+            if km is None:
+                raise ValueError(
+                    f"{opx} needs a literal string key or integer index"
+                )
+            parts.append(_json_path_part(km.group(1), km.group(2)))
+            last_op = opx
+            i = i + len(opx) + km.end()
+            j = i
+            while j < len(text) and text[j].isspace():
+                j += 1
+            if text.startswith("->", j):
+                if last_op == "->>":
+                    raise ValueError(
+                        "->> returns text — chain with -> before the "
+                        "final extraction (PG would raise the same)"
+                    )
+                i = j
+                continue
+            break
+        path = "$" + "".join(parts)
+        if last_op == "->>":
+            repl = f"get_json_object({operand}, '{path}')"
+        else:
+            repl = (
+                f"to_json(try_variant_get(parse_json({operand}), "
+                f"'{path}', 'variant'))"
             )
-        path = f"$.{m.group(1)}" if m.group(1) is not None else f"$[{m.group(2)}]"
-        start = _cast_operand_start(text, i)
-        operand = text[start:i].rstrip()
-        text = (
-            text[:start]
-            + f"get_json_object({operand}, '{path}')"
-            + text[i + 3 + m.end() :]
+        text = text[:start] + repl + text[i:]
+
+    # jsonb containment: lhs @> 'literal'[::jsonb] — expanded to a
+    # conjunction of per-path variant checks at translate time
+    # (_pg_jsonb_contains). The RHS must be a literal; a dynamic RHS
+    # is a loud failure, not a silent one.
+    while True:
+        spans = _literal_spans(text)
+        pos = None
+        for mm in re.finditer(r"@>", text):
+            if any(a <= mm.start() < b for a, b in spans):
+                continue
+            pos = mm
+            break
+        if pos is None:
+            break
+        start = _cast_operand_start(text, pos.start())
+        lhs = text[start : pos.start()].rstrip()
+        rm = re.match(
+            r"\s*'((?:[^']|'')*)'(\s*::\s*jsonb?\b)?",
+            text[pos.end() :],
+            re.IGNORECASE,
         )
+        if rm is None:
+            raise ValueError(
+                "@> needs a literal JSON right-hand side (a dynamic "
+                "containment probe is not translatable)"
+            )
+        repl = _pg_jsonb_contains(lhs, rm.group(1))
+        text = text[:start] + repl + text[pos.end() + rm.end() :]
+
+    # generate_series(a, b[, step]) → explode(sequence(...)). Works in
+    # both FROM position (`FROM generate_series(1, 12) AS g(n)` —
+    # Spark accepts explode as a table-valued function) and the SELECT
+    # list. The 2-arg form guards PG's empty-set-when-start>stop
+    # contract with a constant-false filter (Spark's sequence(5, 1)
+    # would DESCEND — a silent wrong answer otherwise); the 3-arg form
+    # maps directly, both engines reject a step whose sign disagrees.
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"\bgenerate_series\s*\(", text, re.IGNORECASE):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        op = hit.end() - 1
+        args, close = _parse_args(text, op)
+        if len(args) == 2:
+            a, b = args
+            repl = (
+                f"explode(filter(sequence({a}, {b}), "
+                f"__gs -> ({a}) <= ({b})))"
+            )
+        elif len(args) == 3:
+            repl = f"explode(sequence({', '.join(args)}))"
+        else:
+            raise ValueError("generate_series takes 2 or 3 arguments")
+        text = text[: hit.start()] + repl + text[close + 1 :]
 
     # PG regex-match operators: expr ~ pat → RLIKE; ~* prepends (?i)
     # inside the (required-literal) pattern; !~ / !~* negate. The

@@ -31,84 +31,79 @@ from clickhouse_build_spark.plans import retrieval  # noqa: E402,F401
 from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-12 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) the 17 rows
-# whose newest driver evidence is still r07 (the 15 enumerated in the
-# r10 deferral note plus the two media rows displaced late in r10);
-# (b) this round's new or semantics-changed queries (the strict-mode
-# funnel + timed sequenceMatch additions, the zero-variance-safe corr
-# rewrite under ch_dialect_fill_corr, the entry-exploded funnel fold
-# under ch_dialect_funnel, the bucket-bracket doc_temperature_sample,
-# and the r12b adds: algebraic states, ANY JOIN, LIMIT WITH TIES,
-# timed sequenceCount, (?t==N) sequenceMatch, PG ->> and DISTINCT ON);
-# (c) 21 of the 45 rows whose newest evidence is r08-or-older,
-# alphabetical. The 24 that did not fit MUST lead the r13 rotation:
-# emb_ann_kmeans_topk,
-# emb_kmeans_assign, emb_kmeans_centroids, events_daily_with_fill,
-# events_top3_users_limit_by, events_uniq_state_merge, nation_account_union,
-# nation_customer_supplier_balance, orders_sample_band,
-# q11_major_revenue_parts, q13_order_count_distribution,
-# q15_top_supplier, q16_supplier_count_by_part, q20_bulk_part_suppliers,
-# q2_min_cost_supplier, q4_priority_order_check, q7_nation_trade_flows,
-# q8_nation_market_share, q9_product_profit,
-# returned_and_urgent_intersect, status_priority_cube,
-# status_priority_grouping_sets, status_priority_rollup,
-# urgent_order_customers_semi. Every out-of-window row is still
+# iteration order. Round-13 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) this round's new
+# queries (the PG-arm breadth rows: string_agg WITHIN-GROUP pull-out,
+# generate_series gap-fill, jsonb ->/@> via the VARIANT reader);
+# (b) the 24 rows deferred from r12 whose newest driver evidence is
+# r08 — the full r12 deferral list, now cleared; (c) 23 of the 48 rows
+# whose newest evidence is r09, alphabetical. The 25 r09-evidence rows
+# that did not fit MUST lead the r14 rotation: events_json_props,
+# events_props_as_map, events_sliding_10min_step5,
+# events_type_counts_salted, events_views_in_error_windows,
+# media_audio_chunks, media_image_features, media_jpeg_transcode,
+# media_resize_features, nation_revenue_ranks, order_value_distribution,
+# part_stats_min_max_avg, price_percentiles_by_flag, q10_returned_items,
+# q12_priority_shipping_caseagg, q18_large_volume_customers,
+# q6_forecast_revenue, rolling_30day_customer_spend, stats_by_month,
+# stats_daily_top30, status_priority_pivot, status_priority_profile,
+# top3_orders_per_customer, user_sessions_30min,
+# weekly_retention_cohorts. Every out-of-window row is still
 # re-verified by the local full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) r07-age evidence, the r10/r11 deferral list —
-    "orders_zorder_profile",
-    "part_attributes_unpivot",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "running_customer_revenue",
-    "signup_purchase_funnel",
-    "stats_by_category",
-    "stats_by_month_pg_shape",
-    "top_customers_by_revenue",
-    "media_pframe_frames",
-    "media_video_frame_sample",
-    # — (b) new or semantics-changed in r12 —
-    "ch_dialect_funnel_strict",
-    "ch_dialect_algebraic_states",
-    "ch_dialect_any_join",
-    "ch_dialect_limit_with_ties",
-    "ch_dialect_seq_count_timed",
-    "ch_dialect_seq_exact",
-    "ch_dialect_seq_timed",
-    "pg_dialect_distinct_on",
-    "pg_dialect_json_props",
-    "ch_dialect_fill_corr",
-    "ch_dialect_funnel",
-    "doc_temperature_sample",
-    # — (c) r08-or-older evidence, alphabetical (28 of 45) —
-    "approx_distinct_and_percentiles",
-    "big_spender_segments_having",
-    "cdc_incremental_rollup",
-    "ch_dialect_array_join_tokens",
-    "ch_dialect_final_latest",
-    "ch_dialect_monthly_stats",
-    "ch_dialect_prewhere_totals",
-    "corpus_perplexity_bands",
-    "curated_training_corpus",
-    "doc_chunk_text",
-    "doc_contamination_screen",
-    "doc_lm_bigram_model",
-    "doc_lm_perplexity",
-    "doc_oov_rate",
-    "doc_pii_scrub",
-    "doc_quality_classifier",
-    "doc_repetition_stats",
-    "doc_simhash_dup_pairs",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
+    # — (a) new in r13 —
+    "pg_dialect_string_agg",
+    "pg_dialect_series_fill",
+    "pg_dialect_jsonb_ops",
+    # — (b) the r12 deferral list (newest evidence r08) —
+    "emb_ann_kmeans_topk",
+    "emb_kmeans_assign",
+    "emb_kmeans_centroids",
+    "events_daily_with_fill",
+    "events_top3_users_limit_by",
+    "events_uniq_state_merge",
+    "nation_account_union",
+    "nation_customer_supplier_balance",
+    "orders_sample_band",
+    "q11_major_revenue_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q20_bulk_part_suppliers",
+    "q2_min_cost_supplier",
+    "q4_priority_order_check",
+    "q7_nation_trade_flows",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "returned_and_urgent_intersect",
+    "status_priority_cube",
+    "status_priority_grouping_sets",
+    "status_priority_rollup",
+    "urgent_order_customers_semi",
+    # — (c) r09 evidence, alphabetical (23 of 48) —
+    "cdc_latest_event_per_user",
+    "ch_dialect_dictget",
+    "ch_dialect_json_props",
+    "ch_dialect_rollup_stats",
+    "ch_dialect_status_profile",
+    "ch_dialect_token_arrays",
+    "ch_dialect_topk_intervals",
+    "ch_dialect_url_report",
+    "customer_latest_order_argmax",
+    "customer_order_gaps",
+    "customers_except_returners",
+    "doc_bpe_token_counts",
+    "doc_token_histogram",
+    "doc_winnow_fingerprints",
+    "emb_ann_ivf_topk",
+    "emb_ann_lsh_topk_batch",
+    "emb_ivfpq_topk",
+    "emb_knn_cosine",
+    "emb_label_centroids",
+    "emb_normalize_quantize",
+    "emb_semdedup_keepers",
+    "emb_semdedup_probe2_keepers",
+    "events_asof_last_error",
 ]
 
 

@@ -1203,3 +1203,158 @@ def ch_dialect_seq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+@query(
+    "pg_dialect_string_agg",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ', ' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    tags=("dialect", "postgres-sql", "string-agg"),
+)
+def pg_dialect_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``string_agg(expr, delim ORDER BY keys)`` (r13 — VERDICT r12
+    missing-list #2): the first aggregate a scanner-matched real PG
+    report query uses that Spark spells differently. The translator
+    pulls the in-call ORDER BY out into Spark 4's native
+    ``string_agg(...) WITHIN GROUP (ORDER BY ...)``; the oracle runs
+    the IDENTICAL PG text on DuckDB's native in-call form — two
+    independent implementations of the ordered-concat idiom agreeing
+    byte-for-byte.
+
+    Scale: an ordered-list aggregate is inherently per-group; the
+    rollup shuffles once on the group key and each group's concat is
+    local. Unordered ``string_agg`` passes through untouched (the
+    2-arg form is native in both engines)."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        SELECT r.r_name AS region,
+               string_agg(n.n_name, ', ' ORDER BY n.n_name) AS nations,
+               count(*)::int8 AS n_nations
+        FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY region
+        """,
+    )
+
+
+@query(
+    "pg_dialect_series_fill",
+    oracle="""
+    SELECT CAST(g.month AS DATE) AS month,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+    FROM generate_series(DATE '1992-01-01', DATE '1998-12-01',
+                         INTERVAL 1 MONTH) AS g(month)
+    LEFT JOIN (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    ) o ON o.m = CAST(g.month AS DATE)
+    ORDER BY month
+    """,
+    tags=("dialect", "postgres-sql", "generate-series", "gap-fill"),
+)
+def pg_dialect_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG calendar gap-fill via ``generate_series`` in FROM position
+    (r13): every month of the order horizon LEFT-JOINed to the monthly
+    order count, zero-filled — the idiom PG apps use where the CH arm
+    writes ``WITH FILL`` (``ch_dialect_fill_corr``'s axis). The
+    translator maps the set-returning function to
+    ``explode(sequence(...))``, which Spark accepts as a table-valued
+    FROM item; the 2-arg numeric form additionally guards PG's
+    empty-set-when-start>stop contract (Spark's ``sequence`` would
+    descend — a silent wrong answer otherwise).
+
+    Scale: the generated axis is tiny (one row per month) and stays a
+    single-partition broadcast side; the monthly rollup is the usual
+    partial-aggregated scan."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        SELECT g.month::date AS month,
+               COALESCE(o.n, 0)::int8 AS n_orders
+        FROM generate_series(DATE '1992-01-01', DATE '1998-12-01',
+                             INTERVAL '1 month') AS g(month)
+        LEFT JOIN (
+            SELECT date_trunc('month', o_orderdate)::date AS m,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        ) o ON o.m = g.month::date
+        ORDER BY month
+        """,
+    )
+
+
+@query(
+    "pg_dialect_jsonb_ops",
+    oracle="""
+    WITH enriched AS (
+      SELECT '{"meta": {"type": "' || event_type || '", "k": '
+             || json_extract_string(props, '$.k')
+             || '}, "tags": ["t' || CAST(event_id % 3 AS VARCHAR)
+             || '", "all"]}' AS j
+      FROM events
+    )
+    SELECT CAST(json_extract(j, '$.meta.type') AS VARCHAR) AS mtype_json,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (
+                 list_contains(CAST(json_extract(j, '$.tags') AS VARCHAR[]),
+                               't1')
+                 AND CAST(json_extract(j, '$.meta.k') AS DOUBLE) >= 50.0
+             ) AS BIGINT) AS n_t1_hi
+    FROM enriched
+    GROUP BY 1
+    ORDER BY mtype_json
+    """,
+    tags=("dialect", "postgres-sql", "json", "jsonb-containment"),
+)
+def pg_dialect_jsonb_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG jsonb ``->`` chains and ``@>`` containment (r13 — closes the
+    documented ``->`` loud failure). ``j -> 'meta' -> 'type'`` keeps
+    JSON semantics through Spark's VARIANT reader
+    (``to_json(try_variant_get(...))`` — the string comes back QUOTED,
+    ``\"purchase\"``, exactly PG's json-preserving contract where
+    ``->>`` strips); ``@>`` expands at translate time to per-path
+    variant checks (array containment + numeric-equality semantics, 5
+    matches 5.0 as jsonb does). The nested document is synthesized
+    from event columns so the operators run over corpus-scale data;
+    the oracle navigates the same documents with DuckDB's native
+    json_extract/list_contains.
+
+    Scale: all three operators are codegen'd expressions over one
+    scan + one grouped aggregate — no UDF, no reparse beyond the
+    columnar parse_json. Key-order note: terminal ``->`` of a
+    MULTI-KEY object renders with engine-specific key order (PG jsonb
+    itself reorders keys) — hashed outputs pin scalars only."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        WITH enriched AS (
+          SELECT '{"meta": {"type": "' || event_type || '", "k": '
+                 || (props ->> 'k')
+                 || '}, "tags": ["t' || (event_id % 3)::varchar
+                 || '", "all"]}' AS j
+          FROM events
+        )
+        SELECT j -> 'meta' -> 'type' AS mtype_json,
+               count(*)::int8 AS n,
+               (count(*) FILTER (WHERE
+                   j @> '{"tags": ["t1"]}'::jsonb
+                   AND (j -> 'meta' ->> 'k')::float8 >= 50.0
+               ))::int8 AS n_t1_hi
+        FROM enriched
+        GROUP BY 1
+        ORDER BY mtype_json
+        """,
+    )

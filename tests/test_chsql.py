@@ -2419,3 +2419,99 @@ def test_higher_order_transform_passes_through(spark):
     # CH lookup form still maps to CASE
     t = T("transform(x, array(1, 2), array('a', 'b'), 'z')")
     assert t.startswith("(CASE WHEN")
+
+
+def test_pg_string_agg_order_by_pullout():
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    assert P("SELECT string_agg(x, ', ' ORDER BY x) FROM t") == (
+        "SELECT string_agg(x, ', ') WITHIN GROUP (ORDER BY x) FROM t"
+    )
+    # multi-key order, DESC, and the unordered passthrough
+    assert P("SELECT string_agg(a, '|' ORDER BY b DESC, c) FROM t") == (
+        "SELECT string_agg(a, '|') WITHIN GROUP (ORDER BY b DESC, c) FROM t"
+    )
+    assert P("SELECT string_agg(x, ',') FROM t") == (
+        "SELECT string_agg(x, ',') FROM t"
+    )
+    # an ORDER BY inside a nested call is NOT the agg's order clause
+    q = "SELECT string_agg(f(x ORDER BY y), ',') FROM t"
+    assert P(q) == q
+
+
+def test_pg_generate_series(spark):
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    assert P("SELECT * FROM generate_series(1, 5) AS g(n)") == (
+        "SELECT * FROM explode(filter(sequence(1, 5), "
+        "__gs -> (1) <= (5))) AS g(n)"
+    )
+    rows = run_pg_sql(spark, "SELECT n FROM generate_series(1, 5) AS g(n)")
+    assert [r["n"] for r in rows.collect()] == [1, 2, 3, 4, 5]
+    # PG contract: start > stop (positive implicit step) → EMPTY, not
+    # Spark sequence()'s descending run
+    assert run_pg_sql(spark, "SELECT generate_series(5, 1) AS n").count() == 0
+    # 3-arg timestamp form
+    d = run_pg_sql(
+        spark,
+        "SELECT generate_series(DATE '2024-01-01', DATE '2024-03-01', "
+        "INTERVAL '1 month') AS m",
+    ).collect()
+    assert [str(r["m"]) for r in d] == ["2024-01-01", "2024-02-01", "2024-03-01"]
+
+
+def test_pg_json_preserving_arrow(spark):
+    """PG ``->`` keeps JSON semantics: strings stay QUOTED, objects
+    stay JSON, missing keys → NULL; chains compose into one path."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    assert P("SELECT j -> 'a' ->> 'b' FROM t") == (
+        "SELECT get_json_object(j, '$.a.b') FROM t"
+    )
+    r = run_pg_sql(
+        spark,
+        """SELECT j -> 'meta' -> 'type' AS quoted,
+                  j -> 'meta' ->> 'type' AS bare,
+                  j -> 'missing' AS gone,
+                  j -> 'arr' -> 1 AS second
+           FROM VALUES ('{"meta": {"type": "x"}, "arr": [10, 20]}') AS t(j)""",
+    ).first()
+    assert r["quoted"] == '"x"' and r["bare"] == "x"
+    assert r["gone"] is None and r["second"] == "20"
+    # ->> mid-chain is a loud failure (PG types it the same way)
+    with pytest.raises(ValueError, match="->> returns text"):
+        P("SELECT j ->> 'a' -> 'b' FROM t")
+
+
+def test_pg_jsonb_containment(spark):
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    doc = '{"k": 5, "meta": {"type": "x"}, "tags": ["a", "b"]}'
+
+    def holds(rhs):
+        q = f"SELECT ('{doc}' @> '{rhs}') AS c"
+        return run_pg_sql(spark, q).first()["c"]
+
+    assert holds('{"k": 5}') is True
+    assert holds('{"k": 5.0}') is True          # jsonb numeric equality
+    assert holds('{"k": 6}') is False
+    assert holds('{"meta": {"type": "x"}}') is True
+    assert holds('{"meta": {"type": "y"}}') is False
+    assert holds('{"tags": ["b"]}') is True      # subset containment
+    assert holds('{"tags": ["b", "z"]}') is False
+    assert holds('{}') is True                   # {} contained in any object
+    assert holds('{"meta": {}}') is True
+    # dynamic RHS and non-object RHS fail loudly
+    with pytest.raises(ValueError, match="literal JSON"):
+        P("SELECT a @> b FROM t")
+    with pytest.raises(ValueError, match="JSON OBJECT"):
+        P("SELECT a @> '[1]' FROM t")
