@@ -205,7 +205,7 @@ def shared_ivf_centroids(
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE {_cos_sql('a.e', 'b.e')} >= {NEAR_DUP_COS}
     """,
-    tags=("similarity", "near-dup", "cosine"),
+    tags=("similarity", "near-dup", "cosine", "quadratic-by-design"),
 )
 def emb_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) — the exact

@@ -240,7 +240,7 @@ JACCARD_DF_CAP = 100
     JOIN cnt cb ON p.doc_b = cb.doc_id
     WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= 0.1
     """,
-    tags=("text", "dedup", "near-dup", "jaccard"),
+    tags=("text", "dedup", "near-dup", "jaccard", "quadratic-output"),
 )
 def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via word-3-gram shingle Jaccard.
