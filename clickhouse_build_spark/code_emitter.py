@@ -89,6 +89,20 @@ def extract_sql(code: str) -> str | None:
                     if _CONT.match(nxt):
                         parts.append(nxt)
                 return re.sub(r"\s+", " ", " ".join(parts)).strip()
+    # Bare SQL from a scanned .sql file (r13 real-app fixture): the
+    # statement IS the code — no literal to unwrap. An analytical VIEW
+    # definition contributes its underlying SELECT (the view body is
+    # the query; the DDL shell is the migrator's concern, not a method).
+    bare = re.sub(r"(?m)^\s*--.*$", "", code).strip()
+    vm = re.match(
+        r"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?"
+        r"VIEW\s+[\w.]+\s+AS\s+(SELECT\b.*)$",
+        bare,
+    )
+    if vm:
+        return re.sub(r"\s+", " ", vm.group(1)).strip().rstrip(";")
+    if re.match(r"(?is)^(?:WITH|SELECT)\b", bare):
+        return re.sub(r"\s+", " ", bare).strip().rstrip(";")
     return None
 
 
@@ -184,6 +198,19 @@ def parse_drizzle(code: str) -> dict | None:
     m = re.search(r"db\s*\.\s*select\(\{", code)
     if not m or ".from(" not in code:
         return None
+    # A builder ASSIGNED without `await` is a deferred/partial chain —
+    # the grouping/filtering may be applied by a helper elsewhere (the
+    # hostile-fixture split-chain shape). Emitting the visible ungrouped
+    # arm would silently drop that grouping; refuse instead (r13 — the
+    # chain walk-back made these blocks syntactically parseable).
+    head = code[: m.start()]
+    am = re.search(r"(?:let|const|var)\s+\w+\s*=\s*$", head.rstrip())
+    if am is not None and "await" not in head:
+        raise ValueError(
+            "deferred drizzle builder (assigned without await) — the "
+            "chain may be completed elsewhere; scanned block cannot be "
+            f"emitted faithfully: {code[:120]!r}"
+        )
     # brace-depth scan: `${expenses.col}` interpolations nest braces
     depth, i = 1, m.end()
     while i < len(code) and depth:

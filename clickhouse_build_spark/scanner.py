@@ -61,6 +61,13 @@ TABLE_RE = re.compile(
 )
 # builder-style source: drizzle `.from(expenses)`
 BUILDER_FROM_RE = re.compile(r"\.from\(\s*([A-Za-z_]\w*)\s*\)")
+# kysely-style sources: `.selectFrom('expenses')`, joins by string name
+KYSELY_FROM_RE = re.compile(
+    r"\.(?:selectFrom|innerJoin|leftJoin|rightJoin|fullJoin)\(\s*"
+    r"['\"]([A-Za-z_]\w*)['\"]"
+)
+# knex-style head: `knex('expenses')`
+KNEX_HEAD_RE = re.compile(r"\bknex\(\s*['\"]([A-Za-z_]\w*)['\"]\s*\)")
 SQL_KEYWORDS = {"select", "where", "values", "set", "dual", "unnest", "lateral"}
 
 
@@ -127,7 +134,7 @@ def extract_tables(snippet: str) -> list[str]:
     # word never becomes a phantom table (r12 hostile fixture)
     snippet = re.sub(r"(?m)^\s*//.*$", "", snippet)
     tables = []
-    for regex in (TABLE_RE, BUILDER_FROM_RE):
+    for regex in (TABLE_RE, BUILDER_FROM_RE, KYSELY_FROM_RE, KNEX_HEAD_RE):
         for m in regex.finditer(snippet):
             name = m.group(1).split(".")[-1].lower()
             if name not in SQL_KEYWORDS and name not in tables:
@@ -187,7 +194,9 @@ def _template_spans(text: str) -> list[tuple[int, int]]:
 # ORM/builder chain heads: prisma `x.groupBy({`/`x.aggregate({`, drizzle
 # `db.select({ count: count(), ... })` — the chain continues across
 # `.from/.where/.groupBy/.orderBy` lines.
-_CHAIN_START_RE = re.compile(r"\.(?:groupBy|aggregate|select)\s*\(")
+_CHAIN_START_RE = re.compile(
+    r"\.(?:groupBy|aggregate|selectFrom|select)\s*\("
+)
 # assignment target preceding a literal: `let monthlyQuery = \`` / `q += \``
 _ASSIGN_RE = re.compile(r"(?:let|const|var)?\s*([A-Za-z_]\w*)\s*\+?=\s*$")
 
@@ -221,14 +230,28 @@ def _candidate_blocks(text: str) -> list[tuple[int, int, str]]:
         return text.count("\n", 0, off)  # 0-based
 
     # (1) ORM/builder chains: accumulate while parens are open, then keep
-    # following `.method(` continuation lines; cap at 30 lines.
+    # following `.method(` continuation lines; cap at 30 lines. A chain
+    # whose first matched line STARTS with `.` (kysely/knex multi-line
+    # style: `const rows = await db\n  .selectFrom('expenses')\n ...`)
+    # walks BACK to the statement head so the builder source
+    # (`db`, `knex('expenses')`) is part of the captured block (r13
+    # real-app fixture).
     for i, line in enumerate(lines):
         m = _CHAIN_START_RE.search(line)
         if not m or is_covered(offsets[i] + m.start()):
             continue
+        head = i
+        if line.lstrip().startswith("."):
+            for _ in range(3):
+                if head == 0:
+                    break
+                prev = lines[head - 1].rstrip()
+                if prev == "" or prev.endswith((";", "{", "}")):
+                    break
+                head -= 1
         depth = 0
         end = i
-        block: list[str] = []
+        block: list[str] = [lines[k] for k in range(head, i)]
         for j in range(i, min(len(lines), i + 30)):
             if depth <= 0 and j > i and not lines[j].lstrip().startswith("."):
                 break
@@ -237,8 +260,8 @@ def _candidate_blocks(text: str) -> list[tuple[int, int, str]]:
             end = j
         snippet = "\n".join(block)
         if CANDIDATE_RE.search(snippet):
-            hits.append((i + 1, end + 1, snippet))
-            covered.append((offsets[i], offsets[end] + len(lines[end])))
+            hits.append((head + 1, end + 1, snippet))
+            covered.append((offsets[head], offsets[end] + len(lines[end])))
 
     # (2) template literals, expanded to the enclosing statement and
     # merged across `var +=` fragments.
@@ -304,6 +327,47 @@ def _candidate_blocks(text: str) -> list[tuple[int, int, str]]:
     return hits
 
 
+def _sql_statements(text: str) -> list[tuple[int, int, str]]:
+    """Raw ``.sql`` file statements as (start_line, end_line, code),
+    1-based — split on ``;`` outside quotes and ``--`` comments. Real
+    apps keep analytical VIEW definitions and saved reporting queries
+    in ``.sql`` files (the reference's external eval targets all carry
+    them); the template/chain candidate classes never see raw SQL text
+    because it sits in no literal (r13 real-app fixture)."""
+    stmts: list[tuple[int, int, str]] = []
+    i, n, start = 0, len(text), 0
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "-" and text[i : i + 2] == "--":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if c == ";":
+            body = text[start:i]
+            if body.strip():
+                lo = text.count("\n", 0, start + (len(body) - len(body.lstrip())))
+                hi = text.count("\n", 0, i)
+                stmts.append((lo + 1, hi + 1, body.strip()))
+            start = i + 1
+        i += 1
+    body = text[start:].strip()
+    if body:
+        lo = text.count("\n", 0, start + (len(text[start:]) - len(text[start:].lstrip())))
+        stmts.append((lo + 1, text.count("\n") + 1, body))
+    return stmts
+
+
 def scan_file(path: str, rel: str | None = None) -> list[AnalyticalQuery]:
     try:
         with open(path, encoding="utf-8", errors="replace") as f:
@@ -312,7 +376,12 @@ def scan_file(path: str, rel: str | None = None) -> list[AnalyticalQuery]:
         return []
     rel = rel or path
     out = []
-    for start, end, block in _candidate_blocks(text):
+    blocks = (
+        _sql_statements(text)
+        if path.endswith(".sql")
+        else _candidate_blocks(text)
+    )
+    for start, end, block in blocks:
         ok, reason = classify(block)
         if ok:
             out.append(

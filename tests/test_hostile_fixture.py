@@ -69,7 +69,10 @@ def test_nested_template_fails_loudly(scan):
 
 
 def test_split_builder_fails_loudly(scan):
-    with pytest.raises(ValueError, match="neither raw SQL"):
+    # r13: the chain walk-back makes the split block syntactically
+    # parseable — the emitter now refuses it by the sharper
+    # deferred-builder signal (assigned without await), still loud
+    with pytest.raises(ValueError, match="deferred drizzle builder"):
         build_method_specs([_spec_for(scan, "lib/report.ts:")])
 
 

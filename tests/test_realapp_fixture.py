@@ -1,0 +1,175 @@
+"""Real-app scanner/emitter fixture (VERDICT r12 next-round #1).
+
+The reference's own external eval surface is six production OSS apps
+(``/root/reference/clone_test_oss_repos.sh:8-49`` — cal.com, formbricks,
+dub, twenty, rallly, plane). Those repos add shapes the three golden
+eval apps and the r12 hostile fixture never exercise: ORM calls split
+across a service layer, kysely/knex string-named builder chains, and
+``.sql`` files carrying analytical view definitions and saved reporting
+queries. ``tests/fixtures/pg-real-app`` vendors a deterministic slice
+of each; the contract stays find-or-fail-loudly:
+
+- the scanner finds all six analytical sites, extracts exactly the two
+  real tables (kysely's string-named ``selectFrom``/``innerJoin`` and
+  knex's ``knex('expenses')`` head included), reports NOTHING from the
+  thin route file, the ``migrations/`` dir, or plain ``CREATE TABLE``
+  DDL;
+- the emitter round-trips the two translatable sites (inline prisma
+  groupBy; the saved raw reporting query) with CH rows == PG rows on a
+  planted corpus, and fails LOUDLY with a documented reason on the four
+  it cannot translate faithfully (opts-object groupBy, knex chain,
+  kysely chain, splice-less view body);
+- the analytical VIEW body still executes row-equal through BOTH
+  dialect arms of the engine — the emit refusal is about the method
+  contract (no DateFilter splice), not executability.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import pathlib
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+from clickhouse_build_spark.code_emitter import build_method_specs
+from clickhouse_build_spark.scanner import scan_repo
+
+APP = pathlib.Path(__file__).parent / "fixtures" / "pg-real-app"
+
+
+@pytest.fixture(scope="module")
+def scan():
+    return scan_repo(str(APP))
+
+
+def _spec_for(scan, loc_prefix):
+    q = next(q for q in scan.queries if q.location.startswith(loc_prefix))
+    return {
+        "description": q.description,
+        "code": q.code,
+        "location": q.location,
+    }
+
+
+def test_scanner_finds_all_six_sites(scan):
+    locs = sorted(q.location for q in scan.queries)
+    prefixes = [
+        "db/views.sql:L1-",          # CREATE VIEW ... GROUP BY
+        "db/views.sql:L18-",         # saved reporting query
+        "lib/legacy.ts:L5-",         # knex chain
+        "lib/reporting.ts:L6-",      # kysely chain
+        "services/insights.ts:L5-",  # inline prisma groupBy
+        "services/insights.ts:L23-",  # opts-object groupBy
+    ]
+    assert len(locs) == 6
+    for want in prefixes:
+        matches = [l for l in locs if l.startswith(want)]
+        assert len(matches) == 1, (want, locs)
+
+
+def test_thin_route_and_migrations_contribute_nothing(scan):
+    for q in scan.queries:
+        assert not q.location.startswith("app/"), q.location
+        assert not q.location.startswith("migrations/"), q.location
+
+
+def test_tables_exact_no_phantoms(scan):
+    # kysely string-named sources and the knex head both extract;
+    # 'month'/'day'/aliases and the CREATE TABLE DDL contribute nothing
+    assert scan.tables == ["categories", "expenses"]
+
+
+def test_untranslatable_shapes_fail_loudly(scan):
+    with pytest.raises(ValueError, match="neither raw SQL"):
+        build_method_specs([_spec_for(scan, "services/insights.ts:L23")])
+    with pytest.raises(ValueError, match="neither raw SQL"):
+        build_method_specs([_spec_for(scan, "lib/legacy.ts:")])
+    with pytest.raises(ValueError, match="neither raw SQL"):
+        build_method_specs([_spec_for(scan, "lib/reporting.ts:")])
+    # the view body IS extractable SQL but has no DateFilter splice
+    # point — the method contract refuses it rather than emitting a
+    # method that silently ignores its filter argument
+    with pytest.raises(ValueError, match="no DateFilter splice point"):
+        build_method_specs([_spec_for(scan, "db/views.sql:L1")])
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = random.Random(17)
+    cats = [(1, "Food"), (2, "Transport"), (3, "Utilities")]
+    spark.createDataFrame(cats, "id long, name string").createOrReplaceTempView(
+        "categories"
+    )
+    rows = [
+        (
+            i,
+            round(rng.uniform(1, 300), 2),
+            rng.choice(["Food", "Transport", "Utilities", None]),
+            rng.choice([1, 2, 3]),
+            dt.date(2024, 1, 1) + dt.timedelta(days=rng.randrange(120)),
+        )
+        for i in range(1, 201)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("category", T.StringType()),
+            T.StructField("category_id", T.LongType()),
+            T.StructField("date", T.DateType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("expenses")
+    return spark
+
+
+def _rows_equal(got, want):
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(tuple(g), tuple(w)):
+            if isinstance(gv, float):
+                assert gv == pytest.approx(wv, rel=1e-9)
+            else:
+                assert gv == wv
+
+
+def _engine(spark):
+    from clickhouse_build_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    return Engine(SF_SMOKE, spark=spark)
+
+
+def test_prisma_service_site_roundtrips(scan, planted):
+    (s,) = build_method_specs([_spec_for(scan, "services/insights.ts:L5")])
+    eng = _engine(planted)
+    got = eng.sql(s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql.replace("${whereClause}", ""), dialect="postgres").collect()
+    _rows_equal(got, want)
+    assert len(got) == 4  # 3 categories + NULL bucket
+    assert got[0]["total"] >= got[-1]["total"]
+
+
+def test_saved_sql_report_roundtrips(scan, planted):
+    (s,) = build_method_specs([_spec_for(scan, "db/views.sql:L18")])
+    eng = _engine(planted)
+    got = eng.sql(s.ch_sql, dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql, dialect="postgres").collect()
+    _rows_equal(got, want)
+    assert len(got) == 4
+
+
+def test_view_body_executes_row_equal_on_both_arms(scan, planted):
+    from clickhouse_build_spark.code_emitter import extract_sql
+
+    q = next(q for q in scan.queries if q.location.startswith("db/views.sql:L1"))
+    body = extract_sql(q.code)
+    assert body is not None and body.upper().startswith("SELECT")
+    eng = _engine(planted)
+    order = " ORDER BY month, category NULLS FIRST"
+    got = eng.sql(body + order, dialect="clickhouse").collect()
+    want = eng.sql(body + order, dialect="postgres").collect()
+    _rows_equal(got, want)
+    assert len(got) > 0
