@@ -289,6 +289,24 @@ def _cmd_maintenance(args: argparse.Namespace) -> dict:
             "purged": report,
             "total_purged": sum(report.values()),
         }
+    if args.action == "layout":
+        from clickhouse_build_spark.sources.layout_policy import (
+            layout_write,
+            parse_merge_tree_ddl,
+        )
+
+        if bool(args.ddl) == bool(args.ddl_file):
+            raise SystemExit(
+                "maintenance layout: pass exactly one of --ddl / --ddl-file"
+            )
+        ddl = args.ddl or open(args.ddl_file).read()
+        spec = parse_merge_tree_ddl(ddl)
+        df = spark.read.parquet(args.path)
+        report = layout_write(df, spec, args.out)
+        report["action"] = "layout"
+        report["rows"] = spark.read.parquet(args.out).count()
+        return report
+
     # zorder
     from clickhouse_build_spark.operators.zorder import zorder_write
 
@@ -484,6 +502,22 @@ def main(argv: list[str] | None = None) -> int:
     mz.add_argument("--bits", type=int, default=13)
     mz.add_argument("--coarse-bits", type=int, default=6)
     mz.set_defaults(fn=_cmd_maintenance)
+    ml = mt_sub.add_parser(
+        "layout",
+        help="rewrite a table under its CH MergeTree DDL layout "
+        "(PARTITION BY -> hive partitions, ORDER BY -> sorted ranges)",
+    )
+    ml.add_argument("path", help="source parquet path")
+    ml.add_argument("out", help="output table root")
+    ml.add_argument(
+        "--ddl",
+        default=None,
+        help="CREATE TABLE ... ENGINE=MergeTree ... DDL string",
+    )
+    ml.add_argument(
+        "--ddl-file", default=None, help="file containing the DDL"
+    )
+    ml.set_defaults(fn=_cmd_maintenance)
 
     args = p.parse_args(argv)
     json.dump(args.fn(args), sys.stdout, indent=2, default=str)

@@ -33,12 +33,14 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-13 ranking — stale-evidence rotation is POLICY
 # (r03 lesson: data can change under a green row): (a) this round's new
-# queries (the PG-arm breadth rows: string_agg WITHIN-GROUP pull-out,
-# generate_series gap-fill, jsonb ->/@> via the VARIANT reader);
+# queries (the MergeTree-DDL layout profile and the PG-arm breadth
+# rows: string_agg WITHIN-GROUP pull-out, generate_series gap-fill,
+# jsonb ->/@> via the VARIANT reader);
 # (b) the 24 rows deferred from r12 whose newest driver evidence is
-# r08 — the full r12 deferral list, now cleared; (c) 23 of the 48 rows
-# whose newest evidence is r09, alphabetical. The 25 r09-evidence rows
-# that did not fit MUST lead the r14 rotation: events_json_props,
+# r08 — the full r12 deferral list, now cleared; (c) 22 of the 48 rows
+# whose newest evidence is r09, alphabetical. The 26 r09-evidence rows
+# that did not fit MUST lead the r14 rotation: events_asof_last_error,
+# events_json_props,
 # events_props_as_map, events_sliding_10min_step5,
 # events_type_counts_salted, events_views_in_error_windows,
 # media_audio_chunks, media_image_features, media_jpeg_transcode,
@@ -52,6 +54,7 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 # re-verified by the local full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) new in r13 —
+    "orders_mergetree_layout_profile",
     "pg_dialect_string_agg",
     "pg_dialect_series_fill",
     "pg_dialect_jsonb_ops",
@@ -80,7 +83,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "status_priority_grouping_sets",
     "status_priority_rollup",
     "urgent_order_customers_semi",
-    # — (c) r09 evidence, alphabetical (23 of 48) —
+    # — (c) r09 evidence, alphabetical (22 of 48) —
     "cdc_latest_event_per_user",
     "ch_dialect_dictget",
     "ch_dialect_json_props",
@@ -103,7 +106,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_normalize_quantize",
     "emb_semdedup_keepers",
     "emb_semdedup_probe2_keepers",
-    "events_asof_last_error",
 ]
 
 

