@@ -136,6 +136,152 @@ def count_nlj(plan: str) -> int:
     )
 
 
+# ------------------------- structural NLJ bound check (VERDICT r12 #8)
+# The ALLOWED_NLJ allowlist used to be justified only in PLANS.md
+# prose, so a plan edit could silently grow an allowlisted query's
+# broadcast side unbounded. The lint now parses the plan TREE and
+# requires every NLJ's build side (the BroadcastExchange subtree; for
+# CartesianProduct, either child) to contain a node that bounds its
+# row count by construction:
+#   - a global aggregate (HashAggregate/SortAggregate with `Keys: []`
+#     — at most one row per upstream partition, collapsed by the final
+#     aggregate),
+#   - a constant limit (GlobalLimit/LocalLimit/CollectLimit/
+#     TakeOrderedAndProject),
+#   - a LocalTableScan (a literal driver-side frame, bounded by
+#     construction — codebooks, centroid lists, probe batches).
+# A ReusedExchange build side is bounded iff the exchange it reuses is.
+
+_TREE_NODE = re.compile(r"^[\s:+|-]*([A-Za-z][\w]*(?:[ ]\w[\w=]*)*)\s.*?\((\d+)\)")
+_BOUNDING_LEAVES = {
+    "LocalTableScan",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+}
+_AGG_NODES = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+
+
+def _parse_tree(plan: str) -> list[dict]:
+    """The formatted plan's tree section as nodes with (name, id,
+    depth, children) — indentation-driven, duplicate-id detail safe."""
+    lines = plan.splitlines()
+    nodes: list[dict] = []
+    stack: list[dict] = []
+    for ln in lines:
+        if ln.startswith("("):  # details section begins
+            break
+        m = re.search(r"([A-Za-z][\w .]*?)\s*\((\d+)\)", ln)
+        if not m:
+            continue
+        depth = m.start(1)
+        node = {
+            "name": m.group(1).strip(),
+            "id": int(m.group(2)),
+            "depth": depth,
+            "children": [],
+        }
+        while stack and stack[-1]["depth"] >= depth:
+            stack.pop()
+        if stack:
+            stack[-1]["children"].append(node)
+        nodes.append(node)
+        stack.append(node)
+    return nodes
+
+
+def _details(plan: str) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for m in re.finditer(r"(?ms)^\((\d+)\) (.*?)(?=^\(\d+\) |\Z)", plan):
+        out.setdefault(int(m.group(1)), m.group(2))
+    return out
+
+
+# Largest row count a pushed key-range probe may claim as "bounded" —
+# generous for query vectors / training prefixes / probe batches, far
+# below anything that could melt a broadcast at 100 TB.
+_PROBE_ROW_CAP = 100_000
+
+
+def _scan_is_key_probe(detail: str) -> bool:
+    """A parquet scan bounded by a PUSHED filter on the
+    catalog-declared primary key of its table: ``EqualTo(pk, v)`` (the
+    query-vector probe, ≤1 row), ``In(pk, [...])`` (probe batch,
+    ≤|list|), or ``LessThan(pk, N)`` with N ≤ _PROBE_ROW_CAP (the
+    dense-key training prefix — vec_id < 6400). Uniqueness/density
+    come from the catalog declaration (chsql.SAMPLE_KEYS), not prose —
+    a non-key equality (``status='F'``) does NOT bound and stays a
+    violation."""
+    from clickhouse_build_spark.functions.chsql import SAMPLE_KEYS
+
+    loc = re.search(r"Location: \w+ \[[^\]]*/(\w+)\.parquet\]", detail)
+    if not loc:
+        return False
+    pk = SAMPLE_KEYS.get(loc.group(1))
+    if not pk:
+        return False
+    pushed = re.search(r"PushedFilters: \[([^\]]*(?:\[[^\]]*\][^\]]*)*)\]", detail)
+    if not pushed:
+        return False
+    filters = pushed.group(1)
+    if re.search(rf"(?<!Not\()(?:EqualTo|In)\({pk},", filters):
+        return True
+    lt = re.search(rf"(?:LessThan|LessThanOrEqual)\({pk},(\d+)\)", filters)
+    return bool(lt and int(lt.group(1)) <= _PROBE_ROW_CAP)
+
+
+def _subtree_bounded(node: dict, details: dict[int, str], plan: str) -> bool:
+    name = node["name"].split()[0]
+    if name in _BOUNDING_LEAVES:
+        return True
+    if name == "Scan":
+        rest = node["name"]
+        if "ExistingRDD" in rest:
+            return True  # driver-created frame, bounded by construction
+        if "parquet" in rest and _scan_is_key_probe(
+            details.get(node["id"], "")
+        ):
+            return True
+    if name in _AGG_NODES:
+        if "Keys: []" in details.get(node["id"], ""):
+            return True
+    if name == "ReusedExchange":
+        # bounded iff SOME broadcast exchange in the plan is bounded —
+        # the reuse points at one of them
+        tree = _parse_tree(plan)
+        return any(
+            n["name"].startswith("BroadcastExchange")
+            and n is not node
+            and any(_subtree_bounded(c, details, plan) for c in n["children"])
+            for n in tree
+        )
+    return any(_subtree_bounded(c, details, plan) for c in node["children"])
+
+
+def count_unbounded_nlj(plan: str) -> int:
+    """NLJ/cartesian nodes whose build side has NO structural row
+    bound. 0 for a clean plan; every allowlisted NLJ must also be 0."""
+    nodes = _parse_tree(plan)
+    details = _details(plan)
+    bad = 0
+    for n in nodes:
+        head = n["name"].split()[0]
+        if head not in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            continue
+        sides = n["children"]
+        build = [
+            c
+            for c in sides
+            if c["name"].split()[0]
+            in ("BroadcastExchange", "ReusedExchange")
+        ]
+        check = build or sides  # cartesian: either child may bound it
+        if not any(_subtree_bounded(c, details, plan) for c in check):
+            bad += 1
+    return bad
+
+
 def lint_registry(spark, sf_dir: str) -> list[str]:
     """Return human-readable violation strings (empty = clean)."""
     from clickhouse_build_spark.plans import REGISTRY
@@ -155,6 +301,15 @@ def lint_registry(spark, sf_dir: str) -> list[str]:
                 f"{name}: {nlj} nested-loop/cartesian join(s) — only"
                 " documented 1-row broadcasts are allowed"
             )
+        elif nlj:
+            bad = count_unbounded_nlj(plan)
+            if bad:
+                violations.append(
+                    f"{name}: {bad} allowlisted NLJ(s) whose build side"
+                    " has NO structural row bound (global aggregate /"
+                    " constant limit / literal frame) — the allowlist"
+                    " only covers bounded broadcasts"
+                )
     return violations
 
 
