@@ -905,7 +905,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count makes SemDeDup's within-cell candidate join Σ|cell|² =
 # n²/nlist — quadratic in corpus size. The FAISS guidance nlist ≈ √n
 # restores the published n^1.5 bound; :func:`ivfpq_cells` derives
-# ⌊√n⌋ clamped to [IVFPQ_CELLS_MIN, IVF_MAX_CELLS] from one count()
+# ⌊√n⌋ clamped to [IVFPQ_CELLS_MIN, IVFPQ_MAX_CELLS] from one count()
 # per (session, corpus), and EVERY consumer of the trained coarse
 # quantizer (codebook trainer, encoder, probes, query path) threads
 # the same derived value. The semdedup oracles need no nlist constant
@@ -913,6 +913,12 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # export, so the derivation is invisible to them; the ivfpq_topk
 # oracle is a recall bound against exact KNN, equally nlist-free.
 IVFPQ_CELLS_MIN = 16
+# Trained-index nlist cap (r13): √n unclamped to ~16.7M vectors; the
+# cap only bounds the broadcast centroid tensor (4096×64 f32 ≈ 1 MB)
+# and the numpy Lloyd step. The old shared IVF_MAX_CELLS=128 clamp
+# made Σ|cell|² quadratic past n=16k (measured: probe2 53.6× at 10×
+# rows on the r13 scale ladder; bound restored after the split).
+IVFPQ_MAX_CELLS = 4096
 # Query-time probe depth keeps a CONSTANT COVERAGE FRACTION as nlist
 # grows (nprobe = max(4, ⌈nlist/4⌉) ≈ 25% of cells): recall against the
 # exact top-k stays statistically flat while candidate count per query
@@ -926,15 +932,26 @@ _IVFPQ_NLIST: dict[tuple[str, str], int] = {}
 
 def ivfpq_cells(spark: SparkSession, sf_dir: str) -> int:
     """Corpus-derived coarse cell count: ⌊√n⌋ clamped to
-    [{IVFPQ_CELLS_MIN}, IVF_MAX_CELLS]. One count() per (session,
-    corpus), cached alongside the other trained artifacts."""
+    [{IVFPQ_CELLS_MIN}, IVFPQ_MAX_CELLS]. One count() per (session,
+    corpus), cached alongside the other trained artifacts.
+
+    The TRAINED index's cap is {IVFPQ_MAX_CELLS}, not the untrained
+    variant's IVF_MAX_CELLS=128 (that cap exists for SQL
+    reproducibility of the stride-sampled centroids, which the trained
+    path doesn't need — its oracle re-derives from the exported index).
+    The r13 scale ladder measured the 128 clamp reverting SemDeDup's
+    candidate mass to n²/128 past n=16k: Σc² grew 99.5× at 10× rows
+    (312.8M vs 3.14M pairs, probe2 wall 53.6× vs the n^1.5 bound's
+    31.6×). ⌊√n⌋ stays unclamped until n = {IVFPQ_MAX_CELLS}² ≈ 16.7M
+    vectors per corpus; the centroid broadcast at the cap is
+    {IVFPQ_MAX_CELLS}×64 floats ≈ 1 MB."""
     import math
 
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> int:
         n = load_tables(spark, sf_dir)["embeddings"].count()
-        return max(IVFPQ_CELLS_MIN, min(IVF_MAX_CELLS, math.isqrt(n)))
+        return max(IVFPQ_CELLS_MIN, min(IVFPQ_MAX_CELLS, math.isqrt(n)))
 
     key = (spark.sparkContext.applicationId, sf_dir)
     return session_artifact(_IVFPQ_NLIST, key, build)

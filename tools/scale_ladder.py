@@ -162,8 +162,21 @@ def main() -> int:
     ap.add_argument("--rungs", default="1,5,10", help="sf multipliers of sf0.1×10")
     ap.add_argument("--out-root", default="/tmp")
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument(
+        "--families",
+        default=None,
+        help="comma-separated family subset (default: all)",
+    )
     args = ap.parse_args()
     rungs = [int(r) for r in args.rungs.split(",")]
+    if args.families:
+        keep = set(args.families.split(","))
+        unknown = keep - FAMILIES.keys()
+        if unknown:
+            raise SystemExit(f"unknown families: {sorted(unknown)}")
+        for f in list(FAMILIES):
+            if f not in keep:
+                del FAMILIES[f]
     spark = get_spark(app_name="scale_ladder")
     spark.sparkContext.setLogLevel("ERROR")
     for s in rungs:
