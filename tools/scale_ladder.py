@@ -187,6 +187,26 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         timings = probe_rung(spark, out_dir)
+        # Drop this rung's at-rest IVFPQ export after probing: a 4096-
+        # cell ladder corpus leaves thousands of parquet files that the
+        # semdedup oracle's cross-export glob would also open — the
+        # full-suite DuckDB compare hit EMFILE on the leftovers (r13).
+        try:
+            import glob as _glob
+            import hashlib
+            import shutil
+
+            from clickhouse_build_spark.plans.similarity import (
+                _AT_REST_BASE,
+            )
+
+            h = hashlib.md5(out_dir.encode()).hexdigest()[:12]
+            for d in _glob.glob(
+                f"{_AT_REST_BASE}/*/ivfpq/{h}"
+            ) + _glob.glob(f"{_AT_REST_BASE}/*/ivfpq_probes/*/{h}"):
+                shutil.rmtree(d, ignore_errors=True)
+        except Exception as e:
+            print(f"[ladder] export cleanup failed: {e}", file=sys.stderr)
         fam_walls = {
             fam: round(sum(max(timings[n], 0) for n in names), 3)
             for fam, names in FAMILIES.items()
