@@ -3413,33 +3413,142 @@ def translate_pg_sql(text: str) -> str:
             )
         text = text[:start] + repl + text[i:]
 
-    # jsonb containment: lhs @> 'literal'[::jsonb] — expanded to a
-    # conjunction of per-path variant checks at translate time
-    # (_pg_jsonb_contains). The RHS must be a literal; a dynamic RHS
-    # is a loud failure, not a silent one.
+    # jsonb path operators #> / #>> : the path is a literal '{a,b,0}'
+    # array — composed into one JsonPath exactly like the ->/->>
+    # chains ( #>> → get_json_object text; #> → JSON-preserving
+    # variant read). Runs before ->/->> (tokens share no prefix but
+    # the outputs must not be re-scanned).
     while True:
         spans = _literal_spans(text)
         pos = None
-        for mm in re.finditer(r"@>", text):
+        for mm in re.finditer(r"#>>?", text):
             if any(a <= mm.start() < b for a, b in spans):
                 continue
             pos = mm
             break
         if pos is None:
             break
-        start = _cast_operand_start(text, pos.start())
-        lhs = text[start : pos.start()].rstrip()
-        rm = re.match(
-            r"\s*'((?:[^']|'')*)'(\s*::\s*jsonb?\b)?",
-            text[pos.end() :],
-            re.IGNORECASE,
-        )
+        op = pos.group(0)
+        rm = re.match(r"\s*'\{([^}']*)\}'", text[pos.end() :])
         if rm is None:
             raise ValueError(
-                "@> needs a literal JSON right-hand side (a dynamic "
+                f"{op} needs a literal '{{a,b,...}}' path array"
+            )
+        parts = [p.strip() for p in rm.group(1).split(",") if p.strip()]
+        path = "$" + "".join(
+            _json_path_part(None, p) if p.isdigit() else _json_path_part(p, None)
+            for p in parts
+        )
+        start = _cast_operand_start(text, pos.start())
+        operand = text[start : pos.start()].rstrip()
+        if op == "#>>":
+            repl = f"get_json_object({operand}, '{path}')"
+        else:
+            repl = (
+                f"to_json(try_variant_get(parse_json({operand}), "
+                f"'{path}', 'variant'))"
+            )
+        text = text[:start] + repl + text[pos.end() + rm.end() :]
+
+    # jsonb key-exists ? / ?| / ?& : `j ? 'k'` is true even when the
+    # value is JSON null (present-but-null), which Spark's VARIANT
+    # reader distinguishes from missing — to_json(try_variant_get)
+    # yields 'null' for the former, SQL NULL only for the latter.
+    # ?|/?& take a literal array['a','b'] and OR/AND the checks.
+    # ($N placeholders were already rewritten to :pN, so a bare ? at
+    # depth 0 followed by a literal is unambiguous.)
+    while True:
+        spans = _literal_spans(text)
+        pos = None
+        for mm in re.finditer(r"\?[|&]?", text):
+            if any(a <= mm.start() < b for a, b in spans):
+                continue
+            pos = mm
+            break
+        if pos is None:
+            break
+        op = pos.group(0)
+        start = _cast_operand_start(text, pos.start())
+        lhs = text[start : pos.start()].rstrip()
+        pj = f"parse_json({lhs})"
+
+        def exists(key: str) -> str:
+            path = "$" + _json_path_part(key, None)
+            return (
+                f"(to_json(try_variant_get({pj}, {_sql_str(path)}, "
+                f"'variant')) IS NOT NULL)"
+            )
+
+        rest = text[pos.end() :]
+        if op == "?":
+            rm = re.match(r"\s*'([^']*)'", rest)
+            if rm is None:
+                raise ValueError("? needs a literal string key")
+            repl = exists(rm.group(1))
+        else:
+            rm = re.match(
+                r"\s*array\s*\[([^\]]*)\]", rest, re.IGNORECASE
+            )
+            if rm is None:
+                raise ValueError(
+                    f"{op} needs a literal array['k1','k2',...] of keys"
+                )
+            keys = [
+                k.strip()[1:-1]
+                for k in rm.group(1).split(",")
+                if k.strip()
+            ]
+            joiner = " OR " if op == "?|" else " AND "
+            repl = "(" + joiner.join(exists(k) for k in keys) + ")"
+        text = text[:start] + repl + text[pos.end() + rm.end() :]
+
+    # jsonb containment: lhs @> 'literal'[::jsonb] — expanded to a
+    # conjunction of per-path variant checks at translate time
+    # (_pg_jsonb_contains); the reversed form 'literal' <@ rhs swaps
+    # the roles. The constant side must be a literal; a dynamic probe
+    # is a loud failure, not a silent one.
+    while True:
+        spans = _literal_spans(text)
+        pos = None
+        for mm in re.finditer(r"@>|<@", text):
+            if any(a <= mm.start() < b for a, b in spans):
+                continue
+            pos = mm
+            break
+        if pos is None:
+            break
+        op = pos.group(0)
+        if op == "@>":
+            start = _cast_operand_start(text, pos.start())
+            lhs = text[start : pos.start()].rstrip()
+            rm = re.match(
+                r"\s*'((?:[^']|'')*)'(\s*::\s*jsonb?\b)?",
+                text[pos.end() :],
+                re.IGNORECASE,
+            )
+            if rm is None:
+                raise ValueError(
+                    "@> needs a literal JSON right-hand side (a dynamic "
+                    "containment probe is not translatable)"
+                )
+            repl = _pg_jsonb_contains(lhs, rm.group(1))
+            text = text[:start] + repl + text[pos.end() + rm.end() :]
+            continue
+        # <@ : contained-by — the literal is on the LEFT
+        start = _cast_operand_start(text, pos.start())
+        lit = text[start : pos.start()].rstrip()
+        lm = re.fullmatch(
+            r"'((?:[^']|'')*)'(\s*::\s*jsonb?)?", lit, re.IGNORECASE
+        )
+        if lm is None:
+            raise ValueError(
+                "<@ needs a literal JSON LEFT-hand side (a dynamic "
                 "containment probe is not translatable)"
             )
-        repl = _pg_jsonb_contains(lhs, rm.group(1))
+        rm = re.match(r"\s*([\w.]+(?:\s*::\s*jsonb?)?)", text[pos.end() :])
+        if rm is None:
+            raise ValueError("<@ needs a column right-hand side")
+        repl = _pg_jsonb_contains(rm.group(1), lm.group(1))
         text = text[:start] + repl + text[pos.end() + rm.end() :]
 
     # generate_series(a, b[, step]) → explode(sequence(...)). Works in

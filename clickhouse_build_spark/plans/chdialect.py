@@ -1358,3 +1358,60 @@ def pg_dialect_jsonb_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY mtype_json
         """,
     )
+
+
+@query(
+    "pg_dialect_jsonb_paths",
+    oracle="""
+    WITH enriched AS (
+      SELECT '{"meta": {"type": "' || event_type || '", "vals": ['
+             || json_extract_string(props, '$.k')
+             || ', null]}, "extra": null}' AS j
+      FROM events
+    )
+    SELECT json_extract_string(j, '$.meta.vals[0]') AS first_val,
+           CAST(count(*) FILTER (
+                 list_contains(json_keys(j), 'extra')
+             ) AS BIGINT) AS n_extra_key,
+           CAST(count(*) FILTER (
+                 list_contains(json_keys(j), 'extra')
+                 OR list_contains(json_keys(j), 'zz')
+             ) AS BIGINT) AS n_any_key,
+           CAST(count(*) AS BIGINT) AS n
+    FROM enriched
+    GROUP BY 1
+    ORDER BY first_val
+    """,
+    tags=("dialect", "postgres-sql", "json", "jsonb-paths"),
+)
+def pg_dialect_jsonb_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG jsonb path + key-exists operators (r13b): ``#>>`` literal-
+    path extraction composed into one JsonPath, ``?`` key-exists
+    (true for present-but-NULL — the VARIANT reader distinguishes
+    {'k': null} from a missing key exactly as jsonb does), ``?|``
+    any-key. The oracle navigates the same synthesized documents with
+    DuckDB's json_extract_string / json_keys — two independent
+    null-vs-missing implementations agreeing.
+
+    Scale: codegen'd expressions over one scan + one grouped
+    aggregate; parse_json is columnar."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        WITH enriched AS (
+          SELECT '{"meta": {"type": "' || event_type || '", "vals": ['
+                 || (props ->> 'k')
+                 || ', null]}, "extra": null}' AS j
+          FROM events
+        )
+        SELECT j #>> '{meta,vals,0}' AS first_val,
+               (count(*) FILTER (WHERE j ? 'extra'))::int8 AS n_extra_key,
+               (count(*) FILTER (WHERE j ?| array['extra', 'zz']))::int8
+                 AS n_any_key,
+               count(*)::int8 AS n
+        FROM enriched
+        GROUP BY 1
+        ORDER BY first_val
+        """,
+    )

@@ -2515,3 +2515,40 @@ def test_pg_jsonb_containment(spark):
         P("SELECT a @> b FROM t")
     with pytest.raises(ValueError, match="JSON OBJECT"):
         P("SELECT a @> '[1]' FROM t")
+
+
+def test_pg_jsonb_path_and_exists_operators(spark):
+    """PG ``#>``/``#>>`` literal-path extraction and ``?``/``?|``/``?&``
+    key-exists (r13b). ``?`` is true for present-but-NULL values —
+    Spark's VARIANT reader distinguishes {'k': null} (to_json = 'null')
+    from a missing key (SQL NULL), matching jsonb exactly."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    doc = '{"a": {"b": ["x", "y"]}, "k": null}'
+    r = run_pg_sql(
+        spark,
+        f"""SELECT j #>> '{{a,b,1}}' AS deep,
+                   j #> '{{a}}' AS sub,
+                   (j ? 'k') AS has_null_key,
+                   (j ? 'zz') AS has_missing,
+                   (j ?| array['zz','a']) AS any_key,
+                   (j ?& array['a','k']) AS all_keys,
+                   (j ?& array['a','zz']) AS not_all
+            FROM VALUES ('{doc}') AS t(j)""",
+    ).first()
+    assert r["deep"] == "y"
+    assert r["sub"] == '{"b":["x","y"]}'
+    assert r["has_null_key"] is True and r["has_missing"] is False
+    assert r["any_key"] is True
+    assert r["all_keys"] is True and r["not_all"] is False
+    # reversed containment: literal <@ column
+    r2 = run_pg_sql(
+        spark,
+        """SELECT ('{"a": 1}' <@ j) AS lhs_in_rhs
+           FROM VALUES ('{"a": 1, "b": 2}') AS t(j)""",
+    ).first()
+    assert r2["lhs_in_rhs"] is True
+    with pytest.raises(ValueError, match="literal"):
+        from clickhouse_build_spark.functions.chsql import translate_pg_sql
+
+        translate_pg_sql("SELECT a <@ b FROM t")
