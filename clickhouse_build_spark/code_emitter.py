@@ -193,6 +193,186 @@ def _drizzle_raw(sql_tpl: str) -> str:
     return re.sub(r"\$\{expenses\.(\w+)\}", r"\1", sql_tpl).strip()
 
 
+def _builder_deferred(code: str, chain_start: int) -> bool:
+    """A builder chain ASSIGNED without ``await`` is a deferred/partial
+    chain — grouping/filtering may be applied by a helper elsewhere;
+    emitting the visible arm would silently drop it (r13)."""
+    head = code[:chain_start]
+    am = re.search(r"(?:let|const|var)\s+\w+\s*=\s*$", head.rstrip())
+    return am is not None and "await" not in head
+
+
+_KYSELY_FN = {"count": "COUNT", "sum": "SUM", "avg": "AVG", "min": "MIN", "max": "MAX"}
+
+
+def parse_kysely(code: str) -> str | None:
+    """kysely builder chain → raw PG SQL with the ``${whereClause}``
+    splice point (r13 — the real-app fixture's chain shape). Returns
+    None when the code is not a kysely chain; raises on kysely chains
+    whose pieces it cannot translate faithfully (loud, never a guess).
+
+    Supported: ``db.selectFrom('t')``, ``.innerJoin/.leftJoin('t2',
+    'a.col', 'b.col')``, ``.select([...])`` (optionally the
+    ``({ fn }) => [...]`` callback form) with string projections
+    (``'t.col as alias'``) and ``fn.count/sum/avg/min/max('col')
+    .as('alias')``, ``.groupBy('col')``, ``.orderBy('col'[, 'desc'])``,
+    ``.limit(n)``. The derived SQL goes through the same raw-SQL
+    machinery as a scanned literal (CH arm via pg_sql_to_ch)."""
+    m = re.search(r"db\s*\.\s*selectFrom\(\s*['\"](\w+)['\"]\s*\)", code)
+    if m is None:
+        return None
+    if _builder_deferred(code, m.start()):
+        raise ValueError(
+            "deferred kysely builder (assigned without await) — the "
+            "chain may be completed elsewhere; scanned block cannot be "
+            f"emitted faithfully: {code[:120]!r}"
+        )
+    table = m.group(1)
+    joins = []
+    for jm in re.finditer(
+        r"\.(innerJoin|leftJoin|rightJoin|fullJoin)\(\s*['\"](\w+)['\"]\s*,"
+        r"\s*['\"]([\w.]+)['\"]\s*,\s*['\"]([\w.]+)['\"]\s*\)",
+        code,
+    ):
+        kind = {
+            "innerJoin": "JOIN",
+            "leftJoin": "LEFT JOIN",
+            "rightJoin": "RIGHT JOIN",
+            "fullJoin": "FULL JOIN",
+        }[jm.group(1)]
+        joins.append(f"{kind} {jm.group(2)} ON {jm.group(3)} = {jm.group(4)}")
+    sm = re.search(
+        r"\.select\(\s*(?:\(\s*\{\s*fn\s*\}\s*\)\s*=>\s*)?\[(.*?)\]\s*\)",
+        code,
+        re.DOTALL,
+    )
+    if sm is None:
+        raise ValueError(
+            f"kysely chain without a parseable .select([...]): {code[:120]!r}"
+        )
+    items, depth, cur = [], 0, []
+    for ch in sm.group(1):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        items.append("".join(cur).strip())
+    sels = []
+    for it in items:
+        lm = re.fullmatch(r"['\"]([\w.]+)(?:\s+as\s+(\w+))?['\"]", it)
+        if lm:
+            sels.append(
+                f"{lm.group(1)} AS {lm.group(2)}" if lm.group(2) else lm.group(1)
+            )
+            continue
+        fm = re.fullmatch(
+            r"fn\s*\.\s*(\w+)\(\s*['\"]([\w.]+)['\"]\s*\)"
+            r"\s*\.\s*as\(\s*['\"](\w+)['\"]\s*\)",
+            it,
+        )
+        if fm and fm.group(1) in _KYSELY_FN:
+            sels.append(
+                f"{_KYSELY_FN[fm.group(1)]}({fm.group(2)}) AS {fm.group(3)}"
+            )
+            continue
+        raise ValueError(f"untranslatable kysely select item: {it!r}")
+    group = [
+        gm.group(1)
+        for gm in re.finditer(r"\.groupBy\(\s*['\"]([\w.]+)['\"]\s*\)", code)
+    ]
+    order = [
+        f"{om.group(1)} {(om.group(2) or 'asc').upper()}"
+        for om in re.finditer(
+            r"\.orderBy\(\s*['\"]([\w.]+)['\"]\s*"
+            r"(?:,\s*['\"](asc|desc)['\"]\s*)?\)",
+            code,
+        )
+    ]
+    lm = re.search(r"\.limit\(\s*(\d+)\s*\)", code)
+    sql = f"SELECT {', '.join(sels)} FROM {table}"
+    for j in joins:
+        sql += f" {j}"
+    sql += " ${whereClause}"
+    if group:
+        sql += f" GROUP BY {', '.join(group)}"
+    if order:
+        sql += f" ORDER BY {', '.join(order)}"
+    if lm:
+        sql += f" LIMIT {lm.group(1)}"
+    return sql
+
+
+def parse_knex(code: str) -> str | None:
+    """knex builder chain → raw PG SQL with the splice point (r13).
+    Supported: ``knex('t')``, ``.select(...)`` of quoted columns and
+    ``knex.raw("...")`` fragments, ``.count/.sum/.avg/.min/.max('col
+    [as alias]')``, ``.groupBy/.orderBy('col'[, 'desc'])``,
+    ``.limit(n)``. Loud on anything else."""
+    m = re.search(r"\bknex\(\s*['\"](\w+)['\"]\s*\)", code)
+    if m is None:
+        return None
+    if _builder_deferred(code, m.start()):
+        raise ValueError(
+            "deferred knex builder (assigned without await) — the chain "
+            f"may be completed elsewhere: {code[:120]!r}"
+        )
+    table = m.group(1)
+    sels = []
+    sm = re.search(r"\.select\(\s*(.*?)\s*\)\s*[\n.;]", code, re.DOTALL)
+    if sm:
+        for it in re.split(r",(?![^()]*\))", sm.group(1)):
+            it = it.strip()
+            rm = re.fullmatch(
+                r"knex\.raw\(\s*([\"'])(.*?)\1\s*\)", it, re.DOTALL
+            )
+            if rm:
+                sels.append(rm.group(2))
+                continue
+            qm = re.fullmatch(r"['\"]([\w.]+(?:\s+as\s+\w+)?)['\"]", it)
+            if qm:
+                sels.append(re.sub(r"\s+as\s+", " AS ", qm.group(1)))
+                continue
+            raise ValueError(f"untranslatable knex select item: {it!r}")
+    for am in re.finditer(
+        r"\.(count|sum|avg|min|max)\(\s*['\"]([\w.]+)"
+        r"(?:\s+as\s+(\w+))?['\"]\s*\)",
+        code,
+    ):
+        fn, col, alias = am.group(1).upper(), am.group(2), am.group(3)
+        sels.append(f"{fn}({col}) AS {alias}" if alias else f"{fn}({col})")
+    if not sels:
+        raise ValueError(
+            f"knex chain without a translatable projection: {code[:120]!r}"
+        )
+    group = [
+        gm.group(1)
+        for gm in re.finditer(r"\.groupBy\(\s*['\"]([\w.]+)['\"]\s*\)", code)
+    ]
+    order = [
+        f"{om.group(1)} {(om.group(2) or 'asc').upper()}"
+        for om in re.finditer(
+            r"\.orderBy\(\s*['\"]([\w.]+)['\"]\s*"
+            r"(?:,\s*['\"](asc|desc)['\"]\s*)?\)",
+            code,
+        )
+    ]
+    lm = re.search(r"\.limit\(\s*(\d+)\s*\)", code)
+    sql = f"SELECT {', '.join(sels)} FROM {table} ${{whereClause}}"
+    if group:
+        sql += f" GROUP BY {', '.join(group)}"
+    if order:
+        sql += f" ORDER BY {', '.join(order)}"
+    if lm:
+        sql += f" LIMIT {lm.group(1)}"
+    return sql
+
+
 def parse_drizzle(code: str) -> dict | None:
     """``db.select({...}).from(expenses)...`` → canonical spec."""
     m = re.search(r"db\s*\.\s*select\(\{", code)
@@ -203,9 +383,7 @@ def parse_drizzle(code: str) -> dict | None:
     # hostile-fixture split-chain shape). Emitting the visible ungrouped
     # arm would silently drop that grouping; refuse instead (r13 — the
     # chain walk-back made these blocks syntactically parseable).
-    head = code[: m.start()]
-    am = re.search(r"(?:let|const|var)\s+\w+\s*=\s*$", head.rstrip())
-    if am is not None and "await" not in head:
+    if _builder_deferred(code, m.start()):
         raise ValueError(
             "deferred drizzle builder (assigned without await) — the "
             "chain may be completed elsewhere; scanned block cannot be "
@@ -433,16 +611,27 @@ def build_method_specs(
         code = q["code"]
         sql = extract_sql(code)
         spec = None
+        builder_orm = None
         if sql is None or "${" in sql.replace("${whereClause}", ""):
-            spec = parse_drizzle(code) or parse_prisma(code)
-            if spec is None:
-                if sql is not None:
-                    _check_interpolations(sql)  # raises with the culprit
-                raise ValueError(
-                    "scanned analytical query is neither raw SQL nor a "
-                    f"supported ORM call: {code[:120]!r}"
-                )
-            sql = None
+            # kysely/knex chains derive a raw PG SQL (r13) and flow
+            # through the same raw machinery as a scanned literal
+            ksql = parse_kysely(code)
+            if ksql is not None:
+                sql, builder_orm = ksql, "kysely"
+            else:
+                ksql = parse_knex(code)
+                if ksql is not None:
+                    sql, builder_orm = ksql, "knex"
+            if builder_orm is None:
+                spec = parse_drizzle(code) or parse_prisma(code)
+                if spec is None:
+                    if sql is not None:
+                        _check_interpolations(sql)  # raises with the culprit
+                    raise ValueError(
+                        "scanned analytical query is neither raw SQL nor a "
+                        f"supported ORM call: {code[:120]!r}"
+                    )
+                sql = None
         if spec is not None:
             pg_sql = _spec_sql(spec, table, "pg")
             ch_sql = _spec_sql(spec, table, "ch")
@@ -466,7 +655,17 @@ def build_method_specs(
                     f"{sql[:120]!r}"
                 )
             pg_sql, ch_sql = sql, pg_sql_to_ch(sql)
-            orm, orm_call = "none", ""
+            orm = builder_orm or "none"
+            orm_call = (
+                re.sub(
+                    r"^(//[^\n]*\n\s*)?(?:const\s+\w+\s*=\s*)?(?:await\s+)?"
+                    r"(?:return\s+)?",
+                    "",
+                    code.strip(),
+                ).rstrip(";\n ")
+                if builder_orm
+                else ""
+            )
             fields = []
             for expr, alias in _select_items(sql):
                 if alias == "*":

@@ -14,11 +14,13 @@ of each; the contract stays find-or-fail-loudly:
   knex's ``knex('expenses')`` head included), reports NOTHING from the
   thin route file, the ``migrations/`` dir, or plain ``CREATE TABLE``
   DDL;
-- the emitter round-trips the two translatable sites (inline prisma
-  groupBy; the saved raw reporting query) with CH rows == PG rows on a
-  planted corpus, and fails LOUDLY with a documented reason on the four
-  it cannot translate faithfully (opts-object groupBy, knex chain,
-  kysely chain, splice-less view body);
+- the emitter round-trips the four translatable sites (inline prisma
+  groupBy; the saved raw reporting query; r13b: the kysely JOIN
+  aggregate and the knex daily rollup, each derived into raw PG SQL
+  with the ${whereClause} splice) with CH rows == PG rows on a planted
+  corpus, and fails LOUDLY with a documented reason on the two it
+  cannot translate faithfully (opts-object groupBy, splice-less view
+  body) plus deferred/untranslatable builder shapes;
 - the analytical VIEW body still executes row-equal through BOTH
   dialect arms of the engine — the emit refusal is about the method
   contract (no DateFilter splice), not executability.
@@ -84,15 +86,36 @@ def test_tables_exact_no_phantoms(scan):
 def test_untranslatable_shapes_fail_loudly(scan):
     with pytest.raises(ValueError, match="neither raw SQL"):
         build_method_specs([_spec_for(scan, "services/insights.ts:L23")])
-    with pytest.raises(ValueError, match="neither raw SQL"):
-        build_method_specs([_spec_for(scan, "lib/legacy.ts:")])
-    with pytest.raises(ValueError, match="neither raw SQL"):
-        build_method_specs([_spec_for(scan, "lib/reporting.ts:")])
     # the view body IS extractable SQL but has no DateFilter splice
     # point — the method contract refuses it rather than emitting a
     # method that silently ignores its filter argument
     with pytest.raises(ValueError, match="no DateFilter splice point"):
         build_method_specs([_spec_for(scan, "db/views.sql:L1")])
+    # deferred builders (assigned without await) stay loud for kysely
+    # and knex too, same as the drizzle split-chain contract
+    with pytest.raises(ValueError, match="deferred kysely builder"):
+        build_method_specs(
+            [
+                {
+                    "description": "x",
+                    "location": "x:L1-3",
+                    "code": "const base = db\n  .selectFrom('expenses')\n"
+                    "  .select(['category'])",
+                }
+            ]
+        )
+    with pytest.raises(ValueError, match="untranslatable kysely"):
+        build_method_specs(
+            [
+                {
+                    "description": "x",
+                    "location": "x:L1-2",
+                    "code": "const r = await db.selectFrom('expenses')"
+                    ".select([eb => eb.fn.agg('corr', ['a','b'])])"
+                    ".groupBy('category')",
+                }
+            ]
+        )
 
 
 @pytest.fixture(scope="module")
@@ -173,3 +196,29 @@ def test_view_body_executes_row_equal_on_both_arms(scan, planted):
     want = eng.sql(body + order, dialect="postgres").collect()
     _rows_equal(got, want)
     assert len(got) > 0
+
+
+def test_kysely_join_aggregate_roundtrips(scan, planted):
+    """r13b: the kysely chain is now EMITTED (derived raw PG SQL with
+    the ${whereClause} splice), not a loud failure — and its CH arm
+    row-equals the PG arm on the planted corpus."""
+    (s,) = build_method_specs([_spec_for(scan, "lib/reporting.ts:")])
+    assert s.orm == "kysely"
+    assert "JOIN categories ON categories.id = expenses.category_id" in s.pg_sql
+    eng = _engine(planted)
+    got = eng.sql(s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql.replace("${whereClause}", ""), dialect="postgres").collect()
+    _rows_equal(got, want)
+    assert len(got) == 3 and got[0]["total"] >= got[-1]["total"]
+
+
+def test_knex_daily_rollup_roundtrips(scan, planted):
+    (s,) = build_method_specs([_spec_for(scan, "lib/legacy.ts:")])
+    assert s.orm == "knex"
+    assert "DATE_TRUNC('day', date) AS day" in s.pg_sql
+    eng = _engine(planted)
+    got = eng.sql(s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql.replace("${whereClause}", ""), dialect="postgres").collect()
+    _rows_equal(got, want)
+    days = [r["day"] for r in got]
+    assert len(days) > 30 and days == sorted(days)
