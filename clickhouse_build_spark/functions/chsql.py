@@ -3154,16 +3154,42 @@ def _pg_jsonb_contains(lhs: str, rhs_literal: str) -> str:
     return "(" + " AND ".join(conds) + ")"
 
 
+def _cast_operand_start_paren(s: str, end: int) -> int:
+    """Start index of a ``name(...)`` call whose text ends (exclusive)
+    at ``end`` — the WITHIN GROUP back-extension helper."""
+    j = end - 1
+    while j >= 0 and s[j].isspace():
+        j -= 1
+    if j < 0 or s[j] != ")":
+        return end
+    depth = 0
+    while j >= 0:
+        if s[j] == ")":
+            depth += 1
+        elif s[j] == "(":
+            depth -= 1
+            if depth == 0:
+                k = j - 1
+                while k >= 0 and (s[k].isalnum() or s[k] in "._"):
+                    k -= 1
+                return k + 1
+        j -= 1
+    return 0
+
+
 def _cast_operand_start(s: str, i: int) -> int:
     """``i`` is the index of ':' in '::'. Return the start index of the
     cast operand ending at i (identifier chain, string literal, or
-    parenthesized expression)."""
+    parenthesized expression, incl. the ``fn(...) WITHIN GROUP
+    (ORDER BY ...)`` ordered-set aggregate form)."""
     j = i - 1
     while j >= 0 and s[j].isspace():
         j -= 1
     if j < 0:
         return i
     if s[j] == ")":  # parenthesized operand — match backwards
+        import re as _re
+
         depth = 0
         while j >= 0:
             if s[j] == ")":
@@ -3176,6 +3202,15 @@ def _cast_operand_start(s: str, i: int) -> int:
                     k = j - 1
                     while k >= 0 and (s[k].isalnum() or s[k] in "._"):
                         k -= 1
+                    # ordered-set aggregate: the operand of
+                    # `fn(...) WITHIN GROUP (ORDER BY ...)::t` is the
+                    # WHOLE aggregate — extend back through WITHIN
+                    # GROUP to the call's own start (r13c)
+                    wm = _re.search(
+                        r"(?is)\bWITHIN\s+GROUP\s*$", s[: k + 1]
+                    )
+                    if wm is not None:
+                        return _cast_operand_start_paren(s, wm.start())
                     return k + 1
             j -= 1
         return 0
@@ -3550,6 +3585,107 @@ def translate_pg_sql(text: str) -> str:
             raise ValueError("<@ needs a column right-hand side")
         repl = _pg_jsonb_contains(rm.group(1), lm.group(1))
         text = text[:start] + repl + text[pos.end() + rm.end() :]
+
+    # extract(epoch FROM x) / date_part('epoch', x): Spark's extract
+    # has no epoch field — map to unix_micros (fraction-preserving,
+    # exactly PG's double-seconds contract).
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\b(?:extract|date_part)\s*\(", text, re.IGNORECASE
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            args, close = _parse_args(text, mm.end() - 1)
+            if len(args) == 1:
+                em = re.match(
+                    r"(?is)^epoch\s+FROM\s+(.*)$", args[0].strip()
+                )
+            elif len(args) == 2 and args[0].strip().lower() in (
+                "'epoch'",
+                "epoch",
+            ):
+                em = re.match(r"(?s)^(.*)$", args[1].strip())
+            else:
+                em = None
+            if em is None:
+                continue
+            hit = (mm.start(), close, em.group(1))
+            break
+        if hit is None:
+            break
+        s0, close, expr = hit
+        text = (
+            text[:s0]
+            + f"(CAST(unix_micros(CAST(({expr}) AS TIMESTAMP)) AS DOUBLE)"
+            + " / 1000000.0)"
+            + text[close + 1 :]
+        )
+
+    # PG set-returning json functions: jsonb_array_elements_text →
+    # explode over a typed VARIANT cast; the json-preserving variant
+    # re-serializes each element (quoted strings, structural JSON).
+    # Runs after the JSON-operator passes (the emitted lambda arrow
+    # must not be re-scanned by the -> pass).
+    _JSON_SRF = {
+        "jsonb_array_elements_text": lambda x: (
+            f"explode(CAST(parse_json({x}) AS ARRAY<STRING>))"
+        ),
+        "json_array_elements_text": lambda x: (
+            f"explode(CAST(parse_json({x}) AS ARRAY<STRING>))"
+        ),
+        "jsonb_array_elements": lambda x: (
+            f"explode(transform(CAST(parse_json({x}) AS ARRAY<VARIANT>), "
+            f"__je -> to_json(__je)))"
+        ),
+        "json_array_elements": lambda x: (
+            f"explode(transform(CAST(parse_json({x}) AS ARRAY<VARIANT>), "
+            f"__je -> to_json(__je)))"
+        ),
+        "jsonb_array_length": lambda x: (
+            f"size(CAST(parse_json({x}) AS ARRAY<VARIANT>))"
+        ),
+        "json_array_length": lambda x: (
+            f"size(CAST(parse_json({x}) AS ARRAY<VARIANT>))"
+        ),
+    }
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\b(jsonb?_array_(?:elements(?:_text)?|length))\s*\(",
+            text,
+            re.IGNORECASE,
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        args, close = _parse_args(text, hit.end() - 1)
+        if len(args) != 1:
+            raise ValueError(f"{hit.group(1)} takes exactly one argument")
+        repl = _JSON_SRF[hit.group(1).lower()](args[0])
+        text = text[: hit.start()] + repl + text[close + 1 :]
+
+    # PG comma-LATERAL / CROSS JOIN LATERAL → Spark's JOIN LATERAL
+    # (same correlated-subquery semantics; Spark only spells the
+    # explicit-join form).
+    while True:
+        lits = _literal_spans(text)
+        mm = None
+        for cand in re.finditer(
+            r",\s*LATERAL\b|\bCROSS\s+JOIN\s+LATERAL\b", text, re.IGNORECASE
+        ):
+            if any(a <= cand.start() < b for a, b in lits):
+                continue
+            mm = cand
+            break
+        if mm is None:
+            break
+        text = text[: mm.start()] + " JOIN LATERAL" + text[mm.end() :]
 
     # generate_series(a, b[, step]) → explode(sequence(...)). Works in
     # both FROM position (`FROM generate_series(1, 12) AS g(n)` —

@@ -1415,3 +1415,61 @@ def pg_dialect_jsonb_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY first_val
         """,
     )
+
+
+@query(
+    "pg_dialect_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)
+                AS DOUBLE) AS median_cents,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+                AS BIGINT) AS p90_cents,
+           extract(epoch FROM max(o_orderdate)) AS last_epoch,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("dialect", "postgres-sql", "within-group", "percentiles"),
+)
+def pg_dialect_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ordered-set aggregates + epoch extraction (r13c):
+    ``percentile_cont/percentile_disc ... WITHIN GROUP`` pass through
+    (native in Spark 4 — the translator's no-op is the point: real PG
+    report queries run unchanged) and ``extract(epoch FROM ...)`` maps
+    to fraction-preserving unix_micros double-seconds (Spark's extract
+    has no epoch field). Money goes through integer cents so the
+    interpolated median is exact in both engines ((a+b)/2 of BIGINTs —
+    no FP-accumulation hash risk).
+
+    Scale: ordered-set aggregates sort within groups — one shuffle on
+    the group key, |groups| bounded by the priority domain."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        WITH c AS (
+          SELECT o_orderpriority,
+                 floor(o_totalprice * 100 + 0.5)::int8 AS cents,
+                 o_orderdate
+          FROM orders
+        )
+        SELECT o_orderpriority,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)::float8
+                 AS median_cents,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)::int8
+                 AS p90_cents,
+               extract(epoch FROM max(o_orderdate)) AS last_epoch,
+               count(*)::int8 AS n
+        FROM c
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )

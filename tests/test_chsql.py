@@ -2552,3 +2552,52 @@ def test_pg_jsonb_path_and_exists_operators(spark):
         from clickhouse_build_spark.functions.chsql import translate_pg_sql
 
         translate_pg_sql("SELECT a <@ b FROM t")
+
+
+def test_pg_epoch_lateral_and_json_srf(spark):
+    """PG idioms r13c: extract(epoch)/date_part('epoch') →
+    unix_micros double-seconds; comma-/CROSS JOIN LATERAL → Spark's
+    JOIN LATERAL; jsonb_array_elements[_text]/jsonb_array_length →
+    typed VARIANT explodes. percentile_cont/disc + mode WITHIN GROUP
+    pass through (native in Spark 4)."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    assert run_pg_sql(
+        spark, "SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:30.5') AS e"
+    ).first()["e"] == pytest.approx(1704067230.5)
+    assert run_pg_sql(
+        spark, "SELECT date_part('epoch', TIMESTAMP '1970-01-01 00:01:00') AS e"
+    ).first()["e"] == 60.0
+    # non-epoch extract stays native
+    assert P("SELECT extract(YEAR FROM ts) FROM t") == (
+        "SELECT extract(YEAR FROM ts) FROM t"
+    )
+    rows = run_pg_sql(
+        spark,
+        "SELECT t.g, l.v FROM VALUES (1),(2) AS t(g), "
+        "LATERAL (SELECT t.g * 10 AS v) AS l ORDER BY g",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 10), (2, 20)]
+    els = run_pg_sql(
+        spark,
+        """SELECT jsonb_array_elements(j) AS v
+           FROM VALUES ('["a", {"b": 1}, 5]') AS t(j)""",
+    ).collect()
+    assert [r["v"] for r in els] == ['"a"', '{"b":1}', "5"]
+    txt = run_pg_sql(
+        spark,
+        """SELECT jsonb_array_elements_text(j) AS v,
+                  jsonb_array_length(j) AS n
+           FROM VALUES ('["x", "y"]') AS t(j)""",
+    ).collect()
+    assert [r["v"] for r in txt] == ["x", "y"] and txt[0]["n"] == 2
+    wg = run_pg_sql(
+        spark,
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS med, "
+        "mode() WITHIN GROUP (ORDER BY x) AS m "
+        "FROM VALUES (1.0),(2.0),(2.0),(10.0) AS t(x)",
+    ).first()
+    assert wg["med"] == 2.0 and wg["m"] == 2.0
