@@ -3650,13 +3650,45 @@ def translate_pg_sql(text: str) -> str:
             f"size(CAST(parse_json({x}) AS ARRAY<VARIANT>))"
         ),
     }
+    _JSON_SRF["jsonb_object_keys"] = lambda x: (
+        f"explode(json_object_keys({x}))"
+    )
+    _JSON_SRF["json_object_keys"] = _JSON_SRF["jsonb_object_keys"]
+    # cursor-based scan: the json_object_keys rewrite EMITS a call
+    # with the same name (Spark's builtin) — rescanning from 0 would
+    # loop forever; resume past each replacement instead (r13c).
+    pos = 0
     while True:
         lits = _literal_spans(text)
         hit = None
         for mm in re.finditer(
-            r"\b(jsonb?_array_(?:elements(?:_text)?|length))\s*\(",
-            text,
+            r"\b(jsonb?_(?:array_(?:elements(?:_text)?|length)"
+            r"|object_keys))\s*\(",
+            text[pos:],
             re.IGNORECASE,
+        ):
+            if any(a <= pos + mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        h0 = pos + hit.start()
+        args, close = _parse_args(text, pos + hit.end() - 1)
+        if len(args) != 1:
+            raise ValueError(f"{hit.group(1)} takes exactly one argument")
+        repl = _JSON_SRF[hit.group(1).lower()](args[0])
+        text = text[:h0] + repl + text[close + 1 :]
+        pos = h0 + len(repl)
+
+    # jsonb_build_object('k1', v1, ...) → to_json(named_struct(...)):
+    # compact jsonb rendering, keys must be literals (PG evaluates
+    # them dynamically; a translate-time struct needs names).
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bjsonb?_build_object\s*\(", text, re.IGNORECASE
         ):
             if any(a <= mm.start() < b for a, b in lits):
                 continue
@@ -3665,9 +3697,17 @@ def translate_pg_sql(text: str) -> str:
         if hit is None:
             break
         args, close = _parse_args(text, hit.end() - 1)
-        if len(args) != 1:
-            raise ValueError(f"{hit.group(1)} takes exactly one argument")
-        repl = _JSON_SRF[hit.group(1).lower()](args[0])
+        if len(args) % 2 != 0 or not args:
+            raise ValueError(
+                "jsonb_build_object takes key/value pairs"
+            )
+        for k in args[::2]:
+            if not re.fullmatch(r"'[^']*'", k.strip()):
+                raise ValueError(
+                    "jsonb_build_object keys must be string literals "
+                    f"(got {k!r})"
+                )
+        repl = f"to_json(named_struct({', '.join(args)}))"
         text = text[: hit.start()] + repl + text[close + 1 :]
 
     # PG comma-LATERAL / CROSS JOIN LATERAL → Spark's JOIN LATERAL

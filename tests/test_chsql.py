@@ -2601,3 +2601,34 @@ def test_pg_epoch_lateral_and_json_srf(spark):
         "FROM VALUES (1.0),(2.0),(2.0),(10.0) AS t(x)",
     ).first()
     assert wg["med"] == 2.0 and wg["m"] == 2.0
+
+
+def test_pg_json_builders_and_keys(spark):
+    """r13c: jsonb_object_keys explodes Spark's native
+    json_object_keys; jsonb_build_object builds a compact object
+    through named_struct (keys must be literals — dynamic keys are a
+    loud translate-time failure)."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    ks = run_pg_sql(
+        spark,
+        """SELECT jsonb_object_keys(j) AS k
+           FROM VALUES ('{"a": 1, "b": 2}') AS t(j)""",
+    ).collect()
+    assert [r["k"] for r in ks] == ["a", "b"]
+    r = run_pg_sql(
+        spark,
+        "SELECT jsonb_build_object('n', 1, 's', 'x') AS j",
+    ).first()
+    assert r["j"] == '{"n":1,"s":"x"}'
+    # built objects compose with the navigation operators
+    r2 = run_pg_sql(
+        spark,
+        "SELECT jsonb_build_object('k', 5) ->> 'k' AS v",
+    ).first()
+    assert r2["v"] == "5"
+    with pytest.raises(ValueError, match="string literals"):
+        P("SELECT jsonb_build_object(col, 1) FROM t")
