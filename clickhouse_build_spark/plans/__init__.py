@@ -37,9 +37,10 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 # rows: string_agg WITHIN-GROUP pull-out, generate_series gap-fill,
 # jsonb ->/@> via the VARIANT reader);
 # (b) the 24 rows deferred from r12 whose newest driver evidence is
-# r08 — the full r12 deferral list, now cleared; (c) 22 of the 48 rows
-# whose newest evidence is r09, alphabetical. The 26 r09-evidence rows
-# that did not fit MUST lead the r14 rotation: events_asof_last_error,
+# r08 — the full r12 deferral list, now cleared; (c) 20 of the 48 rows
+# whose newest evidence is r09, alphabetical. The 28 r09-evidence rows
+# that did not fit MUST lead the r14 rotation: emb_semdedup_keepers,
+# emb_semdedup_probe2_keepers, events_asof_last_error,
 # events_json_props,
 # events_props_as_map, events_sliding_10min_step5,
 # events_type_counts_salted, events_views_in_error_windows,
@@ -53,11 +54,13 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 # weekly_retention_cohorts. Every out-of-window row is still
 # re-verified by the local full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) new in r13 —
+    # — (a) new in r13 (never driver-evidenced rows lead) —
     "orders_mergetree_layout_profile",
     "pg_dialect_string_agg",
     "pg_dialect_series_fill",
     "pg_dialect_jsonb_ops",
+    "pg_dialect_jsonb_paths",
+    "pg_dialect_percentiles",
     # — (b) the r12 deferral list (newest evidence r08) —
     "emb_ann_kmeans_topk",
     "emb_kmeans_assign",
@@ -83,7 +86,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "status_priority_grouping_sets",
     "status_priority_rollup",
     "urgent_order_customers_semi",
-    # — (c) r09 evidence, alphabetical (22 of 48) —
+    # — (c) r09 evidence, alphabetical (20 of 48) —
     "cdc_latest_event_per_user",
     "ch_dialect_dictget",
     "ch_dialect_json_props",
@@ -104,8 +107,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_knn_cosine",
     "emb_label_centroids",
     "emb_normalize_quantize",
-    "emb_semdedup_keepers",
-    "emb_semdedup_probe2_keepers",
 ]
 
 
