@@ -3400,11 +3400,29 @@ def translate_pg_sql(text: str) -> str:
     # objects/arrays their structure, missing keys → NULL), the
     # faithful twin of ->'s jsonb return that get_json_object cannot
     # express (r13; previously a documented loud failure).
+    def _is_lambda_arrow(mm) -> bool:
+        """``param -> body`` (a Spark higher-order lambda a user wrote
+        through the PG arm): the LHS is a BARE identifier directly
+        preceded by '(' or ',' and the RHS is not the literal
+        key/index a JSON op requires — skip, don't raise (r13c)."""
+        if re.match(r"\s*(?:'[^']*'|\d+)", text[mm.end() :]):
+            return False
+        s0 = _cast_operand_start(text, mm.start())
+        lhs = text[s0 : mm.start()].strip()
+        if not re.fullmatch(r"\w+", lhs):
+            return False
+        k = s0 - 1
+        while k >= 0 and text[k].isspace():
+            k -= 1
+        return k >= 0 and text[k] in "(,"
+
     while True:
         spans = _literal_spans(text)
         first = None
         for mm in re.finditer(r"->>?", text):
             if any(a <= mm.start() < b for a, b in spans):
+                continue
+            if _is_lambda_arrow(mm):
                 continue
             first = mm
             break

@@ -2632,3 +2632,37 @@ def test_pg_json_builders_and_keys(spark):
     assert r2["v"] == "5"
     with pytest.raises(ValueError, match="string literals"):
         P("SELECT jsonb_build_object(col, 1) FROM t")
+
+
+def test_pg_translator_identity_on_plain_sql():
+    """Plain ANSI/Spark SQL must survive translate_pg_sql UNCHANGED —
+    the PG twin of test_translator_identity_on_plain_sql (r13c: the
+    arm now has ten+ operator passes; an over-eager match here would
+    corrupt user queries silently)."""
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    plain = [
+        "SELECT a, sum(b) AS s FROM t GROUP BY a HAVING sum(b) > 3 "
+        "ORDER BY a LIMIT 5",
+        "SELECT * FROM t1 JOIN t2 ON t1.k = t2.k WHERE t1.x IN "
+        "(SELECT x FROM t3) AND t1.y LIKE 'a%'",
+        "SELECT CASE WHEN x > 0 THEN 'p' ELSE 'n' END AS sgn, "
+        "count(*) AS n FROM t GROUP BY 1",
+        "WITH c AS (SELECT k, max(v) AS mv FROM t GROUP BY k) "
+        "SELECT c.k, c.mv FROM c WHERE c.mv IS NOT NULL",
+        "SELECT a, row_number() OVER (PARTITION BY g ORDER BY ts) "
+        "AS rn FROM events_tbl",
+        "SELECT extract(YEAR FROM ts) AS y, date_part('month', ts) AS m "
+        "FROM t",
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS med "
+        "FROM t GROUP BY g",
+        # operator-lookalike content inside string literals stays put
+        "SELECT '{\"k\": 1}' AS j, 'a ->> b' AS s1, 'x @> y' AS s2, "
+        "'p ? q' AS s3, 'm #>> n' AS s4 FROM t",
+        "SELECT x FROM t WHERE note = 'use string_agg(a, b) later'",
+        "SELECT transform(array(1, 2), v -> v + 1) AS arr FROM t",
+        "SELECT coalesce(a, 0) + greatest(b, c) FROM t "
+        "WHERE ts BETWEEN DATE '2024-01-01' AND DATE '2024-06-30'",
+    ]
+    for q in plain:
+        assert P(q) == q, q
