@@ -168,3 +168,97 @@ def test_media_digest_agrees_with_duckdb_md5(con, ids):
             py = _payload_digest(_det_bytes(f"media:{i}", size))
             db = con.execute(f"SELECT md5('media:' || CAST({i} AS VARCHAR))").fetchone()[0]
             assert py == db, i
+
+
+# ------------------------- jsonb containment property (r13c)
+# The @> expansion is translate-time code with per-type branches
+# (strings by JSON text, numbers numerically, arrays by subset,
+# nested objects recursively) — property-test it against a direct
+# Python implementation of jsonb containment semantics.
+
+_JKEY = st.text(alphabet="abkxy", min_size=1, max_size=3)
+_JSCALAR = st.one_of(
+    st.integers(min_value=-99, max_value=99),
+    st.booleans(),
+    st.none(),
+    st.text(alphabet="mnpq", min_size=0, max_size=4),
+)
+_JDOC = st.dictionaries(
+    _JKEY,
+    st.one_of(
+        _JSCALAR,
+        st.lists(_JSCALAR.filter(lambda v: v is not None), max_size=3),
+        st.dictionaries(_JKEY, _JSCALAR, max_size=2),
+    ),
+    max_size=4,
+)
+
+
+def _py_jsonb_contains(doc, probe) -> bool:
+    """Direct jsonb @> semantics for the supported shape."""
+    if not isinstance(doc, dict) or not isinstance(probe, dict):
+        return False
+    for k, pv in probe.items():
+        if k not in doc:
+            return False
+        dv = doc[k]
+        if isinstance(pv, dict):
+            if not _py_jsonb_contains(dv, pv):
+                return False
+        elif isinstance(pv, list):
+            if not isinstance(dv, list):
+                return False
+            for e in pv:
+                if isinstance(e, bool):
+                    ok = any(x is True if e else x is False for x in dv)
+                elif isinstance(e, (int, float)):
+                    ok = any(
+                        not isinstance(x, bool)
+                        and isinstance(x, (int, float))
+                        and float(x) == float(e)
+                        for x in dv
+                    )
+                else:
+                    ok = any(isinstance(x, str) and x == e for x in dv)
+                if not ok:
+                    return False
+        elif isinstance(pv, bool):
+            if dv is not pv:
+                return False
+        elif pv is None:
+            if dv is not None:
+                return False
+        elif isinstance(pv, str):
+            if not (isinstance(dv, str) and dv == pv):
+                return False
+        else:  # number — numeric equality, never bool
+            if isinstance(dv, bool) or not isinstance(dv, (int, float)):
+                return False
+            if float(dv) != float(pv):
+                return False
+    return True
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(_JDOC, min_size=1, max_size=8),
+    probe=_JDOC.filter(lambda d: d),
+)
+def test_jsonb_containment_matches_python_reference(spark, docs, probe):
+    import json as _json
+
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    probe_lit = _json.dumps(probe).replace("'", "''")
+    rows = run_pg_sql(
+        spark,
+        "SELECT i, (j @> '" + probe_lit + "') AS c FROM VALUES "
+        + ", ".join(
+            f"({i}, '{_json.dumps(d).replace(chr(39), chr(39) * 2)}')"
+            for i, d in enumerate(docs)
+        )
+        + " AS t(i, j) ORDER BY i",
+    ).collect()
+    got = [bool(r["c"]) for r in rows]
+    want = [_py_jsonb_contains(d, probe) for d in docs]
+    assert got == want, (docs, probe, got, want)
