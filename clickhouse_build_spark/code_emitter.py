@@ -204,6 +204,33 @@ def _builder_deferred(code: str, chain_start: int) -> bool:
 
 _KYSELY_FN = {"count": "COUNT", "sum": "SUM", "avg": "AVG", "min": "MIN", "max": "MAX"}
 
+# Chain methods the kysely/knex translators UNDERSTAND. Any other
+# .method( in the chain (where/having/offset/distinct/unionAll/...)
+# must fail loudly — silently dropping a .where() would emit a method
+# that returns MORE rows than the app's query (r13c audit).
+_KYSELY_METHODS = {
+    "selectFrom", "innerJoin", "leftJoin", "rightJoin", "fullJoin",
+    "select", "groupBy", "orderBy", "limit", "execute",
+    # inner expression calls inside select items
+    "count", "sum", "avg", "min", "max", "as",
+}
+_KNEX_METHODS = {
+    "select", "count", "sum", "avg", "min", "max",
+    "groupBy", "orderBy", "limit", "raw",
+}
+
+
+def _reject_unknown_chain_methods(
+    code: str, allowed: set[str], kind: str
+) -> None:
+    for m in re.finditer(r"\.\s*(\w+)\s*\(", code):
+        if m.group(1) not in allowed:
+            raise ValueError(
+                f"untranslatable {kind} chain method .{m.group(1)}(...) — "
+                "emitting without it would silently change the query "
+                f"(e.g. drop a filter): {code[:120]!r}"
+            )
+
 
 def parse_kysely(code: str) -> str | None:
     """kysely builder chain → raw PG SQL with the ``${whereClause}``
@@ -227,6 +254,7 @@ def parse_kysely(code: str) -> str | None:
             "chain may be completed elsewhere; scanned block cannot be "
             f"emitted faithfully: {code[:120]!r}"
         )
+    _reject_unknown_chain_methods(code, _KYSELY_METHODS, "kysely")
     table = m.group(1)
     joins = []
     for jm in re.finditer(
@@ -322,6 +350,7 @@ def parse_knex(code: str) -> str | None:
             "deferred knex builder (assigned without await) — the chain "
             f"may be completed elsewhere: {code[:120]!r}"
         )
+    _reject_unknown_chain_methods(code, _KNEX_METHODS, "knex")
     table = m.group(1)
     sels = []
     sm = re.search(r"\.select\(\s*(.*?)\s*\)\s*[\n.;]", code, re.DOTALL)

@@ -222,3 +222,32 @@ def test_knex_daily_rollup_roundtrips(scan, planted):
     _rows_equal(got, want)
     days = [r["day"] for r in got]
     assert len(days) > 30 and days == sorted(days)
+
+
+def test_builder_filters_never_silently_dropped():
+    """r13c audit: a kysely/knex chain carrying a method the
+    translator does NOT understand (.where/.having/...) must fail
+    loudly — emitting without it would return MORE rows than the
+    app's query, the worst possible silent corruption."""
+    for code, pat in [
+        (
+            "const r = await db.selectFrom('expenses')"
+            ".select(['category']).where('status', '=', 'paid')"
+            ".groupBy('category')",
+            "kysely chain method .where",
+        ),
+        (
+            "return knex('expenses').sum('amount as total')"
+            ".where('status', 'paid').groupBy('category')",
+            "knex chain method .where",
+        ),
+        (
+            "const r = await db.selectFrom('expenses')"
+            ".select(['category']).distinctOn('category')",
+            "kysely chain method .distinctOn",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=__import__("re").escape(pat)):
+            build_method_specs(
+                [{"description": "x", "location": "x:L1", "code": code}]
+            )
