@@ -3672,6 +3672,18 @@ def translate_pg_sql(text: str) -> str:
         f"explode(json_object_keys({x}))"
     )
     _JSON_SRF["json_object_keys"] = _JSON_SRF["jsonb_object_keys"]
+    # each_text: scalar values exactly; nested values stringify
+    # compactly. each (json-preserving): values re-serialized as JSON
+    # text through the VARIANT reader (quoted strings etc.).
+    _JSON_SRF["jsonb_each_text"] = lambda x: (
+        f"explode(from_json({x}, 'map<string,string>'))"
+    )
+    _JSON_SRF["json_each_text"] = _JSON_SRF["jsonb_each_text"]
+    _JSON_SRF["jsonb_each"] = lambda x: (
+        f"explode(transform_values(CAST(parse_json({x}) AS "
+        f"MAP<STRING, VARIANT>), (__jk, __jv) -> to_json(__jv)))"
+    )
+    _JSON_SRF["json_each"] = _JSON_SRF["jsonb_each"]
     # cursor-based scan: the json_object_keys rewrite EMITS a call
     # with the same name (Spark's builtin) — rescanning from 0 would
     # loop forever; resume past each replacement instead (r13c).
@@ -3681,7 +3693,7 @@ def translate_pg_sql(text: str) -> str:
         hit = None
         for mm in re.finditer(
             r"\b(jsonb?_(?:array_(?:elements(?:_text)?|length)"
-            r"|object_keys))\s*\(",
+            r"|object_keys|each(?:_text)?))\s*\(",
             text[pos:],
             re.IGNORECASE,
         ):
@@ -3735,7 +3747,12 @@ def translate_pg_sql(text: str) -> str:
         lits = _literal_spans(text)
         mm = None
         for cand in re.finditer(
-            r",\s*LATERAL\b|\bCROSS\s+JOIN\s+LATERAL\b", text, re.IGNORECASE
+            r",\s*LATERAL\b|\bCROSS\s+JOIN\s+LATERAL\b"
+            # PG's implicit-lateral SRF in FROM: `, jsonb_each_text(j)`
+            # (already rewritten to explode by the SRF pass above)
+            r"|,(?=\s*explode\s*\()",
+            text,
+            re.IGNORECASE,
         ):
             if any(a <= cand.start() < b for a, b in lits):
                 continue

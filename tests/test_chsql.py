@@ -2666,3 +2666,27 @@ def test_pg_translator_identity_on_plain_sql():
     ]
     for q in plain:
         assert P(q) == q, q
+
+
+def test_pg_jsonb_each_srf(spark):
+    """r13c: jsonb_each_text / jsonb_each as FROM-position SRFs — the
+    PG implicit-lateral comma form rewrites to JOIN LATERAL explode
+    over a typed map (text form: scalar values exact, nested values
+    compact-stringified; json-preserving form: VARIANT re-serialized,
+    strings stay quoted)."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    r = run_pg_sql(
+        spark,
+        """SELECT e.key, e.value
+           FROM VALUES ('{"a": 1, "b": {"c": 2}}') AS t(j),
+                jsonb_each_text(j) AS e
+           ORDER BY key""",
+    ).collect()
+    assert [tuple(x) for x in r] == [("a", "1"), ("b", '{"c":2}')]
+    r2 = run_pg_sql(
+        spark,
+        """SELECT k, v FROM VALUES ('{"s": "x", "n": 5}') AS t(j),
+                jsonb_each(j) AS e(k, v) ORDER BY k""",
+    ).collect()
+    assert [tuple(x) for x in r2] == [("n", "5"), ("s", '"x"')]
