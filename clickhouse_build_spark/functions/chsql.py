@@ -3555,11 +3555,129 @@ def translate_pg_sql(text: str) -> str:
             repl = "(" + joiner.join(exists(k) for k in keys) + ")"
         text = text[:start] + repl + text[pos.end() + rm.end() :]
 
+    # PG ARRAY[...] literals → array(...): feeds the array operators
+    # below and Spark's own array functions. Depth-aware: nested
+    # brackets/parens and string literals stay intact.
+    while True:
+        lits = _literal_spans(text)
+        mm = None
+        for cand in re.finditer(r"\bARRAY\s*\[", text, re.IGNORECASE):
+            if any(a <= cand.start() < b for a, b in lits):
+                continue
+            mm = cand
+            break
+        if mm is None:
+            break
+        i, depth, n = mm.end() - 1, 0, len(text)
+        j = i
+        while j < n:
+            c = text[j]
+            if c in "'\"":
+                j = _scan_string(text, j)
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError("unbalanced ARRAY[...] literal")
+        inner = text[i + 1 : j]
+        text = text[: mm.start()] + f"array({inner})" + text[j + 1 :]
+
+    # scalar = ANY(array) / <> ALL(array): the PG membership idiom.
+    # An array argument maps to array_contains; a subquery argument
+    # maps to IN/NOT IN (the ANSI form Spark plans as a semi join).
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for cand in re.finditer(
+            r"(=|<>|!=)\s*(ANY|ALL)\s*\(", text, re.IGNORECASE
+        ):
+            if any(a <= cand.start() < b for a, b in lits):
+                continue
+            hit = cand
+            break
+        if hit is None:
+            break
+        op, quant = hit.group(1), hit.group(2).upper()
+        if (op == "=") != (quant == "ANY"):
+            raise ValueError(
+                f"unsupported quantified comparison {op} {quant} — the "
+                "membership forms are = ANY / <> ALL"
+            )
+        args, close = _parse_args(text, hit.end() - 1)
+        raw_inner = text[hit.end() : close].strip()
+        if re.match(r"(?is)^SELECT\b", raw_inner):
+            args = [raw_inner]  # subquery commas are not arg splits
+        if len(args) != 1:
+            raise ValueError(f"{quant} takes one array or subquery")
+        start = _cast_operand_start(text, hit.start())
+        lhs = text[start : hit.start()].rstrip()
+        arg = args[0].strip()
+        if re.match(r"(?is)^SELECT\b", arg):
+            kw = "IN" if quant == "ANY" else "NOT IN"
+            repl = f"({lhs} {kw} ({arg}))"
+        else:
+            repl = f"array_contains({arg}, {lhs})"
+            if quant == "ALL":
+                repl = f"(NOT {repl})"
+        text = text[:start] + repl + text[close + 1 :]
+
+    # Array overlap && : PG's `a && b` → arrays_overlap. Disambiguated
+    # from a (nonstandard) logical && by requiring an array literal or
+    # array(...) call on at least one side at translate time? No — PG
+    # SQL has no logical &&, so the operator is unambiguous here.
+    while True:
+        lits = _literal_spans(text)
+        mm = None
+        for cand in re.finditer(r"&&", text):
+            if any(a <= cand.start() < b for a, b in lits):
+                continue
+            mm = cand
+            break
+        if mm is None:
+            break
+        start = _cast_operand_start(text, mm.start())
+        lhs = text[start : mm.start()].rstrip()
+        rm = re.match(
+            r"\s*(array\s*\((?:[^()']|'[^']*'|\([^()]*\))*\)|[\w.]+)",
+            text[mm.end() :],
+        )
+        if rm is None:
+            raise ValueError("&& needs array operands")
+        repl = f"arrays_overlap({lhs}, {rm.group(1)})"
+        text = text[:start] + repl + text[mm.end() + rm.end() :]
+
+    # unnest(arr) → explode(arr) (the comma-LATERAL pass below
+    # laterizes the FROM-position form). Parallel-array unnest(a, b)
+    # has no direct Spark twin and fails loudly.
+    while True:
+        lits = _literal_spans(text)
+        mm = None
+        for cand in re.finditer(r"\bunnest\s*\(", text, re.IGNORECASE):
+            if any(a <= cand.start() < b for a, b in lits):
+                continue
+            mm = cand
+            break
+        if mm is None:
+            break
+        args, close = _parse_args(text, mm.end() - 1)
+        if len(args) != 1:
+            raise ValueError(
+                "parallel-array unnest(a, b, ...) is not translatable — "
+                "zip the arrays explicitly"
+            )
+        text = text[: mm.start()] + f"explode({args[0]})" + text[close + 1 :]
+
     # jsonb containment: lhs @> 'literal'[::jsonb] — expanded to a
     # conjunction of per-path variant checks at translate time
     # (_pg_jsonb_contains); the reversed form 'literal' <@ rhs swaps
-    # the roles. The constant side must be a literal; a dynamic probe
-    # is a loud failure, not a silent one.
+    # the roles. ARRAY containment (an array(...) operand on the
+    # constant side) maps to forall/array_contains instead. A dynamic
+    # jsonb probe is a loud failure, not a silent one.
     while True:
         spans = _literal_spans(text)
         pos = None
@@ -3571,9 +3689,19 @@ def translate_pg_sql(text: str) -> str:
         if pos is None:
             break
         op = pos.group(0)
+        _ARR = r"array\s*\((?:[^()']|'[^']*'|\([^()]*\))*\)"
         if op == "@>":
             start = _cast_operand_start(text, pos.start())
             lhs = text[start : pos.start()].rstrip()
+            am = re.match(rf"\s*({_ARR})", text[pos.end() :], re.IGNORECASE)
+            if am is not None:
+                # array containment: every RHS element present in lhs
+                repl = (
+                    f"forall({am.group(1)}, "
+                    f"__ac -> array_contains({lhs}, __ac))"
+                )
+                text = text[:start] + repl + text[pos.end() + am.end() :]
+                continue
             rm = re.match(
                 r"\s*'((?:[^']|'')*)'(\s*::\s*jsonb?\b)?",
                 text[pos.end() :],
@@ -3581,22 +3709,47 @@ def translate_pg_sql(text: str) -> str:
             )
             if rm is None:
                 raise ValueError(
-                    "@> needs a literal JSON right-hand side (a dynamic "
-                    "containment probe is not translatable)"
+                    "@> needs a literal JSON or array(...) right-hand "
+                    "side (a dynamic containment probe is not "
+                    "translatable)"
                 )
             repl = _pg_jsonb_contains(lhs, rm.group(1))
             text = text[:start] + repl + text[pos.end() + rm.end() :]
             continue
-        # <@ : contained-by — the literal is on the LEFT
+        # <@ : contained-by — the constant is on the LEFT
         start = _cast_operand_start(text, pos.start())
         lit = text[start : pos.start()].rstrip()
+        am = re.fullmatch(_ARR, lit, re.IGNORECASE)
+        if am is None and re.match(
+            rf"\s*{_ARR}", text[pos.end() :], re.IGNORECASE
+        ):
+            # col <@ array(...): every lhs element present in the array
+            rm = re.match(rf"\s*({_ARR})", text[pos.end() :], re.IGNORECASE)
+            repl = (
+                f"forall({lit}, __ac -> array_contains({rm.group(1)}, "
+                f"__ac))"
+            )
+            text = text[:start] + repl + text[pos.end() + rm.end() :]
+            continue
+        if am is not None:
+            rm = re.match(
+                rf"\s*({_ARR}|[\w.]+)", text[pos.end() :], re.IGNORECASE
+            )
+            if rm is None:
+                raise ValueError("<@ needs an array right-hand side")
+            repl = (
+                f"forall({lit}, __ac -> array_contains({rm.group(1)}, "
+                f"__ac))"
+            )
+            text = text[:start] + repl + text[pos.end() + rm.end() :]
+            continue
         lm = re.fullmatch(
             r"'((?:[^']|'')*)'(\s*::\s*jsonb?)?", lit, re.IGNORECASE
         )
         if lm is None:
             raise ValueError(
-                "<@ needs a literal JSON LEFT-hand side (a dynamic "
-                "containment probe is not translatable)"
+                "<@ needs a literal JSON or array(...) constant side "
+                "(a dynamic containment probe is not translatable)"
             )
         rm = re.match(r"\s*([\w.]+(?:\s*::\s*jsonb?)?)", text[pos.end() :])
         if rm is None:

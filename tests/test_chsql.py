@@ -2690,3 +2690,37 @@ def test_pg_jsonb_each_srf(spark):
                 jsonb_each(j) AS e(k, v) ORDER BY k""",
     ).collect()
     assert [tuple(x) for x in r2] == [("n", "5"), ("s", '"x"')]
+
+
+def test_pg_array_operators_and_unnest(spark):
+    """r13c: PG array idioms — ARRAY[...] literals, = ANY / <> ALL
+    (array → array_contains; subquery → IN/NOT IN), && overlap,
+    array @> / <@ containment (forall + array_contains), unnest →
+    explode with the implicit-lateral comma form."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    def val(q):
+        return run_pg_sql(spark, q).first()["c"]
+
+    assert val("SELECT 2 = ANY(ARRAY[1,2,3]) AS c") is True
+    assert val("SELECT 5 = ANY(ARRAY[1,2,3]) AS c") is False
+    assert val("SELECT 5 <> ALL(ARRAY[1,2,3]) AS c") is True
+    assert val("SELECT 2 <> ALL(ARRAY[1,2,3]) AS c") is False
+    assert val("SELECT 1 = ANY(SELECT o FROM VALUES (1),(2) AS s(o)) AS c")
+    assert val("SELECT ARRAY['a','b'] && ARRAY['b','z'] AS c") is True
+    assert val("SELECT ARRAY['a','b'] @> ARRAY['b'] AS c") is True
+    assert val("SELECT ARRAY['a','b'] @> ARRAY['b','z'] AS c") is False
+    assert val("SELECT ARRAY['a'] <@ ARRAY['a','b'] AS c") is True
+    assert val("SELECT ARRAY['z'] <@ ARRAY['a','b'] AS c") is False
+    rows = run_pg_sql(
+        spark,
+        "SELECT v FROM VALUES (array(1,2)) AS t(a), unnest(a) AS u(v)",
+    ).collect()
+    assert [r["v"] for r in rows] == [1, 2]
+    with pytest.raises(ValueError, match="parallel-array unnest"):
+        P("SELECT unnest(a, b) FROM t")
+    # jsonb containment unaffected by the array extension
+    assert val("""SELECT ('{"k": 1}' @> '{"k": 1}') AS c""") is True
