@@ -3114,21 +3114,40 @@ def _pg_jsonb_contains(lhs: str, rhs_literal: str) -> str:
             for k, sub in v.items():
                 walk(path + _json_path_part(k, None), sub)
         elif isinstance(v, list):
+            if not v:
+                # [] is contained in any ARRAY at this path (and in
+                # nothing else) — hypothesis-found edge (r13c): zero
+                # element conditions would emit an empty conjunction
+                conds.append(f"startswith(to_json({vg}), '[')")
+                return
+            # TYPE-STRICT element checks via the JSON text of each
+            # variant element (r13c, hypothesis-found): a plain typed
+            # CAST of the whole array threw at runtime on non-array
+            # values and coerced "5" == 5 across types — try_cast to
+            # ARRAY<VARIANT> is NULL-on-mismatch and per-element
+            # to_json keeps strings quoted (so '"5"' never equals the
+            # number 5, exactly jsonb).
+            arr = f"try_cast({vg} AS ARRAY<VARIANT>)"
             for e in v:
                 if isinstance(e, bool):
                     conds.append(
-                        f"array_contains(CAST({vg} AS ARRAY<BOOLEAN>), "
-                        f"{str(e).lower()})"
+                        f"exists({arr}, __ce -> to_json(__ce) = "
+                        f"'{str(e).lower()}')"
                     )
                 elif isinstance(e, str):
                     conds.append(
-                        f"array_contains(CAST({vg} AS ARRAY<STRING>), "
-                        f"{_sql_str(e)})"
+                        f"exists({arr}, __ce -> to_json(__ce) = "
+                        f"{_sql_str(json.dumps(e, ensure_ascii=False))})"
                     )
                 elif isinstance(e, (int, float)):
                     conds.append(
-                        f"array_contains(CAST({vg} AS ARRAY<DOUBLE>), "
+                        f"exists({arr}, __ce -> "
+                        f"try_cast(to_json(__ce) AS DOUBLE) = "
                         f"CAST({e} AS DOUBLE))"
+                    )
+                elif e is None:
+                    conds.append(
+                        f"exists({arr}, __ce -> to_json(__ce) = 'null')"
                     )
                 else:
                     raise ValueError(
@@ -3148,10 +3167,14 @@ def _pg_jsonb_contains(lhs: str, rhs_literal: str) -> str:
                 f"try_cast(to_json({vg}) AS DOUBLE) = CAST({v} AS DOUBLE)"
             )
 
+    # NULL-safe: a missing key makes its check NULL (to_json of a
+    # missing variant is SQL NULL) — jsonb containment is two-valued,
+    # so the whole predicate collapses NULL → false (r13c,
+    # hypothesis-found on a missing-key empty-array probe).
     if not obj:
-        return f"startswith(to_json({pj}), '{{')"
+        return f"coalesce(startswith(to_json({pj}), '{{'), false)"
     walk("$", obj)
-    return "(" + " AND ".join(conds) + ")"
+    return "coalesce((" + " AND ".join(conds) + "), false)"
 
 
 def _cast_operand_start_paren(s: str, end: int) -> int:

@@ -2510,6 +2510,9 @@ def test_pg_jsonb_containment(spark):
     assert holds('{"tags": ["b", "z"]}') is False
     assert holds('{}') is True                   # {} contained in any object
     assert holds('{"meta": {}}') is True
+    assert holds('{"tags": []}') is True         # [] contained in any array
+    assert holds('{"k": []}') is False           # ...but only in an array
+    assert holds('{"zz": []}') is False
     # dynamic RHS and non-object RHS fail loudly
     with pytest.raises(ValueError, match="literal JSON"):
         P("SELECT a @> b FROM t")

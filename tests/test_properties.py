@@ -187,7 +187,7 @@ _JDOC = st.dictionaries(
     _JKEY,
     st.one_of(
         _JSCALAR,
-        st.lists(_JSCALAR.filter(lambda v: v is not None), max_size=3),
+        st.lists(_JSCALAR, max_size=3),
         st.dictionaries(_JKEY, _JSCALAR, max_size=2),
     ),
     max_size=4,
@@ -218,6 +218,8 @@ def _py_jsonb_contains(doc, probe) -> bool:
                         and float(x) == float(e)
                         for x in dv
                     )
+                elif e is None:
+                    ok = any(x is None for x in dv)
                 else:
                     ok = any(isinstance(x, str) and x == e for x in dv)
                 if not ok:
@@ -239,7 +241,7 @@ def _py_jsonb_contains(doc, probe) -> bool:
     return True
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     docs=st.lists(_JDOC, min_size=1, max_size=8),
     probe=_JDOC.filter(lambda d: d),
