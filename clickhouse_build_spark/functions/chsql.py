@@ -3423,13 +3423,48 @@ def translate_pg_sql(text: str) -> str:
     # objects/arrays their structure, missing keys → NULL), the
     # faithful twin of ->'s jsonb return that get_json_object cannot
     # express (r13; previously a documented loud failure).
+    def _enclosing_call_name(k: int) -> str | None:
+        """The identifier owning the call whose arg list contains
+        position ``k`` (k points at '(' or ','); None when k isn't
+        inside a call's parentheses."""
+        i, depth = k, 0
+        if text[i] == ",":
+            while i >= 0:
+                ch = text[i]
+                if ch == ")":
+                    depth += 1
+                elif ch == "(":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                i -= 1
+            if i < 0:
+                return None
+        j = i - 1
+        while j >= 0 and text[j].isspace():
+            j -= 1
+        e = j
+        while j >= 0 and (text[j].isalnum() or text[j] == "_"):
+            j -= 1
+        name = text[j + 1 : e + 1]
+        return name or None
+
+    _HOF_NAMES = frozenset(
+        {
+            "transform", "filter", "exists", "forall", "aggregate",
+            "reduce", "zip_with", "map_filter", "map_zip_with",
+            "transform_keys", "transform_values", "array_sort",
+        }
+    )
+
     def _is_lambda_arrow(mm) -> bool:
         """``param -> body`` (a Spark higher-order lambda a user wrote
         through the PG arm): the LHS is a BARE identifier directly
-        preceded by '(' or ',' and the RHS is not the literal
-        key/index a JSON op requires — skip, don't raise (r13c)."""
-        if re.match(r"\s*(?:'[^']*'|\d+)", text[mm.end() :]):
-            return False
+        preceded by '(' or ',', and the enclosing call is a known
+        higher-order function — skip, don't raise. The lambda shape is
+        checked BEFORE the literal-RHS shortcut so ``transform(a, v ->
+        1)`` passes through while ``SELECT a, j -> 'k'`` stays a JSON
+        op (ADVICE r13)."""
         s0 = _cast_operand_start(text, mm.start())
         lhs = text[s0 : mm.start()].strip()
         if not re.fullmatch(r"\w+", lhs):
@@ -3437,7 +3472,14 @@ def translate_pg_sql(text: str) -> str:
         k = s0 - 1
         while k >= 0 and text[k].isspace():
             k -= 1
-        return k >= 0 and text[k] in "(,"
+        if k < 0 or text[k] not in "(,":
+            return False
+        name = _enclosing_call_name(k)
+        if name is not None and name.lower() in _HOF_NAMES:
+            return True
+        # outside a HOF: a literal RHS is exactly the JSON op's
+        # key/index shape; a non-literal RHS can only be a lambda
+        return not re.match(r"\s*(?:'[^']*'|\d+)", text[mm.end() :])
 
     while True:
         spans = _literal_spans(text)
@@ -3918,7 +3960,39 @@ def translate_pg_sql(text: str) -> str:
 
     # PG comma-LATERAL / CROSS JOIN LATERAL → Spark's JOIN LATERAL
     # (same correlated-subquery semantics; Spark only spells the
-    # explicit-join form).
+    # explicit-join form). The bare `, explode(` form is rewritten
+    # ONLY when the comma sits in a FROM clause (ADVICE r13: a
+    # select-list SRF — `SELECT id, jsonb_array_elements_text(tags)`
+    # — must keep its comma; Spark supports one generator per select
+    # list with the same row-multiplying semantics PG 10+ gives
+    # select-list SRFs).
+    def _active_clause(p: int) -> str | None:
+        """The SQL clause governing position p at its paren depth —
+        '(' pushes the current clause (subqueries reset it with their
+        own SELECT; function-arg parens inherit it)."""
+        lits = _literal_spans(text)
+        stack: list = []
+        cur = None
+        for tok in re.finditer(
+            # VALUES is NOT a boundary: `FROM VALUES (...) AS t(j), srf`
+            # keeps the FROM clause open (INSERT..VALUES has no FROM
+            # before it, so it still reads as non-FROM).
+            r"[()]|\b(select|from|where|group|having|order|limit|"
+            r"window|union|intersect|except|set|returning)\b",
+            text[:p],
+            re.IGNORECASE,
+        ):
+            if any(a <= tok.start() < b for a, b in lits):
+                continue
+            t = tok.group(0)
+            if t == "(":
+                stack.append(cur)
+            elif t == ")":
+                cur = stack.pop() if stack else None
+            else:
+                cur = t.lower()
+        return cur
+
     while True:
         lits = _literal_spans(text)
         mm = None
@@ -3932,6 +4006,11 @@ def translate_pg_sql(text: str) -> str:
         ):
             if any(a <= cand.start() < b for a, b in lits):
                 continue
+            if (
+                cand.group(0) == ","
+                and _active_clause(cand.start()) != "from"
+            ):
+                continue  # select-list SRF comma — leave in place
             mm = cand
             break
         if mm is None:
@@ -3943,8 +4022,14 @@ def translate_pg_sql(text: str) -> str:
     # Spark accepts explode as a table-valued function) and the SELECT
     # list. The 2-arg form guards PG's empty-set-when-start>stop
     # contract with a constant-false filter (Spark's sequence(5, 1)
-    # would DESCEND — a silent wrong answer otherwise); the 3-arg form
-    # maps directly, both engines reject a step whose sign disagrees.
+    # would DESCEND — a silent wrong answer otherwise); the 3-arg
+    # form guards it too: PG yields an EMPTY set when the step's sign
+    # disagrees with the range (generate_series(5, 1, 1) → 0 rows)
+    # while Spark's sequence(5, 1, 1) throws 'Illegal sequence
+    # boundaries' — the stop is swapped to the start (a one-element,
+    # always-legal sequence) and the filter drops everything (ADVICE
+    # r13). `a + step > a` detects step sign without sign(), so
+    # timestamp/interval series keep working.
     while True:
         lits = _literal_spans(text)
         hit = None
@@ -3964,7 +4049,16 @@ def translate_pg_sql(text: str) -> str:
                 f"__gs -> ({a}) <= ({b})))"
             )
         elif len(args) == 3:
-            repl = f"explode(sequence({', '.join(args)}))"
+            a, b, s = args
+            bad = (
+                f"((({a}) < ({b}) AND ({a}) + ({s}) < ({a})) "
+                f"OR (({a}) > ({b}) AND ({a}) + ({s}) > ({a})))"
+            )
+            repl = (
+                f"explode(filter(sequence({a}, "
+                f"CASE WHEN {bad} THEN ({a}) ELSE ({b}) END, {s}), "
+                f"__gs -> NOT {bad}))"
+            )
         else:
             raise ValueError("generate_series takes 2 or 3 arguments")
         text = text[: hit.start()] + repl + text[close + 1 :]

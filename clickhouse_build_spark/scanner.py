@@ -353,6 +353,19 @@ def _sql_statements(text: str) -> list[tuple[int, int, str]]:
             j = text.find("\n", i)
             i = n if j < 0 else j
             continue
+        if c == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if c == "$":
+            # PG dollar-quoted string: $tag$ ... $tag$ (function bodies,
+            # seeded text). A ';' inside must not split the statement.
+            dm = re.match(r"\$(\w*)\$", text[i:])
+            if dm:
+                tag = dm.group(0)
+                j = text.find(tag, i + len(tag))
+                i = n if j < 0 else j + len(tag)
+                continue
         if c == ";":
             body = text[start:i]
             if body.strip():

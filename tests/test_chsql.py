@@ -2727,3 +2727,101 @@ def test_pg_array_operators_and_unnest(spark):
         P("SELECT unnest(a, b) FROM t")
     # jsonb containment unaffected by the array extension
     assert val("""SELECT ('{"k": 1}' @> '{"k": 1}') AS c""") is True
+
+
+def test_pg_select_list_srf_keeps_comma(spark):
+    """ADVICE r13 (medium): a select-list SRF — `SELECT id,
+    jsonb_array_elements_text(tags)` — must NOT have its comma
+    rewritten to JOIN LATERAL (that only applies in FROM position).
+    Spark runs the select-list generator with PG 10+'s row-multiplying
+    semantics, so the translated form executes AND row-matches PG."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    out = P("SELECT id, jsonb_array_elements_text(tags) AS tag FROM t")
+    assert "JOIN LATERAL" not in out
+    assert out.startswith("SELECT id, explode(")
+    rows = run_pg_sql(
+        spark,
+        """SELECT id, jsonb_array_elements_text(tags) AS tag
+           FROM VALUES (1, '["a","b"]'), (2, '["c"]') AS t(id, tags)
+           ORDER BY id, tag""",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (1, "b"), (2, "c")]
+    # plain-Spark generator in the select list survives untouched
+    plain = "SELECT id, explode(arr) AS x FROM t"
+    assert P(plain) == plain
+    # ...while the FROM-position comma form still rewrites
+    fromq = P("SELECT e.value FROM t, jsonb_array_elements_text(j) AS e")
+    assert "JOIN LATERAL" in fromq
+
+
+def test_pg_lambda_with_literal_body_passes_through():
+    """ADVICE r13 (low): a Spark lambda whose body is a literal —
+    `transform(a, v -> 1)` — is a lambda (the enclosing call is a
+    higher-order function), not a JSON -> op; and a select-list
+    `col, j -> 'k'` after a comma is still a JSON op."""
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    plain = "SELECT transform(array(1,2), v -> 1) AS a FROM t"
+    assert P(plain) == plain
+    plain2 = "SELECT filter(arr, x -> 0) AS a FROM t"
+    assert P(plain2) == plain2
+    out = P("SELECT a, j -> 'k' AS v FROM t")
+    assert "try_variant_get" in out
+    out2 = P("SELECT a, j ->> 'k' AS v FROM t")
+    assert "get_json_object(j, '$.k')" in out2
+
+
+def test_pg_generate_series_step_sign_mismatch(spark):
+    """ADVICE r13 (low): generate_series(5, 1, 1) is EMPTY in PG;
+    Spark's raw sequence(5, 1, 1) throws. The translated 3-arg form
+    must return the empty set, and agreeing signs stay exact."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    assert (
+        run_pg_sql(spark, "SELECT generate_series(5, 1, 1) AS n").count()
+        == 0
+    )
+    assert (
+        run_pg_sql(spark, "SELECT generate_series(1, 5, -1) AS n").count()
+        == 0
+    )
+    rows = run_pg_sql(
+        spark, "SELECT generate_series(5, 1, -2) AS n"
+    ).collect()
+    assert [r["n"] for r in rows] == [5, 3, 1]
+    rows2 = run_pg_sql(
+        spark, "SELECT generate_series(2, 2, -7) AS n"
+    ).collect()
+    assert [r["n"] for r in rows2] == [2]
+    ts = run_pg_sql(
+        spark,
+        "SELECT generate_series(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-03', INTERVAL '1' DAY) AS d",
+    ).count()
+    assert ts == 3
+
+
+def test_sql_statement_splitter_block_comments_and_dollar_quotes():
+    """ADVICE r13 (low): ';' inside /* */ block comments or PG
+    dollar-quoted bodies must not split a statement."""
+    from clickhouse_build_spark.scanner import _sql_statements
+
+    text = (
+        "/* header; with a semicolon */\n"
+        "SELECT a /* mid; comment */ FROM t;\n"
+        "CREATE FUNCTION f() RETURNS int AS $$\n"
+        "  SELECT 1; SELECT 2;\n"
+        "$$ LANGUAGE sql;\n"
+        "CREATE FUNCTION g() AS $body$ x; y $body$;\n"
+        "SELECT b FROM u"
+    )
+    stmts = [s for _, _, s in _sql_statements(text)]
+    assert len(stmts) == 4
+    assert stmts[0].endswith("FROM t")
+    assert "$$" in stmts[1] and "SELECT 2" in stmts[1]
+    assert "$body$" in stmts[2]
+    assert stmts[3] == "SELECT b FROM u"

@@ -247,15 +247,27 @@ def _subtree_bounded(node: dict, details: dict[int, str], plan: str) -> bool:
         if "Keys: []" in details.get(node["id"], ""):
             return True
     if name == "ReusedExchange":
-        # bounded iff SOME broadcast exchange in the plan is bounded —
-        # the reuse points at one of them
-        tree = _parse_tree(plan)
-        return any(
-            n["name"].startswith("BroadcastExchange")
-            and n is not node
-            and any(_subtree_bounded(c, details, plan) for c in n["children"])
-            for n in tree
+        # bounded iff the SPECIFIC exchange this node reuses is bounded
+        # — the detail carries "Reuses operator id: N" (ADVICE r13: the
+        # old any-bounded-broadcast check was a false negative when an
+        # unrelated bounded broadcast coexisted with an unbounded reuse)
+        det = details.get(node["id"], "")
+        m = re.search(r"Reuses operator id:\s*(\d+)", det) or re.search(
+            r"Reuses operator id:\s*(\d+)", node["name"]
         )
+        if not m:
+            return False  # unresolvable reuse: stay loud
+        target_id = int(m.group(1))
+        tree = _parse_tree(plan)
+        for n in tree:
+            if n["id"] == target_id and not n["name"].startswith(
+                "ReusedExchange"
+            ):
+                return any(
+                    _subtree_bounded(c, details, plan)
+                    for c in n["children"]
+                )
+        return False
     return any(_subtree_bounded(c, details, plan) for c in node["children"])
 
 
