@@ -457,6 +457,164 @@ def ivf_assign_probes(
     )
 
 
+# -------------------- two-level coarse quantization (sub-cells, r14)
+#
+# A flat nlist frozen at a cap makes SemDeDup's within-cell candidate
+# mass Σ|cell|² revert to n²/nlist past nlist² vectors (the r13 scale
+# ladder measured exactly this at the old 128-cell clamp). The
+# scale-safe law is CONSTANT CELL OCCUPANCY, not √n cells: keep the
+# top level bounded (broadcastable centroids) and split each top-level
+# cell into ⌈|cell|/target⌉ sub-cells — the FAISS IVF-in-IVF /
+# hierarchical-k-means layout. Candidate mass becomes Σ|subcell|² ≈
+# n·target — LINEAR in n at any corpus size; training and assignment
+# stay bounded per cell (the level-2 trainer only ever sees one cell's
+# hash-sample in a pandas group, and level-2 assignment is an equi-join
+# on the cell id with ⌈|cell|/target⌉ candidates per row).
+
+
+def train_subcells(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    target_rows: int,
+    spc: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame | None:
+    """Level-2 spherical k-means per coarse cell → (cell, subcell, sce)
+    sub-centroid frame, or None when no cell exceeds ``target_rows``
+    (single-level corpus — callers take the exact pre-r14 path).
+
+    Per cell c with |c| rows: k2(c) = ⌈|c|/target_rows⌉ sub-centroids,
+    trained on a deterministic hash-sample of ~``spc``·k2 members (the
+    same portable-md5 recipe as :func:`ivf_train` — stable under
+    repartitioning, no RNG), evenly-spaced init over the id-sorted
+    sample, ``iters`` Lloyd rounds in numpy inside ONE applyInPandas
+    group per fat cell. k2==1 cells skip training entirely — their
+    single sub-centroid is the coarse centroid itself (argmax over one
+    candidate is subcell 0 regardless of the value), as is any fat
+    cell whose hash-sample came back empty (it degrades to unsplit,
+    never to dropped rows).
+
+    Scale: the per-group training set is ~spc/target of the cell
+    (spc=8, target=64 → 1/8), so group memory is |cell|/8 vectors —
+    bounded by the top level's occupancy n/k1. Past ~10¹⁰ vectors the
+    same construction recurses (three levels); two levels cover the
+    100 TB envelope.
+
+    ``assigned`` must carry unit-normalized vectors (the
+    ``_unit_vectors`` contract) plus the coarse ``cell`` column.
+    """
+    import math
+
+    from clickhouse_build_spark.operators.dedup import portable_hash
+
+    counts = {
+        r["cell"]: r["count"]
+        for r in assigned.groupBy("cell").count().collect()
+    }
+    k2 = {c: -(-n // target_rows) for c, n in counts.items()}
+    if not k2 or max(k2.values()) == 1:
+        return None
+    spark = assigned.sparkSession
+    scale = 1 << 20
+    cuts = spark.createDataFrame(
+        [
+            (
+                int(c),
+                int(min(scale, math.ceil(scale * spc * k2[c] / counts[c])))
+                if k2[c] > 1
+                else 0,
+            )
+            for c in counts
+        ],
+        "cell long, __cut long",
+    )
+    sample = (
+        assigned.join(F.broadcast(cuts), "cell")
+        .filter(
+            F.pmod(
+                portable_hash(F.col(id_col).cast("string"), "subcell-sample"),
+                scale,
+            )
+            < F.col("__cut")
+        )
+        .select("cell", F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"))
+    )
+    k2_by_cell = dict(k2)  # plain dict in the closure (≤ k1 entries)
+
+    def fit(pdf):
+        cell = int(pdf["cell"].iloc[0])
+        k = min(k2_by_cell.get(cell, 1), len(pdf))
+        order = np.argsort(pdf["__id"].values, kind="stable")
+        X = np.vstack(pdf["__e"].values[order]).astype(np.float64)
+        C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+        for _ in range(iters):
+            a = np.argmax(X @ C.T, axis=1)
+            for j in range(k):
+                members = X[a == j]
+                if len(members):
+                    m = members.mean(axis=0)
+                    norm = np.linalg.norm(m)
+                    if norm > 0:
+                        C[j] = m / norm
+        return pd.DataFrame(
+            {
+                "cell": [cell] * k,
+                "subcell": list(range(k)),
+                "sce": [[float(x) for x in C[j]] for j in range(k)],
+            }
+        )
+
+    trained = sample.groupBy("cell").applyInPandas(
+        fit, "cell long, subcell long, sce array<double>"
+    ).localCheckpoint(eager=True)  # run the trainer ONCE (n/target rows)
+    # Cells with k2==1 (never sampled) and fat cells whose sample came
+    # back empty fall back to ONE sub-centroid = the coarse centroid.
+    # The trained frame's distinct cell list is ≤ |centroids| rows —
+    # driver-sized by the top level's construction.
+    trained_cells = {r["cell"] for r in trained.select("cell").distinct().collect()}
+    fallback = centroids.filter(
+        ~F.col("cell").isin(*trained_cells)
+        if trained_cells
+        else F.lit(True)
+    ).select(
+        "cell", F.lit(0).cast("long").alias("subcell"), F.col("ce").alias("sce")
+    )
+    return trained.unionByName(fallback)
+
+
+def subcell_assign(
+    assigned: DataFrame,
+    subcent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Nearest sub-centroid WITHIN each row's coarse cell (max cosine,
+    lowest subcell as tiebreak) → (id, cell, subcell). Level-2
+    assignment is an equi-join on ``cell`` — k2(cell) candidate rows
+    per vector, collapsed map-side by the partial max-of-struct
+    aggregate, so the shuffle carries one row per (id, cell). Works
+    unchanged for multi-probe input (one output row per probed cell)."""
+    scored = assigned.join(subcent, "cell").select(
+        id_col,
+        "cell",
+        F.struct(
+            cosine(F.col(vec_col), F.col("sce")).alias("d"),
+            (-F.col("subcell")).alias("negs"),
+        ).alias("__s"),
+    )
+    return (
+        scored.groupBy(id_col, "cell")
+        .agg(F.max("__s").alias("__b"))
+        .select(
+            id_col,
+            "cell",
+            (-F.col("__b.negs")).cast("long").alias("subcell"),
+        )
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -913,12 +913,25 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # export, so the derivation is invisible to them; the ivfpq_topk
 # oracle is a recall bound against exact KNN, equally nlist-free.
 IVFPQ_CELLS_MIN = 16
-# Trained-index nlist cap (r13): √n unclamped to ~16.7M vectors; the
-# cap only bounds the broadcast centroid tensor (4096×64 f32 ≈ 1 MB)
-# and the numpy Lloyd step. The old shared IVF_MAX_CELLS=128 clamp
-# made Σ|cell|² quadratic past n=16k (measured: probe2 53.6× at 10×
-# rows on the r13 scale ladder; bound restored after the split).
+# TOP-LEVEL cell cap (r13; re-scoped r14): bounds the broadcast
+# centroid tensor (4096×64 f32 ≈ 1 MB) and the driver Lloyd step. The
+# old shared IVF_MAX_CELLS=128 clamp made Σ|cell|² quadratic past
+# n=16k (measured: probe2 53.6× at 10× rows on the r13 scale ladder).
+# r14 removes the residual √n-freeze entirely: the cap no longer
+# limits SemDeDup's candidate cells, because each top-level cell is
+# SPLIT into ⌈|cell|/SEMDEDUP_CELL_ROWS⌉ sub-cells (two-level coarse
+# quantization — operators/similarity.py:train_subcells), so candidate
+# mass is Σ|subcell|² ≈ n·SEMDEDUP_CELL_ROWS — linear at any corpus
+# size. The ADC/topk query path keeps the flat top level (its cost is
+# nprobe-fractional, never quadratic).
 IVFPQ_MAX_CELLS = 4096
+# Target sub-cell occupancy for SemDeDup's within-cell candidate join.
+# Below it (every top-level cell ≤ this many rows — all shipped test
+# SFs) the split is a no-op (subcell 0 everywhere) and plans are
+# bit-identical to the single-level layout; above it, occupancy stays
+# ~constant so candidate mass grows linearly. The dial trades within-
+# cell recall (bigger = more) against per-cell pair cost.
+SEMDEDUP_CELL_ROWS = 64
 # Query-time probe depth keeps a CONSTANT COVERAGE FRACTION as nlist
 # grows (nprobe = max(4, ⌈nlist/4⌉) ≈ 25% of cells): recall against the
 # exact top-k stays statistically flat while candidate count per query
@@ -942,9 +955,11 @@ def ivfpq_cells(spark: SparkSession, sf_dir: str) -> int:
     The r13 scale ladder measured the 128 clamp reverting SemDeDup's
     candidate mass to n²/128 past n=16k: Σc² grew 99.5× at 10× rows
     (312.8M vs 3.14M pairs, probe2 wall 53.6× vs the n^1.5 bound's
-    31.6×). ⌊√n⌋ stays unclamped until n = {IVFPQ_MAX_CELLS}² ≈ 16.7M
-    vectors per corpus; the centroid broadcast at the cap is
-    {IVFPQ_MAX_CELLS}×64 floats ≈ 1 MB."""
+    31.6×). r14: the cap is no longer a SemDeDup ceiling at all —
+    past it (and past target occupancy before it) the level-2 split
+    (:func:`shared_subcell_centroids`) keeps candidate cells at
+    ~SEMDEDUP_CELL_ROWS rows each, so this value only sizes the
+    broadcast tensor ({IVFPQ_MAX_CELLS}×64 floats ≈ 1 MB)."""
     import math
 
     from clickhouse_build_spark.plans.artifacts import session_artifact
@@ -1274,6 +1289,56 @@ def _corpus_discriminators(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     return int(d["n"]), int(d["fp"])
 
 
+_SUBCELLS: dict[tuple[str, str], object] = {}
+_SUBCELL_NONE = object()  # session_artifact can't cache a None value
+
+
+def shared_subcell_centroids(spark: SparkSession, sf_dir: str):
+    """Level-2 coarse quantizer (r14, VERDICT r13 #1): per-top-cell
+    sub-centroids targeting ``SEMDEDUP_CELL_ROWS`` occupancy, or None
+    when every top-level cell is already under target (all shipped
+    test SFs — the split only activates at scale). Trained ONCE per
+    (session, corpus) from the same unit-normalized frame every other
+    consumer scores, so index build, probe table and incremental
+    append assign sub-cells bit-identically. The frame is ~n/target
+    rows; consumers only ever equi-join it on ``cell``."""
+    from clickhouse_build_spark.operators.similarity import train_subcells
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build():
+        cent = shared_ivf_centroids(
+            spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
+        )
+        assigned = ivf_assign(_unit_vectors(spark, sf_dir), cent)
+        sub = train_subcells(
+            assigned, cent, target_rows=SEMDEDUP_CELL_ROWS
+        )
+        if sub is None:
+            return _SUBCELL_NONE
+        return sub.localCheckpoint(eager=True)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = session_artifact(_SUBCELLS, key, build)
+    return None if got is _SUBCELL_NONE else got
+
+
+def _with_subcell(
+    spark: SparkSession, sf_dir: str, assigned: DataFrame
+) -> DataFrame:
+    """Add the level-2 ``subcell`` column to a (vec_id, cell, ...)
+    frame. Single-level corpora get the literal 0 — the exact pre-r14
+    layout, no extra join or shuffle in the plan."""
+    from clickhouse_build_spark.operators.similarity import subcell_assign
+
+    subcent = shared_subcell_centroids(spark, sf_dir)
+    if subcent is None:
+        return assigned.withColumn("subcell", F.lit(0).cast("long"))
+    sub = subcell_assign(
+        assigned.join(_unit_vectors(spark, sf_dir), "vec_id"), subcent
+    )
+    return assigned.join(sub, ["vec_id", "cell"])
+
+
 def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-rest IVF-PQ index: (vec_id, cell, c0..c7) — one 8-bit
     code per subspace per vector (IVFPQ_K=256 codebooks; the 4-bit
@@ -1310,6 +1375,11 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> str:
         codes = _ivfpq_encode(spark, sf_dir, _vectors(spark, sf_dir))
+        if shared_subcell_centroids(spark, sf_dir) is not None:
+            # the codes feed two branches (subcell scoring + the final
+            # write) — freeze them so the encode kernel runs once
+            codes = codes.localCheckpoint(eager=True)
+        codes = _with_subcell(spark, sf_dir, codes)
         # Corpus discriminators stamped onto every row (one tiny agg +
         # collect of a single 2-column row): the static-SQL oracle globs
         # ALL exports under IVFPQ_AT_REST_ROOT and selects this corpus's
@@ -1337,10 +1407,12 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = session_artifact(_IVFPQ_INDEX, key, build)
     # Consumers get the pre-export schema back: cell re-cast to long
     # (hive partition-column inference yields int — ADVICE r07 type-drift
-    # trap), discriminator columns dropped.
+    # trap), discriminator columns dropped. ``subcell`` (r14) rides
+    # along for the SemDeDup candidate join; ADC consumers ignore it.
     return spark.read.parquet(path).select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
+        "subcell",
         *[f"c{s}" for s in range(PQ_M)],
     )
 
@@ -1368,6 +1440,23 @@ def append_to_ivfpq_index(
     # Force the base index (and its export) to exist first.
     shared_ivfpq_index(spark, sf_dir)
     codes = _ivfpq_encode(spark, sf_dir, new_vectors)
+    if shared_subcell_centroids(spark, sf_dir) is not None:
+        codes = codes.localCheckpoint(eager=True)
+    # level-2 assignment scores the NEW vectors' unit frame against the
+    # existing trained sub-centroids — same no-retrain lifecycle
+    subcent = shared_subcell_centroids(spark, sf_dir)
+    if subcent is None:
+        codes = codes.withColumn("subcell", F.lit(0).cast("long"))
+    else:
+        from clickhouse_build_spark.operators.similarity import subcell_assign
+
+        sub = subcell_assign(
+            codes.select("vec_id", "cell").join(
+                _normalize(new_vectors), "vec_id"
+            ),
+            subcent,
+        )
+        codes = codes.join(sub, ["vec_id", "cell"])
     n, fp = _corpus_discriminators(spark, sf_dir)
     codes = codes.select(
         "*",
@@ -1597,6 +1686,24 @@ def shared_ivfpq_probes(
         probes = ivf_assign_probes(
             _unit_vectors(spark, sf_dir), cent, nprobe=nprobe
         )
+        subcent = shared_subcell_centroids(spark, sf_dir)
+        if subcent is None:
+            probes = probes.withColumn("subcell", F.lit(0).cast("long"))
+        else:
+            from clickhouse_build_spark.operators.similarity import (
+                subcell_assign,
+            )
+
+            # one sub-cell per (vector, probed top cell): the nearest
+            # sub-centroid WITHIN each probed cell — rank-1 reproduces
+            # the index's (cell, subcell) bit-identically (same unit
+            # frame, same argmax ordering)
+            probes = probes.localCheckpoint(eager=True)
+            sub = subcell_assign(
+                probes.join(_unit_vectors(spark, sf_dir), "vec_id"),
+                subcent,
+            )
+            probes = probes.join(sub, ["vec_id", "cell"])
         emb = load_tables(spark, sf_dir)["embeddings"]
         d = emb.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1633,6 +1740,7 @@ def shared_ivfpq_probes(
     return spark.read.parquet(path).select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
+        "subcell",
         "probe_rank",
     )
 
@@ -1656,14 +1764,20 @@ def ivfpq_cell_cosine_pairs(
     candidate when the two vectors share ANY probed cell; pairs sharing
     two cells are deduped before the refine."""
     if nprobe <= 1:
-        idx = shared_ivfpq_index(spark, sf_dir).select("vec_id", "cell")
+        idx = shared_ivfpq_index(spark, sf_dir).select(
+            "vec_id", "cell", "subcell"
+        )
     else:
         idx = shared_ivfpq_probes(spark, sf_dir, nprobe=nprobe).select(
-            "vec_id", "cell"
+            "vec_id", "cell", "subcell"
         )
+    # r14: candidates share the LEVEL-2 cell — (cell, subcell) — so the
+    # per-cell quadratic term is bounded by SEMDEDUP_CELL_ROWS at any
+    # corpus size (single-level corpora carry subcell=0 everywhere and
+    # the join degenerates to the plain cell equi-join).
     cand = (
         idx.alias("a")
-        .join(idx.alias("b"), "cell")
+        .join(idx.alias("b"), ["cell", "subcell"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -1703,14 +1817,15 @@ def _semdedup_keepers_oracle(root: str = IVFPQ_AT_REST_ROOT) -> str:
       SELECT count(*) AS n, {_CORPUS_FP_SQL} AS fp FROM embeddings
     ),
     idx AS (
-      SELECT DISTINCT i.vec_id, i.cell
+      SELECT DISTINCT i.vec_id, i.cell, i.subcell
       FROM read_parquet('{root}/*/cell=*/*.parquet',
                         hive_partitioning = 1, union_by_name = 1) i, disc
       WHERE i.n_corpus = disc.n AND i.fp_corpus = disc.fp
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM idx a JOIN idx b ON a.cell = b.cell AND a.subcell = b.subcell
+                           AND a.vec_id < b.vec_id
     ),
     sem_pairs AS (
       SELECT c.vec_a, c.vec_b

@@ -257,3 +257,78 @@ def test_planted_clusters_all_three_paths_agree(spark, planted_dir):
     assert sum(len(g) > 1 for g in groups.values()) == 12
     for k, g in groups.items():
         assert k == min(g)
+
+
+def test_subcell_split_activates_and_preserves_contracts(
+    spark, planted_dir, monkeypatch
+):
+    """r14 two-level coarse quantization: with the target occupancy
+    forced below the planted cluster size, cells actually SPLIT
+    (subcell > 0 appears; fine-cell count exceeds coarse), rank-1
+    probes reproduce the index's (cell, subcell) bit-identically, and
+    the planted-cluster contract is untouched — identical vectors
+    score identically, so a tight cluster can never straddle a
+    sub-cell and keepers stay equal to the exact all-pairs path."""
+    import clickhouse_build_spark.plans.similarity as sim
+
+    monkeypatch.setattr(sim, "SEMDEDUP_CELL_ROWS", 8)
+    sub = sim.shared_subcell_centroids(spark, planted_dir)
+    assert sub is not None
+
+    idx = (
+        sim.shared_ivfpq_index(spark, planted_dir)
+        .select("vec_id", "cell", "subcell")
+        .collect()
+    )
+    assert any(r["subcell"] > 0 for r in idx)
+    fine = {(r["cell"], r["subcell"]) for r in idx}
+    coarse = {r["cell"] for r in idx}
+    assert len(fine) > len(coarse)
+
+    probes = sim.shared_ivfpq_probes(spark, planted_dir, nprobe=2)
+    rank1 = {
+        r["vec_id"]: (r["cell"], r["subcell"])
+        for r in probes.filter(F.col("probe_rank") == 1).collect()
+    }
+    assert rank1 == {r["vec_id"]: (r["cell"], r["subcell"]) for r in idx}
+
+    sem = {
+        r["vec_id"]: r["keeper"]
+        for r in REGISTRY["emb_semdedup_keepers"]
+        .builder(spark, planted_dir)
+        .collect()
+    }
+    exact = {
+        r["vec_id"]: r["keeper"]
+        for r in REGISTRY["emb_fuzzy_dedup_keepers"]
+        .builder(spark, planted_dir)
+        .collect()
+    }
+    assert sem == exact
+    groups: dict[int, list[int]] = {}
+    for vid, k in sem.items():
+        groups.setdefault(k, []).append(vid)
+    assert sum(len(g) > 1 for g in groups.values()) == 12
+
+
+def test_subcell_split_oracle_hash_exact(spark, planted_dir, monkeypatch):
+    """The DuckDB oracle re-derives keepers from the at-rest export's
+    (cell, subcell) — with the split ACTIVE the subcell join condition
+    does real work (gate SFs carry subcell=0 everywhere), so this pins
+    the cross-engine contract on the two-level layout."""
+    import duckdb
+
+    import clickhouse_build_spark.plans.similarity as sim
+    from tests.oracle_compare import compare
+
+    monkeypatch.setattr(sim, "SEMDEDUP_CELL_ROWS", 8)
+    con = duckdb.connect()
+    con.execute(
+        # the planted fixture is a Spark-written DIRECTORY of parts
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/embeddings.parquet/*.parquet')"
+    )
+    for name in ("emb_semdedup_keepers", "emb_semdedup_probe2_keepers"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spec.builder(spark, planted_dir), con, spec.oracle)
+        assert ok, (name, msg)
