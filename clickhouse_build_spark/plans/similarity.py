@@ -292,7 +292,13 @@ def emb_lsh_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT v.vec_id, COALESCE(c.keeper, v.vec_id) AS keeper
     FROM v LEFT JOIN comp c USING (vec_id)
     """,
-    tags=("similarity", "dedup", "keepers", "pipeline"),
+    # quadratic-output (r14, VERDICT r13 #2): compute is LSH-bucketed
+    # (the salted ladder measures the CC family sublinear, 3.2× at 10×
+    # rows) but on CLONE-replicated corpora (make_sf1_full) the true
+    # near-dup PAIR OUTPUT grows ~c² per clone cluster — an output
+    # property of that corpus, not an engine term. The in-record
+    # adjudication exempts the row from naive sf1 linearity gates.
+    tags=("similarity", "dedup", "keepers", "pipeline", "quadratic-output"),
 )
 def emb_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING-space fuzzy dedup, end to end: cosine near-dup pairs

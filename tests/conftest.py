@@ -15,3 +15,9 @@ def spark():
     spark = get_spark(app_name="tests", shuffle_partitions=8)
     yield spark
     spark.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: scale-smoke rungs (minutes, still in the gate)"
+    )

@@ -72,6 +72,13 @@ FAMILIES = {
         "doc_fuzzy_dedup_keepers",
         "doc_dedup_cluster_sizes",
     ],
+    # r14 (VERDICT r13 #2): simhash on the SALTED ladder measures the
+    # engine's pair-join cost (signature build is inside
+    # build_dedup_artifacts above) — the clone-corpus sf1 record's
+    # ~10× reading is output mass, adjudicated in-registry via the
+    # quadratic-output tag; this family pins the salted-vs-clone
+    # distinction with a measurement.
+    "simhash": ["doc_simhash_dup_pairs"],
     "ivfpq": ["build_ivfpq_index", "emb_ivfpq_topk"],
     "cdc_rollup": ["cdc_incremental_rollup"],
 }
