@@ -198,7 +198,11 @@ def _builder_deferred(code: str, chain_start: int) -> bool:
     chain — grouping/filtering may be applied by a helper elsewhere;
     emitting the visible arm would silently drop it (r13)."""
     head = code[:chain_start]
-    am = re.search(r"(?:let|const|var)\s+\w+\s*=\s*$", head.rstrip())
+    # the receiver may sit between '=' and the chain start
+    # (`const base = ds` + `.createQueryBuilder(` — r14 typeorm)
+    am = re.search(
+        r"(?:let|const|var)\s+\w+\s*=\s*[\w.$]*\s*$", head.rstrip()
+    )
     return am is not None and "await" not in head
 
 
@@ -393,6 +397,131 @@ def parse_knex(code: str) -> str | None:
     ]
     lm = re.search(r"\.limit\(\s*(\d+)\s*\)", code)
     sql = f"SELECT {', '.join(sels)} FROM {table} ${{whereClause}}"
+    if group:
+        sql += f" GROUP BY {', '.join(group)}"
+    if order:
+        sql += f" ORDER BY {', '.join(order)}"
+    if lm:
+        sql += f" LIMIT {lm.group(1)}"
+    return sql
+
+
+_TYPEORM_METHODS = {
+    "createQueryBuilder", "from", "select", "addSelect",
+    "innerJoin", "leftJoin",
+    "groupBy", "addGroupBy", "orderBy", "addOrderBy",
+    "limit", "take", "getRawMany", "getRawOne",
+}
+
+
+def parse_typeorm(code: str) -> str | None:
+    """TypeORM ``createQueryBuilder()`` chain → raw PG SQL with the
+    ``${whereClause}`` splice point (r14, VERDICT #3 — the reference's
+    external eval includes the twenty app class,
+    ``clone_test_oss_repos.sh:31-37``). Returns None when the code has
+    no ``createQueryBuilder``; raises on chains it cannot translate
+    faithfully — loud, never a guess.
+
+    Supported: ``dataSource.createQueryBuilder().from('table',
+    'alias')`` (the string-named form — the table is visible in the
+    chain), ``.select(expr[, alias])`` / ``.addSelect(expr[, alias])``
+    with raw-SQL expression strings (TypeORM passes them through
+    verbatim, so we do too), ``.innerJoin/.leftJoin('table', 'alias',
+    'condition')``, ``.groupBy/.addGroupBy(expr)``,
+    ``.orderBy/.addOrderBy(expr[, 'ASC'|'DESC'])``, ``.limit/.take(n)``,
+    terminal ``.getRawMany()/.getRawOne()``.
+
+    NOT supported (loud): ``repo.createQueryBuilder('alias')`` without
+    ``.from`` — the entity's table name lives in the ``@Entity``
+    decorator, not the scanned chain; ``.from(EntityClass, ...)`` for
+    the same reason; entity-property joins (``.innerJoin('e.category',
+    ...)``); ``.where/.having/...`` (dropping one would silently change
+    the query — same contract as kysely/knex).
+    """
+    m = re.search(r"\.\s*createQueryBuilder\s*\(", code)
+    if m is None:
+        return None
+    if _builder_deferred(code, m.start()):
+        raise ValueError(
+            "deferred typeorm builder (assigned without await) — the "
+            "chain may be completed elsewhere; scanned block cannot be "
+            f"emitted faithfully: {code[:120]!r}"
+        )
+    _reject_unknown_chain_methods(code, _TYPEORM_METHODS, "typeorm")
+    fm = re.search(
+        r"\.from\(\s*['\"](\w+)['\"]\s*(?:,\s*['\"](\w+)['\"]\s*)?\)", code
+    )
+    if fm is None:
+        raise ValueError(
+            "typeorm chain without .from('table'): the entity's table "
+            "name lives in the @Entity decorator, not the scanned "
+            "chain — repository.createQueryBuilder(...) and "
+            ".from(EntityClass, ...) are not translatable without it: "
+            f"{code[:120]!r}"
+        )
+    table = fm.group(1) + (f" {fm.group(2)}" if fm.group(2) else "")
+    joins = []
+    for jm in re.finditer(r"\.(innerJoin|leftJoin)\(\s*(.*?)\)\s*[\n.;]", code):
+        args = re.fullmatch(
+            r"['\"](\w+)['\"]\s*,\s*['\"](\w+)['\"]\s*,\s*"
+            r"['\"]([^'\"]+)['\"]\s*",
+            jm.group(2),
+        )
+        if args is None:
+            raise ValueError(
+                "untranslatable typeorm join (entity-property joins "
+                "need the @Entity mapping; only ('table', 'alias', "
+                f"'condition') is translatable): {jm.group(0)[:80]!r}"
+            )
+        kind = "JOIN" if jm.group(1) == "innerJoin" else "LEFT JOIN"
+        joins.append(
+            f"{kind} {args.group(1)} {args.group(2)} ON {args.group(3)}"
+        )
+    sels = []
+    for sm_ in re.finditer(
+        r"\.(?:select|addSelect)\(\s*(['\"])(.+?)\1\s*"
+        r"(?:,\s*['\"](\w+)['\"]\s*)?\)",
+        code,
+    ):
+        expr, alias = sm_.group(2), sm_.group(3)
+        sels.append(f"{expr} AS {alias}" if alias else expr)
+    am = re.search(r"\.select\(\s*\[(.*?)\]\s*\)", code, re.DOTALL)
+    if am is not None:
+        for it in am.group(1).split(","):
+            it = it.strip()
+            if not it:
+                continue
+            qm = re.fullmatch(r"['\"]([\w.]+)['\"]", it)
+            if qm is None:
+                raise ValueError(
+                    f"untranslatable typeorm select item: {it!r}"
+                )
+            sels.append(qm.group(1))
+    if not sels:
+        raise ValueError(
+            f"typeorm chain without a translatable projection: "
+            f"{code[:120]!r}"
+        )
+    group = [
+        gm.group(2)
+        for gm in re.finditer(
+            r"\.(?:groupBy|addGroupBy)\(\s*(['\"])(.+?)\1\s*\)", code
+        )
+    ]
+    order = [
+        f"{om.group(2)} {(om.group(3) or 'ASC').upper()}"
+        for om in re.finditer(
+            r"\.(?:orderBy|addOrderBy)\(\s*(['\"])(.+?)\1\s*"
+            r"(?:,\s*['\"](ASC|DESC)['\"]\s*)?\)",
+            code,
+            re.IGNORECASE,
+        )
+    ]
+    lm = re.search(r"\.(?:limit|take)\(\s*(\d+)\s*\)", code)
+    sql = f"SELECT {', '.join(sels)} FROM {table}"
+    for j in joins:
+        sql += f" {j}"
+    sql += " ${whereClause}"
     if group:
         sql += f" GROUP BY {', '.join(group)}"
     if order:
@@ -651,11 +780,41 @@ def build_method_specs(
                 ksql = parse_knex(code)
                 if ksql is not None:
                     sql, builder_orm = ksql, "knex"
+                else:
+                    ksql = parse_typeorm(code)
+                    if ksql is not None:
+                        sql, builder_orm = ksql, "typeorm"
             if builder_orm is None:
                 spec = parse_drizzle(code) or parse_prisma(code)
                 if spec is None:
                     if sql is not None:
                         _check_interpolations(sql)  # raises with the culprit
+                    # Found-or-loud for the two app classes whose ORM
+                    # emission is documented as unsupported (r14,
+                    # VERDICT #4): the scanner REPORTS the site; the
+                    # emitter names why it cannot derive SQL instead
+                    # of a generic refusal.
+                    if re.search(
+                        r"\.\s*annotate\s*\(|\.objects\b", code
+                    ):
+                        raise ValueError(
+                            "Django ORM site (QuerySet "
+                            "annotate/aggregate): the model's db_table "
+                            "is not visible in the scanned chain — "
+                            "emission is not supported, migrate this "
+                            f"site by hand: {code[:120]!r}"
+                        )
+                    if re.search(
+                        r"\.\s*(?:sum|average|maximum|minimum)\s*\("
+                        r"\s*['\"]",
+                        code,
+                    ):
+                        raise ValueError(
+                            "typeorm repository aggregate (.sum/"
+                            ".average/...): the entity's table name is "
+                            "not visible in the scanned call — "
+                            f"emission is not supported: {code[:120]!r}"
+                        )
                     raise ValueError(
                         "scanned analytical query is neither raw SQL nor a "
                         f"supported ORM call: {code[:120]!r}"

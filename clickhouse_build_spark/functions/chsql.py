@@ -3177,6 +3177,359 @@ def _pg_jsonb_contains(lhs: str, rhs_literal: str) -> str:
     return "coalesce((" + " AND ".join(conds) + "), false)"
 
 
+def _parse_jsonpath(path: str):
+    """Parse the bounded SQL/JSONPath subset the app-query shapes use
+    into step tuples: ``('member', key)``, ``('index', n)``,
+    ``('wild',)``, ``('filter', pred)``. Predicates are
+    ``('or'|'and', [..])``, ``('not', p)``, ``('exists', relsteps)``
+    or ``('cmp', relsteps, op, kind, value)``. Anything outside the
+    subset (strict mode, ``.**``, ``last``, slices, ``like_regex``,
+    item methods) is a loud translate-time failure — never a silent
+    wrong answer. Lax-mode semantics (the PG default) are compiled:
+    wildcard unwraps arrays and auto-wraps scalars, structural errors
+    drop the item.
+    """
+    import re
+
+    s = path.strip()
+    m = re.match(r"^(?:(lax|strict)\s+)?\$", s, re.IGNORECASE)
+    if m is None:
+        raise ValueError(f"jsonpath must start with '$': {path!r}")
+    if m.group(1) and m.group(1).lower() == "strict":
+        raise ValueError(
+            "strict jsonpath mode is not supported (lax is the PG "
+            "default; strict's error-raising semantics have no "
+            "translate-time equivalent)"
+        )
+    i = m.end()
+    steps: list = []
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
+            continue
+        if s[i] == ".":
+            mm = re.match(r"\.\s*([A-Za-z_]\w*)", s[i:])
+            if mm is None:
+                mm = re.match(r'\.\s*"((?:[^"\\]|\\.)*)"', s[i:])
+            if mm is None:
+                raise ValueError(
+                    f"unsupported jsonpath member step at {s[i:]!r} "
+                    "(.* and .** are outside the translated subset)"
+                )
+            name = mm.group(1)
+            if name.lower() in ("type", "size", "double", "ceiling",
+                                "floor", "abs", "keyvalue", "datetime"):
+                # method-call names only when followed by '()'
+                if re.match(r"\s*\(", s[i + mm.end():]):
+                    raise ValueError(
+                        f"jsonpath item method .{name}() is not "
+                        "translatable"
+                    )
+            steps.append(("member", name))
+            i += mm.end()
+        elif s[i] == "[":
+            mm = re.match(r"\[\s*\*\s*\]", s[i:])
+            if mm is not None:
+                steps.append(("wild",))
+                i += mm.end()
+                continue
+            mm = re.match(r"\[\s*(\d+)\s*\]", s[i:])
+            if mm is None:
+                raise ValueError(
+                    f"unsupported jsonpath subscript at {s[i:]!r} "
+                    "(only [N] and [*] are translated — no 'last', "
+                    "ranges, or multi-subscripts)"
+                )
+            steps.append(("index", int(mm.group(1))))
+            i += mm.end()
+        elif s[i] == "?":
+            mm = re.match(r"\?\s*\(", s[i:])
+            if mm is None:
+                raise ValueError(f"malformed jsonpath filter at {s[i:]!r}")
+            op = i + mm.end() - 1
+            depth, j = 0, op
+            while j < len(s):
+                if s[j] == '"':
+                    j += 1
+                    while j < len(s) and s[j] != '"':
+                        j += 2 if s[j] == "\\" else 1
+                elif s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError(f"unbalanced jsonpath filter: {path!r}")
+            steps.append(("filter", _parse_jsonpath_pred(s[op + 1 : j], "@")))
+            i = j + 1
+        else:
+            raise ValueError(f"unsupported jsonpath syntax at {s[i:]!r}")
+    return steps
+
+
+def _parse_jsonpath_pred(src: str, root: str):
+    """Recursive-descent parser for the filter-predicate subset:
+    ``@.k.l OP literal``, ``exists(@.k)``, ``!(...)``, ``&&``/``||``
+    and parens. ``root`` is '@' inside filters, '$' for
+    jsonb_path_match predicate paths."""
+    import re
+
+    pos = [0]
+    n = len(src)
+
+    def ws():
+        while pos[0] < n and src[pos[0]].isspace():
+            pos[0] += 1
+
+    def rel_steps():
+        # root already consumed
+        out = []
+        while pos[0] < n:
+            ws()
+            mm = re.match(r"\.\s*([A-Za-z_]\w*)", src[pos[0]:])
+            if mm is None:
+                mm = re.match(r'\.\s*"((?:[^"\\]|\\.)*)"', src[pos[0]:])
+            if mm is not None:
+                out.append(("member", mm.group(1)))
+                pos[0] += mm.end()
+                continue
+            mm = re.match(r"\[\s*(\d+)\s*\]", src[pos[0]:])
+            if mm is not None:
+                out.append(("index", int(mm.group(1))))
+                pos[0] += mm.end()
+                continue
+            break
+        return out
+
+    def literal():
+        ws()
+        rest = src[pos[0]:]
+        mm = re.match(r'"((?:[^"\\]|\\.)*)"', rest)
+        if mm is not None:
+            pos[0] += mm.end()
+            import json as _json
+
+            return ("str", _json.loads('"' + mm.group(1) + '"'))
+        mm = re.match(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", rest)
+        if mm is not None:
+            pos[0] += mm.end()
+            return ("num", float(mm.group(0)))
+        mm = re.match(r"(true|false|null)\b", rest)
+        if mm is not None:
+            pos[0] += mm.end()
+            return (mm.group(1), None)
+        raise ValueError(
+            f"unsupported jsonpath literal at {rest!r} (strings use "
+            'double quotes: @.tag == "a")'
+        )
+
+    def atom():
+        ws()
+        if src[pos[0]:].startswith("!"):
+            pos[0] += 1
+            ws()
+            if pos[0] >= n or src[pos[0]] != "(":
+                raise ValueError("jsonpath ! needs a parenthesized operand")
+            return ("not", atom())
+        if src[pos[0]:].startswith("("):
+            pos[0] += 1
+            p = or_expr()
+            ws()
+            if pos[0] >= n or src[pos[0]] != ")":
+                raise ValueError(f"unbalanced parens in jsonpath pred: {src!r}")
+            pos[0] += 1
+            return p
+        mm = re.match(r"exists\s*\(", src[pos[0]:], re.IGNORECASE)
+        if mm is not None:
+            pos[0] += mm.end()
+            ws()
+            if not src[pos[0]:].startswith(root):
+                raise ValueError(f"exists() needs a {root}-relative path")
+            pos[0] += len(root)
+            rs = rel_steps()
+            ws()
+            if pos[0] >= n or src[pos[0]] != ")":
+                raise ValueError("unbalanced exists() in jsonpath pred")
+            pos[0] += 1
+            return ("exists", rs)
+        if not src[pos[0]:].startswith(root):
+            raise ValueError(
+                f"jsonpath predicate atom must start with {root!r} or "
+                f"exists(: {src[pos[0]:]!r}"
+            )
+        pos[0] += len(root)
+        rs = rel_steps()
+        ws()
+        mm = re.match(r"==|!=|<>|<=|>=|<|>", src[pos[0]:])
+        if mm is None:
+            raise ValueError(
+                f"jsonpath comparison operator expected at "
+                f"{src[pos[0]:]!r} (like_regex / starts with are not "
+                "translatable)"
+            )
+        op = "!=" if mm.group(0) == "<>" else mm.group(0)
+        pos[0] += mm.end()
+        kind, val = literal()
+        if op in ("<", "<=", ">", ">=") and kind != "num":
+            raise ValueError(
+                "jsonpath ordering comparisons are translated for "
+                "numeric literals only"
+            )
+        return ("cmp", rs, op, kind, val)
+
+    def and_expr():
+        parts = [atom()]
+        while True:
+            ws()
+            if src[pos[0]:].startswith("&&"):
+                pos[0] += 2
+                parts.append(atom())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def or_expr():
+        parts = [and_expr()]
+        while True:
+            ws()
+            if src[pos[0]:].startswith("||"):
+                pos[0] += 2
+                parts.append(and_expr())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    p = or_expr()
+    ws()
+    if pos[0] != n:
+        raise ValueError(f"trailing jsonpath predicate text: {src[pos[0]:]!r}")
+    return p
+
+
+def _jsonpath_rel_vg(var: str, rel_steps: list) -> str:
+    """``try_variant_get`` chain for an @-relative member/index path
+    inside a filter lambda (one composed JsonPath — no wildcards in
+    relative paths, enforced at parse time)."""
+    if not rel_steps:
+        return var
+    parts = []
+    for kind, *rest in rel_steps:
+        parts.append(
+            _json_path_part(rest[0], None)
+            if kind == "member"
+            else _json_path_part(None, str(rest[0]))
+        )
+    return f"try_variant_get({var}, {_sql_str('$' + ''.join(parts))}, 'variant')"
+
+
+def _jsonpath_pred_sql(var: str, pred) -> str:
+    """Compile a filter predicate over lambda variable ``var`` (a
+    VARIANT). SQL three-valued logic mirrors jsonpath Unknown: a
+    missing operand makes the comparison NULL, and the caller's
+    ``coalesce(..., false)`` drops the item — exactly lax-mode
+    filter semantics."""
+    import json as _json
+
+    kind = pred[0]
+    if kind == "or":
+        return "(" + " OR ".join(_jsonpath_pred_sql(var, p) for p in pred[1]) + ")"
+    if kind == "and":
+        return "(" + " AND ".join(_jsonpath_pred_sql(var, p) for p in pred[1]) + ")"
+    if kind == "not":
+        return f"(NOT {_jsonpath_pred_sql(var, pred[1])})"
+    if kind == "exists":
+        return f"({_jsonpath_rel_vg(var, pred[1])} IS NOT NULL)"
+    _, rs, op, lkind, val = pred
+    vg = _jsonpath_rel_vg(var, rs)
+    tj = f"to_json({vg})"
+    if lkind == "num":
+        sql_op = "=" if op == "==" else op
+        return f"(try_cast({tj} AS DOUBLE) {sql_op} CAST({val} AS DOUBLE))"
+    if lkind == "str":
+        lit = _sql_str(_json.dumps(val, ensure_ascii=False))
+        if op == "==":
+            return f"({tj} = {lit})"
+        # != across types is Unknown in jsonpath — type-guard so a
+        # number never satisfies a string inequality
+        return f"(startswith({tj}, '\"') AND {tj} != {lit})"
+    if lkind in ("true", "false"):
+        if op == "==":
+            return f"({tj} = '{lkind}')"
+        return f"({tj} IN ('true', 'false') AND {tj} != '{lkind}')"
+    # null literal: == null is true exactly for a present JSON null
+    if op == "==":
+        return f"({tj} = 'null')"
+    return f"({tj} != 'null')"
+
+
+def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
+    """Compile parsed jsonpath steps over a jsonb-text ``operand``
+    into one Spark SQL expression producing the lax-mode result
+    sequence as ``ARRAY<VARIANT>`` — entirely codegen built-ins
+    (parse_json / try_variant_get / filter / transform / flatten),
+    no UDF. ``ctr`` supplies fresh lambda-variable suffixes so
+    multiple calls in one statement never shadow."""
+    def v() -> str:
+        return f"__jp{next(ctr)}"
+
+    w = v()
+    seq = f"filter(array(try_parse_json({operand})), {w} -> {w} IS NOT NULL)"
+
+    # Consecutive member steps (no wildcard/filter/index in between)
+    # compose into ONE JsonPath so the common $.a.b.c shape is a
+    # single try_variant_get per item, not a transform chain.
+    i = 0
+    while i < len(steps):
+        kind = steps[i][0]
+        if kind == "member":
+            parts = []
+            while i < len(steps) and steps[i][0] == "member":
+                parts.append(_json_path_part(steps[i][1], None))
+                i += 1
+            path = _sql_str("$" + "".join(parts))
+            a, b = v(), v()
+            seq = (
+                f"filter(transform({seq}, {a} -> "
+                f"try_variant_get({a}, {path}, 'variant')), "
+                f"{b} -> {b} IS NOT NULL)"
+            )
+        elif kind == "index":
+            nidx = steps[i][1]
+            i += 1
+            a, b = v(), v()
+            arr = f"try_cast({a} AS ARRAY<VARIANT>)"
+            # lax mode auto-wraps a non-array for subscripting: $[0]
+            # over a scalar yields the scalar itself.
+            elem = (
+                f"IF({arr} IS NOT NULL, try_element_at({arr}, {nidx + 1}), "
+                + (f"{a})" if nidx == 0 else "NULL)")
+            )
+            seq = (
+                f"filter(transform({seq}, {a} -> {elem}), "
+                f"{b} -> {b} IS NOT NULL)"
+            )
+        elif kind == "wild":
+            i += 1
+            a = v()
+            # lax [*]: arrays unwrap to their elements (JSON nulls kept,
+            # exactly PG), non-arrays auto-wrap to a singleton.
+            seq = (
+                f"flatten(transform({seq}, {a} -> "
+                f"coalesce(try_cast({a} AS ARRAY<VARIANT>), array({a}))))"
+            )
+        else:  # filter
+            pred = steps[i][1]
+            i += 1
+            a = v()
+            seq = (
+                f"filter({seq}, {a} -> "
+                f"coalesce({_jsonpath_pred_sql(a, pred)}, false))"
+            )
+    return seq
+
+
 def _cast_operand_start_paren(s: str, end: int) -> int:
     """Start index of a ``name(...)`` call whose text ends (exclusive)
     at ``end`` — the WITHIN GROUP back-extension helper."""
@@ -3350,7 +3703,7 @@ def _rewrite_distinct_on(text: str) -> str:
     )
 
 
-def translate_pg_sql(text: str) -> str:
+def translate_pg_sql(text: str, params=None) -> str:
     """Rewrite Postgres-dialect SQL to Spark SQL.
 
     Handles the two PG-isms the reference's app queries actually use
@@ -3362,8 +3715,63 @@ def translate_pg_sql(text: str) -> str:
     ``$1`` or ``::`` inside quotes is left alone. Everything else in
     the PG workload (DATE_TRUNC, COALESCE, ILIKE, EXTRACT, FILTER) is
     native Spark SQL and passes through untouched.
+
+    ``params``: the statement's bind values (dict keyed ``p1..pN`` or
+    positional list). Needed ONLY when a jsonb containment probe's
+    constant side is a parameter (``payload @> $1`` — the common app
+    shape): ``@>`` expands to per-path variant checks at translate
+    time, so the probe JSON must be known here, not at execution.
+    All other ``$N`` stay named markers bound at execution.
     """
+    import json as _json
     import re
+
+    # Bind-time inlining of parameterized jsonb containment probes
+    # (r14, VERDICT): `col @> $1` / `$1 <@ col` expand through
+    # _pg_jsonb_contains only when the probe value is known, so the
+    # $N is resolved HERE from params. A dict value is serialized;
+    # a string must itself be JSON text.
+    def _probe_literal(pnum: str) -> str:
+        key = f"p{pnum}"
+        pd = (
+            params
+            if isinstance(params, dict)
+            else {f"p{i + 1}": v for i, v in enumerate(params or [])}
+        )
+        if key not in pd:
+            raise ValueError(
+                f"jsonb containment probe ${pnum} needs its value at "
+                "translate time — pass params to run_pg_sql/"
+                "translate_pg_sql (the probe expands to per-path "
+                "variant checks, so it cannot stay a runtime marker)"
+            )
+        val = pd[key]
+        if isinstance(val, (dict, list)):
+            val = _json.dumps(val, ensure_ascii=False)
+        if not isinstance(val, str):
+            raise ValueError(
+                f"jsonb containment probe ${pnum} must be JSON text "
+                f"or a dict/list (got {type(val).__name__})"
+            )
+        return "'" + val.replace("'", "''") + "'"
+
+    out, i = [], 0
+    for a, b in _literal_spans(text) + [(len(text), len(text))]:
+        seg = text[i:a]
+        seg = re.sub(
+            r"(@>\s*)\$(\d+)(\s*::\s*jsonb?\b)?",
+            lambda m: m.group(1) + _probe_literal(m.group(2)),
+            seg,
+        )
+        seg = re.sub(
+            r"\$(\d+)(\s*::\s*jsonb?\b)?(\s*<@)",
+            lambda m: _probe_literal(m.group(1)) + m.group(3),
+            seg,
+        )
+        out.append(seg)
+        out.append(text[a:b])
+        i = b
+    text = "".join(out)
 
     # $N → :pN, outside string literals only (rebuild by segments so
     # offsets stay consistent).
@@ -3568,17 +3976,48 @@ def translate_pg_sql(text: str) -> str:
             )
         text = text[:start] + repl + text[pos.end() + rm.end() :]
 
+    # jsonb @? 'path' → jsonb_path_exists(jsonb, 'path'): rewritten to
+    # the function spelling here (BEFORE the bare-? key-exists pass,
+    # whose scan would otherwise eat the '?' of '@?'), compiled by the
+    # jsonb_path_* pass below.
+    while True:
+        lits = _literal_spans(text)
+        pos_at = None
+        for mm in re.finditer(r"@\?", text):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            pos_at = mm
+            break
+        if pos_at is None:
+            break
+        start = _cast_operand_start(text, pos_at.start())
+        lhs = text[start : pos_at.start()].rstrip()
+        rm = re.match(
+            r"\s*('(?:[^']|'')*')(\s*::\s*jsonpath\b)?",
+            text[pos_at.end() :],
+        )
+        if rm is None:
+            raise ValueError(
+                "@? needs a literal jsonpath right-hand side"
+            )
+        text = (
+            text[:start]
+            + f"jsonb_path_exists({lhs}, {rm.group(1)})"
+            + text[pos_at.end() + rm.end() :]
+        )
+
     # jsonb key-exists ? / ?| / ?& : `j ? 'k'` is true even when the
     # value is JSON null (present-but-null), which Spark's VARIANT
     # reader distinguishes from missing — to_json(try_variant_get)
     # yields 'null' for the former, SQL NULL only for the latter.
     # ?|/?& take a literal array['a','b'] and OR/AND the checks.
     # ($N placeholders were already rewritten to :pN, so a bare ? at
-    # depth 0 followed by a literal is unambiguous.)
+    # depth 0 followed by a literal is unambiguous; (?<!@) keeps a
+    # not-yet-rewritten @? out of this scan.)
     while True:
         spans = _literal_spans(text)
         pos = None
-        for mm in re.finditer(r"\?[|&]?", text):
+        for mm in re.finditer(r"(?<!@)\?[|&]?", text):
             if any(a <= mm.start() < b for a, b in spans):
                 continue
             pos = mm
@@ -3858,6 +4297,122 @@ def translate_pg_sql(text: str) -> str:
             + " / 1000000.0)"
             + text[close + 1 :]
         )
+
+    # SQL/JSONPath functions (r14, VERDICT #5): the bounded lax-mode
+    # subset compiles to codegen built-ins over the VARIANT reader —
+    # member/index/[*]/filter steps via _jsonpath_seq_sql. Emitted
+    # text contains lambda arrows and commas, so the scan is
+    # cursor-based (resume past each replacement) and runs AFTER the
+    # ->/->> passes, mirroring _JSON_SRF below.
+    _jp_ctr = iter(range(1_000_000))
+    pos = 0
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bjsonb?_path_(exists|match|query_first|query_array|query)"
+            r"\s*\(",
+            text[pos:],
+            re.IGNORECASE,
+        ):
+            if any(a <= pos + mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        h0 = pos + hit.start()
+        fn = hit.group(1).lower()
+        args, close = _parse_args(text, pos + hit.end() - 1)
+        if len(args) != 2:
+            raise ValueError(
+                f"jsonb_path_{fn}: only the 2-argument form is "
+                "translatable (vars/silent arguments are not)"
+            )
+        operand = args[0].strip()
+        pm = re.fullmatch(
+            r"\s*'((?:[^']|'')*)'(\s*::\s*jsonpath\b)?\s*", args[1]
+        )
+        if pm is None:
+            raise ValueError(
+                f"jsonb_path_{fn}: the path must be a string literal "
+                "(a dynamic jsonpath is not translatable)"
+            )
+        path_text = pm.group(1).replace("''", "'")
+        if fn == "match":
+            # predicate path over the root: $.a.b OP literal / exists
+            ptxt = re.sub(r"^\s*lax\s+", "", path_text)
+            if re.match(r"^\s*strict\b", ptxt):
+                raise ValueError(
+                    "strict jsonpath mode is not supported (lax is "
+                    "the PG default)"
+                )
+            pred = _parse_jsonpath_pred(ptxt.strip(), "$")
+            rv = f"__jp{next(_jp_ctr)}r"
+            pred_sql = _jsonpath_pred_sql(rv, pred)
+            # bind the parsed root once via a 1-element transform
+            repl = (
+                f"try_element_at(transform(array(try_parse_json"
+                f"({operand})), {rv} -> {pred_sql}), 1)"
+            )
+        else:
+            steps = _parse_jsonpath(path_text)
+            seq = _jsonpath_seq_sql(operand, steps, _jp_ctr)
+            if fn == "exists":
+                repl = (
+                    f"(CASE WHEN ({operand}) IS NULL THEN NULL "
+                    f"ELSE size({seq}) > 0 END)"
+                )
+            elif fn == "query_first":
+                repl = f"to_json(try_element_at({seq}, 1))"
+            elif fn == "query_array":
+                repl = (
+                    f"(CASE WHEN ({operand}) IS NULL THEN NULL "
+                    f"ELSE to_json({seq}) END)"
+                )
+            else:  # query — set-returning, one row per match
+                qv = f"__jp{next(_jp_ctr)}q"
+                item = f"to_json({qv})"
+                span_start, span_end = h0, close + 1
+                # Spark forbids a generator nested in CAST, so a cast
+                # of the whole SRF folds into the per-item lambda:
+                # the PG idiom `jsonb_path_query(j, p)::float8` (the
+                # :: pass runs after this one) and an explicit
+                # CAST(jsonb_path_query(...) AS t) both.
+                tm = re.match(
+                    r"::\s*([A-Za-z_]\w*)"
+                    r"(\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?",
+                    text[close + 1 :],
+                )
+                cm = re.search(r"(?is)\bCAST\s*\(\s*$", text[:h0])
+                am = re.match(
+                    r"(?is)\s*AS\s+([A-Za-z_]\w*"
+                    r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)",
+                    text[close + 1 :],
+                )
+                if tm is not None:
+                    lo = tm.group(1).lower()
+                    suffix = tm.group(2)
+                    if lo in ("numeric", "decimal") and suffix:
+                        spark_t = "DECIMAL" + re.sub(r"\s", "", suffix)
+                    elif lo in ("varchar", "char"):
+                        spark_t = "STRING"
+                    else:
+                        spark_t = PG_TYPES.get(lo, tm.group(1).upper())
+                        if suffix and lo not in PG_TYPES:
+                            spark_t += re.sub(r"\s", "", suffix)
+                    item = f"CAST({item} AS {spark_t})"
+                    span_end = close + 1 + tm.end()
+                elif cm is not None and am is not None:
+                    item = f"CAST({item} AS {am.group(1)})"
+                    span_start = cm.start()
+                    span_end = close + 1 + am.end()
+                repl = f"explode(transform({seq}, {qv} -> {item}))"
+                text = text[:span_start] + repl + text[span_end:]
+                pos = span_start + len(repl)
+                continue
+        text = text[:h0] + repl + text[close + 1 :]
+        pos = h0 + len(repl)
 
     # PG set-returning json functions: jsonb_array_elements_text →
     # explode over a typed VARIANT cast; the json-preserving variant
@@ -4146,8 +4701,18 @@ def translate_pg_sql(text: str) -> str:
 def run_pg_sql(spark, text: str, params: list[Any] | dict[str, Any] | None = None):
     """Translate + execute a Postgres-dialect query. ``params`` may be
     the PG positional list (``[v1, v2]`` binds ``$1``, ``$2``) or an
-    already-named dict."""
-    sql = translate_pg_sql(text)
+    already-named dict. A parameterized jsonb containment probe
+    (``payload @> $1``) is inlined at translate time from these same
+    values (the bind-time expansion); Spark ignores the then-unused
+    marker in ``args``."""
     if isinstance(params, (list, tuple)):
         params = {f"p{i + 1}": v for i, v in enumerate(params)}
+    sql = translate_pg_sql(text, params=params)
+    if params:
+        # a probe inlined at translate time leaves no :pN marker —
+        # don't hand its (possibly dict-typed) value to spark.sql
+        import re as _re
+
+        used = set(_re.findall(r":(p\d+)\b", sql))
+        params = {k: v for k, v in params.items() if k in used}
     return spark.sql(sql, args=params) if params else spark.sql(sql)

@@ -31,82 +31,73 @@ from clickhouse_build_spark.plans import retrieval  # noqa: E402,F401
 from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-13 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) this round's new
-# queries (the MergeTree-DDL layout profile and the PG-arm breadth
-# rows: string_agg WITHIN-GROUP pull-out, generate_series gap-fill,
-# jsonb ->/@> via the VARIANT reader);
-# (b) the 24 rows deferred from r12 whose newest driver evidence is
-# r08 — the full r12 deferral list, now cleared; (c) 20 of the 48 rows
-# whose newest evidence is r09, alphabetical. The 28 r09-evidence rows
-# that did not fit MUST lead the r14 rotation: emb_semdedup_keepers,
-# emb_semdedup_probe2_keepers, events_asof_last_error,
-# events_json_props,
-# events_props_as_map, events_sliding_10min_step5,
-# events_type_counts_salted, events_views_in_error_windows,
-# media_audio_chunks, media_image_features, media_jpeg_transcode,
-# media_resize_features, nation_revenue_ranks, order_value_distribution,
-# part_stats_min_max_avg, price_percentiles_by_flag, q10_returned_items,
-# q12_priority_shipping_caseagg, q18_large_volume_customers,
-# q6_forecast_revenue, rolling_30day_customer_spend, stats_by_month,
-# stats_daily_top30, status_priority_pivot, status_priority_profile,
-# top3_orders_per_customer, user_sessions_30min,
-# weekly_retention_cohorts. Every out-of-window row is still
-# re-verified by the local full-registry sf0.01 oracle gate each round.
+# iteration order. Round-14 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) this round's
+# new query (pg_dialect_jsonb_dynamic — bind-time @> + SQL/JSONPath);
+# (b) ALL 28 rows deferred from r13 whose newest driver evidence is
+# r09 — the full leftover cohort, now cleared (includes the semdedup
+# pair, giving the two-level-quantization fix fresh driver evidence,
+# VERDICT r13 #9); (c) 21 of the 47 rows whose newest evidence is
+# r11, alphabetical. After this window lands, NO registry row's
+# newest driver evidence predates r11. The r11-evidence rows that did
+# not fit should lead the r15 rotation (alphabetical from
+# doc_hybrid_rrf_topk). Every out-of-window row is still re-verified
+# by the local full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) new in r13 (never driver-evidenced rows lead) —
-    "orders_mergetree_layout_profile",
-    "pg_dialect_string_agg",
-    "pg_dialect_series_fill",
-    "pg_dialect_jsonb_ops",
-    "pg_dialect_jsonb_paths",
-    "pg_dialect_percentiles",
-    # — (b) the r12 deferral list (newest evidence r08) —
-    "emb_ann_kmeans_topk",
-    "emb_kmeans_assign",
-    "emb_kmeans_centroids",
-    "events_daily_with_fill",
-    "events_top3_users_limit_by",
-    "events_uniq_state_merge",
-    "nation_account_union",
-    "nation_customer_supplier_balance",
-    "orders_sample_band",
-    "q11_major_revenue_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q20_bulk_part_suppliers",
-    "q2_min_cost_supplier",
-    "q4_priority_order_check",
-    "q7_nation_trade_flows",
-    "q8_nation_market_share",
-    "q9_product_profit",
-    "returned_and_urgent_intersect",
-    "status_priority_cube",
-    "status_priority_grouping_sets",
-    "status_priority_rollup",
-    "urgent_order_customers_semi",
-    # — (c) r09 evidence, alphabetical (20 of 48) —
-    "cdc_latest_event_per_user",
-    "ch_dialect_dictget",
-    "ch_dialect_json_props",
-    "ch_dialect_rollup_stats",
-    "ch_dialect_status_profile",
-    "ch_dialect_token_arrays",
-    "ch_dialect_topk_intervals",
-    "ch_dialect_url_report",
-    "customer_latest_order_argmax",
-    "customer_order_gaps",
-    "customers_except_returners",
-    "doc_bpe_token_counts",
-    "doc_token_histogram",
-    "doc_winnow_fingerprints",
-    "emb_ann_ivf_topk",
-    "emb_ann_lsh_topk_batch",
-    "emb_ivfpq_topk",
-    "emb_knn_cosine",
-    "emb_label_centroids",
-    "emb_normalize_quantize",
+    # — (a) new in r14 (never driver-evidenced rows lead) —
+    "pg_dialect_jsonb_dynamic",
+    # — (b) the r09-evidence leftover cohort (28 rows, incl. the
+    #   semdedup pair with the r14 two-level quantization fix) —
+    "emb_semdedup_keepers",
+    "emb_semdedup_probe2_keepers",
+    "events_asof_last_error",
+    "events_json_props",
+    "events_props_as_map",
+    "events_sliding_10min_step5",
+    "events_type_counts_salted",
+    "events_views_in_error_windows",
+    "media_audio_chunks",
+    "media_image_features",
+    "media_jpeg_transcode",
+    "media_resize_features",
+    "nation_revenue_ranks",
+    "order_value_distribution",
+    "part_stats_min_max_avg",
+    "price_percentiles_by_flag",
+    "q10_returned_items",
+    "q12_priority_shipping_caseagg",
+    "q18_large_volume_customers",
+    "q6_forecast_revenue",
+    "rolling_30day_customer_spend",
+    "stats_by_month",
+    "stats_daily_top30",
+    "status_priority_pivot",
+    "status_priority_profile",
+    "top3_orders_per_customer",
+    "user_sessions_30min",
+    "weekly_retention_cohorts",
+    # — (c) r11 evidence, alphabetical (21 of 47) —
+    "build_dedup_artifacts",
+    "build_ivfpq_index",
+    "build_media_corpus",
+    "build_quality_model",
+    "ch_dialect_asof_join",
+    "ch_dialect_mv_rollup",
+    "ch_dialect_retention",
+    "ch_dialect_sample_limit_by",
+    "clean_corpus",
+    "corpus_quality_filter",
+    "customer_order_span",
+    "customers_without_orders",
+    "distinct_counts",
+    "doc_bm25_topk",
+    "doc_dedup_cluster_sizes",
+    "doc_dsir_importance",
+    "doc_dsir_sample",
+    "doc_dup_span_stats",
+    "doc_emb_semantic_dup_check",
+    "doc_exact_dedup",
+    "doc_fuzzy_dedup_keepers",
 ]
 
 

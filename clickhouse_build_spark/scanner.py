@@ -39,10 +39,13 @@ EXCLUDED_DIRS = {
     "__tests__",
 }
 
-# The combined discovery pattern (``src/prompts/scanner.py:21``).
+# The combined discovery pattern (``src/prompts/scanner.py:21``),
+# extended to the TypeORM/Django app classes (r14, VERDICT #3/#4):
+# Django's ``.annotate(`` and TypeORM's repository aggregates carry
+# the same INCLUDE semantics as prisma groupBy/aggregate.
 CANDIDATE_RE = re.compile(
     r"(SELECT[\s\S]*?FROM|count\s*\(|sum\s*\(|avg\s*\(|groupBy|DATE_TRUNC"
-    r"|\.aggregate\s*\()",
+    r"|\.aggregate\s*\(|\.annotate\s*\(|createQueryBuilder)",
     re.IGNORECASE,
 )
 
@@ -51,7 +54,11 @@ AGGREGATE_RE = re.compile(r"\b(COUNT|SUM|AVG|MAX|MIN)\s*\(", re.IGNORECASE)
 GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
 DATE_TRUNC_RE = re.compile(r"\b(DATE_TRUNC|toStartOf\w+)\s*\(", re.IGNORECASE)
 WINDOW_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
-ORM_AGG_RE = re.compile(r"\.(groupBy|aggregate)\s*\(")
+ORM_AGG_RE = re.compile(
+    r"\.(groupBy|aggregate|annotate)\s*\("
+    # TypeORM 0.3 repository aggregates: repo.sum('col', where)
+    r"|\.(?:sum|average|maximum|minimum)\s*\(\s*['\"]"
+)
 
 # EXCLUDE signals (``src/prompts/scanner.py:32-37``).
 CRUD_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE)\b", re.IGNORECASE)
@@ -61,6 +68,8 @@ TABLE_RE = re.compile(
 )
 # builder-style source: drizzle `.from(expenses)`
 BUILDER_FROM_RE = re.compile(r"\.from\(\s*([A-Za-z_]\w*)\s*\)")
+# TypeORM string-named source: `.from('expenses', 'e')`
+TYPEORM_FROM_RE = re.compile(r"\.from\(\s*['\"]([A-Za-z_]\w*)['\"]")
 # kysely-style sources: `.selectFrom('expenses')`, joins by string name
 KYSELY_FROM_RE = re.compile(
     r"\.(?:selectFrom|innerJoin|leftJoin|rightJoin|fullJoin)\(\s*"
@@ -134,7 +143,13 @@ def extract_tables(snippet: str) -> list[str]:
     # word never becomes a phantom table (r12 hostile fixture)
     snippet = re.sub(r"(?m)^\s*//.*$", "", snippet)
     tables = []
-    for regex in (TABLE_RE, BUILDER_FROM_RE, KYSELY_FROM_RE, KNEX_HEAD_RE):
+    for regex in (
+        TABLE_RE,
+        BUILDER_FROM_RE,
+        TYPEORM_FROM_RE,
+        KYSELY_FROM_RE,
+        KNEX_HEAD_RE,
+    ):
         for m in regex.finditer(snippet):
             name = m.group(1).split(".")[-1].lower()
             if name not in SQL_KEYWORDS and name not in tables:
@@ -195,7 +210,11 @@ def _template_spans(text: str) -> list[tuple[int, int]]:
 # `db.select({ count: count(), ... })` — the chain continues across
 # `.from/.where/.groupBy/.orderBy` lines.
 _CHAIN_START_RE = re.compile(
-    r"\.(?:groupBy|aggregate|selectFrom|select)\s*\("
+    r"\.(?:groupBy|aggregate|selectFrom|select|createQueryBuilder"
+    r"|annotate)\s*\("
+    # TypeORM repository aggregates take a quoted column first —
+    # distinct from drizzle/kysely identifier/fn forms
+    r"|\.(?:sum|average|maximum|minimum)\s*\(\s*['\"]"
 )
 # assignment target preceding a literal: `let monthlyQuery = \`` / `q += \``
 _ASSIGN_RE = re.compile(r"(?:let|const|var)?\s*([A-Za-z_]\w*)\s*\+?=\s*$")

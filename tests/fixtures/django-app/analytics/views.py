@@ -1,0 +1,41 @@
+"""Django reporting views (plane-class app slice).
+
+The QuerySet aggregate sites below must be FOUND by the scanner
+(the reference scanner's INCLUDE semantics applied to .py files);
+their emission is a documented loud failure — the model's db_table
+is not visible in the chain.
+"""
+
+from django.db import connection
+from django.db.models import Avg, Count, Sum
+
+from .models import Expense
+
+
+def category_breakdown(request):
+    stats = (
+        Expense.objects.values("category")
+        .annotate(total=Sum("amount"), n=Count("id"))
+        .order_by("-total")
+    )
+    return list(stats)
+
+
+def overall_stats(request):
+    return Expense.objects.aggregate(
+        total=Sum("amount"), avg=Avg("amount"), n=Count("id")
+    )
+
+
+def monthly_report_raw(request):
+    with connection.cursor() as cur:
+        cur.execute(
+            "SELECT DATE_TRUNC('month', date) AS month, SUM(amount) AS total"
+            " FROM expenses WHERE 1=1 GROUP BY 1 ORDER BY 1"
+        )
+        return cur.fetchall()
+
+
+def get_expense(request, pk):
+    # single-row lookup: NOT analytical (EXCLUDE rule)
+    return Expense.objects.get(pk=pk)

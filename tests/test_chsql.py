@@ -2825,3 +2825,125 @@ def test_sql_statement_splitter_block_comments_and_dollar_quotes():
     assert "$$" in stmts[1] and "SELECT 2" in stmts[1]
     assert "$body$" in stmts[2]
     assert stmts[3] == "SELECT b FROM u"
+
+
+_JP_DOCS = """VALUES
+  (1, '{"meta":{"type":"view","k":10},
+        "items":[{"v":5,"tag":"a"},{"v":60,"tag":"b"}],"tags":["x","y"]}'),
+  (2, '{"meta":{"type":"click","k":99},"items":[{"v":70,"tag":"a"}],"tags":[]}'),
+  (3, '{"meta":{"type":"view","k":null},"items":[],"tags":["x"]}'),
+  (4, '{"meta":{"type":"view"}}'),
+  (5, NULL) AS t(id, j)"""
+
+
+def test_pg_jsonb_path_exists_and_query(spark):
+    """SQL/JSONPath family (r14, VERDICT #5): the bounded lax-mode
+    subset — member/index/[*]/filter steps — compiled to codegen
+    built-ins over the VARIANT reader. Outputs pinned to PG 16
+    behavior (verified shapes: null-vs-missing, empty-seq results,
+    lax auto-wrap)."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    def ids(pred):
+        rows = run_pg_sql(
+            spark, f"SELECT id FROM {_JP_DOCS} WHERE {pred} ORDER BY id"
+        ).collect()
+        return [r["id"] for r in rows]
+
+    # wildcard + numeric filter
+    assert ids("jsonb_path_exists(j, '$.items[*] ? (@.v > 50)')") == [1, 2]
+    # present-but-null key exists (PG: true)
+    assert ids("jsonb_path_exists(j, '$.meta.k')") == [1, 2, 3]
+    # string equality filter (jsonpath double-quoted strings)
+    assert ids('jsonb_path_exists(j, \'$.items[*] ? (@.tag == "b")\')') == [1]
+    # conjunction
+    assert ids(
+        'jsonb_path_exists(j, \'$.items[*] ? (@.v > 1 && @.tag == "a")\')'
+    ) == [1, 2]
+    # == null matches a present JSON null only
+    assert ids("jsonb_path_exists(j, '$.meta ? (@.k == null)')") == [3]
+    # exists() nested predicate
+    assert ids("jsonb_path_exists(j, '$.meta ? (exists(@.k))')") == [1, 2, 3]
+    # negation
+    assert ids('jsonb_path_exists(j, \'$.items[*] ? (!(@.tag == "a"))\')') == [1]
+    # @? operator spelling
+    assert ids("j @? '$.items[0]'") == [1, 2]
+
+    # jsonb_path_query as a set-returning function with ::cast folding
+    rows = run_pg_sql(
+        spark,
+        f"SELECT id, jsonb_path_query(j, '$.items[*].v')::float8 AS v "
+        f"FROM {_JP_DOCS} ORDER BY id, v",
+    ).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, 5.0), (1, 60.0), (2, 70.0)]
+
+    r = run_pg_sql(
+        spark,
+        f"""SELECT id,
+               jsonb_path_query_first(j, '$.items[0].v') AS v0,
+               jsonb_path_query_array(j, '$.tags[*]') AS tg,
+               jsonb_path_match(j, '$.meta.k > 50') AS hi
+            FROM {_JP_DOCS} ORDER BY id""",
+    ).collect()
+    assert [x["v0"] for x in r] == ["5", "70", None, None, None]
+    assert [x["tg"] for x in r] == ['["x","y"]', "[]", '["x"]', "[]", None]
+    # match: false / true / Unknown(null k) / Unknown(missing) / NULL input
+    assert [x["hi"] for x in r] == [False, True, None, None, None]
+
+
+def test_pg_jsonb_path_loud_failures():
+    """Outside-the-subset jsonpath shapes fail at translate time."""
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    with pytest.raises(ValueError, match="strict"):
+        P("SELECT jsonb_path_exists(j, 'strict $.a') FROM t")
+    with pytest.raises(ValueError, match="outside the translated subset"):
+        P("SELECT jsonb_path_exists(j, '$.a.**.b') FROM t")
+    with pytest.raises(ValueError, match="like_regex"):
+        P("SELECT jsonb_path_exists(j, '$.a ? (@ like_regex \"x\")') FROM t")
+    with pytest.raises(ValueError, match="subscript"):
+        P("SELECT jsonb_path_exists(j, '$.a[last]') FROM t")
+    with pytest.raises(ValueError, match="string literal"):
+        P("SELECT jsonb_path_exists(j, p) FROM t")
+    with pytest.raises(ValueError, match="2-argument"):
+        P("SELECT jsonb_path_exists(j, '$.a', '{}') FROM t")
+    with pytest.raises(ValueError, match="ordering comparisons"):
+        P("SELECT jsonb_path_exists(j, '$.a ? (@ > \"s\")') FROM t")
+
+
+def test_pg_jsonb_dynamic_containment_bind_time(spark):
+    """`payload @> $1` (r14, VERDICT #5): the probe expands through
+    the per-path variant checks at translate time from the bind
+    params — the common app shape for a parameterized filter. A
+    missing value or a column RHS stays a loud failure."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    def ids(probe, params):
+        rows = run_pg_sql(
+            spark,
+            f"SELECT id FROM {_JP_DOCS} WHERE j @> {probe} ORDER BY id",
+            params,
+        ).collect()
+        return [r["id"] for r in rows]
+
+    assert ids("$1", ['{"meta":{"type":"view"}}']) == [1, 3, 4]
+    assert ids("$1::jsonb", ['{"meta":{"type":"click"}}']) == [2]
+    # dict params serialize; other markers stay runtime-bound
+    rows = run_pg_sql(
+        spark,
+        f"SELECT id FROM {_JP_DOCS} WHERE j @> $1 AND id <> $2 ORDER BY id",
+        [{"tags": ["x"]}, 3],
+    ).collect()
+    assert [r["id"] for r in rows] == [1]
+    # loud: no params for the probe
+    with pytest.raises(ValueError, match="at translate time"):
+        P("SELECT 1 FROM t WHERE j @> $1")
+    # loud: non-JSON-text param
+    with pytest.raises(ValueError, match="JSON text"):
+        P("SELECT 1 FROM t WHERE j @> $1", params=[42])
+    # column RHS is still untranslatable
+    with pytest.raises(ValueError, match="literal JSON"):
+        P("SELECT 1 FROM t WHERE a @> b")

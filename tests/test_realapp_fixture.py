@@ -55,7 +55,7 @@ def _spec_for(scan, loc_prefix):
     }
 
 
-def test_scanner_finds_all_six_sites(scan):
+def test_scanner_finds_all_eight_sites(scan):
     locs = sorted(q.location for q in scan.queries)
     prefixes = [
         "db/views.sql:L1-",          # CREATE VIEW ... GROUP BY
@@ -64,8 +64,10 @@ def test_scanner_finds_all_six_sites(scan):
         "lib/reporting.ts:L6-",      # kysely chain
         "services/insights.ts:L5-",  # inline prisma groupBy
         "services/insights.ts:L23-",  # opts-object groupBy
+        "services/metrics.ts:L7-",   # typeorm .from('expenses') chain
+        "services/metrics.ts:L24-",  # typeorm repository chain (r14)
     ]
-    assert len(locs) == 6
+    assert len(locs) == 8
     for want in prefixes:
         matches = [l for l in locs if l.startswith(want)]
         assert len(matches) == 1, (want, locs)
@@ -251,3 +253,68 @@ def test_builder_filters_never_silently_dropped():
             build_method_specs(
                 [{"description": "x", "location": "x:L1", "code": code}]
             )
+
+
+def test_typeorm_from_chain_roundtrips(scan, planted):
+    """r14 (VERDICT #3): the TypeORM ``createQueryBuilder().from(
+    'expenses', 'e')`` chain is parsed into the same canonical raw-SQL
+    spec as kysely/knex — and its CH arm row-equals the PG arm on the
+    planted corpus."""
+    (s,) = build_method_specs([_spec_for(scan, "services/metrics.ts:L7")])
+    assert s.orm == "typeorm"
+    assert "FROM expenses e" in s.pg_sql
+    assert "SUM(e.amount) AS total" in s.pg_sql
+    eng = _engine(planted)
+    got = eng.sql(s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql.replace("${whereClause}", ""), dialect="postgres").collect()
+    _rows_equal(got, want)
+    assert len(got) == 4  # 3 categories + NULL bucket
+    assert got[0]["total"] >= got[-1]["total"]
+
+
+def test_typeorm_repository_chain_fails_loudly(scan):
+    """The repository-scoped builder names NO table in the chain (it
+    lives in the @Entity decorator) — emit refuses with the reason,
+    never guesses a table from the alias string."""
+    with pytest.raises(ValueError, match="entity's table name"):
+        build_method_specs([_spec_for(scan, "services/metrics.ts:L24")])
+
+
+def test_typeorm_untranslatable_shapes_fail_loudly():
+    # .where() would be silently dropped — same contract as kysely/knex
+    with pytest.raises(ValueError, match="typeorm chain method .where"):
+        build_method_specs(
+            [
+                {
+                    "description": "x",
+                    "location": "x:L1",
+                    "code": "const r = await ds.createQueryBuilder()"
+                    ".from('expenses', 'e').select('COUNT(*)', 'n')"
+                    ".where('e.status = :s', { s: 'paid' })",
+                }
+            ]
+        )
+    # deferred builder (assigned without await)
+    with pytest.raises(ValueError, match="deferred typeorm builder"):
+        build_method_specs(
+            [
+                {
+                    "description": "x",
+                    "location": "x:L1",
+                    "code": "const base = ds.createQueryBuilder()"
+                    ".from('expenses', 'e').select('COUNT(*)', 'n')",
+                }
+            ]
+        )
+    # repository aggregate: table not visible in the call
+    with pytest.raises(ValueError, match="repository aggregate"):
+        build_method_specs(
+            [
+                {
+                    "description": "x",
+                    "location": "x:L1",
+                    "code": "const total = await repo.sum('amount', "
+                    "{ status: 'paid' })",
+                }
+            ]
+        )
