@@ -247,6 +247,27 @@ def _cmd_maintenance(args: argparse.Namespace) -> dict:
 
     from clickhouse_build_spark.session import get_spark
 
+    if args.action == "expire":
+        # pure directory math — no session: at 100 TB the whole job is
+        # a partition listing plus unlinks (CH's drop-whole-parts TTL)
+        from clickhouse_build_spark.sources.layout_policy import (
+            parse_merge_tree_ddl,
+        )
+        from clickhouse_build_spark.sources.maintenance import (
+            expire_partitions,
+        )
+
+        if bool(args.ddl) == bool(args.ddl_file):
+            raise SystemExit(
+                "maintenance expire: pass exactly one of --ddl / --ddl-file"
+            )
+        ddl = args.ddl or open(args.ddl_file).read()
+        report = expire_partitions(
+            args.path, parse_merge_tree_ddl(ddl), args.as_of
+        )
+        report["action"] = "expire"
+        return report
+
     spark = get_spark(app_name="maintenance")
     spark.sparkContext.setLogLevel("ERROR")
     if args.action == "compact":
@@ -518,6 +539,27 @@ def main(argv: list[str] | None = None) -> int:
         "--ddl-file", default=None, help="file containing the DDL"
     )
     ml.set_defaults(fn=_cmd_maintenance)
+    me = mt_sub.add_parser(
+        "expire",
+        help="drop hive partitions fully past the DDL-declared TTL "
+        "(TTL col + INTERVAL n unit DELETE)",
+    )
+    me.add_argument("path", help="layout-managed table root")
+    me.add_argument(
+        "--ddl",
+        default=None,
+        help="CREATE TABLE ... ENGINE=MergeTree ... TTL ... DDL string",
+    )
+    me.add_argument(
+        "--ddl-file", default=None, help="file containing the DDL"
+    )
+    me.add_argument(
+        "--as-of",
+        required=True,
+        help="retention horizon date (YYYY-MM-DD); partitions whose "
+        "entire span is older than as_of - interval drop",
+    )
+    me.set_defaults(fn=_cmd_maintenance)
 
     args = p.parse_args(argv)
     json.dump(args.fn(args), sys.stdout, indent=2, default=str)

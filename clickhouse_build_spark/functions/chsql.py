@@ -2907,6 +2907,13 @@ class TableLayoutSpec:
     partition_by: str | None  # raw CH expr, e.g. toYYYYMM(o_orderdate)
     partition_col: str | None  # derived hive column name
     partition_spark: str | None  # Spark SQL expr producing it
+    # PARTITION BY decomposition (r14, for TTL partition-pruned expiry)
+    partition_func: str | None = None  # lowercased CH fn, None=identity
+    partition_src: str | None = None  # the source column inside it
+    # table-level `TTL col + INTERVAL n unit [DELETE]` (r14, VERDICT #6)
+    ttl_col: str | None = None
+    ttl_value: int | None = None
+    ttl_unit: str | None = None  # DAY | WEEK | MONTH | YEAR
 
 
 # PARTITION BY expressions the bridge understands → (column-name
@@ -2960,6 +2967,7 @@ def parse_merge_tree_ddl(ddl: str) -> TableLayoutSpec:
         r"(?is)\bPARTITION\s+BY\s*((\w+)\s*\(\s*([\w.]+)\s*\)|[\w.]+)", ddl
     )
     partition_by = partition_col = partition_spark = None
+    partition_func = partition_src = None
     if pm:
         partition_by = pm.group(1).strip()
         if pm.group(2) is not None:
@@ -2972,9 +2980,42 @@ def parse_merge_tree_ddl(ddl: str) -> TableLayoutSpec:
             suffix, tmpl = _PARTITION_FUNCS[fn]
             partition_col = f"{col.split('.')[-1]}_{suffix}"
             partition_spark = tmpl.format(c=col)
+            partition_func = fn
+            partition_src = col.split(".")[-1]
         else:
             partition_col = partition_by.split(".")[-1]
             partition_spark = partition_by
+            partition_src = partition_col
+
+    # Table-level TTL (r14, VERDICT #6): the bounded retention grammar
+    # `TTL col + INTERVAL n unit [DELETE]`. The clause sits AFTER
+    # ORDER BY (a column-level TTL inside the column list is never
+    # scanned — the search starts past the ORDER BY match). Every
+    # other TTL shape (TO DISK/VOLUME tiering, WHERE, GROUP BY
+    # rollup-TTL, multiple clauses, per-column) is a loud failure —
+    # pretending to honor a retention policy is worse than refusing.
+    ttl_col = ttl_value = ttl_unit = None
+    tail = ddl[om.end():]
+    tm = re.search(r"(?is)\bTTL\b", tail)
+    if tm:
+        clause = tail[tm.end():]
+        sm = re.search(r"(?is)\bSETTINGS\b", clause)
+        if sm:
+            clause = clause[: sm.start()]
+        gm = re.fullmatch(
+            r"(?is)\s*([\w.]+)\s*\+\s*INTERVAL\s+(\d+)\s+"
+            r"(DAY|WEEK|MONTH|YEAR)S?\s*(DELETE\s*)?",
+            clause,
+        )
+        if gm is None:
+            raise ValueError(
+                "unsupported TTL clause — only `TTL col + INTERVAL n "
+                "DAY|WEEK|MONTH|YEAR [DELETE]` maps to a retention "
+                f"policy here (got {clause.strip()[:80]!r})"
+            )
+        ttl_col = gm.group(1).split(".")[-1]
+        ttl_value = int(gm.group(2))
+        ttl_unit = gm.group(3).upper()
     return TableLayoutSpec(
         table=table,
         engine=engine,
@@ -2982,6 +3023,11 @@ def parse_merge_tree_ddl(ddl: str) -> TableLayoutSpec:
         partition_by=partition_by,
         partition_col=partition_col,
         partition_spark=partition_spark,
+        partition_func=partition_func,
+        partition_src=partition_src,
+        ttl_col=ttl_col,
+        ttl_value=ttl_value,
+        ttl_unit=ttl_unit,
     )
 
 

@@ -139,3 +139,107 @@ def purge_tombstones(
 
         shutil.rmtree(staging)
     return report
+
+
+# Partition-value span ends per PARTITION BY function: the LAST date a
+# row in that partition can carry. A partition is expired only when
+# even that last date is past the TTL horizon — CH's own
+# `ttl_only_drop_parts` discipline (whole parts drop; partially
+# expired parts wait), which is the scale-safe policy: expiry is a
+# directory unlink, never a rewrite of 100 TB of rows.
+def _partition_span_end(func: str | None, value: str):
+    import calendar
+    import datetime as dt
+
+    if func == "toyyyymm":
+        y, m = int(value[:4]), int(value[4:6])
+        return dt.date(y, m, calendar.monthrange(y, m)[1])
+    if func == "toyyyymmdd":
+        return dt.date(int(value[:4]), int(value[4:6]), int(value[6:8]))
+    if func == "tostartofmonth":
+        d = dt.date.fromisoformat(value)
+        return dt.date(d.year, d.month, calendar.monthrange(d.year, d.month)[1])
+    if func == "toyear":
+        return dt.date(int(value), 12, 31)
+    if func == "tomonday":
+        return dt.date.fromisoformat(value) + dt.timedelta(days=6)
+    raise ValueError(
+        "maintenance expire needs a time-derived PARTITION BY "
+        "(toYYYYMM/toYYYYMMDD/toStartOfMonth/toYear/toMonday) — an "
+        f"identity or non-time partition has no known span: {func!r}"
+    )
+
+
+def _add_interval(d, n: int, unit: str):
+    import calendar
+    import datetime as dt
+
+    if unit == "DAY":
+        return d + dt.timedelta(days=n)
+    if unit == "WEEK":
+        return d + dt.timedelta(weeks=n)
+    if unit in ("MONTH", "YEAR"):
+        months = n * 12 if unit == "YEAR" else n
+        y, m = divmod((d.year * 12 + d.month - 1) + months, 12)
+        m += 1
+        return dt.date(y, m, min(d.day, calendar.monthrange(y, m)[1]))
+    raise ValueError(f"unsupported TTL unit {unit!r}")
+
+
+def expire_partitions(path: str, spec, as_of) -> dict:
+    """Drop hive partitions whose ENTIRE span is past the DDL-declared
+    TTL (r14, VERDICT #6 — `TTL col + INTERVAL n unit DELETE` from
+    ``parse_merge_tree_ddl`` becomes a retention job).
+
+    A partition `P` with span end `E` is expired iff
+    ``E + interval < as_of`` — every row it can hold is past the
+    horizon. Partially expired partitions are KEPT untouched (their
+    parquet footers are never rewritten — CH's ttl_only_drop_parts
+    discipline). The TTL column must be the PARTITION BY source
+    column: pruning by directory is only sound when the partition
+    value bounds the TTL column. Everything else is loud.
+
+    Reference parity: the data-migrator's assumptions surface names
+    exactly these MergeTree retention clauses
+    (``/root/reference/src/prompts/data_migrator.py:36``).
+    """
+    import datetime as dt
+    import shutil
+
+    if spec.ttl_col is None:
+        raise ValueError("DDL declares no table-level TTL — nothing to expire")
+    if spec.partition_col is None:
+        raise ValueError(
+            "maintenance expire needs PARTITION BY — without it expiry "
+            "would rewrite every file instead of unlinking directories"
+        )
+    if spec.partition_src != spec.ttl_col:
+        raise ValueError(
+            f"TTL column {spec.ttl_col!r} is not the PARTITION BY source "
+            f"column {spec.partition_src!r} — partition-pruned expiry "
+            "would be unsound (a partition's value does not bound the "
+            "TTL column)"
+        )
+    if isinstance(as_of, str):
+        as_of = dt.date.fromisoformat(as_of)
+    prefix = f"{spec.partition_col}="
+    dropped, kept = [], []
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if not (d.startswith(prefix) and os.path.isdir(full)):
+            continue
+        value = d[len(prefix):]
+        end = _partition_span_end(spec.partition_func, value)
+        if _add_interval(end, spec.ttl_value, spec.ttl_unit) < as_of:
+            shutil.rmtree(full)
+            dropped.append(value)
+        else:
+            kept.append(value)
+    return {
+        "table": spec.table,
+        "path": path,
+        "as_of": as_of.isoformat(),
+        "ttl": f"{spec.ttl_col} + INTERVAL {spec.ttl_value} {spec.ttl_unit}",
+        "dropped_partitions": dropped,
+        "kept_partitions": kept,
+    }

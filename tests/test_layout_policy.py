@@ -124,3 +124,142 @@ def test_registered_profile_is_ddl_driven(spark):
     assert rows and spec.partition_col in rows[0].asDict()
     months = [r[spec.partition_col] for r in rows]
     assert months == sorted(months) and len(months) > 12
+
+
+# ------------------------------------------------------------- TTL (r14)
+
+TTL_DDL = """
+CREATE TABLE orders_lake (
+  o_orderkey Int64, o_custkey Int64, o_totalprice Float64,
+  o_orderdate Date
+) ENGINE = MergeTree()
+PARTITION BY toYYYYMM(o_orderdate)
+ORDER BY (o_custkey, o_orderkey)
+TTL o_orderdate + INTERVAL 3 MONTH DELETE
+"""
+
+
+def test_ttl_clause_parses():
+    spec = parse_merge_tree_ddl(TTL_DDL)
+    assert spec.ttl_col == "o_orderdate"
+    assert spec.ttl_value == 3 and spec.ttl_unit == "MONTH"
+    assert spec.partition_func == "toyyyymm"
+    assert spec.partition_src == "o_orderdate"
+
+
+def test_ttl_unsupported_shapes_fail_loudly():
+    base = (
+        "CREATE TABLE t (x Int, d Date) ENGINE = MergeTree "
+        "PARTITION BY toYYYYMM(d) ORDER BY x "
+    )
+    for ttl in [
+        "TTL d + INTERVAL 1 MONTH TO DISK 'cold'",   # tiering
+        "TTL d + INTERVAL 1 MONTH WHERE x = 0",       # conditional
+        "TTL toStartOfDay(d) + INTERVAL 1 DAY",       # expression base
+        "TTL d + INTERVAL 1 MONTH, x + INTERVAL 1 DAY",  # multiple
+    ]:
+        with pytest.raises(ValueError, match="unsupported TTL clause"):
+            parse_merge_tree_ddl(base + ttl)
+    # the plain layout DDL (no TTL) keeps parsing with empty TTL fields
+    spec = parse_merge_tree_ddl(base)
+    assert spec.ttl_col is None
+
+
+def test_expire_drops_only_fully_expired_partitions(spark, tmp_path):
+    """`maintenance expire`: partitions whose WHOLE span is past the
+    TTL horizon drop (directory unlink); every surviving partition's
+    parquet files are byte-untouched — never a rewrite (CH's
+    ttl_only_drop_parts discipline)."""
+    from clickhouse_build_spark.sources.maintenance import expire_partitions
+
+    spec = parse_merge_tree_ddl(TTL_DDL)
+    out = str(tmp_path / "orders_lake")
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    layout_write(df, spec, out)
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{out}/**/*.parquet", recursive=True)
+    }
+    months = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("o_orderdate_yyyymm=")
+    )
+    # as-of 1998-01-01 with +3 MONTH: a month M expires iff
+    # last_day(M) + 3 months < 1998-01-01, i.e. M <= 1997-09
+    report = expire_partitions(out, spec, "1998-01-01")
+    want_dropped = [str(m) for m in months if m <= 199709]
+    want_kept = [str(m) for m in months if m > 199709]
+    assert report["dropped_partitions"] == want_dropped
+    assert report["kept_partitions"] == want_kept
+    assert want_dropped and want_kept  # the fixture spans the boundary
+    # boundary month 199710 survives: its span end + 3mo = 1998-01-31
+    assert "199710" in report["kept_partitions"]
+    # survivors byte-untouched
+    after = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{out}/**/*.parquet", recursive=True)
+    }
+    assert after == {
+        f: st for f, st in before.items() if os.path.exists(f)
+    }
+    # the table now reads as exactly the post-horizon rows
+    kept_rows = spark.read.parquet(out).count()
+    want_rows = df.filter("o_orderdate >= DATE '1997-10-01'").count()
+    assert kept_rows == want_rows
+    # idempotent: a second pass drops nothing
+    again = expire_partitions(out, spec, "1998-01-01")
+    assert again["dropped_partitions"] == []
+
+
+def test_expire_guards_fail_loudly(spark, tmp_path):
+    from clickhouse_build_spark.sources.maintenance import expire_partitions
+
+    # TTL column != PARTITION BY source — pruning would be unsound
+    bad = parse_merge_tree_ddl(
+        "CREATE TABLE t (x Int, d Date, u Date) ENGINE = MergeTree "
+        "PARTITION BY toYYYYMM(d) ORDER BY x "
+        "TTL u + INTERVAL 1 MONTH"
+    )
+    with pytest.raises(ValueError, match="not the PARTITION BY source"):
+        expire_partitions(str(tmp_path), bad, "2024-01-01")
+    # identity (non-time) partition value has no known span
+    ident = parse_merge_tree_ddl(
+        "CREATE TABLE t (x Int, d Date) ENGINE = MergeTree "
+        "PARTITION BY d ORDER BY x TTL d + INTERVAL 1 MONTH"
+    )
+    p = tmp_path / "t" / "d=2024-01-01"
+    p.mkdir(parents=True)
+    with pytest.raises(ValueError, match="no known span"):
+        expire_partitions(str(tmp_path / "t"), ident, "2024-06-01")
+    # no TTL declared
+    plain = parse_merge_tree_ddl(
+        "CREATE TABLE t (x Int, d Date) ENGINE = MergeTree "
+        "PARTITION BY toYYYYMM(d) ORDER BY x"
+    )
+    with pytest.raises(ValueError, match="no table-level TTL"):
+        expire_partitions(str(tmp_path), plain, "2024-01-01")
+
+
+def test_expire_cli_roundtrip(spark, tmp_path, capsys):
+    """`maintenance expire` end-to-end through the CLI entrypoint —
+    no SparkSession is created for it (pure directory math)."""
+    import json
+
+    from clickhouse_build_spark.__main__ import main
+
+    spec = parse_merge_tree_ddl(TTL_DDL)
+    out = str(tmp_path / "orders_lake")
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    layout_write(df, spec, out)
+    rc = main(
+        ["maintenance", "expire", out, "--ddl", TTL_DDL, "--as-of", "1998-01-01"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["action"] == "expire"
+    assert rep["dropped_partitions"] and rep["kept_partitions"]
