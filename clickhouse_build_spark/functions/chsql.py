@@ -3115,7 +3115,13 @@ def _json_path_part(key: str | None, idx: str | None) -> str:
     import re
 
     if key is not None:
-        return f".{key}" if re.fullmatch(r"\w+", key) else f"['{key}']"
+        if re.fullmatch(r"\w+", key):
+            return f".{key}"
+        if "'" in key:
+            # a quote inside the bracket-quoted step would corrupt the
+            # JsonPath literal — refuse instead of silently mis-pathing
+            raise ValueError(f"JSON key with a quote is not pathable: {key!r}")
+        return f"['{key}']"
     return f"[{idx}]"
 
 
@@ -3256,7 +3262,17 @@ def _parse_jsonpath(path: str):
         if s[i] == ".":
             mm = re.match(r"\.\s*([A-Za-z_]\w*)", s[i:])
             if mm is None:
-                mm = re.match(r'\.\s*"((?:[^"\\]|\\.)*)"', s[i:])
+                qm = re.match(r'\.\s*"((?:[^"\\]|\\.)*)"', s[i:])
+                if qm is not None:
+                    import json as _json
+
+                    # quoted member: JSON-decode so \" and \\ escapes
+                    # become the real key characters
+                    steps.append(
+                        ("member", _json.loads('"' + qm.group(1) + '"'))
+                    )
+                    i += qm.end()
+                    continue
             if mm is None:
                 raise ValueError(
                     f"unsupported jsonpath member step at {s[i:]!r} "
@@ -3335,10 +3351,15 @@ def _parse_jsonpath_pred(src: str, root: str):
         while pos[0] < n:
             ws()
             mm = re.match(r"\.\s*([A-Za-z_]\w*)", src[pos[0]:])
-            if mm is None:
-                mm = re.match(r'\.\s*"((?:[^"\\]|\\.)*)"', src[pos[0]:])
             if mm is not None:
                 out.append(("member", mm.group(1)))
+                pos[0] += mm.end()
+                continue
+            mm = re.match(r'\.\s*"((?:[^"\\]|\\.)*)"', src[pos[0]:])
+            if mm is not None:
+                import json as _json
+
+                out.append(("member", _json.loads('"' + mm.group(1) + '"')))
                 pos[0] += mm.end()
                 continue
             mm = re.match(r"\[\s*(\d+)\s*\]", src[pos[0]:])
@@ -3955,12 +3976,21 @@ def translate_pg_sql(text: str, params=None) -> str:
             if om is None:
                 break
             opx = om.group(0)
-            km = re.match(r"\s*(?:'([^']*)'|(\d+))", text[i + len(opx) :])
+            km = re.match(
+                r"\s*(?:'((?:[^']|'')*)'|(\d+))", text[i + len(opx) :]
+            )
             if km is None:
                 raise ValueError(
                     f"{opx} needs a literal string key or integer index"
                 )
-            parts.append(_json_path_part(km.group(1), km.group(2)))
+            key = km.group(1)
+            if key is not None:
+                # un-double SQL-escaped quotes; _json_path_part then
+                # refuses quote-bearing keys loudly (previously the
+                # match stopped AT the doubled quote and emitted
+                # corrupt SQL silently)
+                key = key.replace("''", "'")
+            parts.append(_json_path_part(key, km.group(2)))
             last_op = opx
             i = i + len(opx) + km.end()
             j = i
