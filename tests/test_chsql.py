@@ -2947,3 +2947,21 @@ def test_pg_jsonb_dynamic_containment_bind_time(spark):
     # column RHS is still untranslatable
     with pytest.raises(ValueError, match="literal JSON"):
         P("SELECT 1 FROM t WHERE a @> b")
+
+
+def test_pg_jsonb_dynamic_reversed_and_path_edges():
+    """Translate-only edges: the reversed `$1 <@ col` probe inlines
+    from params; quoted jsonpath members JSON-decode escapes; doubled
+    quotes in a -> key are consumed and refuse loudly (previously
+    corrupt SQL)."""
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    out = P(
+        "SELECT 1 FROM t WHERE $1 <@ j",
+        params=['{"a": 1}'],
+    )
+    assert "try_variant_get(parse_json(j)" in out and ":p1" not in out
+    out = P('SELECT jsonb_path_exists(j, \'$."a b"."c\\"d"\') FROM t')
+    assert "''a b''" in out and 'c"d' in out
+    with pytest.raises(ValueError, match="quote is not pathable"):
+        P("SELECT j -> 'it''s' FROM t")
