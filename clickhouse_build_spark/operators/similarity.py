@@ -427,34 +427,51 @@ def ivf_assign_probes(
     an equi-join on ``cell`` — still partition-local on a cell-
     partitioned index, with the quadratic term bounded per cell.
 
-    Plan: centroids broadcast; each vector's |cells| candidate rows are
-    collapsed map-side by collect_list + array_sort + slice (≤ |cells|
-    small structs per vector through the shuffle — same order as a
-    windowed rank but without sorting |corpus|×|cells| rows globally).
-    At production nlist ~ √n, pre-prune candidate cells with a
-    coarse-of-coarse quantizer before this pass.
+    Plan (r14): ``nprobe`` successive bounded max passes — pass i
+    excludes the prior ranks' cells and takes the same
+    (max cosine, lowest cell) argmax :func:`ivf_assign` uses, so each
+    pass shuffles ONE narrow row per vector. The previous
+    collect_list + array_sort plan carried ALL |cells| scored structs
+    per vector through the aggregate — at nlist ~ √n that shuffle is
+    n^1.5 structs, and the r14 scale ladder measured it as the probe2
+    wall (rung10 2M×1414 ≈ 2.8G structs). Scoring work is
+    nprobe · n · |cells| either way, but it stays inside whole-stage
+    codegen with partial aggregation; only n rows move per pass.
     """
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        F.struct(
-            (-cosine(F.col(vec_col), F.col("ce"))).alias("negd"),
-            F.col("cell").alias("cell"),
-        ).alias("__s"),
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("__s")), 1, nprobe
-            ).alias("__top")
+    out = None
+    taken = None
+    for r in range(1, nprobe + 1):
+        scored = vectors.select(id_col, vec_col).crossJoin(
+            F.broadcast(centroids)
         )
-        .select(id_col, F.posexplode("__top").alias("__p", "__s"))
-        .select(
+        if taken is not None:
+            scored = scored.join(taken, id_col).filter(
+                ~F.array_contains(F.col("__taken"), F.col("cell"))
+            )
+        best = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    cosine(F.col(vec_col), F.col("ce")).alias("d"),
+                    (-F.col("cell")).alias("negc"),
+                )
+            ).alias("__b")
+        )
+        rank_df = best.select(
             id_col,
-            F.col("__s.cell").cast("long").alias("cell"),
-            (F.col("__p") + 1).alias("probe_rank"),
+            (-F.col("__b.negc")).cast("long").alias("cell"),
+            F.lit(r).alias("probe_rank"),
         )
-    )
+        if nprobe > 1:
+            # each rank feeds BOTH the result union and the next
+            # pass's exclusion list — freeze the n narrow rows so the
+            # scoring pass behind them runs once, not once per consumer
+            rank_df = rank_df.localCheckpoint(eager=False)
+        out = rank_df if out is None else out.unionByName(rank_df)
+        if r < nprobe:
+            taken = out.groupBy(id_col).agg(
+                F.collect_list("cell").alias("__taken")
+            )
+    return out
 
 
 # -------------------- two-level coarse quantization (sub-cells, r14)

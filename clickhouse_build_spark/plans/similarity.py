@@ -1228,14 +1228,20 @@ def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_encode(
-    spark: SparkSession, sf_dir: str, vectors: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Encode a (vec_id, e) frame against the corpus's TRAINED
     artifacts (coarse centroids + residual codebooks) → (vec_id, cell,
     c0..c7). Shared by the index build and incremental append — the
     appended rows' codes are bit-identical to what a full re-encode
     would produce because both run this exact kernel against the same
-    trained tensors."""
+    trained tensors. ``cells`` (r14): a precomputed (vec_id, cell)
+    coarse assignment for exactly these vectors — the index build
+    passes the shared rank-1 frame so the n×|cells| scoring pass is
+    not repeated; append paths leave it None and assign here."""
     import numpy as np
     import pandas as pd
 
@@ -1244,7 +1250,10 @@ def _ivfpq_encode(
     )
     books = shared_pq_codebooks(spark, sf_dir)
     unit = _normalize(vectors)
-    assigned = ivf_assign(unit, cent)
+    assigned = (
+        unit.join(cells, "vec_id") if cells is not None
+        else ivf_assign(unit, cent)
+    )
     res = assigned.join(F.broadcast(cent), "cell").select(
         "vec_id",
         "cell",
@@ -1298,6 +1307,43 @@ def _corpus_discriminators(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
 _SUBCELLS: dict[tuple[str, str], object] = {}
 _SUBCELL_NONE = object()  # session_artifact can't cache a None value
 
+_PROBE_ASSIGN: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_probe_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's top-``SEMDEDUP_NPROBE`` coarse assignment
+    (vec_id, cell, probe_rank), scored ONCE per (session, corpus) and
+    reused by every consumer (r14): sub-cell training and the index
+    encode take the rank-1 rows (== :func:`ivf_assign` bit-identically
+    — same frame, same argmax ordering), the probes export takes both
+    ranks. Before this, the n×|cells| scoring pass ran independently
+    inside each of those builds — at nlist ~ √n that is the dominant
+    n^1.5 term of the whole family, and the r14 ladder measured the
+    probes row paying it AGAIN after the index build already had
+    (probe2 12.4× at 10× rows). The frozen frame is 2n narrow rows."""
+    from clickhouse_build_spark.operators.similarity import ivf_assign_probes
+    from clickhouse_build_spark.plans.artifacts import session_artifact
+
+    def build() -> DataFrame:
+        cent = shared_ivf_centroids(
+            spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
+        )
+        return ivf_assign_probes(
+            _unit_vectors(spark, sf_dir), cent, nprobe=SEMDEDUP_NPROBE
+        ).localCheckpoint(eager=True)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return session_artifact(_PROBE_ASSIGN, key, build)
+
+
+def _rank1_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell) — the shared assignment's rank-1 rows."""
+    return (
+        _shared_probe_assignment(spark, sf_dir)
+        .filter(F.col("probe_rank") == 1)
+        .select("vec_id", "cell")
+    )
+
 
 def shared_subcell_centroids(spark: SparkSession, sf_dir: str):
     """Level-2 coarse quantizer (r14, VERDICT r13 #1): per-top-cell
@@ -1315,7 +1361,11 @@ def shared_subcell_centroids(spark: SparkSession, sf_dir: str):
         cent = shared_ivf_centroids(
             spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
         )
-        assigned = ivf_assign(_unit_vectors(spark, sf_dir), cent)
+        # rank-1 of the shared assignment == ivf_assign bit-identically
+        # (r14 — the scoring pass runs once per corpus, not once here)
+        assigned = _rank1_cells(spark, sf_dir).join(
+            _unit_vectors(spark, sf_dir), "vec_id"
+        )
         sub = train_subcells(
             assigned, cent, target_rows=SEMDEDUP_CELL_ROWS
         )
@@ -1380,7 +1430,12 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> str:
-        codes = _ivfpq_encode(spark, sf_dir, _vectors(spark, sf_dir))
+        codes = _ivfpq_encode(
+            spark,
+            sf_dir,
+            _vectors(spark, sf_dir),
+            cells=_rank1_cells(spark, sf_dir),
+        )
         if shared_subcell_centroids(spark, sf_dir) is not None:
             # the codes feed two branches (subcell scoring + the final
             # write) — freeze them so the encode kernel runs once
@@ -1686,12 +1741,17 @@ def shared_ivfpq_probes(
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> str:
-        cent = shared_ivf_centroids(
-            spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
-        )
-        probes = ivf_assign_probes(
-            _unit_vectors(spark, sf_dir), cent, nprobe=nprobe
-        )
+        if nprobe == SEMDEDUP_NPROBE:
+            # the shared per-corpus assignment (r14) — already scored
+            # for the subcell trainer and the index encode
+            probes = _shared_probe_assignment(spark, sf_dir)
+        else:
+            cent = shared_ivf_centroids(
+                spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
+            )
+            probes = ivf_assign_probes(
+                _unit_vectors(spark, sf_dir), cent, nprobe=nprobe
+            )
         subcent = shared_subcell_centroids(spark, sf_dir)
         if subcent is None:
             probes = probes.withColumn("subcell", F.lit(0).cast("long"))
