@@ -441,11 +441,16 @@ def ivf_assign_probes(
     out = None
     taken = None
     for r in range(1, nprobe + 1):
-        scored = vectors.select(id_col, vec_col).crossJoin(
-            F.broadcast(centroids)
-        )
+        base = vectors.select(id_col, vec_col)
         if taken is not None:
-            scored = scored.join(taken, id_col).filter(
+            # attach the exclusion list BEFORE the centroid cross join:
+            # this join moves n narrow rows; joining after the cross
+            # join would shuffle all n×|cells| scored rows instead
+            # (measured as a rung-1 regression on the r14 ladder)
+            base = base.join(taken, id_col)
+        scored = base.crossJoin(F.broadcast(centroids))
+        if taken is not None:
+            scored = scored.filter(
                 ~F.array_contains(F.col("__taken"), F.col("cell"))
             )
         best = scored.groupBy(id_col).agg(
