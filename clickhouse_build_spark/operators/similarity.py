@@ -384,6 +384,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Coarse quantization: each vector gets its nearest centroid
     (max cosine, centroid id as tiebreak) → adds a ``cell`` column.
@@ -394,10 +395,22 @@ def ivf_assign(
     aggregation collapses the |centroids| candidate rows map-side; the
     shuffle carries ONE row per vector (a windowed rank here would
     instead shuffle and sort |corpus|×|centroids| rows).
+
+    ``exclude`` (r14): an (id, cell) frame of per-vector cells to skip
+    — the multi-probe rank-2 pass ("next-best cell after the index's").
+    It joins BROADCAST onto the scored stream (n narrow rows — never a
+    shuffle of the n×|cells| scored rows).
     """
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "__cdist", cosine(F.col(vec_col), F.col("ce"))
     )
+    if exclude is not None:
+        scored = scored.join(
+            F.broadcast(
+                exclude.select(id_col, F.col("cell").alias("__xcell"))
+            ),
+            id_col,
+        ).filter(F.col("cell") != F.col("__xcell"))
     best = scored.groupBy(id_col).agg(
         F.max(
             F.struct(F.col("__cdist").alias("d"), (-F.col("cell")).alias("negc"))
@@ -428,35 +441,41 @@ def ivf_assign_probes(
     partitioned index, with the quadratic term bounded per cell.
 
     Plan (r14): ``nprobe`` successive bounded max passes — pass i
-    excludes the prior ranks' cells and takes the same
-    (max cosine, lowest cell) argmax :func:`ivf_assign` uses, so each
-    pass shuffles ONE narrow row per vector. The previous
-    collect_list + array_sort plan carried ALL |cells| scored structs
-    per vector through the aggregate — at nlist ~ √n that shuffle is
-    n^1.5 structs, and the r14 scale ladder measured it as the probe2
-    wall (rung10 2M×1414 ≈ 2.8G structs). Scoring work is
-    nprobe · n · |cells| either way, but it stays inside whole-stage
-    codegen with partial aggregation; only n rows move per pass.
+    joins the prior ranks' (id, cell) results onto the vector frame
+    (n narrow rows each — the same aggregate-join-back shape
+    :func:`ivf_assign` itself uses), excludes those cells, and takes
+    the same (max cosine, lowest cell) argmax, so each pass shuffles
+    ONE row per vector. The previous collect_list + array_sort plan
+    carried ALL |cells| scored structs per vector through the
+    aggregate — at nlist ~ √n that shuffle is n^1.5 structs, and the
+    r14 scale ladder measured it as the probe2 wall (rung10 2M×1414 ≈
+    2.8G structs). Earlier ranks re-execute once as later ranks'
+    exclusion inputs (pass 1 runs twice for nprobe=2) — recomputing a
+    codegen scoring pass is far cheaper than materializing it through
+    a checkpoint (a lazy localCheckpoint here deadlocked under the
+    broadcast-exchange thread) or a wide shuffle.
     """
     out = None
-    taken = None
+    prev: list[DataFrame] = []
     for r in range(1, nprobe + 1):
         base = vectors.select(id_col, vec_col)
-        if taken is not None:
-            # attach the exclusion list BEFORE the centroid cross join:
-            # this join moves n narrow rows; joining after the cross
-            # join would shuffle all n×|cells| scored rows instead
-            # (measured as a rung-1 regression on the r14 ladder)
-            base = base.join(taken, id_col)
-        scored = base.crossJoin(F.broadcast(centroids))
-        if taken is not None:
-            scored = scored.filter(
-                ~F.array_contains(F.col("__taken"), F.col("cell"))
+        for i, pr in enumerate(prev):
+            base = base.join(
+                pr.select(id_col, F.col("cell").alias(f"__c{i}")), id_col
             )
+        # materialize the score as a COLUMN before aggregating (exactly
+        # ivf_assign's shape): with the cosine inlined in the agg the
+        # pre-aggregate sort carries both full vectors per scored row
+        # (~1 KB × n×|cells| — measured 13× slower at the 100k rung)
+        scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+            "__cdist", cosine(F.col(vec_col), F.col("ce"))
+        )
+        for i in range(len(prev)):
+            scored = scored.filter(F.col("cell") != F.col(f"__c{i}"))
         best = scored.groupBy(id_col).agg(
             F.max(
                 F.struct(
-                    cosine(F.col(vec_col), F.col("ce")).alias("d"),
+                    F.col("__cdist").alias("d"),
                     (-F.col("cell")).alias("negc"),
                 )
             ).alias("__b")
@@ -466,16 +485,8 @@ def ivf_assign_probes(
             (-F.col("__b.negc")).cast("long").alias("cell"),
             F.lit(r).alias("probe_rank"),
         )
-        if nprobe > 1:
-            # each rank feeds BOTH the result union and the next
-            # pass's exclusion list — freeze the n narrow rows so the
-            # scoring pass behind them runs once, not once per consumer
-            rank_df = rank_df.localCheckpoint(eager=False)
         out = rank_df if out is None else out.unionByName(rank_df)
-        if r < nprobe:
-            taken = out.groupBy(id_col).agg(
-                F.collect_list("cell").alias("__taken")
-            )
+        prev.append(rank_df.select(id_col, "cell"))
     return out
 
 

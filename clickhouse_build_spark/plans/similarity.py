@@ -1307,42 +1307,6 @@ def _corpus_discriminators(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
 _SUBCELLS: dict[tuple[str, str], object] = {}
 _SUBCELL_NONE = object()  # session_artifact can't cache a None value
 
-_PROBE_ASSIGN: dict[tuple[str, str], DataFrame] = {}
-
-
-def _shared_probe_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus's top-``SEMDEDUP_NPROBE`` coarse assignment
-    (vec_id, cell, probe_rank), scored ONCE per (session, corpus) and
-    reused by every consumer (r14): sub-cell training and the index
-    encode take the rank-1 rows (== :func:`ivf_assign` bit-identically
-    — same frame, same argmax ordering), the probes export takes both
-    ranks. Before this, the n×|cells| scoring pass ran independently
-    inside each of those builds — at nlist ~ √n that is the dominant
-    n^1.5 term of the whole family, and the r14 ladder measured the
-    probes row paying it AGAIN after the index build already had
-    (probe2 12.4× at 10× rows). The frozen frame is 2n narrow rows."""
-    from clickhouse_build_spark.operators.similarity import ivf_assign_probes
-    from clickhouse_build_spark.plans.artifacts import session_artifact
-
-    def build() -> DataFrame:
-        cent = shared_ivf_centroids(
-            spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
-        )
-        return ivf_assign_probes(
-            _unit_vectors(spark, sf_dir), cent, nprobe=SEMDEDUP_NPROBE
-        ).localCheckpoint(eager=True)
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    return session_artifact(_PROBE_ASSIGN, key, build)
-
-
-def _rank1_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell) — the shared assignment's rank-1 rows."""
-    return (
-        _shared_probe_assignment(spark, sf_dir)
-        .filter(F.col("probe_rank") == 1)
-        .select("vec_id", "cell")
-    )
 
 
 def shared_subcell_centroids(spark: SparkSession, sf_dir: str):
@@ -1361,11 +1325,7 @@ def shared_subcell_centroids(spark: SparkSession, sf_dir: str):
         cent = shared_ivf_centroids(
             spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
         )
-        # rank-1 of the shared assignment == ivf_assign bit-identically
-        # (r14 — the scoring pass runs once per corpus, not once here)
-        assigned = _rank1_cells(spark, sf_dir).join(
-            _unit_vectors(spark, sf_dir), "vec_id"
-        )
+        assigned = ivf_assign(_unit_vectors(spark, sf_dir), cent)
         sub = train_subcells(
             assigned, cent, target_rows=SEMDEDUP_CELL_ROWS
         )
@@ -1430,12 +1390,7 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> str:
-        codes = _ivfpq_encode(
-            spark,
-            sf_dir,
-            _vectors(spark, sf_dir),
-            cells=_rank1_cells(spark, sf_dir),
-        )
+        codes = _ivfpq_encode(spark, sf_dir, _vectors(spark, sf_dir))
         if shared_subcell_centroids(spark, sf_dir) is not None:
             # the codes feed two branches (subcell scoring + the final
             # write) — freeze them so the encode kernel runs once
@@ -1741,35 +1696,65 @@ def shared_ivfpq_probes(
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> str:
+        unit = _unit_vectors(spark, sf_dir)
+        subcent = shared_subcell_centroids(spark, sf_dir)
         if nprobe == SEMDEDUP_NPROBE:
-            # the shared per-corpus assignment (r14) — already scored
-            # for the subcell trainer and the index encode
-            probes = _shared_probe_assignment(spark, sf_dir)
+            # r14: rank 1 IS the at-rest index's (cell, subcell) —
+            # bit-identical by the pinned contract and already built
+            # by the index consumers, so the only scoring here is the
+            # rank-2 "next-best cell" pass (one narrow bounded argmax
+            # with the index cells as a broadcast exclusion). The
+            # previous plan re-scored ALL ranks through a collect_list
+            # whose shuffle carried every scored struct — the r14
+            # ladder's probe2 wall.
+            from clickhouse_build_spark.operators.similarity import (
+                ivf_assign,
+                subcell_assign,
+            )
+
+            cent = shared_ivf_centroids(
+                spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
+            )
+            idx = shared_ivfpq_index(spark, sf_dir).select(
+                "vec_id", "cell", "subcell"
+            )
+            rank1 = idx.select(
+                "vec_id", "cell", "subcell",
+                F.lit(1).alias("probe_rank"),
+            )
+            r2 = ivf_assign(
+                unit, cent, exclude=idx.select("vec_id", "cell")
+            ).select(
+                "vec_id", "cell", F.lit(2).alias("probe_rank")
+            )
+            if subcent is None:
+                rank2 = r2.withColumn("subcell", F.lit(0).cast("long"))
+            else:
+                # freeze the n narrow rank-2 rows: they feed both the
+                # subcell scoring and the final join
+                r2 = r2.localCheckpoint(eager=True)
+                sub = subcell_assign(r2.join(unit, "vec_id"), subcent)
+                rank2 = r2.join(sub, ["vec_id", "cell"])
+            probes = rank1.unionByName(
+                rank2.select("vec_id", "cell", "subcell", "probe_rank")
+            )
         else:
             cent = shared_ivf_centroids(
                 spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
             )
-            probes = ivf_assign_probes(
-                _unit_vectors(spark, sf_dir), cent, nprobe=nprobe
-            )
-        subcent = shared_subcell_centroids(spark, sf_dir)
-        if subcent is None:
-            probes = probes.withColumn("subcell", F.lit(0).cast("long"))
-        else:
-            from clickhouse_build_spark.operators.similarity import (
-                subcell_assign,
-            )
+            probes = ivf_assign_probes(unit, cent, nprobe=nprobe)
+            if subcent is None:
+                probes = probes.withColumn(
+                    "subcell", F.lit(0).cast("long")
+                )
+            else:
+                from clickhouse_build_spark.operators.similarity import (
+                    subcell_assign,
+                )
 
-            # one sub-cell per (vector, probed top cell): the nearest
-            # sub-centroid WITHIN each probed cell — rank-1 reproduces
-            # the index's (cell, subcell) bit-identically (same unit
-            # frame, same argmax ordering)
-            probes = probes.localCheckpoint(eager=True)
-            sub = subcell_assign(
-                probes.join(_unit_vectors(spark, sf_dir), "vec_id"),
-                subcent,
-            )
-            probes = probes.join(sub, ["vec_id", "cell"])
+                probes = probes.localCheckpoint(eager=True)
+                sub = subcell_assign(probes.join(unit, "vec_id"), subcent)
+                probes = probes.join(sub, ["vec_id", "cell"])
         emb = load_tables(spark, sf_dir)["embeddings"]
         d = emb.agg(
             F.count(F.lit(1)).alias("n"),
