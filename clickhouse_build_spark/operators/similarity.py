@@ -421,6 +421,86 @@ def ivf_assign(
     )
 
 
+def ivf_assign_kernel(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Bulk coarse assignment via a vectorized Arrow kernel — one BLAS
+    gemm (``X @ C.T``) + argmax per batch against the broadcast
+    centroid matrix (r14). Same contract as :func:`ivf_assign`
+    (max cosine, lowest cell id on exact ties — centroid rows are
+    ordered by cell, so numpy's first-max argmax IS the lowest-cell
+    tiebreak), same output shape (``vectors["*"]`` + ``cell``).
+
+    Used by the AT-REST INDEX family (index encode, sub-cell trainer,
+    probe rank-2), whose oracles re-derive from the exported parquet —
+    the assignment is data to them, so the kernel's pairwise-summed
+    dot products need no SQL twin. The oracle families that RECOMPUTE
+    the cosine in DuckDB term-for-term (emb_ann_ivf*/kmeans) keep
+    :func:`ivf_assign`'s codegen expression, whose FP association
+    their SQL mirrors exactly.
+
+    Scale: |cells| is bounded (≤ IVFPQ_MAX_CELLS = 4096) so the
+    centroid matrix broadcast is ≤ 4096×64 doubles ≈ 2 MB; per-batch
+    work is a dense gemm — the n·|cells| scoring that dominated the
+    r14 ladder window as Catalyst lambda evaluations becomes
+    data-pass-bounded. ``exclude`` (id, cell) masks one cell per
+    vector before the argmax (the rank-2 pass): it joins onto the
+    n-row vector frame, never the scored space.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.orderBy("cell").collect()  # bounded ≤ 4096 rows
+    cells_arr = np.array([r["cell"] for r in rows], dtype=np.int64)
+    C = np.vstack([np.asarray(r["ce"], dtype=np.float64) for r in rows])
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast((cells_arr, C / cn[:, None]))
+
+    df = vectors
+    if exclude is not None:
+        df = df.join(
+            exclude.select(id_col, F.col("cell").alias("__xcell")),
+            id_col,
+            "left",
+        )
+    in_cols = list(vectors.columns)
+    has_excl = exclude is not None
+
+    def kern(batches):
+        cells_a, Cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].values).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            S = (X / norms[:, None]) @ Cm.T
+            if has_excl:
+                xc = pdf["__xcell"].values
+                mask = pd.notna(xc)
+                if mask.any():
+                    pos = np.searchsorted(cells_a, xc[mask].astype(np.int64))
+                    S[np.flatnonzero(mask), pos] = -np.inf
+            out = pdf[in_cols].copy()
+            out["cell"] = cells_a[np.argmax(S, axis=1)]
+            yield out
+
+    from pyspark.sql import types as T
+
+    # copy the fields — StructType.add mutates the shared schema object
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, f.nullable) for f in vectors.schema.fields]
+        + [T.StructField("cell", T.LongType())]
+    )
+    return df.mapInPandas(kern, schema)
+
+
 def ivf_assign_probes(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -22,6 +22,7 @@ from clickhouse_build_spark.operators.similarity import (
     cosine_pairs_blocked,
     dot,
     ivf_assign,
+    ivf_assign_kernel,
     ivf_topk,
     ivf_train,
     lsh_bucketed_cosine_pairs,
@@ -1252,7 +1253,7 @@ def _ivfpq_encode(
     unit = _normalize(vectors)
     assigned = (
         unit.join(cells, "vec_id") if cells is not None
-        else ivf_assign(unit, cent)
+        else ivf_assign_kernel(unit, cent)
     )
     res = assigned.join(F.broadcast(cent), "cell").select(
         "vec_id",
@@ -1325,7 +1326,7 @@ def shared_subcell_centroids(spark: SparkSession, sf_dir: str):
         cent = shared_ivf_centroids(
             spark, sf_dir, k=ivfpq_cells(spark, sf_dir), iters=5
         )
-        assigned = ivf_assign(_unit_vectors(spark, sf_dir), cent)
+        assigned = ivf_assign_kernel(_unit_vectors(spark, sf_dir), cent)
         sub = train_subcells(
             assigned, cent, target_rows=SEMDEDUP_CELL_ROWS
         )
@@ -1708,7 +1709,7 @@ def shared_ivfpq_probes(
             # whose shuffle carried every scored struct — the r14
             # ladder's probe2 wall.
             from clickhouse_build_spark.operators.similarity import (
-                ivf_assign,
+                ivf_assign_kernel,
                 subcell_assign,
             )
 
@@ -1722,7 +1723,7 @@ def shared_ivfpq_probes(
                 "vec_id", "cell", "subcell",
                 F.lit(1).alias("probe_rank"),
             )
-            r2 = ivf_assign(
+            r2 = ivf_assign_kernel(
                 unit, cent, exclude=idx.select("vec_id", "cell")
             ).select(
                 "vec_id", "cell", F.lit(2).alias("probe_rank")
