@@ -399,7 +399,9 @@ def ivf_assign(
     ``exclude`` (r14): an (id, cell) frame of per-vector cells to skip
     — the multi-probe rank-2 pass ("next-best cell after the index's").
     It joins BROADCAST onto the scored stream (n narrow rows — never a
-    shuffle of the n×|cells| scored rows).
+    shuffle of the n×|cells| scored rows). LEFT join (ADVICE r14):
+    vectors with no exclusion row keep their full candidate set, the
+    same semantics as :func:`ivf_assign_kernel`'s masking.
     """
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "__cdist", cosine(F.col(vec_col), F.col("ce"))
@@ -410,7 +412,10 @@ def ivf_assign(
                 exclude.select(id_col, F.col("cell").alias("__xcell"))
             ),
             id_col,
-        ).filter(F.col("cell") != F.col("__xcell"))
+            "left",
+        ).filter(
+            F.col("__xcell").isNull() | (F.col("cell") != F.col("__xcell"))
+        )
     best = scored.groupBy(id_col).agg(
         F.max(
             F.struct(F.col("__cdist").alias("d"), (-F.col("cell")).alias("negc"))
@@ -485,7 +490,25 @@ def ivf_assign_kernel(
                 xc = pdf["__xcell"].values
                 mask = pd.notna(xc)
                 if mask.any():
-                    pos = np.searchsorted(cells_a, xc[mask].astype(np.int64))
+                    ids = xc[mask].astype(np.int64)
+                    pos = np.searchsorted(cells_a, ids)
+                    # Guard (ADVICE r14): searchsorted on a cell id
+                    # ABSENT from the centroid set returns an insertion
+                    # point — masking the wrong cell, or indexing out
+                    # of bounds past the last centroid. A stale/foreign
+                    # exclusion id must be loud, never a silent
+                    # wrong-cell mask.
+                    safe = pos < len(cells_a)
+                    if not safe.all() or (cells_a[pos[safe]] != ids[safe]).any():
+                        bad = ids[~safe] if not safe.all() else ids[
+                            safe
+                        ][cells_a[pos[safe]] != ids[safe]]
+                        raise ValueError(
+                            "ivf_assign_kernel: exclusion cell id(s) "
+                            f"{sorted(set(bad.tolist()))[:5]} not in the "
+                            "centroid set — stale or foreign exclusion "
+                            "frame (index/centroid artifact mismatch)"
+                        )
                     S[np.flatnonzero(mask), pos] = -np.inf
             out = pdf[in_cols].copy()
             out["cell"] = cells_a[np.argmax(S, axis=1)]

@@ -1232,17 +1232,16 @@ def _ivfpq_encode(
     spark: SparkSession,
     sf_dir: str,
     vectors: DataFrame,
-    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Encode a (vec_id, e) frame against the corpus's TRAINED
     artifacts (coarse centroids + residual codebooks) → (vec_id, cell,
     c0..c7). Shared by the index build and incremental append — the
     appended rows' codes are bit-identical to what a full re-encode
     would produce because both run this exact kernel against the same
-    trained tensors. ``cells`` (r14): a precomputed (vec_id, cell)
-    coarse assignment for exactly these vectors — the index build
-    passes the shared rank-1 frame so the n×|cells| scoring pass is
-    not repeated; append paths leave it None and assign here."""
+    trained tensors. Coarse assignment happens here (one vectorized
+    kernel pass over the input frame, ADVICE r14: no caller has a
+    precomputed assignment to share at encode time — the index IS
+    what first materializes rank 1)."""
     import numpy as np
     import pandas as pd
 
@@ -1251,10 +1250,7 @@ def _ivfpq_encode(
     )
     books = shared_pq_codebooks(spark, sf_dir)
     unit = _normalize(vectors)
-    assigned = (
-        unit.join(cells, "vec_id") if cells is not None
-        else ivf_assign_kernel(unit, cent)
-    )
+    assigned = ivf_assign_kernel(unit, cent)
     res = assigned.join(F.broadcast(cent), "cell").select(
         "vec_id",
         "cell",

@@ -317,3 +317,43 @@ def test_at_rest_default_root_is_user_private(monkeypatch):
     # explicit env override still wins verbatim
     monkeypatch.setenv("CHB_AT_REST_ROOT", "/some/where")
     assert sim._resolve_at_rest_base() == "/some/where"
+
+
+def test_ivf_assign_exclude_semantics(spark):
+    """ADVICE r15: ivf_assign's exclude must be a LEFT anti-mask —
+    vectors with no exclusion row keep their full candidate set (the
+    kernel's semantics), and ivf_assign_kernel must refuse a stale or
+    foreign exclusion cell id LOUDLY instead of masking a wrong cell
+    via searchsorted's insertion point."""
+    import numpy as np
+
+    from clickhouse_build_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_kernel,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, e array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (5, [0.0, 1.0])], "cell long, ce array<double>"
+    )
+    # vec 1 excluded from its best cell 0 -> lands in 5; vecs 2 and 3
+    # have NO exclusion row and must still be assigned (left join)
+    excl = spark.createDataFrame([(1, 0)], "vec_id long, cell long")
+    for fn in (ivf_assign, ivf_assign_kernel):
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in fn(vecs, cents, exclude=excl).collect()
+        }
+        assert got == {1: 5, 2: 5, 3: 0}, fn.__name__
+
+    # foreign exclusion ids: one between centroids (would mask the
+    # WRONG cell), one past the last centroid (would index OOB)
+    for bad_cell in (3, 99):
+        stale = spark.createDataFrame(
+            [(1, bad_cell)], "vec_id long, cell long"
+        )
+        with pytest.raises(Exception, match="not in the centroid set"):
+            ivf_assign_kernel(vecs, cents, exclude=stale).collect()
