@@ -66,10 +66,22 @@ CRUD_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE)\b", re.IGNORECASE)
 TABLE_RE = re.compile(
     r"\b(?:FROM|JOIN|INTO|UPDATE)\s+([A-Za-z_][\w.]*)", re.IGNORECASE
 )
-# builder-style source: drizzle `.from(expenses)`
-BUILDER_FROM_RE = re.compile(r"\.from\(\s*([A-Za-z_]\w*)\s*\)")
-# TypeORM string-named source: `.from('expenses', 'e')`
-TYPEORM_FROM_RE = re.compile(r"\.from\(\s*['\"]([A-Za-z_]\w*)['\"]")
+# builder-style source: drizzle `.from(expenses)` — same stdlib-receiver
+# lookbehind as TYPEORM_FROM_RE (`Array.from(chars)` is not a table)
+BUILDER_FROM_RE = re.compile(
+    r"(?<!\bArray)(?<!\bPromise)(?<!\bBuffer)(?<!\bObject)(?<!\bString)"
+    r"(?<!\bUint8Array)\.from\(\s*([A-Za-z_]\w*)\s*\)"
+)
+# TypeORM string-named source: `.from('expenses', 'e')`. Anchored away
+# from plain-JS `.from(...)` receivers (ADVICE r15: `Array.from('abc')`
+# inside an included snippet registered a phantom table) — the builder
+# source only follows a createQueryBuilder chain, so extract_tables
+# applies this pattern ONLY when the snippet carries one, and the
+# lookbehind drops the stdlib receivers outright.
+TYPEORM_FROM_RE = re.compile(
+    r"(?<!\bArray)(?<!\bPromise)(?<!\bBuffer)(?<!\bObject)(?<!\bString)"
+    r"(?<!\bUint8Array)\.from\(\s*['\"]([A-Za-z_]\w*)['\"]"
+)
 # kysely-style sources: `.selectFrom('expenses')`, joins by string name
 KYSELY_FROM_RE = re.compile(
     r"\.(?:selectFrom|innerJoin|leftJoin|rightJoin|fullJoin)\(\s*"
@@ -143,13 +155,10 @@ def extract_tables(snippet: str) -> list[str]:
     # word never becomes a phantom table (r12 hostile fixture)
     snippet = re.sub(r"(?m)^\s*//.*$", "", snippet)
     tables = []
-    for regex in (
-        TABLE_RE,
-        BUILDER_FROM_RE,
-        TYPEORM_FROM_RE,
-        KYSELY_FROM_RE,
-        KNEX_HEAD_RE,
-    ):
+    regexes = [TABLE_RE, BUILDER_FROM_RE, KYSELY_FROM_RE, KNEX_HEAD_RE]
+    if "createQueryBuilder" in snippet:
+        regexes.insert(2, TYPEORM_FROM_RE)
+    for regex in regexes:
         for m in regex.finditer(snippet):
             name = m.group(1).split(".")[-1].lower()
             if name not in SQL_KEYWORDS and name not in tables:
@@ -450,6 +459,78 @@ def scan_repo(root: str) -> QueryAnalysisResult:
         total_queries=len(queries),
         queries=queries,
     )
+
+
+_DJANGO_CLASS_RE = re.compile(r"(?m)^class\s+(\w+)\s*\(\s*models\.Model\b")
+_DJANGO_DB_TABLE_RE = re.compile(r"db_table\s*=\s*['\"]([\w.]+)['\"]")
+_TYPEORM_ENTITY_RE = re.compile(
+    r"@Entity\(\s*(?:['\"](\w+)['\"]|\{[^{}]*?name\s*:\s*['\"](\w+)['\"]"
+    r"[^{}]*\})\s*\)\s*(?:export\s+)?(?:default\s+)?(?:abstract\s+)?"
+    r"class\s+(\w+)"
+)
+
+
+def collect_model_tables(root: str) -> dict[str, str]:
+    """Resolve ORM model/entity classes VISIBLE in the repo to their
+    physical table names (r15, VERDICT #2/#3) — the found-or-loud
+    upgrade for the Django and TypeORM app classes: a QuerySet or
+    repository-scoped builder may emit ONLY when the class→table
+    binding is declared somewhere in the scanned repo.
+
+    - Django: ``class X(models.Model)`` → ``Meta.db_table`` when
+      declared in the class body, else Django's documented default
+      ``<app_label>_<lowercased class name>`` (app label = the package
+      directory holding ``models.py`` or the ``models/`` package).
+    - TypeORM: ``@Entity('t')`` / ``@Entity({name: 't'})`` directly
+      above a class declaration. A bare ``@Entity()`` is NOT resolved —
+      TypeORM's default naming strategy is configurable per data
+      source, so guessing would break the loud-failure contract.
+    """
+    out: dict[str, str] = {}
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if d not in EXCLUDED_DIRS]
+        for fn in sorted(filenames):
+            full = os.path.join(dirpath, fn)
+            if fn.endswith((".ts", ".tsx", ".js", ".jsx")):
+                try:
+                    text = open(full, encoding="utf-8", errors="ignore").read()
+                except OSError:
+                    continue
+                for m in _TYPEORM_ENTITY_RE.finditer(text):
+                    table = m.group(1) or m.group(2)
+                    out.setdefault(m.group(3), table)
+            elif fn == "models.py" or (
+                fn.endswith(".py")
+                and os.path.basename(dirpath) == "models"
+            ):
+                try:
+                    text = open(full, encoding="utf-8", errors="ignore").read()
+                except OSError:
+                    continue
+                app_dir = (
+                    os.path.dirname(dirpath)
+                    if os.path.basename(dirpath) == "models"
+                    else dirpath
+                )
+                app_label = os.path.basename(app_dir) or os.path.basename(
+                    os.path.abspath(root)
+                )
+                classes = list(_DJANGO_CLASS_RE.finditer(text))
+                for i, cm in enumerate(classes):
+                    end = (
+                        classes[i + 1].start()
+                        if i + 1 < len(classes)
+                        else len(text)
+                    )
+                    body = text[cm.start() : end]
+                    tm = _DJANGO_DB_TABLE_RE.search(body)
+                    out.setdefault(
+                        cm.group(1),
+                        tm.group(1)
+                        if tm
+                        else f"{app_label}_{cm.group(1).lower()}",
+                    )
+    return out
 
 
 if __name__ == "__main__":

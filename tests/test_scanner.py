@@ -98,3 +98,21 @@ def test_scan_repo_shapes(tmp_path):
     assert not any("crud" in loc for loc in locs)
     d = result.to_dict()
     assert set(d) == {"tables", "total_tables", "total_queries", "queries"}
+
+
+def test_plain_js_from_receivers_are_not_tables():
+    """ADVICE r15: `Array.from('abc')` (and friends) inside an included
+    snippet must not register a phantom table; the TypeORM string-named
+    .from() only counts when the snippet carries a createQueryBuilder
+    chain."""
+    from clickhouse_build_spark.scanner import extract_tables
+
+    snip = (
+        "const chars = Array.from('abc');\n"
+        "const buf = Buffer.from('xyz');\n"
+        "const r = await ds.createQueryBuilder().from('expenses', 'e')\n"
+        "  .select('COUNT(*)', 'n').groupBy('e.category');"
+    )
+    assert extract_tables(snip) == ["expenses"]
+    # no builder chain at all: the quoted .from() is plain JS
+    assert extract_tables("const a = Array.from('abc'); sum(a)") == []
