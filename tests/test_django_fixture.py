@@ -45,9 +45,9 @@ def test_models_file_contributes_nothing(scan):
         assert not q.location.startswith("analytics/models.py"), q.location
 
 
-def test_django_emission_fails_loudly(scan):
-    """Found-or-loud: the QuerySet sites are reported but refuse
-    emission with the Django-specific reason."""
+def test_django_emission_fails_loudly_without_model_context(scan):
+    """Found-or-loud: without the repo's model bindings the QuerySet
+    sites refuse emission with the Django-specific reason."""
     for prefix in ("analytics/views.py:L15-", "analytics/views.py:L25-"):
         q = next(x for x in scan.queries if x.location.startswith(prefix))
         with pytest.raises(ValueError, match="Django ORM site"):
@@ -60,3 +60,122 @@ def test_django_emission_fails_loudly(scan):
                     }
                 ]
             )
+
+
+def _specs_with_repo(scan, prefix):
+    q = next(x for x in scan.queries if x.location.startswith(prefix))
+    return build_method_specs(
+        [
+            {
+                "description": q.description,
+                "code": q.code,
+                "location": q.location,
+            }
+        ],
+        repo_path=str(APP),
+    )
+
+
+def test_django_sites_emit_with_visible_model(scan):
+    """r15 (VERDICT #2): the model class IS visible in the repo
+    (``class Expense(models.Model)`` in analytics/models.py, default
+    ``analytics_expense`` naming) — both QuerySet sites derive raw SQL
+    through the same spec machinery as kysely/knex/typeorm."""
+    (s,) = _specs_with_repo(scan, "analytics/views.py:L15-")
+    assert s.orm == "django"
+    assert s.pg_sql == (
+        "SELECT category, SUM(amount) AS total, COUNT(id) AS n "
+        "FROM analytics_expense ${whereClause} "
+        "GROUP BY category ORDER BY total DESC"
+    )
+    (s2,) = _specs_with_repo(scan, "analytics/views.py:L25-")
+    assert s2.orm == "django"
+    assert s2.pg_sql == (
+        "SELECT SUM(amount) AS total, AVG(amount) AS avg, COUNT(id) AS n"
+        " FROM analytics_expense ${whereClause}"
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    import datetime as dt
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            round(rng.uniform(1, 250), 2),
+            rng.choice(["Food", "Travel", "Office", None]),
+            dt.date(2024, 2, 1) + dt.timedelta(days=rng.randrange(90)),
+        )
+        for i in range(1, 151)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("category", T.StringType()),
+            T.StructField("date", T.DateType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        "analytics_expense"
+    )
+    return spark
+
+
+def test_django_emitted_arms_row_equal(scan, planted):
+    """The emitted CH arm row-equals the PG arm on a planted corpus —
+    the same round-trip bar as the real-app fixture."""
+    from clickhouse_build_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine(SF_SMOKE, spark=planted)
+    for prefix in ("analytics/views.py:L15-", "analytics/views.py:L25-"):
+        (s,) = _specs_with_repo(scan, prefix)
+        got = eng.sql(
+            s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse"
+        ).collect()
+        want = eng.sql(
+            s.pg_sql.replace("${whereClause}", ""), dialect="postgres"
+        ).collect()
+        assert len(got) == len(want) and len(got) > 0
+        for g, w in zip(got, want):
+            for gv, wv in zip(tuple(g), tuple(w)):
+                if isinstance(gv, float):
+                    assert gv == pytest.approx(wv, rel=1e-9)
+                else:
+                    assert gv == wv
+
+
+def test_django_untranslatable_shapes_stay_loud():
+    """The never-silently-drop contract, Django arm: a .filter() the
+    translator cannot carry, an invisible model, annotate without
+    grouping, and non-column aggregate args all refuse."""
+    mt = {"Expense": "analytics_expense"}
+    from clickhouse_build_spark.code_emitter import parse_django
+
+    with pytest.raises(ValueError, match="Django chain method .filter"):
+        parse_django(
+            "Expense.objects.filter(status='paid')"
+            ".values('category').annotate(total=Sum('amount'))",
+            mt,
+        )
+    with pytest.raises(ValueError, match="no visible models.Model"):
+        parse_django(
+            "Invoice.objects.values('c').annotate(total=Sum('amount'))",
+            mt,
+        )
+    with pytest.raises(ValueError, match="per-row annotation"):
+        parse_django("Expense.objects.annotate(total=Sum('amount'))", mt)
+    with pytest.raises(ValueError, match="untranslatable Django aggregate"):
+        parse_django(
+            "Expense.objects.aggregate(n=Count('id', distinct=True))", mt
+        )
+    with pytest.raises(ValueError, match="untranslatable Django aggregate"):
+        parse_django("Expense.objects.aggregate(n=Count('pk'))", mt)
+    # not a Django site at all -> None, never a guess
+    assert parse_django("const x = await repo.sum('amount')", mt) is None

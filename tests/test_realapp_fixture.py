@@ -274,10 +274,66 @@ def test_typeorm_from_chain_roundtrips(scan, planted):
 
 def test_typeorm_repository_chain_fails_loudly(scan):
     """The repository-scoped builder names NO table in the chain (it
-    lives in the @Entity decorator) — emit refuses with the reason,
-    never guesses a table from the alias string."""
+    lives in the @Entity decorator) — WITHOUT repo context, emit
+    refuses with the reason, never guesses a table from the alias."""
     with pytest.raises(ValueError, match="entity's table name"):
         build_method_specs([_spec_for(scan, "services/metrics.ts:L24")])
+
+
+def test_typeorm_repository_chain_emits_with_visible_entity(scan, planted):
+    """r15 (VERDICT #3): with the repo visible, the receiver's
+    ``getRepository(Expense)`` binding + the ``@Entity('expenses')``
+    declaration in entities/expense.ts resolve the table — the chain
+    emits and its CH arm row-equals the PG arm on the planted corpus."""
+    (s,) = build_method_specs(
+        [_spec_for(scan, "services/metrics.ts:L24")], repo_path=str(APP)
+    )
+    assert s.orm == "typeorm"
+    assert "FROM expenses expense" in s.pg_sql
+    assert "AVG(expense.amount) AS avg_amount" in s.pg_sql
+    eng = _engine(planted)
+    got = eng.sql(
+        s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse"
+    ).collect()
+    want = eng.sql(
+        s.pg_sql.replace("${whereClause}", ""), dialect="postgres"
+    ).collect()
+    _rows_equal(got, want)
+    assert len(got) == 4  # four months planted
+    assert [r["month"] for r in got] == sorted(r["month"] for r in got)
+
+
+def test_typeorm_invisible_entity_stays_loud(tmp_path):
+    """A repository chain whose entity declaration is NOT in the repo
+    keeps the loud refusal even with repo context."""
+    svc = tmp_path / "svc.ts"
+    svc.write_text(
+        "import { AuditLog } from 'some-external-package';\n"
+        "export async function f() {\n"
+        "  const repo = dataSource.getRepository(AuditLog);\n"
+        "  const rows = await repo\n"
+        "    .createQueryBuilder('a')\n"
+        "    .select('COUNT(*)', 'n')\n"
+        "    .groupBy('a.kind')\n"
+        "    .getRawMany();\n"
+        "  return rows;\n"
+        "}\n"
+    )
+    with pytest.raises(ValueError, match="entity's table name"):
+        build_method_specs(
+            [
+                {
+                    "description": "x",
+                    "location": "svc.ts:L4-8",
+                    "code": "const rows = await repo\n"
+                    "    .createQueryBuilder('a')\n"
+                    "    .select('COUNT(*)', 'n')\n"
+                    "    .groupBy('a.kind')\n"
+                    "    .getRawMany()",
+                }
+            ],
+            repo_path=str(tmp_path),
+        )
 
 
 def test_typeorm_untranslatable_shapes_fail_loudly():
@@ -318,3 +374,57 @@ def test_typeorm_untranslatable_shapes_fail_loudly():
                 }
             ]
         )
+
+
+def test_chain_args_never_silently_dropped():
+    """ADVICE r15 (high): a chain method whose NAME is allowlisted but
+    whose ARGUMENTS miss the parse regexes must raise, never vanish
+    from the emitted SQL — a backtick-quoted projection or a
+    non-literal .limit(n) would otherwise silently change the row set.
+    A join followed by a trailing // comment must parse (not drop)."""
+    head = (
+        "const r = await ds.createQueryBuilder().from('expenses', 'e')"
+        ".select('e.category', 'category')"
+    )
+    # positive: trailing // comment after the join's ')' still parses
+    (s,) = build_method_specs(
+        [
+            {
+                "description": "x",
+                "location": "x:L1",
+                "code": head
+                + ".innerJoin('users', 'u', 'u.id = e.user_id') // join the owners\n"
+                + ".groupBy('e.category')",
+            }
+        ]
+    )
+    assert "JOIN users u ON u.id = e.user_id" in s.pg_sql
+    for code, why in [
+        # backtick-quoted addSelect loses the SUM projection
+        (
+            head + ".addSelect(`SUM(e.amount)`, 'total').groupBy('e.category')",
+            r"2 \.select\|addSelect",
+        ),
+        # non-literal limit
+        (head + ".limit(pageSize)", r"\.limit\|take"),
+        (
+            "const r = await db.selectFrom('expenses').select(['category'])"
+            ".limit(pageSize)",
+            r"kysely chain: 1 \.limit",
+        ),
+        (
+            "return knex('expenses').sum('amount as total').limit(n)",
+            r"knex chain: 1 \.limit",
+        ),
+        # kysely callback-form join the arg regex cannot parse
+        (
+            "const r = await db.selectFrom('expenses')"
+            ".innerJoin('users', (join) => join.onRef('u.id', '=', 'e.user_id'))"
+            ".select(['category'])",
+            r"kysely chain",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            build_method_specs(
+                [{"description": "x", "location": "x:L1", "code": code}]
+            )
