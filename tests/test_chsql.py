@@ -2891,6 +2891,53 @@ def test_pg_jsonb_path_exists_and_query(spark):
     assert [x["hi"] for x in r] == [False, True, None, None, None]
 
 
+def test_pg_jsonb_path_like_regex_and_item_methods(spark):
+    """r15 (VERDICT #4): literal-pattern ``like_regex`` → RLIKE on the
+    variant-string cast (non-strings stay Unknown → dropped, exactly
+    lax filters), ``starts with``, and the terminal
+    ``.double()/.size()/.type()`` item methods."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    def ids(pred):
+        rows = run_pg_sql(
+            spark, f"SELECT id FROM {_JP_DOCS} WHERE {pred} ORDER BY id"
+        ).collect()
+        return [r["id"] for r in rows]
+
+    # regex over tag strings; doc 2 has only tag "a"
+    assert ids(
+        'jsonb_path_exists(j, \'$.items[*] ? (@.tag like_regex "^[b-z]$")\')'
+    ) == [1]
+    # backslash class: PG doubles inside the jsonpath string literal
+    assert ids(
+        'jsonb_path_exists(j, \'$.meta.type ? (@ like_regex "^v\\\\w+w$")\')'
+    ) == [1, 3, 4]
+    # non-string operands are Unknown, never stringified-and-matched
+    assert ids(
+        'jsonb_path_exists(j, \'$.items[*] ? (@.v like_regex ".")\')'
+    ) == []
+    assert ids(
+        'jsonb_path_exists(j, \'$.meta.type ? (@ starts with "vi")\')'
+    ) == [1, 3, 4]
+
+    r = run_pg_sql(
+        spark,
+        f"""SELECT id,
+               jsonb_path_query_first(j, '$.meta.k.double()')::float8 AS kd,
+               jsonb_path_query_first(j, '$.items.size()')::int AS nitems,
+               jsonb_path_query_first(j, '$.tags.type()') AS tagty,
+               jsonb_path_query_first(j, '$.meta.type.type()') AS strty
+            FROM {_JP_DOCS} ORDER BY id""",
+    ).collect()
+    # .double(): 10 / 99 / JSON null drops (non-convertible) / missing
+    assert [x["kd"] for x in r] == [10.0, 99.0, None, None, None]
+    # .size(): array lengths; missing key -> empty sequence
+    assert [x["nitems"] for x in r] == [2, 1, 0, None, None]
+    # .type(): jsonb type names as jsonb strings (quoted, like PG)
+    assert [x["tagty"] for x in r] == ['"array"', '"array"', '"array"', None, None]
+    assert [x["strty"] for x in r] == ['"string"'] * 4 + [None]
+
+
 def test_pg_jsonb_path_loud_failures():
     """Outside-the-subset jsonpath shapes fail at translate time."""
     from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
@@ -2899,8 +2946,22 @@ def test_pg_jsonb_path_loud_failures():
         P("SELECT jsonb_path_exists(j, 'strict $.a') FROM t")
     with pytest.raises(ValueError, match="outside the translated subset"):
         P("SELECT jsonb_path_exists(j, '$.a.**.b') FROM t")
-    with pytest.raises(ValueError, match="like_regex"):
-        P("SELECT jsonb_path_exists(j, '$.a ? (@ like_regex \"x\")') FROM t")
+    # like_regex with a literal pattern now TRANSLATES (r15); flags,
+    # non-string patterns, and PG's un-doubled-backslash error stay loud
+    assert "RLIKE 'x'" in P(
+        "SELECT jsonb_path_exists(j, '$.a ? (@ like_regex \"x\")') FROM t"
+    )
+    with pytest.raises(ValueError, match="flag"):
+        P(
+            'SELECT jsonb_path_exists(j, \'$.a ? (@ like_regex "x" '
+            "flag \"i\")') FROM t"
+        )
+    with pytest.raises(ValueError, match="backslashes must be doubled"):
+        P('SELECT jsonb_path_exists(j, \'$.a ? (@ like_regex "\\d")\') FROM t')
+    with pytest.raises(ValueError, match="item method"):
+        P("SELECT jsonb_path_query_first(j, '$.a.ceiling()') FROM t")
+    with pytest.raises(ValueError, match="final step"):
+        P("SELECT jsonb_path_query_first(j, '$.a.size().double()') FROM t")
     with pytest.raises(ValueError, match="subscript"):
         P("SELECT jsonb_path_exists(j, '$.a[last]') FROM t")
     with pytest.raises(ValueError, match="string literal"):
