@@ -3604,6 +3604,271 @@ def _jsonpath_pred_sql(var: str, pred) -> str:
     return f"({tj} != 'null')"
 
 
+def _jsonb_new_value(arg: str, fn: str) -> str:
+    """A ``jsonb_set``/``jsonb_insert`` new-value argument → Spark
+    variant expression. Literal ``'<json>'`` (optionally ``::jsonb``)
+    only — a dynamic value can't be validated at translate time and
+    stays loud (r15, the mutation-family contract)."""
+    import json as _json
+    import re
+
+    vm = re.fullmatch(r"\s*'((?:[^']|'')*)'(\s*::\s*jsonb?\b)?\s*", arg)
+    if vm is None:
+        raise ValueError(
+            f"{fn}: the new value must be a literal '<json>' string "
+            f"(optionally ::jsonb) — dynamic values are not "
+            f"translatable: {arg[:60]!r}"
+        )
+    raw = vm.group(1).replace("''", "'")
+    try:
+        _json.loads(raw)
+    except ValueError:
+        raise ValueError(f"{fn}: new value is not valid JSON: {raw[:60]!r}")
+    return f"parse_json({_sql_str(raw)})"
+
+
+def _jsonb_mut_path(arg: str, fn: str, max_depth: int = 2) -> list:
+    """A literal ``'{a,b,0}'`` text[] path → step list of str keys /
+    int indexes, bounded to ``max_depth`` (deeper or dynamic paths are
+    loud; negative array indexes too)."""
+    import re
+
+    pm = re.fullmatch(
+        r"\s*'\{([^}']*)\}'(\s*::\s*text\s*\[\s*\])?\s*", arg
+    )
+    if pm is None:
+        raise ValueError(
+            f"{fn}: the path must be a literal '{{a,b,...}}' text "
+            f"array: {arg[:60]!r}"
+        )
+    parts: list = []
+    for p in pm.group(1).split(","):
+        p = p.strip().strip('"')
+        if not p:
+            continue
+        if re.fullmatch(r"-\d+", p):
+            raise ValueError(
+                f"{fn}: negative array indexes are not translatable"
+            )
+        parts.append(int(p) if p.isdigit() else p)
+    if not parts or len(parts) > max_depth:
+        raise ValueError(
+            f"{fn}: only paths of depth 1-{max_depth} are translatable "
+            f"(got {len(parts)} steps)"
+        )
+    return parts
+
+
+def _jsonb_obj_set(mv: str, key: str, val: str, ctr) -> str:
+    """Rebuild a MAP<STRING,VARIANT> expr with ``key`` set to variant
+    expr ``val`` (replace-or-append)."""
+    a = f"__mu{next(ctr)}k"
+    b = f"__mu{next(ctr)}v"
+    return (
+        f"map_concat(map_filter({mv}, ({a}, {b}) -> "
+        f"{a} != {_sql_str(key)}), map({_sql_str(key)}, {val}))"
+    )
+
+
+def _jsonb_arr_insert(av: str, idx: int, val: str) -> str:
+    """Rebuild an ARRAY<VARIANT> expr with ``val`` inserted at 0-based
+    ``idx`` (past-the-end appends, exactly PG jsonb_insert)."""
+    return (
+        f"concat(slice({av}, 1, {idx}), array({val}), "
+        f"slice({av}, {idx + 1}, greatest(size({av}) - {idx}, 0)))"
+    )
+
+
+def _jsonb_arr_delete(av: str, idx: int) -> str:
+    """Rebuild an ARRAY<VARIANT> expr with the element at 0-based
+    ``idx`` removed (out-of-range leaves the array unchanged)."""
+    return (
+        f"concat(slice({av}, 1, {idx}), "
+        f"slice({av}, {idx + 2}, greatest(size({av}) - {idx} - 1, 0)))"
+    )
+
+
+def _jsonb_mutation_sql(
+    kind: str, operand: str, parts: list, val: str | None, ctr,
+    create: bool = True, after: bool = False,
+) -> str:
+    """Compile one jsonb mutation (r15, VERDICT #5 — ``jsonb_set`` /
+    ``jsonb_insert`` / ``- 'key'`` / ``- N`` / ``#- '{path}'``) over a
+    jsonb-text ``operand`` into a Spark SQL expression producing the
+    mutated JSON TEXT, via VARIANT → map/array rebuild → ``to_json``.
+
+    Documented deviations from PG (all value-visible, none silent
+    corruption): key order in the rebuilt text is insertion order, not
+    PG's jsonb canonical order (extract mutated fields rather than
+    hash whole texts across engines); PG raises on a non-object/array
+    target or an existing ``jsonb_insert`` key — here the target
+    passes through unchanged (the lax-drop discipline the jsonpath
+    compiler uses)."""
+    r = f"__mu{next(ctr)}r"
+    root = f"try_parse_json({operand})"
+    # bind the parsed root once: a 1-element transform, same pattern
+    # as jsonb_path_match
+    def wrap(body: str) -> str:
+        return (
+            f"try_element_at(transform(array({root}), {r} -> {body}), 1)"
+        )
+
+    rm_ = f"try_cast({r} AS MAP<STRING, VARIANT>)"
+    ra = f"try_cast({r} AS ARRAY<VARIANT>)"
+    orig = f"to_json({r})"
+    if kind == "set":
+        if len(parts) == 1:
+            k = parts[0]
+            if isinstance(k, int):
+                # root-level array element replace; out-of-range
+                # appends when create_if_missing (the PG rule)
+                oob = (
+                    f"to_json(concat({ra}, array({val})))"
+                    if create
+                    else orig
+                )
+                body = (
+                    f"CASE WHEN {ra} IS NULL THEN {orig} "
+                    f"WHEN size({ra}) <= {k} THEN {oob} ELSE to_json("
+                    + _jsonb_arr_insert(_jsonb_arr_delete(ra, k), k, val)
+                    + ") END"
+                )
+                return wrap(body)
+            guard = (
+                ""
+                if create
+                else f"WHEN NOT map_contains_key({rm_}, {_sql_str(k)}) "
+                f"THEN {orig} "
+            )
+            body = (
+                f"CASE WHEN {rm_} IS NULL THEN {orig} {guard}ELSE "
+                f"to_json({_jsonb_obj_set(rm_, k, val, ctr)}) END"
+            )
+            return wrap(body)
+        a, b = parts
+        if isinstance(a, int) or not isinstance(b, (str, int)):
+            raise ValueError(
+                "jsonb_set: 2-step paths translate as {key,key} or "
+                "{key,index} only"
+            )
+        inner = f"try_variant_get({r}, {_sql_str('$' + _json_path_part(a, None))}, 'variant')"
+        if isinstance(b, int):
+            ia = f"try_cast({inner} AS ARRAY<VARIANT>)"
+            oob = f"concat({ia}, array({val}))" if create else ia
+            new_inner = (
+                f"CASE WHEN size({ia}) <= {b} THEN {oob} ELSE "
+                + _jsonb_arr_insert(_jsonb_arr_delete(ia, b), b, val)
+                + " END"
+            )
+            body = (
+                f"CASE WHEN {rm_} IS NULL OR {ia} IS NULL THEN {orig} "
+                f"ELSE to_json({_jsonb_obj_set(rm_, a, f'try_parse_json(to_json({new_inner}))', ctr)}) END"
+            )
+            return wrap(body)
+        im = f"try_cast({inner} AS MAP<STRING, VARIANT>)"
+        guard = (
+            ""
+            if create
+            else f"WHEN NOT map_contains_key({im}, {_sql_str(b)}) "
+            f"THEN {orig} "
+        )
+        new_inner = f"try_parse_json(to_json({_jsonb_obj_set(im, b, val, ctr)}))"
+        body = (
+            f"CASE WHEN {rm_} IS NULL OR {im} IS NULL THEN {orig} "
+            f"{guard}ELSE "
+            f"to_json({_jsonb_obj_set(rm_, a, new_inner, ctr)}) END"
+        )
+        return wrap(body)
+    if kind == "insert":
+        if len(parts) == 1:
+            k = parts[0]
+            if isinstance(k, int):
+                body = (
+                    f"CASE WHEN {ra} IS NULL THEN {orig} ELSE to_json("
+                    + _jsonb_arr_insert(ra, k + 1 if after else k, val)
+                    + ") END"
+                )
+                return wrap(body)
+            # object key: PG inserts only when absent (raises when
+            # present; here the present case passes through)
+            body = (
+                f"CASE WHEN {rm_} IS NULL OR "
+                f"map_contains_key({rm_}, {_sql_str(k)}) THEN {orig} "
+                f"ELSE to_json({_jsonb_obj_set(rm_, k, val, ctr)}) END"
+            )
+            return wrap(body)
+        a, b = parts
+        if not isinstance(a, str) or not isinstance(b, int):
+            raise ValueError(
+                "jsonb_insert: 2-step paths translate as {key,index} "
+                "only"
+            )
+        inner = f"try_variant_get({r}, {_sql_str('$' + _json_path_part(a, None))}, 'variant')"
+        ia = f"try_cast({inner} AS ARRAY<VARIANT>)"
+        new_inner = _jsonb_arr_insert(ia, b + 1 if after else b, val)
+        body = (
+            f"CASE WHEN {rm_} IS NULL OR {ia} IS NULL THEN {orig} ELSE "
+            f"to_json({_jsonb_obj_set(rm_, a, f'try_parse_json(to_json({new_inner}))', ctr)}) END"
+        )
+        return wrap(body)
+    if kind == "del_key":
+        (k,) = parts
+        a1 = f"__mu{next(ctr)}k"
+        a2 = f"__mu{next(ctr)}v"
+        e = f"__mu{next(ctr)}e"
+        return wrap(
+            f"CASE WHEN {rm_} IS NOT NULL THEN to_json(map_filter({rm_}, "
+            f"({a1}, {a2}) -> {a1} != {_sql_str(k)})) "
+            f"WHEN {ra} IS NOT NULL THEN to_json(filter({ra}, {e} -> "
+            f"to_json({e}) != {_sql_str(_js_quote(k))})) "
+            f"ELSE {orig} END"
+        )
+    if kind == "del_idx":
+        (idx,) = parts
+        return wrap(
+            f"CASE WHEN {ra} IS NULL THEN {orig} ELSE "
+            f"to_json({_jsonb_arr_delete(ra, idx)}) END"
+        )
+    # del_path (#-)
+    if len(parts) == 1:
+        return _jsonb_mutation_sql(
+            "del_idx" if isinstance(parts[0], int) else "del_key",
+            operand, parts, None, ctr,
+        )
+    a, b = parts
+    if isinstance(a, int):
+        raise ValueError(
+            "#-: 2-step paths translate as {key,key} or {key,index} only"
+        )
+    inner = f"try_variant_get({r}, {_sql_str('$' + _json_path_part(a, None))}, 'variant')"
+    if isinstance(b, int):
+        ia = f"try_cast({inner} AS ARRAY<VARIANT>)"
+        new_inner = f"try_parse_json(to_json({_jsonb_arr_delete(ia, b)}))"
+        body = (
+            f"CASE WHEN {rm_} IS NULL OR {ia} IS NULL THEN {orig} ELSE "
+            f"to_json({_jsonb_obj_set(rm_, a, new_inner, ctr)}) END"
+        )
+        return wrap(body)
+    im = f"try_cast({inner} AS MAP<STRING, VARIANT>)"
+    a1 = f"__mu{next(ctr)}k"
+    a2 = f"__mu{next(ctr)}v"
+    new_inner = (
+        f"try_parse_json(to_json(map_filter({im}, ({a1}, {a2}) -> "
+        f"{a1} != {_sql_str(b)})))"
+    )
+    body = (
+        f"CASE WHEN {rm_} IS NULL OR {im} IS NULL THEN {orig} ELSE "
+        f"to_json({_jsonb_obj_set(rm_, a, new_inner, ctr)}) END"
+    )
+    return wrap(body)
+
+
+def _js_quote(s: str) -> str:
+    import json as _json
+
+    return _json.dumps(s, ensure_ascii=False)
+
+
 def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
     """Compile parsed jsonpath steps over a jsonb-text ``operand``
     into one Spark SQL expression producing the lax-mode result
@@ -4491,6 +4756,114 @@ def translate_pg_sql(text: str, params=None) -> str:
             + " / 1000000.0)"
             + text[close + 1 :]
         )
+
+    # jsonb MUTATION family (r15, VERDICT #5): jsonb_set /
+    # jsonb_insert (literal path + literal value), `X::jsonb - 'key'`
+    # / `X::jsonb - N` delete operators (the explicit ::jsonb cast
+    # disambiguates from PG interval/numeric subtraction — an untyped
+    # `x - 'k'` is ambiguous at translate time and stays untouched),
+    # and `#- '{a,b}'` path delete. Each compiles to a VARIANT →
+    # map/array rebuild → to_json reconstruction (_jsonb_mutation_sql).
+    # Emitted text contains lambda arrows, so this runs AFTER the
+    # ->/->> passes, in the same cursor-based zone as jsonb_path_*.
+    _mu_ctr = iter(range(1_000_000))
+    pos = 0
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bjsonb_(set|insert)\s*\(", text[pos:], re.IGNORECASE
+        ):
+            if any(a <= pos + mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        h0 = pos + hit.start()
+        fn = "jsonb_" + hit.group(1).lower()
+        args, close = _parse_args(text, pos + hit.end() - 1)
+        if len(args) not in (3, 4):
+            raise ValueError(f"{fn} takes 3 or 4 arguments")
+        operand = args[0].strip()
+        parts = _jsonb_mut_path(args[1], fn)
+        val = _jsonb_new_value(args[2], fn)
+        flag = False
+        if len(args) == 4:
+            fm = re.fullmatch(r"\s*(true|false)\s*", args[3], re.IGNORECASE)
+            if fm is None:
+                raise ValueError(
+                    f"{fn}: the boolean argument must be a literal "
+                    "true/false"
+                )
+            flag = fm.group(1).lower() == "true"
+        if fn == "jsonb_set":
+            repl = _jsonb_mutation_sql(
+                "set", operand, parts, val, _mu_ctr,
+                create=(flag if len(args) == 4 else True),
+            )
+        else:
+            repl = _jsonb_mutation_sql(
+                "insert", operand, parts, val, _mu_ctr, after=flag
+            )
+        text = text[:h0] + repl + text[close + 1 :]
+        pos = h0 + len(repl)
+
+    # `X::jsonb - 'key'` / `X::jsonb - N` (minus-delete). Loops so
+    # chained deletes with explicit casts compose:
+    # (j::jsonb - 'a')::jsonb - 'b'.
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"::\s*jsonb\s*-(?!>)\s*(?:'((?:[^']|'')*)'|(\d+))", text
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        start = _cast_operand_start(text, hit.start())
+        operand = text[start : hit.start()].rstrip()
+        if hit.group(2) is not None:
+            repl = _jsonb_mutation_sql(
+                "del_idx", operand, [int(hit.group(2))], None, _mu_ctr
+            )
+        else:
+            key = hit.group(1).replace("''", "'")
+            repl = _jsonb_mutation_sql(
+                "del_key", operand, [key], None, _mu_ctr
+            )
+        text = text[:start] + repl + text[hit.end() :]
+
+    # `X #- '{a,b}'` path delete (token is unambiguous — no cast
+    # needed; the #>/#>> pass never matches '#-').
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"#-", text):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        rm = re.match(
+            r"\s*('\{[^}']*\}'(?:\s*::\s*text\s*\[\s*\])?)",
+            text[hit.end() :],
+        )
+        if rm is None:
+            raise ValueError(
+                "#- needs a literal '{a,b,...}' path array"
+            )
+        parts = _jsonb_mut_path(rm.group(1), "#-")
+        start = _cast_operand_start(text, hit.start())
+        operand = text[start : hit.start()].rstrip()
+        repl = _jsonb_mutation_sql(
+            "del_path", operand, parts, None, _mu_ctr
+        )
+        text = text[:start] + repl + text[hit.end() + rm.end() :]
 
     # SQL/JSONPath functions (r14, VERDICT #5): the bounded lax-mode
     # subset compiles to codegen built-ins over the VARIANT reader —

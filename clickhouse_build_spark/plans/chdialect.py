@@ -1599,3 +1599,111 @@ def pg_dialect_jsonb_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         params=['{"meta": {"type": "view"}}'],
     )
+
+
+@query(
+    "pg_dialect_jsonb_mutation",
+    oracle="""
+    WITH enriched AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             '{"meta":{"k":' || json_extract_string(props, '$.k')
+             || ',"u":1},"tags":["a","b","c"]}' AS j
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    mutated AS (
+      SELECT event_type, k,
+             json_merge_patch(j, '{"meta":{"k":0}}') AS j_zero,
+             json_merge_patch(j, '{"status":"done"}') AS j_status,
+             '{"meta":{"k":' || CAST(k AS VARCHAR)
+               || ',"u":1},"tags":["a","x","b","c"]}' AS j_ins,
+             json_merge_patch(j, '{"meta":null}') AS j_nometa,
+             json_merge_patch(j, '{"meta":{"u":null}}') AS j_nou
+      FROM enriched
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(j_zero, '$.meta.k')
+                AS BIGINT)) AS BIGINT) AS sum_k_zeroed,
+           CAST(count(*) FILTER (
+                json_extract_string(j_status, '$.status') = 'done'
+             ) AS BIGINT) AS n_status,
+           min(json_extract_string(j_ins, '$.tags[1]')) AS ins_tag,
+           CAST(count(*) FILTER (
+                list_contains(json_keys(j_nometa), 'meta')
+             ) AS BIGINT) AS n_meta_left,
+           CAST(sum(CAST(json_extract_string(j_nou, '$.meta.k')
+                AS BIGINT)) AS BIGINT) AS sum_k_kept,
+           CAST(count(*) FILTER (
+                json_extract_string(j_nou, '$.meta.u') IS NOT NULL
+             ) AS BIGINT) AS n_u_left
+    FROM mutated
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("dialect", "postgres-sql", "json", "jsonb-mutation"),
+)
+def pg_dialect_jsonb_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jsonb MUTATION family (r15, VERDICT #5): ``jsonb_set``
+    (nested path keeping siblings + top-level create),
+    ``jsonb_insert`` (array position insert), the ``- 'key'`` delete
+    operator (behind the explicit ``::jsonb`` cast that disambiguates
+    it from interval subtraction), and ``#- '{a,b}'`` path delete —
+    each compiled at translate time to a VARIANT → map/array rebuild →
+    ``to_json`` reconstruction (codegen built-ins, no UDF), then
+    probed back out with ``#>>``/``->>``/``?`` so the verified values
+    are scalars (PG orders jsonb keys canonically, Spark's rebuild is
+    insertion-ordered — whole-text compares are documented off the
+    contract).
+
+    The oracle re-derives every mutation on DuckDB: RFC-7386
+    ``json_merge_patch`` expresses the nested set, top-level create,
+    key delete, and nested delete (null = remove); the array insert —
+    outside merge-patch's vocabulary — is rebuilt from the same
+    constant construction the corpus synthesizes.
+
+    Scale: translate-time constant expansion; one scan + one grouped
+    aggregate, map-side combinable.
+
+    Reference parity: the reference ships PG payload-maintenance
+    UPDATE ... SET col = jsonb_set(...) statements verbatim to PG
+    (src/prompts/scanner.py query-surface contract); here the same
+    expressions evaluate on Spark."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        WITH enriched AS (
+          SELECT event_type,
+                 (props ->> 'k')::int8 AS k,
+                 '{"meta":{"k":' || (props ->> 'k')
+                 || ',"u":1},"tags":["a","b","c"]}' AS j
+          FROM events
+          WHERE (props ->> 'k') IS NOT NULL
+        ),
+        mutated AS (
+          SELECT event_type, k,
+                 jsonb_set(j, '{meta,k}', '0') AS j_zero,
+                 jsonb_set(j, '{status}', '"done"') AS j_status,
+                 jsonb_insert(j, '{tags,1}', '"x"') AS j_ins,
+                 j::jsonb - 'meta' AS j_nometa,
+                 j #- '{meta,u}' AS j_nou
+          FROM enriched
+        )
+        SELECT event_type,
+               count(*)::int8 AS n,
+               sum((j_zero #>> '{meta,k}')::int8)::int8 AS sum_k_zeroed,
+               (count(*) FILTER (WHERE (j_status ->> 'status') = 'done')
+                 )::int8 AS n_status,
+               min(j_ins #>> '{tags,1}') AS ins_tag,
+               (count(*) FILTER (WHERE j_nometa ? 'meta'))::int8
+                 AS n_meta_left,
+               sum((j_nou #>> '{meta,k}')::int8)::int8 AS sum_k_kept,
+               (count(*) FILTER (WHERE (j_nou #>> '{meta,u}') IS NOT NULL)
+                 )::int8 AS n_u_left
+        FROM mutated
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )

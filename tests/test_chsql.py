@@ -2938,6 +2938,83 @@ def test_pg_jsonb_path_like_regex_and_item_methods(spark):
     assert [x["strty"] for x in r] == ['"string"'] * 4 + [None]
 
 
+_MU_DOCS = """VALUES
+  (1, '{"a":1,"b":{"c":2,"d":3},"arr":[10,20,30]}'),
+  (2, '{"a":"x","arr":[]}'),
+  (3, '[5,6]'),
+  (4, NULL) AS t(id, j)"""
+
+
+def test_pg_jsonb_mutation_family(spark):
+    """r15 (VERDICT #5): jsonb_set / jsonb_insert / minus-delete /
+    #- path-delete via VARIANT → map/array rebuild → to_json. PG
+    semantics pinned: create_if_missing default, out-of-range array
+    set appends, insert-before/after, nested set keeps siblings,
+    non-object targets pass through (PG raises — the documented
+    lax-style deviation)."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    def col(expr):
+        rows = run_pg_sql(
+            spark, f"SELECT id, {expr} AS r FROM {_MU_DOCS} ORDER BY id"
+        ).collect()
+        return [r["r"] for r in rows]
+
+    assert col("jsonb_set(j, '{a}', '99') ->> 'a'") == ["99", "99", None, None]
+    # create_if_missing=false never creates
+    assert col("jsonb_set(j, '{z}', '1', false) ->> 'z'") == [None] * 4
+    # nested set keeps the sibling key
+    assert col("jsonb_set(j, '{b,c}', '42') #>> '{b,c}'") == ["42", None, None, None]
+    assert col("jsonb_set(j, '{b,c}', '42') #>> '{b,d}'") == ["3", None, None, None]
+    # array-element set; out-of-range appends (create default)
+    assert col("jsonb_set(j, '{arr,1}', '77') ->> 'arr'") == [
+        "[10,77,30]", "[77]", None, None]
+    assert col("jsonb_set(j, '{arr,9}', '77') ->> 'arr'") == [
+        "[10,20,30,77]", "[77]", None, None]
+    # insert before (default) / after
+    assert col("jsonb_insert(j, '{arr,1}', '15') ->> 'arr'") == [
+        "[10,15,20,30]", "[15]", None, None]
+    assert col("jsonb_insert(j, '{arr,0}', '15', true) ->> 'arr'") == [
+        "[10,15,20,30]", "[15]", None, None]
+    # object-key insert only when absent (present: PG raises; here
+    # pass-through — 'a' stays 1/"x")
+    assert col("jsonb_insert(j, '{a}', '8') ->> 'a'") == ["1", "x", None, None]
+    # minus-delete needs the explicit ::jsonb cast (interval-subtract
+    # ambiguity); deletes a key, or an element by index; chains via
+    # re-cast parens
+    assert col("j::jsonb - 'a'") == [
+        '{"arr":[10,20,30],"b":{"c":2,"d":3}}', '{"arr":[]}', "[5,6]", None]
+    assert col("j::jsonb - 0") == [
+        '{"a":1,"arr":[10,20,30],"b":{"c":2,"d":3}}',
+        '{"a":"x","arr":[]}', "[6]", None]
+    assert col("(j::jsonb - 'a')::jsonb - 'b'") == [
+        '{"arr":[10,20,30]}', '{"arr":[]}', "[5,6]", None]
+    # #- path delete (parenthesize before chaining extraction)
+    assert col("(j #- '{b,c}') #>> '{b}'") == ['{"d":3}', None, None, None]
+    assert col("(j #- '{arr,2}') ->> 'arr'") == ["[10,20]", "[]", None, None]
+
+
+def test_pg_jsonb_mutation_loud_failures():
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    with pytest.raises(ValueError, match="literal '{a,b"):
+        P("SELECT jsonb_set(j, p, '1') FROM t")
+    with pytest.raises(ValueError, match="depth 1-2"):
+        P("SELECT jsonb_set(j, '{a,b,c}', '1') FROM t")
+    with pytest.raises(ValueError, match="dynamic values"):
+        P("SELECT jsonb_set(j, '{a}', x) FROM t")
+    with pytest.raises(ValueError, match="negative array indexes"):
+        P("SELECT jsonb_insert(j, '{a,-1}', '1') FROM t")
+    with pytest.raises(ValueError, match="not valid JSON"):
+        P("SELECT jsonb_set(j, '{a}', '{bad') FROM t")
+    with pytest.raises(ValueError, match="3 or 4 arguments"):
+        P("SELECT jsonb_set(j, '{a}') FROM t")
+    with pytest.raises(ValueError, match="literal true/false"):
+        P("SELECT jsonb_set(j, '{a}', '1', flag) FROM t")
+    with pytest.raises(ValueError, match="path array"):
+        P("SELECT j #- p FROM t")
+
+
 def test_pg_jsonb_path_loud_failures():
     """Outside-the-subset jsonpath shapes fail at translate time."""
     from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
