@@ -318,6 +318,7 @@ def simhash_dup_pairs(
     bands: int = 8,
     bits: int = 32,
     max_bucket: int | None = None,
+    pair_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance → (id_a, id_b, hamming).
 
@@ -330,6 +331,14 @@ def simhash_dup_pairs(
     ``max_bucket`` set, degenerate buckets are dropped first
     (:func:`hot_bucket_filter`) and exactness weakens to best-effort for
     their members.
+
+    ``pair_cap`` (r15, VERDICT #6): pair OUTPUT is inherently ~n² on
+    signature-degenerate corpora (short tie-biased docs collapse onto
+    few signatures). Before the join, the candidate mass is bounded
+    from bucket sizes alone (one linear aggregate, no pair
+    materialization); past the cap the call refuses LOUDLY and points
+    at :func:`simhash_clusters`, whose output stays linear on exactly
+    those corpora.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -347,6 +356,26 @@ def simhash_dup_pairs(
     )
     if max_bucket is not None:
         banded, _ = hot_bucket_filter(banded, ["band", "key"], max_bucket)
+    if pair_cap is not None:
+        est = (
+            banded.groupBy("band", "key")
+            .count()
+            .agg(
+                F.sum(
+                    F.col("count") * (F.col("count") - 1) / 2
+                ).alias("e")
+            )
+            .collect()[0]["e"]
+            or 0
+        )
+        if est > pair_cap:
+            raise ValueError(
+                f"simhash pair emission refused: candidate pair bound "
+                f"{int(est):,} exceeds pair_cap {pair_cap:,} — the "
+                "corpus is signature-degenerate and the pair OUTPUT "
+                "would be ~quadratic; use simhash_clusters (linear "
+                "cluster summary) or raise the cap explicitly"
+            )
     a, b = banded.alias("a"), banded.alias("b")
     hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -363,6 +392,49 @@ def simhash_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_clusters(
+    sig_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+    bands: int = 8,
+    bits: int = 32,
+) -> DataFrame:
+    """Linear-output SimHash dedup summary (r15, VERDICT #6) →
+    ``(simhash, rep_id, n_members, n_near_sigs)``.
+
+    The scale-safe default for signature-degenerate corpora: IDENTICAL
+    signatures collapse FIRST through one grouped aggregate (the
+    degenerate mass — short tie-biased docs — lands here without any
+    pairwise work), then the banded near-search runs over DISTINCT
+    signatures only. Output is one row per distinct signature —
+    bounded by min(n, 2^bits) regardless of clustering — where the
+    pair form's output grows ~n² exactly when signatures collapse.
+    ``n_near_sigs`` counts the OTHER distinct signatures within
+    ``max_hamming`` (0 = this signature's members are near-dups only
+    of each other).
+    """
+    groups = sig_df.groupBy("simhash").agg(
+        F.min(id_col).alias("rep_id"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    sigs = groups.select(F.col("simhash").alias("sid"), "simhash")
+    links = simhash_dup_pairs(
+        sigs, "sid", max_hamming=max_hamming, bands=bands, bits=bits
+    )
+    near = (
+        links.select(F.col("id_a").alias("simhash"))
+        .unionAll(links.select(F.col("id_b").alias("simhash")))
+        .groupBy("simhash")
+        .agg(F.count("*").cast("long").alias("n_near_sigs"))
+    )
+    return groups.join(near, "simhash", "left").select(
+        "simhash",
+        "rep_id",
+        "n_members",
+        F.coalesce("n_near_sigs", F.lit(0)).cast("long").alias("n_near_sigs"),
     )
 
 

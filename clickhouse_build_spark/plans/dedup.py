@@ -22,6 +22,7 @@ from clickhouse_build_spark.operators.dedup import (
     minhash_lsh_pairs,
     portable_hash_sql,
     simhash,
+    simhash_clusters,
     simhash_dup_pairs,
     winnow_fingerprints,
 )
@@ -35,6 +36,10 @@ MINHASH_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 5
 SIMHASH_BANDS = 8
+# r15 (VERDICT #6): loud ceiling on emitted candidate pairs — sf0.1's
+# bound is ~6.4M; a signature-degenerate 10x corpus blows past this and
+# must route through doc_simhash_clusters instead.
+SIMHASH_PAIR_CAP = 50_000_000
 WINNOW_K = 3
 WINNOW_W = 4
 SPAN_L = 5  # ExactSubstr duplicated-span minimum match length (tokens)
@@ -289,16 +294,16 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """,
-    # quadratic-output (r14, VERDICT r13 #2): the signature pass is
-    # linear, but dup PAIRS are the output, and the r14 salted smoke
-    # MEASURED the output super-linear even when copies carry new
-    # content (75.7× pairs at 10× docs): short documents (few shingle
-    # votes) produce tie-biased signatures that cluster near zero, so
-    # hamming-≤5 collisions grow ~n² once n exceeds the effective
-    # signature entropy — a property of 32-bit SimHash at scale, not a
-    # shuffle defect (production at 10⁹ docs widens the signature
-    # and/or caps buckets via the operator's max_bucket arm).
-    # In-record adjudication exempts this row from sf1 linearity gates.
+    # quadratic-output, EXPLICIT PAIR MODE ONLY (r15 narrows the r14
+    # tag): pair emission is now capped — the candidate mass is
+    # bounded from bucket sizes BEFORE the join (one linear
+    # aggregate), and past SIMHASH_PAIR_CAP the row refuses loudly,
+    # pointing at doc_simhash_clusters (the linear-output default
+    # whose summary collapses identical signatures before any
+    # pairwise work). Short tie-biased docs cluster near signature
+    # zero, so hamming-≤5 PAIRS grow ~n² once n exceeds the effective
+    # 32-bit signature entropy — a property of the output shape, which
+    # is why the scale path is the cluster summary, not a wider join.
     tags=("dedup", "simhash", "near-dup", "quadratic-output"),
 )
 def doc_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +313,10 @@ def doc_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle runs the brute-force all-pairs scan — the Spark side must
     produce the identical pair set from band-bucket candidates only.
     The signature frame comes from the shared fingerprint-store
-    artifact — computed once per session, not per consumer.
+    artifact — computed once per session, not per consumer. Pair
+    emission refuses loudly past SIMHASH_PAIR_CAP candidate pairs
+    (r15, VERDICT #6) — degenerate corpora go through
+    ``doc_simhash_clusters`` instead.
     """
     sig = shared_simhash_signatures(spark, sf_dir)
     pairs = simhash_dup_pairs(
@@ -317,9 +325,61 @@ def doc_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=SIMHASH_MAX_HAMMING,
         bands=SIMHASH_BANDS,
         bits=SIMHASH_BITS,
+        pair_cap=SIMHASH_PAIR_CAP,
     )
     return pairs.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+@query(
+    "doc_simhash_clusters",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    groups AS (
+      SELECT simhash, min(doc_id) AS rep_id,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM sim GROUP BY simhash
+    ),
+    near AS (
+      SELECT g1.simhash, CAST(count(*) AS BIGINT) AS n_near_sigs
+      FROM groups g1 JOIN groups g2
+        ON g1.simhash != g2.simhash
+       AND bit_count(xor(g1.simhash, g2.simhash)) <= {SIMHASH_MAX_HAMMING}
+      GROUP BY g1.simhash
+    )
+    SELECT g.simhash, g.rep_id, g.n_members,
+           CAST(COALESCE(n.n_near_sigs, 0) AS BIGINT) AS n_near_sigs
+    FROM groups g LEFT JOIN near n USING (simhash)
+    """,
+    tags=("dedup", "simhash", "near-dup", "cluster-summary"),
+)
+def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output SimHash dedup summary (r15, VERDICT #6 — the
+    scale-safe default the pair row's refusal points at): identical
+    signatures collapse through ONE grouped aggregate before any
+    pairwise work, then the banded hamming-≤5 search runs over
+    DISTINCT signatures only → (simhash, rep_id, n_members,
+    n_near_sigs). Output is one row per distinct signature — bounded
+    by min(n, 2³²) — on exactly the signature-degenerate corpora
+    where pair output grows ~n².
+
+    The oracle re-derives the summary with a brute-force distinct-
+    signature cross join (fine at sf0.01; the Spark side must get the
+    identical counts from band buckets only).
+
+    Scale: the degenerate mass is the exact-signature groupBy (linear,
+    map-side combinable); the distinct-signature join's candidate set
+    shrinks AS the corpus degenerates — the two regimes cover each
+    other.
+    """
+    sig = shared_simhash_signatures(spark, sf_dir)
+    return simhash_clusters(
+        sig,
+        "doc_id",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bands=SIMHASH_BANDS,
+        bits=SIMHASH_BITS,
     )
 
 

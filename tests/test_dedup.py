@@ -251,3 +251,47 @@ def test_scrub_removes_exactly_the_stats_span_tokens(spark):
     for doc_id, (total, kept) in scrubbed.items():
         if doc_id not in stats:
             assert kept == total
+
+
+def test_simhash_clusters_and_pair_cap(spark):
+    """r15 (VERDICT #6): the cluster summary collapses identical
+    signatures before any pairwise work (linear output), and the pair
+    form refuses loudly once the bucket-derived candidate bound
+    exceeds pair_cap — never a silent quadratic emission."""
+    import pytest as _pytest
+
+    from clickhouse_build_spark.operators.dedup import (
+        simhash_clusters,
+        simhash_dup_pairs,
+    )
+
+    # 5 docs on 3 distinct signatures; sigs 0b0000 and 0b0001 are
+    # within hamming 1; 0b1111111111 is hamming 10/9 from them — far
+    rows = [(1, 0), (2, 0), (3, 0), (4, 1), (5, 0b1111111111)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        r["simhash"]: (r["rep_id"], r["n_members"], r["n_near_sigs"])
+        for r in simhash_clusters(
+            sig, "doc_id", max_hamming=5, bands=8, bits=32
+        ).collect()
+    }
+    assert got == {0: (1, 3, 1), 1: (4, 1, 1), 0b1111111111: (5, 1, 0)}
+
+    # degenerate corpus: every doc identical signature -> candidate
+    # bound n*(n-1)/2 per band; a tiny cap refuses loudly
+    many = spark.createDataFrame(
+        [(i, 7) for i in range(200)], "doc_id long, simhash long"
+    )
+    with _pytest.raises(ValueError, match="signature-degenerate"):
+        simhash_dup_pairs(many, "doc_id", max_hamming=5, pair_cap=1000)
+    # the clusters path handles the same corpus with ONE output row
+    c = simhash_clusters(many, "doc_id", max_hamming=5).collect()
+    assert len(c) == 1 and c[0]["n_members"] == 200
+    # under the cap the pair set is unchanged by the guard
+    few = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 64)], "doc_id long, simhash long"
+    )
+    pairs = simhash_dup_pairs(
+        few, "doc_id", max_hamming=5, pair_cap=10**6
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

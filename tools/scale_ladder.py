@@ -72,13 +72,14 @@ FAMILIES = {
         "doc_fuzzy_dedup_keepers",
         "doc_dedup_cluster_sizes",
     ],
-    # r14 (VERDICT r13 #2): simhash on the SALTED ladder measures the
-    # engine's pair-join cost (signature build is inside
-    # build_dedup_artifacts above) — the clone-corpus sf1 record's
-    # ~10× reading is output mass, adjudicated in-registry via the
-    # quadratic-output tag; this family pins the salted-vs-clone
-    # distinction with a measurement.
-    "simhash": ["doc_simhash_dup_pairs"],
+    # r15 (VERDICT #6): the simhash family now times the LINEAR-output
+    # cluster summary — the scale-safe default (identical signatures
+    # collapse before any pairwise work). The pair row stays
+    # registered but refuses loudly past SIMHASH_PAIR_CAP on
+    # signature-degenerate corpora like the upper rungs, so it is no
+    # longer a ladder row; its quadratic-output tag is narrowed to the
+    # explicit pair mode.
+    "simhash": ["doc_simhash_clusters"],
     "ivfpq": ["build_ivfpq_index", "emb_ivfpq_topk"],
     "cdc_rollup": ["cdc_incremental_rollup"],
 }
