@@ -289,7 +289,7 @@ def test_simhash_clusters_and_pair_cap(spark):
     assert len(c) == 1 and c[0]["n_members"] == 200
     # under the cap the pair set is unchanged by the guard
     few = spark.createDataFrame(
-        [(1, 0), (2, 0), (3, 64)], "doc_id long, simhash long"
+        [(1, 0), (2, 0), (3, 0b1111111111)], "doc_id long, simhash long"
     )
     pairs = simhash_dup_pairs(
         few, "doc_id", max_hamming=5, pair_cap=10**6
