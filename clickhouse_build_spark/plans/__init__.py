@@ -31,73 +31,75 @@ from clickhouse_build_spark.plans import retrieval  # noqa: E402,F401
 from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-14 ranking — stale-evidence rotation is POLICY
+# iteration order. Round-15 ranking — stale-evidence rotation is POLICY
 # (r03 lesson: data can change under a green row): (a) this round's
-# new query (pg_dialect_jsonb_dynamic — bind-time @> + SQL/JSONPath);
-# (b) ALL 28 rows deferred from r13 whose newest driver evidence is
-# r09 — the full leftover cohort, now cleared (includes the semdedup
-# pair, giving the two-level-quantization fix fresh driver evidence,
-# VERDICT r13 #9); (c) 21 of the 47 rows whose newest evidence is
-# r11, alphabetical. After this window lands, NO registry row's
-# newest driver evidence predates r11. The r11-evidence rows that did
-# not fit should lead the r15 rotation (alphabetical from
-# doc_hybrid_rrf_topk). Every out-of-window row is still re-verified
-# by the local full-registry sf0.01 oracle gate each round.
+# new rows (pg_dialect_jsonb_mutation — the jsonb_set/insert/delete
+# family; doc_simhash_clusters — the linear-output simhash summary);
+# (b) ALL 26 rows whose newest driver evidence is r11 — the full
+# leftover cohort, now cleared (VERDICT r14 #8); (c)
+# doc_simhash_dup_pairs (r12 evidence, but its builder CHANGED this
+# round — the pair_cap guard — so it re-earns driver evidence); (d) 21
+# of the remaining 49 r12-evidence rows, alphabetical. After this
+# window lands, NO registry row's newest driver evidence predates r12.
+# The r12-evidence rows that did not fit should lead the r16 rotation
+# (alphabetical from doc_oov_rate). Zero overlap with the r14 window.
+# Every out-of-window row is still re-verified by the local
+# full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) new in r14 (never driver-evidenced rows lead) —
-    "pg_dialect_jsonb_dynamic",
-    # — (b) the r09-evidence leftover cohort (28 rows, incl. the
-    #   semdedup pair with the r14 two-level quantization fix) —
-    "emb_semdedup_keepers",
-    "emb_semdedup_probe2_keepers",
-    "events_asof_last_error",
-    "events_json_props",
-    "events_props_as_map",
-    "events_sliding_10min_step5",
-    "events_type_counts_salted",
-    "events_views_in_error_windows",
-    "media_audio_chunks",
-    "media_image_features",
-    "media_jpeg_transcode",
-    "media_resize_features",
-    "nation_revenue_ranks",
-    "order_value_distribution",
-    "part_stats_min_max_avg",
-    "price_percentiles_by_flag",
-    "q10_returned_items",
-    "q12_priority_shipping_caseagg",
-    "q18_large_volume_customers",
-    "q6_forecast_revenue",
-    "rolling_30day_customer_spend",
-    "stats_by_month",
-    "stats_daily_top30",
-    "status_priority_pivot",
-    "status_priority_profile",
-    "top3_orders_per_customer",
-    "user_sessions_30min",
-    "weekly_retention_cohorts",
-    # — (c) r11 evidence, alphabetical (21 of 47) —
-    "build_dedup_artifacts",
-    "build_ivfpq_index",
-    "build_media_corpus",
-    "build_quality_model",
-    "ch_dialect_asof_join",
-    "ch_dialect_mv_rollup",
-    "ch_dialect_retention",
-    "ch_dialect_sample_limit_by",
-    "clean_corpus",
-    "corpus_quality_filter",
-    "customer_order_span",
-    "customers_without_orders",
-    "distinct_counts",
-    "doc_bm25_topk",
-    "doc_dedup_cluster_sizes",
-    "doc_dsir_importance",
-    "doc_dsir_sample",
-    "doc_dup_span_stats",
-    "doc_emb_semantic_dup_check",
-    "doc_exact_dedup",
-    "doc_fuzzy_dedup_keepers",
+    # — (a) new in r15 (never driver-evidenced rows lead) —
+    "pg_dialect_jsonb_mutation",
+    "doc_simhash_clusters",
+    # — (b) the r11-evidence leftover cohort (26 rows) —
+    "doc_hybrid_rrf_topk",
+    "doc_incremental_dedup",
+    "doc_lang_id",
+    "doc_minhash_lsh_dedup",
+    "doc_near_dup_jaccard",
+    "doc_pack_sequences",
+    "doc_quality_classifier_model",
+    "doc_quality_scores",
+    "doc_simhash",
+    "doc_span_scrubbed",
+    "doc_split_counts",
+    "doc_top_bigrams",
+    "doc_top_tokens",
+    "emb_ann_ivf_trained_topk",
+    "emb_ann_lsh_topk",
+    "emb_fuzzy_dedup_keepers",
+    "emb_lsh_bucketed_cosine_pairs",
+    "emb_near_dup_cosine",
+    "emb_pq_adc_topk",
+    "emb_pq_codes",
+    "event_value_histogram",
+    "events_tumbling_10min",
+    "list_filtered",
+    "media_adpcm_chunks",
+    "media_mdct_chunks",
+    "stats_total",
+    # — (c) changed this round (pair_cap guard) —
+    "doc_simhash_dup_pairs",
+    # — (d) r12 evidence, alphabetical (21 of 49) —
+    "approx_distinct_and_percentiles",
+    "big_spender_segments_having",
+    "cdc_incremental_rollup",
+    "ch_dialect_algebraic_states",
+    "ch_dialect_any_join",
+    "ch_dialect_array_join_tokens",
+    "ch_dialect_fill_corr",
+    "ch_dialect_final_latest",
+    "ch_dialect_funnel",
+    "ch_dialect_funnel_strict",
+    "ch_dialect_limit_with_ties",
+    "ch_dialect_monthly_stats",
+    "ch_dialect_prewhere_totals",
+    "ch_dialect_seq_count_timed",
+    "ch_dialect_seq_exact",
+    "ch_dialect_seq_timed",
+    "corpus_perplexity_bands",
+    "curated_training_corpus",
+    "doc_chunk_text",
+    "doc_contamination_screen",
+    "doc_lm_bigram_model",
 ]
 
 
