@@ -401,25 +401,35 @@ def simhash_clusters(
     max_hamming: int = 6,
     bands: int = 8,
     bits: int = 32,
+    near_links: bool = False,
 ) -> DataFrame:
-    """Linear-output SimHash dedup summary (r15, VERDICT #6) →
-    ``(simhash, rep_id, n_members, n_near_sigs)``.
+    """Linear SimHash dedup summary (r15, VERDICT #6) →
+    ``(simhash, rep_id, n_members)`` — one grouped aggregate, one
+    output row per DISTINCT signature.
 
-    The scale-safe default for signature-degenerate corpora: IDENTICAL
-    signatures collapse FIRST through one grouped aggregate (the
-    degenerate mass — short tie-biased docs — lands here without any
-    pairwise work), then the banded near-search runs over DISTINCT
-    signatures only. Output is one row per distinct signature —
-    bounded by min(n, 2^bits) regardless of clustering — where the
-    pair form's output grows ~n² exactly when signatures collapse.
-    ``n_near_sigs`` counts the OTHER distinct signatures within
-    ``max_hamming`` (0 = this signature's members are near-dups only
-    of each other).
+    This is the honest scale path for SimHash dedup: exact-signature
+    (hamming-0) clustering is linear in COMPUTE and OUTPUT at any
+    corpus size, and at production scale it is also where the recall
+    lives (you widen the signature until near-dups collide exactly,
+    rather than hamming-searching a narrow one — a b-bit band key has
+    2^b values, so ANY banded hamming join's candidate mass grows
+    ~n²/2^b once n exceeds the band keyspace; with 32-bit signatures
+    and 4-bit bands that is quadratic work REGARDLESS of output shape,
+    measured at 267 s on the r15 ladder's 1× rung before this
+    redesign). The hamming-1..5 near relationship stays in
+    :func:`simhash_dup_pairs` behind its ``pair_cap`` refusal.
+
+    ``near_links=True`` additionally counts, per signature, the OTHER
+    distinct signatures within ``max_hamming`` (``n_near_sigs``) via
+    the banded join over distinct signatures — small-corpus analysis
+    only, for exactly the reason above.
     """
     groups = sig_df.groupBy("simhash").agg(
         F.min(id_col).alias("rep_id"),
         F.count("*").cast("long").alias("n_members"),
     )
+    if not near_links:
+        return groups
     sigs = groups.select(F.col("simhash").alias("sid"), "simhash")
     links = simhash_dup_pairs(
         sigs, "sid", max_hamming=max_hamming, bands=bands, bits=bits

@@ -335,43 +335,29 @@ def doc_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_simhash_clusters",
     oracle=f"""
-    WITH {_SIMHASH_CTE},
-    groups AS (
-      SELECT simhash, min(doc_id) AS rep_id,
-             CAST(count(*) AS BIGINT) AS n_members
-      FROM sim GROUP BY simhash
-    ),
-    near AS (
-      SELECT g1.simhash, CAST(count(*) AS BIGINT) AS n_near_sigs
-      FROM groups g1 JOIN groups g2
-        ON g1.simhash != g2.simhash
-       AND bit_count(xor(g1.simhash, g2.simhash)) <= {SIMHASH_MAX_HAMMING}
-      GROUP BY g1.simhash
-    )
-    SELECT g.simhash, g.rep_id, g.n_members,
-           CAST(COALESCE(n.n_near_sigs, 0) AS BIGINT) AS n_near_sigs
-    FROM groups g LEFT JOIN near n USING (simhash)
+    WITH {_SIMHASH_CTE}
+    SELECT simhash, min(doc_id) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM sim GROUP BY simhash
     """,
-    tags=("dedup", "simhash", "near-dup", "cluster-summary"),
+    tags=("dedup", "simhash", "cluster-summary"),
 )
 def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-output SimHash dedup summary (r15, VERDICT #6 — the
-    scale-safe default the pair row's refusal points at): identical
-    signatures collapse through ONE grouped aggregate before any
-    pairwise work, then the banded hamming-≤5 search runs over
-    DISTINCT signatures only → (simhash, rep_id, n_members,
-    n_near_sigs). Output is one row per distinct signature — bounded
-    by min(n, 2³²) — on exactly the signature-degenerate corpora
-    where pair output grows ~n².
+    """Linear SimHash dedup summary (r15, VERDICT #6 — the scale-safe
+    default the pair row's refusal points at): exact-signature
+    (hamming-0) clusters via ONE grouped aggregate → (simhash, rep_id,
+    n_members). Linear compute AND output at any corpus size; this is
+    how production SimHash dedup scales (widen the signature until
+    near-dups collide exactly). Any banded hamming search's candidate
+    mass grows ~n²/2^band_bits once n exceeds the band keyspace —
+    structural to narrow signatures, not to this plan — so the
+    hamming-1..5 relationship stays in ``doc_simhash_dup_pairs``
+    behind its SIMHASH_PAIR_CAP refusal
+    (``operators/dedup.py:simhash_clusters`` documents the measured
+    r15 ladder number that pinned this).
 
-    The oracle re-derives the summary with a brute-force distinct-
-    signature cross join (fine at sf0.01; the Spark side must get the
-    identical counts from band buckets only).
-
-    Scale: the degenerate mass is the exact-signature groupBy (linear,
-    map-side combinable); the distinct-signature join's candidate set
-    shrinks AS the corpus degenerates — the two regimes cover each
-    other.
+    Scale: one map-side-combinable groupBy over the signature
+    artifact; the shuffle carries ≤ one row per distinct signature.
     """
     sig = shared_simhash_signatures(spark, sf_dir)
     return simhash_clusters(

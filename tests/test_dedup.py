@@ -269,10 +269,19 @@ def test_simhash_clusters_and_pair_cap(spark):
     # within hamming 1; 0b1111111111 is hamming 10/9 from them — far
     rows = [(1, 0), (2, 0), (3, 0), (4, 1), (5, 0b1111111111)]
     sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    # default: exact-signature summary only (linear at any scale)
+    got = {
+        r["simhash"]: (r["rep_id"], r["n_members"])
+        for r in simhash_clusters(sig, "doc_id").collect()
+    }
+    assert got == {0: (1, 3), 1: (4, 1), 0b1111111111: (5, 1)}
+    # near_links=True adds the distinct-signature hamming counts
+    # (small-corpus analysis mode)
     got = {
         r["simhash"]: (r["rep_id"], r["n_members"], r["n_near_sigs"])
         for r in simhash_clusters(
-            sig, "doc_id", max_hamming=5, bands=8, bits=32
+            sig, "doc_id", max_hamming=5, bands=8, bits=32,
+            near_links=True,
         ).collect()
     }
     assert got == {0: (1, 3, 1), 1: (4, 1, 1), 0b1111111111: (5, 1, 0)}
@@ -285,7 +294,7 @@ def test_simhash_clusters_and_pair_cap(spark):
     with _pytest.raises(ValueError, match="signature-degenerate"):
         simhash_dup_pairs(many, "doc_id", max_hamming=5, pair_cap=1000)
     # the clusters path handles the same corpus with ONE output row
-    c = simhash_clusters(many, "doc_id", max_hamming=5).collect()
+    c = simhash_clusters(many, "doc_id").collect()
     assert len(c) == 1 and c[0]["n_members"] == 200
     # under the cap the pair set is unchanged by the guard
     few = spark.createDataFrame(
