@@ -318,14 +318,22 @@ def doc_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r15, VERDICT #6) — degenerate corpora go through
     ``doc_simhash_clusters`` instead.
     """
+    import os
+
     sig = shared_simhash_signatures(spark, sf_dir)
+    # CHB_SIMHASH_PAIR_CAP: the explicit raise the refusal message
+    # points at — the clone-recipe sf1 demo corpus carries a ~0.64B
+    # candidate bound BY CONSTRUCTION (every doc cloned 10×) and its
+    # quadratic output is already tag-adjudicated; a raised cap there
+    # is an operator decision on record, never a silent default.
+    cap = int(os.environ.get("CHB_SIMHASH_PAIR_CAP", SIMHASH_PAIR_CAP))
     pairs = simhash_dup_pairs(
         sig,
         "doc_id",
         max_hamming=SIMHASH_MAX_HAMMING,
         bands=SIMHASH_BANDS,
         bits=SIMHASH_BITS,
-        pair_cap=SIMHASH_PAIR_CAP,
+        pair_cap=cap,
     )
     return pairs.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
