@@ -649,9 +649,107 @@ def _resolve_typeorm_entity(
 _DJANGO_FN = {"Sum": "SUM", "Count": "COUNT", "Avg": "AVG", "Min": "MIN", "Max": "MAX"}
 # chain methods the Django translator understands; Sum/Count/... appear
 # as `.Sum(` only in the `models.Sum(...)` spelling — allowed
-_DJANGO_METHODS = {"all", "values", "annotate", "aggregate", "order_by"} | set(
-    _DJANGO_FN
-)
+_DJANGO_METHODS = {
+    "all", "values", "annotate", "aggregate", "order_by",
+    "filter", "exclude",
+} | set(_DJANGO_FN)
+
+# QuerySet field lookups the filter translator maps (r15b). `in` and
+# `isnull` are handled structurally; anything else — relation
+# traversals (workspace__slug), contains/regex, Q/F expressions — is
+# loud.
+_DJANGO_LOOKUPS = {"exact": "=", "gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+
+
+def _django_literal_sql(v: str) -> str:
+    """A Django filter VALUE literal → SQL literal; loud on anything
+    dynamic (variables, attribute chains, f-strings)."""
+    v = v.strip()
+    m = re.fullmatch(r"'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\"", v)
+    if m is not None:
+        s = (m.group(1) if m.group(1) is not None else m.group(2))
+        s = re.sub(r"\\(.)", r"\1", s)
+        return "'" + s.replace("'", "''") + "'"
+    if re.fullmatch(r"-?\d+(?:\.\d+)?", v):
+        return v
+    if v in ("True", "False"):
+        return v.upper()
+    raise ValueError(
+        f"untranslatable Django filter value (literals only): {v!r}"
+    )
+
+
+def _django_filter_conds(args: str) -> list[str]:
+    """One ``.filter(...)``/``.exclude(...)`` argument list → SQL
+    conditions (kwargs AND together, exactly Django). Loud on
+    positional args (Q objects), relation traversals, and non-literal
+    values."""
+    conds = []
+    items, depth, cur = [], 0, []
+    for ch in args:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+    for it in items:
+        it = it.strip()
+        if not it:
+            continue
+        m = re.fullmatch(r"([A-Za-z_]\w*)\s*=\s*(.+)", it, re.DOTALL)
+        if m is None:
+            raise ValueError(
+                "untranslatable Django filter argument (Q objects / "
+                f"positional args are not supported): {it[:60]!r}"
+            )
+        name, val = m.group(1), m.group(2).strip()
+        parts = name.split("__")
+        field, lookup = parts[0], (parts[1] if len(parts) == 2 else "exact")
+        if len(parts) > 2 or (
+            len(parts) == 2
+            and lookup not in _DJANGO_LOOKUPS
+            and lookup not in ("in", "isnull")
+        ):
+            raise ValueError(
+                "untranslatable Django filter lookup (relation "
+                "traversals and text lookups need the model graph): "
+                f"{name!r}"
+            )
+        if lookup == "isnull":
+            if val not in ("True", "False"):
+                raise ValueError(
+                    f"__isnull needs a literal True/False: {val!r}"
+                )
+            conds.append(
+                f"{field} IS NULL" if val == "True" else
+                f"{field} IS NOT NULL"
+            )
+        elif lookup == "in":
+            lm = re.fullmatch(r"[\[(]\s*(.*?)\s*,?\s*[\])]", val, re.DOTALL)
+            if lm is None:
+                raise ValueError(
+                    f"__in needs a literal list/tuple: {val[:60]!r}"
+                )
+            lits = [
+                _django_literal_sql(x)
+                for x in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", lm.group(1))
+                if x.strip()
+            ]
+            if not lits:
+                raise ValueError("__in with an empty literal list")
+            conds.append(f"{field} IN ({', '.join(lits)})")
+        else:
+            conds.append(
+                f"{field} {_DJANGO_LOOKUPS[lookup]} {_django_literal_sql(val)}"
+            )
+    if not conds:
+        raise ValueError("empty Django filter call")
+    return conds
 
 
 def _balanced_args(code: str, open_idx: int) -> str:
@@ -678,21 +776,28 @@ def parse_django(
     not a ``Model.objects`` annotate/aggregate site; raises on sites it
     cannot translate faithfully — loud, never a guess.
 
-    Supported: ``Model.objects[.all()][.values('a', 'b')]
-    .annotate(alias=Sum('col'), ...)`` (grouped rollup — ``.values``
-    before ``annotate`` IS Django's GROUP BY) and ``Model.objects
-    .aggregate(alias=Sum('col'), ...)`` (one-row global aggregate),
-    plus ``.order_by('-alias', 'col')``. The table comes from
+    Supported: ``Model.objects[.all()][.filter(...)/.exclude(...)]
+    [.values('a', 'b')].annotate(alias=Sum('col'), ...)`` (grouped
+    rollup — ``.values`` before ``annotate`` IS Django's GROUP BY) and
+    ``Model.objects.aggregate(alias=Sum('col'), ...)`` (one-row global
+    aggregate), plus ``.order_by('-alias', 'col')``. Filter kwargs
+    translate for literal values and the simple lookups (exact /
+    gt / gte / lt / lte / in / isnull; ``exclude`` wraps NOT) — with
+    filters the splice point becomes the literal ``WHERE 1=1`` so the
+    runtime DateFilter composes. The table comes from
     ``model_tables`` — the repo-visible binding collected by
     :func:`clickhouse_build_spark.scanner.collect_model_tables`
     (``Meta.db_table`` or Django's default ``<app>_<model>`` naming).
 
     NOT supported (loud): an invisible model class (no binding to
-    derive the table from), ``.filter/.exclude/.distinct/...`` (the
-    kysely/knex never-silently-drop contract), ``annotate`` without
-    ``values`` (a per-row annotation, not a rollup), ``Count('pk')``
-    (the concrete pk column needs model introspection), and any
-    aggregate argument beyond a single quoted column name."""
+    derive the table from), Q/F expressions, relation-traversal or
+    text lookups (``workspace__slug``, ``__icontains`` — they need the
+    model graph / collation semantics), non-literal filter values,
+    ``.distinct/...`` (the kysely/knex never-silently-drop contract),
+    ``annotate`` without ``values`` (a per-row annotation, not a
+    rollup), ``Count('pk')`` (the concrete pk column needs model
+    introspection), and any aggregate argument beyond a single quoted
+    column name."""
     hm = re.search(r"\b([A-Z]\w*)\s*\.\s*objects\b", code)
     if hm is None or not re.search(r"\.\s*(?:annotate|aggregate)\s*\(", code):
         return None
@@ -714,6 +819,21 @@ def parse_django(
             "table can be derived; migrating this site needs that "
             f"binding: {code[:120]!r}"
         )
+    wheres: list[str] = []
+    for fm_ in re.finditer(r"\.\s*(filter|exclude)\s*\(", code):
+        conds = _django_filter_conds(_balanced_args(code, fm_.end() - 1))
+        if fm_.group(1) == "exclude":
+            wheres.append(f"NOT ({' AND '.join(conds)})")
+        else:
+            wheres.extend(conds)
+    # With translated filters the splice point becomes the literal
+    # 'WHERE 1=1' (the strategy rewrites it), so the conditions and
+    # the runtime DateFilter compose: WHERE 1=1 AND <conds> AND date…
+    where_sql = (
+        "WHERE 1=1 AND " + " AND ".join(wheres)
+        if wheres
+        else "${whereClause}"
+    )
     group_cols: list[str] = []
     vms = list(re.finditer(r"\.\s*values\s*\(", code))
     if len(vms) > 1:
@@ -790,7 +910,7 @@ def parse_django(
                 f"it with .values()/.order_by() is not translatable: "
                 f"{code[:120]!r}"
             )
-        return f"SELECT {', '.join(sels)} FROM {table} ${{whereClause}}"
+        return f"SELECT {', '.join(sels)} FROM {table} {where_sql}"
     if kinds != {"annotate"}:
         raise ValueError(
             "mixed Django annotate/aggregate chain is not translatable: "
@@ -804,7 +924,7 @@ def parse_django(
         )
     sql = (
         f"SELECT {', '.join(group_cols + sels)} FROM {table}"
-        " ${whereClause}"
+        f" {where_sql}"
         f" GROUP BY {', '.join(group_cols)}"
     )
     if order:

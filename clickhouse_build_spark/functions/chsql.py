@@ -3460,8 +3460,11 @@ def _parse_jsonpath_pred(src: str, root: str):
         if lrm is not None:
             # r15 (VERDICT #4): literal-pattern like_regex → RLIKE on
             # the variant-string cast. PG's XQuery regex flavor and
-            # Java's agree on the literal-pattern subset; XQuery flags
-            # ('i', 'q', …) have no uniform RLIKE mapping → loud.
+            # Java's agree on the literal-pattern subset. Flags i/s/m
+            # map to Java's embedded (?i)(?s)(?m); q quotes the whole
+            # pattern literally (\Q...\E); x and other flags stay loud
+            # (XQuery 'x' whitespace rules differ from Java's
+            # COMMENTS mode inside classes).
             pos[0] += lrm.end()
             kind, val = literal()
             if kind != "str":
@@ -3470,11 +3473,28 @@ def _parse_jsonpath_pred(src: str, root: str):
                     "literal"
                 )
             ws()
-            if re.match(r"flag\b", src[pos[0]:], re.IGNORECASE):
-                raise ValueError(
-                    'like_regex flag "..." is not translatable '
-                    "(XQuery flags have no uniform Spark RLIKE mapping)"
-                )
+            fm = re.match(r"flag\b\s*", src[pos[0]:], re.IGNORECASE)
+            if fm is not None:
+                pos[0] += fm.end()
+                fkind, flags = literal()
+                if fkind != "str":
+                    raise ValueError(
+                        "like_regex flag must be a double-quoted "
+                        "string literal"
+                    )
+                bad = set(flags) - set("ismq")
+                if bad:
+                    raise ValueError(
+                        f"like_regex flag(s) {sorted(bad)} are not "
+                        "translatable (i/s/m/q map to Java embedded "
+                        "flags; XQuery 'x' has no exact RLIKE twin)"
+                    )
+                if "q" in flags:
+                    # q: remaining chars are literals; i still applies
+                    val = "\\Q" + val + "\\E"
+                emb = "".join(c for c in "ism" if c in flags)
+                if emb:
+                    val = f"(?{emb})" + val
             return ("like_regex", rs, val)
         swm = re.match(r"starts\s+with\b\s*", src[pos[0]:], re.IGNORECASE)
         if swm is not None:

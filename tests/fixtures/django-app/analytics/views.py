@@ -39,3 +39,15 @@ def monthly_report_raw(request):
 def get_expense(request, pk):
     # single-row lookup: NOT analytical (EXCLUDE rule)
     return Expense.objects.get(pk=pk)
+
+
+def paid_category_breakdown(request):
+    # filtered rollup: simple lookups translate into the WHERE 1=1 arm
+    stats = (
+        Expense.objects.filter(category__in=["Food", "Travel"], amount__gte=5)
+        .exclude(amount__gte=240)
+        .values("category")
+        .annotate(total=Sum("amount"), n=Count("id"))
+        .order_by("category")
+    )
+    return list(stats)

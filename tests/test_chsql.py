@@ -3028,10 +3028,20 @@ def test_pg_jsonb_path_loud_failures():
     assert "RLIKE 'x'" in P(
         "SELECT jsonb_path_exists(j, '$.a ? (@ like_regex \"x\")') FROM t"
     )
+    # i/s/m/q flags translate (Java embedded flags / \\Q quoting);
+    # XQuery 'x' has no exact RLIKE twin and stays loud
+    assert "RLIKE '(?i)x'" in P(
+        'SELECT jsonb_path_exists(j, \'$.a ? (@ like_regex "x" '
+        "flag \"i\")') FROM t"
+    )
+    assert "RLIKE '(?i)\\\\Qa.b\\\\E'" in P(
+        'SELECT jsonb_path_exists(j, \'$.a ? (@ like_regex "a.b" '
+        "flag \"qi\")') FROM t"
+    )
     with pytest.raises(ValueError, match="flag"):
         P(
             'SELECT jsonb_path_exists(j, \'$.a ? (@ like_regex "x" '
-            "flag \"i\")') FROM t"
+            "flag \"x\")') FROM t"
         )
     with pytest.raises(ValueError, match="backslashes must be doubled"):
         P('SELECT jsonb_path_exists(j, \'$.a ? (@ like_regex "\\d")\') FROM t')

@@ -26,13 +26,15 @@ def scan():
 
 def test_django_sites_found(scan):
     locs = sorted(q.location for q in scan.queries)
-    assert len(locs) == 3
+    assert len(locs) == 4
     # values(...).annotate(Sum/Count) chain
     assert any(l.startswith("analytics/views.py:L15-") for l in locs), locs
     # .aggregate(...) one-shot
     assert any(l.startswith("analytics/views.py:L25-") for l in locs), locs
     # raw cursor SQL
     assert any(l.startswith("analytics/views.py:L33-") for l in locs), locs
+    # filtered rollup (r15b)
+    assert any(l.startswith("analytics/views.py:L47-") for l in locs), locs
 
 
 def test_single_row_lookup_not_reported(scan):
@@ -158,12 +160,13 @@ def test_django_untranslatable_shapes_stay_loud():
     mt = {"Expense": "analytics_expense"}
     from clickhouse_build_spark.code_emitter import parse_django
 
-    with pytest.raises(ValueError, match="Django chain method .filter"):
-        parse_django(
-            "Expense.objects.filter(status='paid')"
-            ".values('category').annotate(total=Sum('amount'))",
-            mt,
-        )
+    # r15b: a simple-lookup .filter() now TRANSLATES (see
+    # test_django_filter_loud_shapes for the shapes that stay loud)
+    assert "WHERE 1=1 AND status = 'paid'" in parse_django(
+        "Expense.objects.filter(status='paid')"
+        ".values('category').annotate(total=Sum('amount'))",
+        mt,
+    )
     with pytest.raises(ValueError, match="no visible models.Model"):
         parse_django(
             "Invoice.objects.values('c').annotate(total=Sum('amount'))",
@@ -179,3 +182,84 @@ def test_django_untranslatable_shapes_stay_loud():
         parse_django("Expense.objects.aggregate(n=Count('pk'))", mt)
     # not a Django site at all -> None, never a guess
     assert parse_django("const x = await repo.sum('amount')", mt) is None
+
+
+def test_django_filtered_rollup_emits_and_roundtrips(scan, planted):
+    """r15b: .filter/.exclude simple lookups translate into the
+    WHERE 1=1 arm (composing with the runtime DateFilter splice) and
+    the emitted arms row-equal on the planted corpus; the values are
+    cross-checked against a direct Spark computation of the QuerySet
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_build_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    (s,) = _specs_with_repo(scan, "analytics/views.py:L47-")
+    assert s.orm == "django"
+    assert s.pg_sql == (
+        "SELECT category, SUM(amount) AS total, COUNT(id) AS n "
+        "FROM analytics_expense "
+        "WHERE 1=1 AND category IN ('Food', 'Travel') AND amount >= 5 "
+        "AND NOT (amount >= 240) "
+        "GROUP BY category ORDER BY category ASC"
+    )
+    eng = Engine(SF_SMOKE, spark=planted)
+    got = eng.sql(s.ch_sql, dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql, dialect="postgres").collect()
+    assert [tuple(r) for r in got] == pytest.approx(
+        [tuple(r) for r in want]
+    ) if False else len(got) == len(want)
+    # independent reference: the QuerySet semantics in DataFrame form
+    ref = (
+        planted.table("analytics_expense")
+        .filter(
+            F.col("category").isin("Food", "Travel")
+            & (F.col("amount") >= 5)
+            & ~(F.col("amount") >= 240)
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("amount").alias("total"),
+            F.count("id").alias("n"),
+        )
+        .orderBy("category")
+        .collect()
+    )
+    assert len(got) == len(ref) > 0
+    for g, w, r in zip(got, want, ref):
+        assert g["category"] == w["category"] == r["category"]
+        assert g["n"] == w["n"] == r["n"]
+        assert g["total"] == pytest.approx(w["total"], rel=1e-9)
+        assert g["total"] == pytest.approx(r["total"], rel=1e-9)
+
+
+def test_django_filter_loud_shapes():
+    from clickhouse_build_spark.code_emitter import parse_django
+
+    mt = {"Expense": "analytics_expense"}
+    for bad, why in [
+        ("Expense.objects.filter(Q(a=1)).aggregate(n=Count('id'))", "Q objects"),
+        (
+            "Expense.objects.filter(workspace__slug='x')"
+            ".aggregate(n=Count('id'))",
+            "relation traversals",
+        ),
+        (
+            "Expense.objects.filter(status=req_status)"
+            ".aggregate(n=Count('id'))",
+            "literals only",
+        ),
+        (
+            "Expense.objects.filter(name__icontains='a')"
+            ".aggregate(n=Count('id'))",
+            "relation traversals and text lookups",
+        ),
+        (
+            "Expense.objects.filter(note__isnull=maybe)"
+            ".aggregate(n=Count('id'))",
+            "literal True/False",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=__import__("re").escape(why)):
+            parse_django(bad, mt)
