@@ -214,12 +214,12 @@ _KYSELY_FN = {"count": "COUNT", "sum": "SUM", "avg": "AVG", "min": "MIN", "max":
 # that returns MORE rows than the app's query (r13c audit).
 _KYSELY_METHODS = {
     "selectFrom", "innerJoin", "leftJoin", "rightJoin", "fullJoin",
-    "select", "groupBy", "orderBy", "limit", "execute",
+    "select", "where", "groupBy", "orderBy", "limit", "execute",
     # inner expression calls inside select items
     "count", "sum", "avg", "min", "max", "as",
 }
 _KNEX_METHODS = {
-    "select", "count", "sum", "avg", "min", "max",
+    "select", "where", "count", "sum", "avg", "min", "max",
     "groupBy", "orderBy", "limit", "raw",
 }
 
@@ -259,6 +259,112 @@ def _assert_chain_consumed(
             )
 
 
+_JS_OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
+
+
+def _js_literal_sql(v: str) -> str:
+    """A JS argument literal → SQL literal; loud on anything dynamic
+    (identifiers, template strings, member chains)."""
+    v = v.strip()
+    m = re.fullmatch(r"'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\"", v)
+    if m is not None:
+        s = m.group(1) if m.group(1) is not None else m.group(2)
+        s = re.sub(r"\\(.)", r"\1", s)
+        return "'" + s.replace("'", "''") + "'"
+    if re.fullmatch(r"-?\d+(?:\.\d+)?", v):
+        return v
+    if v in ("true", "false"):
+        return v.upper()
+    raise ValueError(
+        f"untranslatable builder literal (quoted strings / numbers / "
+        f"booleans only): {v!r}"
+    )
+
+
+def _builder_wheres(code: str, kind: str) -> list[str]:
+    """Translate ``.where/.andWhere(...)`` calls with LITERAL
+    arguments into SQL conditions (r15b — the same found-or-loud
+    upgrade Django's filter got). Returns one condition per call;
+    raises on any call outside the literal subset (callbacks, bind
+    params, object args) — the count backstop in each parser keeps a
+    missed call loud."""
+    conds = []
+    for wm in re.finditer(r"\.\s*(?:where|andWhere)\s*\(", code):
+        body = _balanced_args(code, wm.end() - 1)
+        args, depth, cur, quote = [], 0, [], None
+        for ch in body:
+            if quote:
+                cur.append(ch)
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in "'\"":
+                quote = ch
+            elif ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            if ch == "," and depth == 0:
+                args.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        args.append("".join(cur))
+        if kind == "typeorm":
+            # one raw condition string, no :params, no second arg
+            if len(args) != 1:
+                raise ValueError(
+                    "typeorm .where with a parameters object is not "
+                    f"translatable (bind at runtime): {args!r}"
+                )
+            am = re.fullmatch(
+                r"\s*(['\"])((?:(?!\1).)*)\1\s*", args[0], re.DOTALL
+            )
+            if am is None or ":" in am.group(2):
+                raise ValueError(
+                    "typeorm .where translates only a literal "
+                    "parameter-free condition string: "
+                    f"{args[0][:60]!r}"
+                )
+            conds.append(f"({am.group(2)})")
+            continue
+        if len(args) == 2 and kind == "knex":
+            col, lit = args
+            op = "="
+        elif len(args) == 3:
+            col, op_raw, lit = args
+            om = re.fullmatch(r"\s*['\"]([=<>!]{1,2})['\"]\s*", op_raw)
+            if om is None or om.group(1) not in _JS_OPS:
+                raise ValueError(
+                    f"untranslatable {kind} .where operator: "
+                    f"{op_raw!r}"
+                )
+            op = "!=" if om.group(1) == "<>" else om.group(1)
+        else:
+            raise ValueError(
+                f"untranslatable {kind} .where shape (literal "
+                "('col', 'op', value) only — callbacks, object args "
+                f"and bind params stay runtime concerns): {args!r}"
+            )
+        cm = re.fullmatch(r"\s*['\"]([\w.]+)['\"]\s*", col)
+        if cm is None:
+            raise ValueError(
+                f"untranslatable {kind} .where column: {col!r}"
+            )
+        conds.append(f"{cm.group(1)} {op} {_js_literal_sql(lit)}")
+    return conds
+
+
+def _where_arm(conds: list[str]) -> str:
+    """The raw-SQL splice arm: translated conditions compose with the
+    runtime DateFilter through the literal ``WHERE 1=1`` (the strategy
+    rewrites it); with no conditions the ``${whereClause}`` splice
+    stands alone."""
+    if conds:
+        return "WHERE 1=1 AND " + " AND ".join(conds)
+    return "${whereClause}"
+
+
 def parse_kysely(code: str) -> str | None:
     """kysely builder chain → raw PG SQL with the ``${whereClause}``
     splice point (r13 — the real-app fixture's chain shape). Returns
@@ -282,6 +388,7 @@ def parse_kysely(code: str) -> str | None:
             f"emitted faithfully: {code[:120]!r}"
         )
     _reject_unknown_chain_methods(code, _KYSELY_METHODS, "kysely")
+    wheres = _builder_wheres(code, "kysely")
     table = m.group(1)
     joins = []
     for jm in re.finditer(
@@ -355,6 +462,7 @@ def parse_kysely(code: str) -> str | None:
         {
             "innerJoin|leftJoin|rightJoin|fullJoin": len(joins),
             "select": 1,
+            "where|andWhere": len(wheres),
             "groupBy": len(group),
             "orderBy": len(order),
             "limit": 1 if lm else 0,
@@ -364,7 +472,7 @@ def parse_kysely(code: str) -> str | None:
     sql = f"SELECT {', '.join(sels)} FROM {table}"
     for j in joins:
         sql += f" {j}"
-    sql += " ${whereClause}"
+    sql += " " + _where_arm(wheres)
     if group:
         sql += f" GROUP BY {', '.join(group)}"
     if order:
@@ -389,6 +497,7 @@ def parse_knex(code: str) -> str | None:
             f"may be completed elsewhere: {code[:120]!r}"
         )
     _reject_unknown_chain_methods(code, _KNEX_METHODS, "knex")
+    wheres = _builder_wheres(code, "knex")
     table = m.group(1)
     sels = []
     sm = re.search(r"\.select\(\s*(.*?)\s*\)\s*[\n.;]", code, re.DOTALL)
@@ -437,13 +546,14 @@ def parse_knex(code: str) -> str | None:
         {
             "select": 1 if sm else 0,
             "count|sum|avg|min|max": n_aggs,
+            "where|andWhere": len(wheres),
             "groupBy": len(group),
             "orderBy": len(order),
             "limit": 1 if lm else 0,
         },
         "knex",
     )
-    sql = f"SELECT {', '.join(sels)} FROM {table} ${{whereClause}}"
+    sql = f"SELECT {', '.join(sels)} FROM {table} " + _where_arm(wheres)
     if group:
         sql += f" GROUP BY {', '.join(group)}"
     if order:
@@ -455,6 +565,7 @@ def parse_knex(code: str) -> str | None:
 
 _TYPEORM_METHODS = {
     "createQueryBuilder", "from", "select", "addSelect",
+    "where", "andWhere",
     "innerJoin", "leftJoin",
     "groupBy", "addGroupBy", "orderBy", "addOrderBy",
     "limit", "take", "getRawMany", "getRawOne",
@@ -501,6 +612,7 @@ def parse_typeorm(code: str, table_hint: str | None = None) -> str | None:
             f"emitted faithfully: {code[:120]!r}"
         )
     _reject_unknown_chain_methods(code, _TYPEORM_METHODS, "typeorm")
+    wheres = _builder_wheres(code, "typeorm")
     fm = re.search(
         r"\.from\(\s*['\"](\w+)['\"]\s*(?:,\s*['\"](\w+)['\"]\s*)?\)", code
     )
@@ -590,6 +702,7 @@ def parse_typeorm(code: str, table_hint: str | None = None) -> str | None:
             "select|addSelect": n_sel_calls,
             "groupBy|addGroupBy": len(group),
             "orderBy|addOrderBy": len(order),
+            "where|andWhere": len(wheres),
             "limit|take": 1 if lm else 0,
             "from": 1 if fm is not None else 0,
         },
@@ -598,7 +711,7 @@ def parse_typeorm(code: str, table_hint: str | None = None) -> str | None:
     sql = f"SELECT {', '.join(sels)} FROM {table}"
     for j in joins:
         sql += f" {j}"
-    sql += " ${whereClause}"
+    sql += " " + _where_arm(wheres)
     if group:
         sql += f" GROUP BY {', '.join(group)}"
     if order:

@@ -227,26 +227,43 @@ def test_knex_daily_rollup_roundtrips(scan, planted):
 
 
 def test_builder_filters_never_silently_dropped():
-    """r13c audit: a kysely/knex chain carrying a method the
-    translator does NOT understand (.where/.having/...) must fail
-    loudly — emitting without it would return MORE rows than the
-    app's query, the worst possible silent corruption."""
-    for code, pat in [
-        (
-            "const r = await db.selectFrom('expenses')"
+    """r13c audit, r15b upgrade: a chain method the translator does
+    NOT understand must fail loudly — emitting without it would return
+    MORE rows than the app's query. Literal .where() shapes now
+    TRANSLATE into the WHERE 1=1 arm instead (same found-or-loud
+    ratchet as Django's filter); non-literal wheres stay loud."""
+    (s1,) = build_method_specs(
+        [{
+            "description": "x", "location": "x:L1",
+            "code": "const r = await db.selectFrom('expenses')"
             ".select(['category']).where('status', '=', 'paid')"
             ".groupBy('category')",
-            "kysely chain method .where",
-        ),
-        (
-            "return knex('expenses').sum('amount as total')"
+        }]
+    )
+    assert "WHERE 1=1 AND status = 'paid'" in s1.pg_sql
+    (s2,) = build_method_specs(
+        [{
+            "description": "x", "location": "x:L1",
+            "code": "return knex('expenses').sum('amount as total')"
             ".where('status', 'paid').groupBy('category')",
-            "knex chain method .where",
-        ),
+        }]
+    )
+    assert "WHERE 1=1 AND status = 'paid'" in s2.pg_sql
+    for code, pat in [
         (
             "const r = await db.selectFrom('expenses')"
             ".select(['category']).distinctOn('category')",
             "kysely chain method .distinctOn",
+        ),
+        (
+            "const r = await db.selectFrom('expenses')"
+            ".select(['category']).where(eb => dynamicCond)",
+            "kysely .where shape",
+        ),
+        (
+            "return knex('expenses').sum('amount as total')"
+            ".where('status', '=', someVar)",
+            "untranslatable builder literal",
         ),
     ]:
         with pytest.raises(ValueError, match=__import__("re").escape(pat)):
@@ -337,8 +354,9 @@ def test_typeorm_invisible_entity_stays_loud(tmp_path):
 
 
 def test_typeorm_untranslatable_shapes_fail_loudly():
-    # .where() would be silently dropped — same contract as kysely/knex
-    with pytest.raises(ValueError, match="typeorm chain method .where"):
+    # .where() with a bind-params object stays loud (r15b translates
+    # only literal parameter-free condition strings)
+    with pytest.raises(ValueError, match="parameters object"):
         build_method_specs(
             [
                 {
