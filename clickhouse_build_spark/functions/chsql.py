@@ -3889,6 +3889,86 @@ def _js_quote(s: str) -> str:
     return _json.dumps(s, ensure_ascii=False)
 
 
+def _jsonb_typeof_sql(operand: str, ctr) -> str:
+    """``jsonb_typeof(x)`` → PG's type-name text via first-char
+    dispatch over the parsed variant's JSON form (same table the
+    jsonpath ``.type()`` method uses); SQL NULL and invalid JSON
+    input → NULL, exactly PG."""
+    r = f"__mu{next(ctr)}t"
+    tj = f"to_json({r})"
+    case = (
+        f"CASE WHEN {r} IS NULL THEN NULL "
+        f"WHEN startswith({tj}, '{{') THEN 'object' "
+        f"WHEN startswith({tj}, '[') THEN 'array' "
+        f"WHEN startswith({tj}, '\"') THEN 'string' "
+        f"WHEN {tj} IN ('true', 'false') THEN 'boolean' "
+        f"WHEN {tj} = 'null' THEN 'null' "
+        f"ELSE 'number' END"
+    )
+    return (
+        f"try_element_at(transform(array(try_parse_json({operand})), "
+        f"{r} -> {case}), 1)"
+    )
+
+
+def _jsonb_concat_sql(operand: str, rhs, raw: str, ctr) -> str:
+    """``X::jsonb || '<json literal>'`` (r15b) — PG's jsonb
+    concatenation for the literal-RHS subset: object ∪ object (RHS
+    wins per key), array ++ array, array ++ non-array element, scalar
+    LHS wrapping into a 2-element array. The combinations PG REJECTS
+    with an error (object || array, object || scalar) pass the target
+    through unchanged here — the same lax pass-through discipline as
+    the mutation family, documented, never a silent wrong merge."""
+    import json as _json
+
+    r = f"__mu{next(ctr)}r"
+    rm_ = f"try_cast({r} AS MAP<STRING, VARIANT>)"
+    ra = f"try_cast({r} AS ARRAY<VARIANT>)"
+    orig = f"to_json({r})"
+    rl = f"parse_json({_sql_str(raw)})"
+    if isinstance(rhs, dict):
+        if rhs:
+            entries = ", ".join(
+                f"{_sql_str(k)}, parse_json("
+                f"{_sql_str(_json.dumps(v, ensure_ascii=False))})"
+                for k, v in rhs.items()
+            )
+            key_list = ", ".join(_sql_str(k) for k in rhs)
+            a1 = f"__mu{next(ctr)}k"
+            a2 = f"__mu{next(ctr)}v"
+            merged = (
+                f"to_json(map_concat(map_filter({rm_}, ({a1}, {a2}) -> "
+                f"{a1} NOT IN ({key_list})), map({entries})))"
+            )
+        else:
+            merged = orig
+        body = (
+            f"CASE WHEN {rm_} IS NOT NULL THEN {merged} "
+            f"WHEN {ra} IS NOT NULL THEN "
+            f"to_json(concat({ra}, array({rl}))) "
+            f"ELSE {orig} END"
+        )
+    elif isinstance(rhs, list):
+        rarr = f"try_cast({rl} AS ARRAY<VARIANT>)"
+        body = (
+            f"CASE WHEN {ra} IS NOT NULL THEN "
+            f"to_json(concat({ra}, {rarr})) "
+            f"WHEN {rm_} IS NOT NULL OR {r} IS NULL THEN {orig} "
+            f"ELSE to_json(concat(array({r}), {rarr})) END"
+        )
+    else:  # scalar RHS: arrays append; scalars pair into an array
+        body = (
+            f"CASE WHEN {ra} IS NOT NULL THEN "
+            f"to_json(concat({ra}, array({rl}))) "
+            f"WHEN {rm_} IS NOT NULL OR {r} IS NULL THEN {orig} "
+            f"ELSE to_json(array({r}, {rl})) END"
+        )
+    return (
+        f"try_element_at(transform(array(try_parse_json({operand})), "
+        f"{r} -> {body}), 1)"
+    )
+
+
 def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
     """Compile parsed jsonpath steps over a jsonb-text ``operand``
     into one Spark SQL expression producing the lax-mode result
@@ -4856,6 +4936,59 @@ def translate_pg_sql(text: str, params=None) -> str:
                 "del_key", operand, [key], None, _mu_ctr
             )
         text = text[:start] + repl + text[hit.end() :]
+
+    # `X::jsonb || '<json literal>'` concatenation (r15b) — like the
+    # minus-delete, the explicit cast disambiguates from SQL string
+    # concatenation (Spark's native ||, which untranslated text keeps).
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"::\s*jsonb\s*\|\|\s*('(?:[^']|'')*')(\s*::\s*jsonb?\b)?",
+            text,
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        import json as _json
+
+        raw = hit.group(1)[1:-1].replace("''", "'")
+        try:
+            rhs = _json.loads(raw)
+        except ValueError:
+            raise ValueError(
+                f"::jsonb || right-hand side is not valid JSON: "
+                f"{raw[:60]!r}"
+            )
+        start = _cast_operand_start(text, hit.start())
+        operand = text[start : hit.start()].rstrip()
+        repl = _jsonb_concat_sql(operand, rhs, raw, _mu_ctr)
+        text = text[:start] + repl + text[hit.end() :]
+
+    # jsonb_typeof(x) / json_typeof(x) → PG type-name text
+    pos = 0
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bjsonb?_typeof\s*\(", text[pos:], re.IGNORECASE
+        ):
+            if any(a <= pos + mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        h0 = pos + hit.start()
+        args, close = _parse_args(text, pos + hit.end() - 1)
+        if len(args) != 1:
+            raise ValueError("jsonb_typeof takes exactly one argument")
+        repl = _jsonb_typeof_sql(args[0].strip(), _mu_ctr)
+        text = text[:h0] + repl + text[close + 1 :]
+        pos = h0 + len(repl)
 
     # `X #- '{a,b}'` path delete (token is unambiguous — no cast
     # needed; the #>/#>> pass never matches '#-').

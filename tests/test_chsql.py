@@ -3113,3 +3113,40 @@ def test_pg_jsonb_dynamic_reversed_and_path_edges():
     assert "''a b''" in out and 'c"d' in out
     with pytest.raises(ValueError, match="quote is not pathable"):
         P("SELECT j -> 'it''s' FROM t")
+
+
+def test_pg_jsonb_concat_and_typeof(spark):
+    """r15b: ``X::jsonb || '<json literal>'`` (object merge RHS-wins /
+    array append / scalar pairing; PG's error combinations pass
+    through unchanged — the mutation family's lax discipline) and
+    ``jsonb_typeof`` via the jsonpath ``.type()`` dispatch table."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    docs = """VALUES
+      (1, '{"a":1,"b":2}'), (2, '[1,2]'), (3, '"s"'), (4, '7'),
+      (5, NULL) AS t(id, j)"""
+
+    def col(expr):
+        rows = run_pg_sql(
+            spark, f"SELECT id, {expr} AS r FROM {docs} ORDER BY id"
+        ).collect()
+        return [r["r"] for r in rows]
+
+    assert col("jsonb_typeof(j)") == [
+        "object", "array", "string", "number", None]
+    assert col("j::jsonb || '{\"b\":9,\"c\":3}'") == [
+        '{"a":1,"b":9,"c":3}', '[1,2,{"b":9,"c":3}]', '"s"', "7", None]
+    assert col("j::jsonb || '[8]'") == [
+        '{"a":1,"b":2}', "[1,2,8]", '["s",8]', "[7,8]", None]
+    assert col("j::jsonb || '5'") == [
+        '{"a":1,"b":2}', "[1,2,5]", '["s",5]', "[7,5]", None]
+    # composes with extraction (parens, like the mutation family)
+    assert col("(j::jsonb || '{\"b\":9}') ->> 'b'") == [
+        "9", None, None, None, None]
+    with pytest.raises(ValueError, match="not valid JSON"):
+        P("SELECT j::jsonb || '{bad' FROM t")
+    # plain SQL string concat stays untouched (no ::jsonb cast)
+    assert "||" in P("SELECT a || b FROM t")
