@@ -264,3 +264,221 @@ def test_jsonb_containment_matches_python_reference(spark, docs, probe):
     got = [bool(r["c"]) for r in rows]
     want = [_py_jsonb_contains(d, probe) for d in docs]
     assert got == want, (docs, probe, got, want)
+
+
+# ------------------------- jsonb mutation property (r15)
+# The jsonb_set / jsonb_insert / minus-delete / #- compilers are
+# translate-time VARIANT→rebuild codegen with per-shape branches —
+# property-test them against a direct Python implementation of the
+# DOCUMENTED subset semantics (PG behavior on the supported shapes;
+# lax pass-through where PG raises — the contract the docstrings pin).
+
+_MKEY = st.text(alphabet="abk", min_size=1, max_size=2)
+_MVAL = st.one_of(
+    st.integers(min_value=-9, max_value=9),
+    st.booleans(),
+    st.none(),
+    st.text(alphabet="mq", min_size=0, max_size=3),
+)
+_MDOC = st.one_of(
+    st.dictionaries(
+        _MKEY,
+        st.one_of(
+            _MVAL,
+            st.lists(_MVAL, max_size=3),
+            st.dictionaries(_MKEY, _MVAL, max_size=2),
+        ),
+        max_size=3,
+    ),
+    st.lists(_MVAL, max_size=4),
+    _MVAL,
+)
+_MPATH = st.one_of(
+    st.tuples(_MKEY),
+    st.tuples(st.integers(min_value=0, max_value=4)),
+    st.tuples(_MKEY, _MKEY),
+    st.tuples(_MKEY, st.integers(min_value=0, max_value=4)),
+)
+
+
+def _py_jsonb_set(doc, path, val, create=True):
+    import copy
+
+    doc = copy.deepcopy(doc)
+    if len(path) == 1:
+        (k,) = path
+        if isinstance(k, int):
+            if not isinstance(doc, list) or isinstance(doc, bool):
+                return doc
+            if k >= len(doc):
+                return doc + [val] if create else doc
+            doc[k] = val
+            return doc
+        if not isinstance(doc, dict):
+            return doc
+        if not create and k not in doc:
+            return doc
+        doc[k] = val
+        return doc
+    a, b = path
+    if not isinstance(doc, dict):
+        return doc
+    inner = doc.get(a)
+    if isinstance(b, int):
+        if not isinstance(inner, list):
+            return doc
+        if b >= len(inner):
+            if create:
+                doc[a] = inner + [val]
+            return doc
+        inner[b] = val
+        return doc
+    if not isinstance(inner, dict):
+        return doc
+    if not create and b not in inner:
+        return doc
+    inner[b] = val
+    return doc
+
+
+def _py_jsonb_insert(doc, path, val, after=False):
+    import copy
+
+    doc = copy.deepcopy(doc)
+    if len(path) == 1:
+        (k,) = path
+        if isinstance(k, int):
+            if not isinstance(doc, list):
+                return doc
+            doc.insert(k + 1 if after else k, val)
+            return doc
+        if not isinstance(doc, dict) or k in doc:
+            return doc
+        doc[k] = val
+        return doc
+    a, b = path
+    if not isinstance(doc, dict) or not isinstance(doc.get(a), list):
+        return doc
+    doc[a].insert(b + 1 if after else b, val)
+    return doc
+
+
+def _py_jsonb_del(doc, path):
+    import copy
+
+    doc = copy.deepcopy(doc)
+    if len(path) == 1:
+        (k,) = path
+        if isinstance(k, int):
+            if isinstance(doc, list) and 0 <= k < len(doc):
+                del doc[k]
+            return doc
+        if isinstance(doc, dict):
+            doc.pop(k, None)
+        elif isinstance(doc, list):
+            doc = [x for x in doc if not (isinstance(x, str) and x == k)]
+        return doc
+    a, b = path
+    if not isinstance(doc, dict):
+        return doc
+    inner = doc.get(a)
+    if isinstance(b, int):
+        if isinstance(inner, list) and 0 <= b < len(inner):
+            del inner[b]
+        return doc
+    if isinstance(inner, dict):
+        inner.pop(b, None)
+    return doc
+
+
+def _py_jsonb_concat(doc, rhs):
+    import copy
+
+    doc = copy.deepcopy(doc)
+    if isinstance(rhs, dict):
+        if isinstance(doc, dict):
+            doc.update(copy.deepcopy(rhs))
+            return doc
+        if isinstance(doc, list):
+            return doc + [copy.deepcopy(rhs)]
+        return doc
+    if isinstance(rhs, list):
+        if isinstance(doc, list):
+            return doc + copy.deepcopy(rhs)
+        if isinstance(doc, dict):
+            return doc
+        return [doc] + copy.deepcopy(rhs)
+    if isinstance(doc, list):
+        return doc + [rhs]
+    if isinstance(doc, dict):
+        return doc
+    return [doc, rhs]
+
+
+def _path_lit(path):
+    return "'{" + ",".join(str(p) for p in path) + "}'"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(_MDOC, min_size=1, max_size=5),
+    path=_MPATH,
+    val=_MVAL,
+    rhs=_MDOC,
+    create=st.booleans(),
+    after=st.booleans(),
+)
+def test_jsonb_mutations_match_python_reference(
+    spark, docs, path, val, rhs, create, after
+):
+    import json as _json
+
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    def q(s):
+        return s.replace("'", "''")
+
+    vlit = "'" + q(_json.dumps(val)) + "'"
+    plit = _path_lit(path)
+    rlit = "'" + q(_json.dumps(rhs)) + "'"
+    # jsonb_insert translates 1-step paths and {key,index} only; a
+    # {key,key} insert is a documented loud shape — substitute a
+    # supported spelling so the column stays comparable
+    ins_path = path
+    if len(path) == 2 and not isinstance(path[1], int):
+        ins_path = (path[0],)
+    iplit = _path_lit(ins_path)
+    # #- translates only str-first 2-step paths; minus-delete handles
+    # the 1-step forms — pick the matching delete spelling per path
+    if len(path) == 1:
+        dele = (
+            f"j::jsonb - {path[0]}"
+            if isinstance(path[0], int)
+            else "j::jsonb - '" + q(str(path[0])) + "'"
+        )
+    else:
+        dele = f"j #- {plit}"
+    rows = run_pg_sql(
+        spark,
+        f"""SELECT i,
+              jsonb_set(j, {plit}, {vlit}, {'true' if create else 'false'}) AS s,
+              jsonb_insert(j, {iplit}, {vlit}, {'true' if after else 'false'}) AS ins,
+              {dele} AS d,
+              j::jsonb || {rlit} AS c
+            FROM VALUES """
+        + ", ".join(
+            f"({i}, '{q(_json.dumps(d))}')" for i, d in enumerate(docs)
+        )
+        + " AS t(i, j) ORDER BY i",
+    ).collect()
+    for i, (r, d) in enumerate(zip(rows, docs)):
+        for col, ref in (
+            ("s", _py_jsonb_set(d, path, val, create)),
+            ("ins", _py_jsonb_insert(d, ins_path, val, after)),
+            ("d", _py_jsonb_del(d, path)),
+            ("c", _py_jsonb_concat(d, rhs)),
+        ):
+            got = _json.loads(r[col]) if r[col] is not None else None
+            assert got == ref and type(got) is type(ref), (
+                col, d, path, val, rhs, create, after, got, ref,
+            )
