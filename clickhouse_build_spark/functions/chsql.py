@@ -3912,13 +3912,14 @@ def _jsonb_typeof_sql(operand: str, ctr) -> str:
 
 
 def _jsonb_concat_sql(operand: str, rhs, raw: str, ctr) -> str:
-    """``X::jsonb || '<json literal>'`` (r15b) — PG's jsonb
-    concatenation for the literal-RHS subset: object ∪ object (RHS
-    wins per key), array ++ array, array ++ non-array element, scalar
-    LHS wrapping into a 2-element array. The combinations PG REJECTS
-    with an error (object || array, object || scalar) pass the target
-    through unchanged here — the same lax pass-through discipline as
-    the mutation family, documented, never a silent wrong merge."""
+    """``X::jsonb || '<json literal>'`` (r15b, mixed-type rule fixed
+    r16) — PG's jsonb concatenation for the literal-RHS subset.
+    Object ∪ object merges (RHS wins per key); every other
+    combination follows PG's wrap rule: a non-array input is
+    converted into a single-element array, then the two arrays are
+    concatenated (``'{"a":1}' || '5'`` → ``[{"a":1}, 5]``,
+    ``'2' || '{"a":1}'`` → ``[2, {"a":1}]``). SQL NULL / unparseable
+    input passes through as NULL, matching PG's strict operator."""
     import json as _json
 
     r = f"__mu{next(ctr)}r"
@@ -3946,21 +3947,22 @@ def _jsonb_concat_sql(operand: str, rhs, raw: str, ctr) -> str:
             f"CASE WHEN {rm_} IS NOT NULL THEN {merged} "
             f"WHEN {ra} IS NOT NULL THEN "
             f"to_json(concat({ra}, array({rl}))) "
-            f"ELSE {orig} END"
+            f"WHEN {r} IS NULL THEN {orig} "
+            f"ELSE to_json(array({r}, {rl})) END"
         )
     elif isinstance(rhs, list):
         rarr = f"try_cast({rl} AS ARRAY<VARIANT>)"
         body = (
             f"CASE WHEN {ra} IS NOT NULL THEN "
             f"to_json(concat({ra}, {rarr})) "
-            f"WHEN {rm_} IS NOT NULL OR {r} IS NULL THEN {orig} "
+            f"WHEN {r} IS NULL THEN {orig} "
             f"ELSE to_json(concat(array({r}), {rarr})) END"
         )
-    else:  # scalar RHS: arrays append; scalars pair into an array
+    else:  # scalar RHS: arrays append; object/scalar LHS wraps
         body = (
             f"CASE WHEN {ra} IS NOT NULL THEN "
             f"to_json(concat({ra}, array({rl}))) "
-            f"WHEN {rm_} IS NOT NULL OR {r} IS NULL THEN {orig} "
+            f"WHEN {r} IS NULL THEN {orig} "
             f"ELSE to_json(array({r}, {rl})) END"
         )
     return (

@@ -3116,10 +3116,11 @@ def test_pg_jsonb_dynamic_reversed_and_path_edges():
 
 
 def test_pg_jsonb_concat_and_typeof(spark):
-    """r15b: ``X::jsonb || '<json literal>'`` (object merge RHS-wins /
-    array append / scalar pairing; PG's error combinations pass
-    through unchanged — the mutation family's lax discipline) and
-    ``jsonb_typeof`` via the jsonpath ``.type()`` dispatch table."""
+    """r15b/r16: ``X::jsonb || '<json literal>'`` — object ∪ object
+    merges RHS-wins; every other combination follows PG's wrap rule
+    (non-array side becomes a 1-element array, then array concat) —
+    and ``jsonb_typeof`` via the jsonpath ``.type()`` dispatch
+    table."""
     from clickhouse_build_spark.functions.chsql import (
         run_pg_sql,
         translate_pg_sql as P,
@@ -3138,11 +3139,12 @@ def test_pg_jsonb_concat_and_typeof(spark):
     assert col("jsonb_typeof(j)") == [
         "object", "array", "string", "number", None]
     assert col("j::jsonb || '{\"b\":9,\"c\":3}'") == [
-        '{"a":1,"b":9,"c":3}', '[1,2,{"b":9,"c":3}]', '"s"', "7", None]
+        '{"a":1,"b":9,"c":3}', '[1,2,{"b":9,"c":3}]',
+        '["s",{"b":9,"c":3}]', '[7,{"b":9,"c":3}]', None]
     assert col("j::jsonb || '[8]'") == [
-        '{"a":1,"b":2}', "[1,2,8]", '["s",8]', "[7,8]", None]
+        '[{"a":1,"b":2},8]', "[1,2,8]", '["s",8]', "[7,8]", None]
     assert col("j::jsonb || '5'") == [
-        '{"a":1,"b":2}', "[1,2,5]", '["s",5]', "[7,5]", None]
+        '[{"a":1,"b":2},5]', "[1,2,5]", '["s",5]', "[7,5]", None]
     # composes with extraction (parens, like the mutation family)
     assert col("(j::jsonb || '{\"b\":9}') ->> 'b'") == [
         "9", None, None, None, None]

@@ -395,24 +395,15 @@ def _py_jsonb_concat(doc, rhs):
     import copy
 
     doc = copy.deepcopy(doc)
-    if isinstance(rhs, dict):
-        if isinstance(doc, dict):
-            doc.update(copy.deepcopy(rhs))
-            return doc
-        if isinstance(doc, list):
-            return doc + [copy.deepcopy(rhs)]
+    # PG rule: object || object merges (RHS wins); any other
+    # combination wraps the non-array side(s) into 1-element arrays
+    # and concatenates.
+    if isinstance(rhs, dict) and isinstance(doc, dict):
+        doc.update(copy.deepcopy(rhs))
         return doc
-    if isinstance(rhs, list):
-        if isinstance(doc, list):
-            return doc + copy.deepcopy(rhs)
-        if isinstance(doc, dict):
-            return doc
-        return [doc] + copy.deepcopy(rhs)
-    if isinstance(doc, list):
-        return doc + [rhs]
-    if isinstance(doc, dict):
-        return doc
-    return [doc, rhs]
+    left = doc if isinstance(doc, list) else [doc]
+    right = rhs if isinstance(rhs, list) else [rhs]
+    return left + copy.deepcopy(right)
 
 
 def _path_lit(path):
