@@ -3711,6 +3711,7 @@ def _jsonb_arr_delete(av: str, idx: int) -> str:
 def _jsonb_mutation_sql(
     kind: str, operand: str, parts: list, val: str | None, ctr,
     create: bool = True, after: bool = False,
+    digit_as_index: bool = False,
 ) -> str:
     """Compile one jsonb mutation (r15, VERDICT #5 — ``jsonb_set`` /
     ``jsonb_insert`` / ``- 'key'`` / ``- N`` / ``#- '{path}'``) over a
@@ -3724,6 +3725,40 @@ def _jsonb_mutation_sql(
     target or an existing ``jsonb_insert`` key — here the target
     passes through unchanged (the lax-drop discipline the jsonpath
     compiler uses)."""
+    # PG path semantics (r16, ADVICE): a digit segment in a text[]
+    # path addresses an object KEY when that step's target is an
+    # object and an array INDEX when it is an array —
+    # jsonb_set('{"0":1}','{0}','2') sets key "0", no error. Dispatch
+    # at runtime on the target's parsed type: compile both the
+    # key-form and the index-form and pick per row. (`- N` / `- 'k'`
+    # stay typed: PG's minus operators dispatch on the RHS type, not
+    # the document.)
+    if kind in ("set", "insert", "del_path") and not digit_as_index:
+        di = next(
+            (i for i, p in enumerate(parts) if isinstance(p, int)), None
+        )
+        if di is not None and len(parts) == di + 1:
+            str_parts = list(parts)
+            str_parts[di] = str(parts[di])
+            as_key = _jsonb_mutation_sql(
+                kind, operand, str_parts, val, ctr, create, after
+            )
+            as_idx = _jsonb_mutation_sql(
+                kind, operand, parts, val, ctr, create, after,
+                digit_as_index=True,
+            )
+            if di == 0:
+                probe = f"try_parse_json({operand})"
+            else:
+                probe = (
+                    f"try_variant_get(try_parse_json({operand}), "
+                    f"{_sql_str('$' + _json_path_part(parts[0], None))}, "
+                    f"'variant')"
+                )
+            return (
+                f"CASE WHEN try_cast({probe} AS MAP<STRING, VARIANT>) "
+                f"IS NOT NULL THEN {as_key} ELSE {as_idx} END"
+            )
     r = f"__mu{next(ctr)}r"
     root = f"try_parse_json({operand})"
     # bind the parsed root once: a 1-element transform, same pattern
@@ -3818,11 +3853,28 @@ def _jsonb_mutation_sql(
             )
             return wrap(body)
         a, b = parts
-        if not isinstance(a, str) or not isinstance(b, int):
+        if not isinstance(a, str) or not isinstance(b, (int, str)):
             raise ValueError(
                 "jsonb_insert: 2-step paths translate as {key,index} "
-                "only"
+                "or {key,key} only"
             )
+        if isinstance(b, str):
+            # nested object key: PG inserts only when absent (raises
+            # when present; here the present case passes through —
+            # the family's lax-drop discipline)
+            inner = f"try_variant_get({r}, {_sql_str('$' + _json_path_part(a, None))}, 'variant')"
+            im = f"try_cast({inner} AS MAP<STRING, VARIANT>)"
+            new_inner = (
+                f"try_parse_json(to_json("
+                f"{_jsonb_obj_set(im, b, val, ctr)}))"
+            )
+            body = (
+                f"CASE WHEN {rm_} IS NULL OR {im} IS NULL OR "
+                f"map_contains_key({im}, {_sql_str(b)}) THEN {orig} "
+                f"ELSE to_json({_jsonb_obj_set(rm_, a, new_inner, ctr)}) "
+                f"END"
+            )
+            return wrap(body)
         inner = f"try_variant_get({r}, {_sql_str('$' + _json_path_part(a, None))}, 'variant')"
         ia = f"try_cast({inner} AS ARRAY<VARIANT>)"
         new_inner = _jsonb_arr_insert(ia, b + 1 if after else b, val)

@@ -3015,6 +3015,55 @@ def test_pg_jsonb_mutation_loud_failures():
         P("SELECT j #- p FROM t")
 
 
+def test_pg_jsonb_digit_path_dispatch(spark):
+    """r16 (ADVICE): a digit segment in a text[] mutation path is
+    UNTYPED in PG — it addresses an object KEY when that step's
+    target is an object (``jsonb_set('{"0":1}','{0}','2')`` sets key
+    "0", no error) and an array INDEX when it is an array. The
+    translation dispatches at runtime on the parsed target type.
+    Whole-text pins are safe here: docs are built so the rebuilt map
+    insertion order is deterministic (filter-then-append)."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    docs = """VALUES
+      (1, '{"0":1}'), (2, '[5,6]'), (3, '{"n":{"1":5}}'),
+      (4, '{"arr":[10,20]}'), (5, NULL) AS t(id, j)"""
+
+    def col(expr):
+        rows = run_pg_sql(
+            spark, f"SELECT id, {expr} AS r FROM {docs} ORDER BY id"
+        ).collect()
+        return [r["r"] for r in rows]
+
+    assert col("jsonb_set(j, '{0}', '2')") == [
+        '{"0":2}', "[2,6]", '{"n":{"1":5},"0":2}',
+        '{"arr":[10,20],"0":2}', None]
+    assert col("jsonb_set(j, '{0}', '2', false)") == [
+        '{"0":2}', "[2,6]", '{"n":{"1":5}}', '{"arr":[10,20]}', None]
+    assert col("jsonb_set(j, '{n,1}', '9')") == [
+        '{"0":1}', "[5,6]", '{"n":{"1":9}}', '{"arr":[10,20]}', None]
+    assert col("jsonb_set(j, '{arr,1}', '9')") == [
+        '{"0":1}', "[5,6]", '{"n":{"1":5}}', '{"arr":[10,9]}', None]
+    # insert: object-key form is insert-if-absent (PG raises on a
+    # present key; lax passthrough here), array form is positional
+    assert col("jsonb_insert(j, '{0}', '7')") == [
+        '{"0":1}', "[7,5,6]", '{"n":{"1":5},"0":7}',
+        '{"arr":[10,20],"0":7}', None]
+    assert col("jsonb_insert(j, '{n,1}', '7')") == [
+        '{"0":1}', "[5,6]", '{"n":{"1":5}}', '{"arr":[10,20]}', None]
+    assert col("jsonb_insert(j, '{n,2}', '7')") == [
+        '{"0":1}', "[5,6]", '{"n":{"1":5,"2":7}}',
+        '{"arr":[10,20]}', None]
+    # #- path delete dispatches the same way; `- N` minus-delete
+    # stays typed (PG dispatches the minus operators on RHS type)
+    assert col("j #- '{0}'") == [
+        "{}", "[6]", '{"n":{"1":5}}', '{"arr":[10,20]}', None]
+    assert col("j #- '{n,1}'") == [
+        '{"0":1}', "[5,6]", '{"n":{}}', '{"arr":[10,20]}', None]
+    assert col("j::jsonb - 0") == [
+        '{"0":1}', "[6]", '{"n":{"1":5}}', '{"arr":[10,20]}', None]
+
+
 def test_pg_jsonb_path_loud_failures():
     """Outside-the-subset jsonpath shapes fail at translate time."""
     from clickhouse_build_spark.functions.chsql import translate_pg_sql as P

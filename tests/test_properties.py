@@ -307,6 +307,10 @@ def _py_jsonb_set(doc, path, val, create=True):
     doc = copy.deepcopy(doc)
     if len(path) == 1:
         (k,) = path
+        # PG rule: a digit segment is an object KEY when the target
+        # is an object, an array index when it is an array
+        if isinstance(k, int) and isinstance(doc, dict):
+            k = str(k)
         if isinstance(k, int):
             if not isinstance(doc, list) or isinstance(doc, bool):
                 return doc
@@ -324,6 +328,8 @@ def _py_jsonb_set(doc, path, val, create=True):
     if not isinstance(doc, dict):
         return doc
     inner = doc.get(a)
+    if isinstance(b, int) and isinstance(inner, dict):
+        b = str(b)
     if isinstance(b, int):
         if not isinstance(inner, list):
             return doc
@@ -347,6 +353,8 @@ def _py_jsonb_insert(doc, path, val, after=False):
     doc = copy.deepcopy(doc)
     if len(path) == 1:
         (k,) = path
+        if isinstance(k, int) and isinstance(doc, dict):
+            k = str(k)
         if isinstance(k, int):
             if not isinstance(doc, list):
                 return doc
@@ -357,9 +365,19 @@ def _py_jsonb_insert(doc, path, val, after=False):
         doc[k] = val
         return doc
     a, b = path
-    if not isinstance(doc, dict) or not isinstance(doc.get(a), list):
+    if not isinstance(doc, dict):
         return doc
-    doc[a].insert(b + 1 if after else b, val)
+    inner = doc.get(a)
+    if isinstance(b, int) and isinstance(inner, dict):
+        b = str(b)
+    if isinstance(b, int):
+        if not isinstance(inner, list):
+            return doc
+        inner.insert(b + 1 if after else b, val)
+        return doc
+    if not isinstance(inner, dict) or b in inner:
+        return doc
+    inner[b] = val
     return doc
 
 
@@ -382,6 +400,8 @@ def _py_jsonb_del(doc, path):
     if not isinstance(doc, dict):
         return doc
     inner = doc.get(a)
+    if isinstance(b, int) and isinstance(inner, dict):
+        b = str(b)
     if isinstance(b, int):
         if isinstance(inner, list) and 0 <= b < len(inner):
             del inner[b]
@@ -432,12 +452,9 @@ def test_jsonb_mutations_match_python_reference(
     vlit = "'" + q(_json.dumps(val)) + "'"
     plit = _path_lit(path)
     rlit = "'" + q(_json.dumps(rhs)) + "'"
-    # jsonb_insert translates 1-step paths and {key,index} only; a
-    # {key,key} insert is a documented loud shape — substitute a
-    # supported spelling so the column stays comparable
+    # r16: jsonb_insert translates {key,key} too (insert-if-absent
+    # into a nested object), so the full path is always usable
     ins_path = path
-    if len(path) == 2 and not isinstance(path[1], int):
-        ins_path = (path[0],)
     iplit = _path_lit(ins_path)
     # #- translates only str-first 2-step paths; minus-delete handles
     # the 1-step forms — pick the matching delete spelling per path
