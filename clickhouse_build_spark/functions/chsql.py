@@ -3490,8 +3490,16 @@ def _parse_jsonpath_pred(src: str, root: str):
                         "flags; XQuery 'x' has no exact RLIKE twin)"
                     )
                 if "q" in flags:
-                    # q: remaining chars are literals; i still applies
-                    val = "\\Q" + val + "\\E"
+                    # q: remaining chars are literals; i still
+                    # applies. A literal "\E" inside the pattern
+                    # would terminate Java's \Q...\E quote early —
+                    # split exactly as java.util.regex.Pattern.quote
+                    # does (end quote, match \ and E, reopen quote).
+                    val = (
+                        "\\Q"
+                        + val.replace("\\E", "\\E\\\\E\\Q")
+                        + "\\E"
+                    )
                 emb = "".join(c for c in "ism" if c in flags)
                 if emb:
                     val = f"(?{emb})" + val

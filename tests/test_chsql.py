@@ -2920,6 +2920,22 @@ def test_pg_jsonb_path_like_regex_and_item_methods(spark):
         'jsonb_path_exists(j, \'$.meta.type ? (@ starts with "vi")\')'
     ) == [1, 3, 4]
 
+    # r16 (ADVICE): a literal "\E" inside a q-flagged pattern must not
+    # terminate Java's \Q...\E quote early — the translation splits
+    # exactly like Pattern.quote. Value a\E.b matches the q-quoted
+    # pattern a\E.b; a\EXb must NOT (the '.' stays literal past \E).
+    bs = chr(92)
+    d1 = '{"s":"a' + bs * 4 + 'E.b"}'  # SQL→JSON→value a\E.b
+    d2 = '{"s":"a' + bs * 4 + 'EXb"}'
+    rows = run_pg_sql(
+        spark,
+        "SELECT id FROM VALUES (1, '" + d1 + "'), (2, '" + d2
+        + "') AS t(id, j) WHERE jsonb_path_exists(j, "
+        + "'$.s ? (@ like_regex \"a" + bs * 2
+        + "E.b\" flag \"q\")') ORDER BY id",
+    ).collect()
+    assert [r["id"] for r in rows] == [1]
+
     r = run_pg_sql(
         spark,
         f"""SELECT id,
