@@ -261,6 +261,33 @@ def _assert_chain_consumed(
 
 _JS_OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 
+# Escape sequences the literal translators decode to their ACTUAL
+# characters (ADVICE r15, low: '\n' must become a newline in the SQL
+# literal, not the bare letter 'n'). Anything else (\u..., \x..,
+# \b, \0, ...) raises — a guessed decode would silently change the
+# value the app compares against.
+_LIT_ESC = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'", '"': '"'}
+
+
+def _unescape_literal(s: str, kind: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\":
+            nxt = s[i + 1] if i + 1 < len(s) else ""
+            if nxt not in _LIT_ESC:
+                raise ValueError(
+                    f"unsupported escape sequence \\{nxt} in {kind} "
+                    f"string literal (only \\n \\t \\r \\\\ \\' \\\" "
+                    f"are translated faithfully): {s[:60]!r}"
+                )
+            out.append(_LIT_ESC[nxt])
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
 
 def _js_literal_sql(v: str) -> str:
     """A JS argument literal → SQL literal; loud on anything dynamic
@@ -269,7 +296,7 @@ def _js_literal_sql(v: str) -> str:
     m = re.fullmatch(r"'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\"", v)
     if m is not None:
         s = m.group(1) if m.group(1) is not None else m.group(2)
-        s = re.sub(r"\\(.)", r"\1", s)
+        s = _unescape_literal(s, "JS")
         return "'" + s.replace("'", "''") + "'"
     if re.fullmatch(r"-?\d+(?:\.\d+)?", v):
         return v
@@ -281,52 +308,159 @@ def _js_literal_sql(v: str) -> str:
     )
 
 
+def _split_top_commas(body: str) -> list[str]:
+    """Split on depth-0 commas, quote-aware (the shared JS argument
+    splitter for builder chains)."""
+    args, depth, cur, quote = [], 0, [], None
+    for ch in body:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur))
+    return args
+
+
+def _object_literal_conds(body: str, kind: str) -> list[str]:
+    """A JS object literal ``{a: 1, b: 'x'}`` → equality conditions
+    (knex's object-``where`` ANDs them, exactly like this). Loud on
+    computed keys, spreads, shorthand properties, non-literal
+    values."""
+    conds = []
+    for pair in _split_top_commas(body):
+        pair = pair.strip()
+        if not pair:
+            continue
+        km = re.fullmatch(
+            r"(?:(\w+)|['\"]([\w.]+)['\"])\s*:\s*(.+)", pair, re.DOTALL
+        )
+        if km is None:
+            raise ValueError(
+                f"untranslatable {kind} object-where entry (literal "
+                f"key: value pairs only): {pair[:60]!r}"
+            )
+        key = km.group(1) or km.group(2)
+        conds.append(f"{key} = {_js_literal_sql(km.group(3))}")
+    if not conds:
+        raise ValueError(f"empty {kind} object-where")
+    return conds
+
+
+def _raise_unbound(name: str, cond: str) -> str:
+    raise ValueError(
+        f"typeorm .where references :{name} with no literal binding "
+        f"in the parameters object: {cond[:60]!r}"
+    )
+
+
 def _builder_wheres(code: str, kind: str) -> list[str]:
     """Translate ``.where/.andWhere(...)`` calls with LITERAL
     arguments into SQL conditions (r15b — the same found-or-loud
-    upgrade Django's filter got). Returns one condition per call;
-    raises on any call outside the literal subset (callbacks, bind
-    params, object args) — the count backstop in each parser keeps a
-    missed call loud."""
+    upgrade Django's filter got; r16 adds the kysely single-expression
+    callback form ``(eb) => eb('col','op',val)``, the knex object form
+    ``{a: 1}``, and TypeORM ``'col = :v', {v: 1}`` literal binds).
+    Returns one condition per call; raises on any call outside the
+    literal subset (multi-expression callbacks, dynamic binds) — the
+    count backstop in each parser keeps a missed call loud."""
     conds = []
     for wm in re.finditer(r"\.\s*(?:where|andWhere)\s*\(", code):
         body = _balanced_args(code, wm.end() - 1)
-        args, depth, cur, quote = [], 0, [], None
-        for ch in body:
-            if quote:
-                cur.append(ch)
-                if ch == quote:
-                    quote = None
-                continue
-            if ch in "'\"":
-                quote = ch
-            elif ch in "([{":
-                depth += 1
-            elif ch in ")]}":
-                depth -= 1
-            if ch == "," and depth == 0:
-                args.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        args.append("".join(cur))
-        if kind == "typeorm":
-            # one raw condition string, no :params, no second arg
-            if len(args) != 1:
-                raise ValueError(
-                    "typeorm .where with a parameters object is not "
-                    f"translatable (bind at runtime): {args!r}"
+        if kind == "kysely":
+            cb = re.match(r"\s*\(?\s*(\w+)\s*\)?\s*=>\s*", body)
+            if cb and cb.group(1) not in ("'", '"'):
+                expr = body[cb.end():].strip()
+                em = re.fullmatch(
+                    rf"{re.escape(cb.group(1))}\s*\((.*)\)", expr,
+                    re.DOTALL,
                 )
+                if em is None:
+                    raise ValueError(
+                        "untranslatable kysely .where callback (only "
+                        "the single-expression literal form "
+                        "(eb) => eb('col','op',value) translates; "
+                        "eb.and/eb.or compositions stay runtime "
+                        f"concerns): {body[:80]!r}"
+                    )
+                body = em.group(1)
+        args = _split_top_commas(body)
+        if kind == "typeorm":
             am = re.fullmatch(
                 r"\s*(['\"])((?:(?!\1).)*)\1\s*", args[0], re.DOTALL
             )
-            if am is None or ":" in am.group(2):
+            if am is None:
                 raise ValueError(
                     "typeorm .where translates only a literal "
-                    "parameter-free condition string: "
-                    f"{args[0][:60]!r}"
+                    f"condition string: {args[0][:60]!r}"
                 )
-            conds.append(f"({am.group(2)})")
+            cond = am.group(2)
+            if len(args) == 2:
+                # ':param' markers bound from a LITERAL parameters
+                # object splice at scan time (r16, VERDICT #7 — the
+                # same bind-time expansion run_pg_sql's params do)
+                pm_ = re.fullmatch(r"\s*\{(.*)\}\s*", args[1], re.DOTALL)
+                if pm_ is None:
+                    raise ValueError(
+                        "typeorm .where parameters must be a literal "
+                        f"object to bind at scan time: {args[1][:60]!r}"
+                    )
+                binds = {}
+                for pair in _split_top_commas(pm_.group(1)):
+                    pair = pair.strip()
+                    if not pair:
+                        continue
+                    km = re.fullmatch(
+                        r"(\w+)\s*:\s*(.+)", pair, re.DOTALL
+                    )
+                    if km is None:
+                        raise ValueError(
+                            "untranslatable typeorm parameter entry "
+                            f"(literal key: value only): {pair[:60]!r}"
+                        )
+                    binds[km.group(1)] = _js_literal_sql(km.group(2))
+                cond = re.sub(
+                    r":(\w+)",
+                    lambda mm: binds.get(mm.group(1))
+                    or _raise_unbound(mm.group(1), cond),
+                    cond,
+                )
+            elif len(args) != 1:
+                raise ValueError(
+                    "typeorm .where takes a condition string and at "
+                    f"most one parameters object: {args!r}"
+                )
+            if re.search(r":\w+", cond):
+                raise ValueError(
+                    "typeorm .where has unbound :params (bind at "
+                    f"runtime): {cond[:60]!r}"
+                )
+            conds.append(f"({cond})")
+            continue
+        if len(args) == 1 and kind == "knex":
+            om_ = re.fullmatch(r"\s*\{(.*)\}\s*", args[0], re.DOTALL)
+            if om_ is None:
+                raise ValueError(
+                    "untranslatable knex .where shape (literal "
+                    "('col', 'op', value), ('col', value), or "
+                    f"{{col: value}} only): {args!r}"
+                )
+            # ONE condition per call — the chain-consumed backstop
+            # counts .where calls against len(conds)
+            pairs = _object_literal_conds(om_.group(1), kind)
+            conds.append(
+                f"({' AND '.join(pairs)})" if len(pairs) > 1 else pairs[0]
+            )
             continue
         if len(args) == 2 and kind == "knex":
             col, lit = args
@@ -596,11 +730,16 @@ def parse_typeorm(code: str, table_hint: str | None = None) -> str | None:
     :func:`build_method_specs` walks the source file for the
     ``getRepository(Class)`` binding); otherwise loud.
 
+    ``.where/.andWhere`` translate for literal condition strings,
+    including ``:param`` markers bound from a LITERAL parameters
+    object spliced at scan time (r16, VERDICT #7 — the same bind-time
+    expansion ``run_pg_sql(params=...)`` does).
+
     NOT supported (loud): a repository chain whose entity declaration
     is not visible in the repo; ``.from(EntityClass, ...)``;
     entity-property joins (``.innerJoin('e.category', ...)``);
-    ``.where/.having/...`` (dropping one would silently change the
-    query — same contract as kysely/knex).
+    ``.where`` with dynamic binds or ``.having/...`` (dropping one
+    would silently change the query — same contract as kysely/knex).
     """
     m = re.search(r"\.\s*createQueryBuilder\s*\(", code)
     if m is None:
@@ -768,10 +907,22 @@ _DJANGO_METHODS = {
 } | set(_DJANGO_FN)
 
 # QuerySet field lookups the filter translator maps (r15b). `in` and
-# `isnull` are handled structurally; anything else — relation
-# traversals (workspace__slug), contains/regex, Q/F expressions — is
-# loud.
+# `isnull` are handled structurally; text lookups map to LIKE/ILIKE
+# patterns (r16, VERDICT #2); anything else — relation traversals
+# (workspace__slug), regex lookups, F expressions — is loud.
 _DJANGO_LOOKUPS = {"exact": "=", "gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+# lookup -> (SQL operator, pattern template around the LIKE-escaped
+# literal). Django compiles the i-variants through UPPER/ILIKE; PG and
+# ClickHouse both speak ILIKE natively.
+_DJANGO_TEXT_LOOKUPS = {
+    "contains": ("LIKE", "%{}%"),
+    "icontains": ("ILIKE", "%{}%"),
+    "startswith": ("LIKE", "{}%"),
+    "istartswith": ("ILIKE", "{}%"),
+    "endswith": ("LIKE", "%{}"),
+    "iendswith": ("ILIKE", "%{}"),
+    "iexact": ("ILIKE", "{}"),
+}
 
 
 def _django_literal_sql(v: str) -> str:
@@ -781,7 +932,7 @@ def _django_literal_sql(v: str) -> str:
     m = re.fullmatch(r"'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\"", v)
     if m is not None:
         s = (m.group(1) if m.group(1) is not None else m.group(2))
-        s = re.sub(r"\\(.)", r"\1", s)
+        s = _unescape_literal(s, "Django")
         return "'" + s.replace("'", "''") + "'"
     if re.fullmatch(r"-?\d+(?:\.\d+)?", v):
         return v
@@ -792,15 +943,28 @@ def _django_literal_sql(v: str) -> str:
     )
 
 
-def _django_filter_conds(args: str) -> list[str]:
+def _django_filter_conds(
+    args: str, allow_q: bool = True
+) -> tuple[list[tuple[str, str | None, str]], set[str]]:
     """One ``.filter(...)``/``.exclude(...)`` argument list → SQL
-    conditions (kwargs AND together, exactly Django). Loud on
-    positional args (Q objects), relation traversals, and non-literal
-    values."""
-    conds = []
-    items, depth, cur = [], 0, []
+    conditions (kwargs AND together, exactly Django) plus the set of
+    referenced field names (the caller rejects annotate-alias
+    references — Django compiles those into HAVING). Loud on
+    positional args other than flat Q trees, relation traversals, and
+    non-literal values. The splitter tracks quote state (r16, VERDICT
+    nit #1) so a literal value containing a comma splits correctly."""
+    conds: list[tuple[str, str | None, str]] = []
+    fields: set[str] = set()
+    items, depth, cur, quote = [], 0, [], None
     for ch in args:
-        if ch in "([{":
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([{":
             depth += 1
         elif ch in ")]}":
             depth -= 1
@@ -816,53 +980,154 @@ def _django_filter_conds(args: str) -> list[str]:
             continue
         m = re.fullmatch(r"([A-Za-z_]\w*)\s*=\s*(.+)", it, re.DOTALL)
         if m is None:
+            if allow_q and re.match(r"[Q~(]", it):
+                sql, flds = _django_q_sql(it)
+                conds.append((sql, None, "q"))
+                fields |= flds
+                continue
             raise ValueError(
-                "untranslatable Django filter argument (Q objects / "
-                f"positional args are not supported): {it[:60]!r}"
+                "untranslatable Django filter argument (flat Q trees "
+                "of literal lookups translate; F expressions and "
+                f"other positional args do not): {it[:60]!r}"
             )
-        name, val = m.group(1), m.group(2).strip()
-        parts = name.split("__")
-        field, lookup = parts[0], (parts[1] if len(parts) == 2 else "exact")
-        if len(parts) > 2 or (
-            len(parts) == 2
-            and lookup not in _DJANGO_LOOKUPS
-            and lookup not in ("in", "isnull")
-        ):
-            raise ValueError(
-                "untranslatable Django filter lookup (relation "
-                "traversals and text lookups need the model graph): "
-                f"{name!r}"
-            )
-        if lookup == "isnull":
-            if val not in ("True", "False"):
-                raise ValueError(
-                    f"__isnull needs a literal True/False: {val!r}"
-                )
-            conds.append(
-                f"{field} IS NULL" if val == "True" else
-                f"{field} IS NOT NULL"
-            )
-        elif lookup == "in":
-            lm = re.fullmatch(r"[\[(]\s*(.*?)\s*,?\s*[\])]", val, re.DOTALL)
-            if lm is None:
-                raise ValueError(
-                    f"__in needs a literal list/tuple: {val[:60]!r}"
-                )
-            lits = [
-                _django_literal_sql(x)
-                for x in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", lm.group(1))
-                if x.strip()
-            ]
-            if not lits:
-                raise ValueError("__in with an empty literal list")
-            conds.append(f"{field} IN ({', '.join(lits)})")
-        else:
-            conds.append(
-                f"{field} {_DJANGO_LOOKUPS[lookup]} {_django_literal_sql(val)}"
-            )
+        sql, field, lookup = _django_kwarg_cond(m.group(1), m.group(2).strip())
+        conds.append((sql, field, lookup))
+        fields.add(field)
     if not conds:
         raise ValueError("empty Django filter call")
-    return conds
+    return conds, fields
+
+
+def _django_like_pattern(val: str, template: str) -> str:
+    """A quoted Python string literal → SQL LIKE pattern literal:
+    decode escapes, LIKE-escape the metacharacters (backslash escape —
+    PG, ClickHouse, and Spark all default to it), drop into the
+    lookup's template."""
+    m = re.fullmatch(r"'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\"", val)
+    if m is None:
+        raise ValueError(
+            f"text lookups need a quoted string literal: {val[:60]!r}"
+        )
+    s = _unescape_literal(
+        m.group(1) if m.group(1) is not None else m.group(2), "Django"
+    )
+    s = (
+        s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    )
+    return "'" + template.format(s).replace("'", "''") + "'"
+
+
+def _django_kwarg_cond(name: str, val: str) -> tuple[str, str, str]:
+    """One ``field__lookup=value`` kwarg → ``(sql, field, lookup)``."""
+    parts = name.split("__")
+    field, lookup = parts[0], (parts[1] if len(parts) == 2 else "exact")
+    if len(parts) > 2 or (
+        len(parts) == 2
+        and lookup not in _DJANGO_LOOKUPS
+        and lookup not in _DJANGO_TEXT_LOOKUPS
+        and lookup not in ("in", "isnull")
+    ):
+        raise ValueError(
+            "untranslatable Django filter lookup (relation "
+            "traversals and regex lookups need the model graph): "
+            f"{name!r}"
+        )
+    if lookup == "isnull":
+        if val not in ("True", "False"):
+            raise ValueError(
+                f"__isnull needs a literal True/False: {val!r}"
+            )
+        return (
+            f"{field} IS NULL" if val == "True" else
+            f"{field} IS NOT NULL",
+            field,
+            lookup,
+        )
+    if lookup == "in":
+        lm = re.fullmatch(r"[\[(]\s*(.*?)\s*,?\s*[\])]", val, re.DOTALL)
+        if lm is None:
+            raise ValueError(
+                f"__in needs a literal list/tuple: {val[:60]!r}"
+            )
+        lits = [
+            _django_literal_sql(x)
+            for x in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", lm.group(1))
+            if x.strip()
+        ]
+        if not lits:
+            raise ValueError("__in with an empty literal list")
+        return f"{field} IN ({', '.join(lits)})", field, lookup
+    if lookup in _DJANGO_TEXT_LOOKUPS:
+        op, tpl = _DJANGO_TEXT_LOOKUPS[lookup]
+        return (
+            f"{field} {op} {_django_like_pattern(val, tpl)}",
+            field,
+            lookup,
+        )
+    return (
+        f"{field} {_DJANGO_LOOKUPS[lookup]} {_django_literal_sql(val)}",
+        field,
+        lookup,
+    )
+
+
+def _django_q_sql(expr: str) -> tuple[str, set[str]]:
+    """A flat positional Q expression — ``Q(a=1) | Q(b__gte=2) &
+    Q(c='x')`` — → one parenthesized SQL condition plus the referenced
+    fields (r16, VERDICT #2). Python's operator precedence (``&`` over
+    ``|``) matches SQL's (AND over OR), so the token stream maps 1:1
+    without a tree. ~Q negation, parenthesized groups, and Q nested
+    inside Q stay loud — they need real expression-tree semantics."""
+    pos, leaves, ops = 0, [], []
+    fields: set[str] = set()
+    want_leaf = True
+    while pos < len(expr):
+        ch = expr[pos]
+        if ch.isspace():
+            pos += 1
+            continue
+        if want_leaf:
+            qm = re.match(r"Q\s*\(", expr[pos:])
+            if qm is None:
+                raise ValueError(
+                    "untranslatable Django Q expression (flat "
+                    "Q(...)|Q(...)&Q(...) trees of literal lookups "
+                    "translate; ~Q, parenthesized groups, and nested "
+                    f"Q need the expression tree): {expr[:80]!r}"
+                )
+            open_idx = pos + qm.end() - 1
+            args = _balanced_args(expr, open_idx)
+            conds, flds = _django_filter_conds(args, allow_q=False)
+            fields |= flds
+            leaf = " AND ".join(c for c, _, _ in conds)
+            leaves.append(f"({leaf})" if len(conds) > 1 else leaf)
+            pos = open_idx + len(args) + 2
+            want_leaf = False
+        elif ch in "|&":
+            ops.append(ch)
+            pos += 1
+            want_leaf = True
+        else:
+            raise ValueError(
+                f"untranslatable token {ch!r} in Django Q expression: "
+                f"{expr[:80]!r}"
+            )
+    if want_leaf:
+        raise ValueError(
+            f"Django Q expression ends on an operator: {expr[:80]!r}"
+        )
+    or_groups, cur = [], [leaves[0]]
+    for op, leaf in zip(ops, leaves[1:]):
+        if op == "&":
+            cur.append(leaf)
+        else:
+            or_groups.append(cur)
+            cur = [leaf]
+    or_groups.append(cur)
+    terms = [" AND ".join(g) for g in or_groups]
+    if len(leaves) == 1:
+        return leaves[0], fields
+    return "(" + " OR ".join(terms) + ")", fields
 
 
 def _balanced_args(code: str, open_idx: int) -> str:
@@ -894,18 +1159,27 @@ def parse_django(
     rollup — ``.values`` before ``annotate`` IS Django's GROUP BY) and
     ``Model.objects.aggregate(alias=Sum('col'), ...)`` (one-row global
     aggregate), plus ``.order_by('-alias', 'col')``. Filter kwargs
-    translate for literal values and the simple lookups (exact /
-    gt / gte / lt / lte / in / isnull; ``exclude`` wraps NOT) — with
-    filters the splice point becomes the literal ``WHERE 1=1`` so the
-    runtime DateFilter composes. The table comes from
-    ``model_tables`` — the repo-visible binding collected by
+    translate for literal values and the simple lookups (exact / gt /
+    gte / lt / lte / in / isnull), the text lookups
+    (``__icontains``-family → ILIKE/LIKE patterns, r16 VERDICT #2),
+    and flat positional ``Q(a=1) | Q(b=2)`` trees of literal lookups
+    (Python's ``&``-over-``|`` precedence maps 1:1 onto SQL's
+    AND-over-OR). ``exclude`` wraps NOT with Django's per-leaf IS NOT
+    NULL guards, so NULL rows stay in the result exactly like the
+    QuerySet. With filters the splice point becomes the literal
+    ``WHERE 1=1`` so the runtime DateFilter composes. The table comes
+    from ``model_tables`` — the repo-visible binding collected by
     :func:`clickhouse_build_spark.scanner.collect_model_tables`
     (``Meta.db_table`` or Django's default ``<app>_<model>`` naming).
 
     NOT supported (loud): an invisible model class (no binding to
-    derive the table from), Q/F expressions, relation-traversal or
-    text lookups (``workspace__slug``, ``__icontains`` — they need the
-    model graph / collation semantics), non-literal filter values,
+    derive the table from), F expressions, ``~Q`` / nested Q /
+    parenthesized Q groups / Q inside ``.exclude()`` (they need the
+    real expression tree), ``.filter()/.exclude()`` AFTER
+    ``.annotate()`` or referencing an annotate alias (Django compiles
+    those to HAVING — ADVICE r15), relation-traversal or regex
+    lookups (``workspace__slug`` — they need the model graph),
+    non-literal filter values,
     ``.distinct/...`` (the kysely/knex never-silently-drop contract),
     ``annotate`` without ``values`` (a per-row annotation, not a
     rollup), ``Count('pk')`` (the concrete pk column needs model
@@ -932,21 +1206,10 @@ def parse_django(
             "table can be derived; migrating this site needs that "
             f"binding: {code[:120]!r}"
         )
-    wheres: list[str] = []
-    for fm_ in re.finditer(r"\.\s*(filter|exclude)\s*\(", code):
-        conds = _django_filter_conds(_balanced_args(code, fm_.end() - 1))
-        if fm_.group(1) == "exclude":
-            wheres.append(f"NOT ({' AND '.join(conds)})")
-        else:
-            wheres.extend(conds)
-    # With translated filters the splice point becomes the literal
-    # 'WHERE 1=1' (the strategy rewrites it), so the conditions and
-    # the runtime DateFilter compose: WHERE 1=1 AND <conds> AND date…
-    where_sql = (
-        "WHERE 1=1 AND " + " AND ".join(wheres)
-        if wheres
-        else "${whereClause}"
-    )
+    filter_calls = [
+        (fm_.start(), fm_.group(1), _balanced_args(code, fm_.end() - 1))
+        for fm_ in re.finditer(r"\.\s*(filter|exclude)\s*\(", code)
+    ]
     group_cols: list[str] = []
     vms = list(re.finditer(r"\.\s*values\s*\(", code))
     if len(vms) > 1:
@@ -1001,6 +1264,58 @@ def parse_django(
                 f"{_DJANGO_FN[fm.group(2)]}({fm.group(3)}) AS {fm.group(1)}"
             )
     aliases = {s.rsplit(" AS ", 1)[1] for s in sels}
+    # ADVICE r15 (medium): Django compiles a .filter()/.exclude()
+    # placed AFTER .annotate() — or one referencing an annotate
+    # alias — into HAVING, not WHERE (the dedup idiom
+    # .values('a').annotate(n=Count('id')).filter(n__gt=1)). Emitting
+    # those conditions into the WHERE arm would reference an aggregate
+    # alias in WHERE: broken or wrongly-filtered SQL at app runtime.
+    # Refuse at translate time instead.
+    ann_m = re.search(r"\.\s*annotate\s*\(", code)
+    wheres: list[str] = []
+    for fpos, fkind, fargs in filter_calls:
+        if ann_m is not None and fpos > ann_m.start():
+            raise ValueError(
+                "Django .filter()/.exclude() after .annotate() "
+                "compiles to HAVING, not WHERE — not translatable "
+                f"into the WHERE splice arm: {code[:120]!r}"
+            )
+        conds, flds = _django_filter_conds(fargs)
+        hit = flds & aliases
+        if hit:
+            raise ValueError(
+                "Django filter condition references annotate "
+                f"alias(es) {sorted(hit)} — that filter compiles to "
+                f"HAVING, not WHERE; not translatable: {code[:120]!r}"
+            )
+        if fkind == "exclude":
+            # Django's negated filters add an IS NOT NULL guard per
+            # non-isnull leaf (sql/query.py build_filter), so
+            # .exclude(category='x') KEEPS NULL rows — plain SQL
+            # NOT(category='x') would drop them (r16, VERDICT nit #2).
+            guarded = []
+            for sql_c, f, lk in conds:
+                if f is None:
+                    raise ValueError(
+                        "Q expressions inside .exclude() need "
+                        "Django's negation tree (per-leaf NULL "
+                        f"guards): {code[:120]!r}"
+                    )
+                if lk == "isnull":
+                    guarded.append(sql_c)
+                else:
+                    guarded.append(f"({sql_c} AND {f} IS NOT NULL)")
+            wheres.append(f"NOT ({' AND '.join(guarded)})")
+        else:
+            wheres.extend(sql_c for sql_c, _, _ in conds)
+    # With translated filters the splice point becomes the literal
+    # 'WHERE 1=1' (the strategy rewrites it), so the conditions and
+    # the runtime DateFilter compose: WHERE 1=1 AND <conds> AND date…
+    where_sql = (
+        "WHERE 1=1 AND " + " AND ".join(wheres)
+        if wheres
+        else "${whereClause}"
+    )
     order: list[str] = []
     for om in re.finditer(r"\.\s*order_by\s*\(", code):
         for it in _balanced_args(code, om.end() - 1).split(","):

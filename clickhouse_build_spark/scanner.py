@@ -270,11 +270,23 @@ def _candidate_blocks(text: str) -> list[tuple[int, int, str]]:
             continue
         head = i
         if line.lstrip().startswith("."):
-            for _ in range(3):
+            # continuation-aware walk-back (r16): step while THIS line
+            # is a chain continuation (starts with '.' / ')') or the
+            # line above clearly leaves the statement open (ends with
+            # '(' or ','). Capped at 12 — covers a multi-line
+            # .filter(...) argument list between the chain head and
+            # the matched .annotate(/.groupBy( line.
+            for _ in range(12):
                 if head == 0:
                     break
                 prev = lines[head - 1].rstrip()
-                if prev == "" or prev.endswith((";", "{", "}")):
+                if prev == "" or prev.endswith((";", "{", "}", ":")):
+                    break
+                cur = lines[head].lstrip()
+                if not (
+                    cur.startswith((".", ")"))
+                    or prev.endswith(("(", ","))
+                ):
                     break
                 head -= 1
         depth = 0

@@ -7,7 +7,7 @@ is not visible in the chain.
 """
 
 from django.db import connection
-from django.db.models import Avg, Count, Sum
+from django.db.models import Avg, Count, Q, Sum
 
 from .models import Expense
 
@@ -46,6 +46,31 @@ def paid_category_breakdown(request):
     stats = (
         Expense.objects.filter(category__in=["Food", "Travel"], amount__gte=5)
         .exclude(amount__gte=240)
+        .values("category")
+        .annotate(total=Sum("amount"), n=Count("id"))
+        .order_by("category")
+    )
+    return list(stats)
+
+
+def flagged_breakdown(request):
+    # flat Q tree + text lookup: OR of literal lookups (r16)
+    stats = (
+        Expense.objects.filter(
+            Q(category__icontains="foo") | Q(amount__gte=200),
+            amount__lt=240,
+        )
+        .values("category")
+        .annotate(total=Sum("amount"), n=Count("id"))
+        .order_by("category")
+    )
+    return list(stats)
+
+
+def non_food_breakdown(request):
+    # exclude on a NULLABLE column: Django KEEPS NULL-category rows
+    stats = (
+        Expense.objects.exclude(category="Food")
         .values("category")
         .annotate(total=Sum("amount"), n=Count("id"))
         .order_by("category")

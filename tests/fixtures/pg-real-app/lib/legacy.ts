@@ -8,3 +8,13 @@ export async function dailySpend() {
     .groupBy('day')
     .orderBy('day');
 }
+
+// knex object-where: AND of literal equalities (r16).
+export async function foodDailySpend() {
+  return knex('expenses')
+    .select(knex.raw("DATE_TRUNC('day', date) AS day"))
+    .sum('amount as total')
+    .where({ category: 'Food' })
+    .groupBy('day')
+    .orderBy('day');
+}

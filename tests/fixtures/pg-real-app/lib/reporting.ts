@@ -16,3 +16,19 @@ export async function categoryReport() {
     .execute();
   return rows;
 }
+
+// kysely callback .where: the single-expression literal form
+// translates (r16); eb.and/eb.or compositions stay runtime concerns.
+export async function bigSpendReport() {
+  const rows = await db
+    .selectFrom('expenses')
+    .select(({ fn }) => [
+      'expenses.category as category',
+      fn.sum('expenses.amount').as('total'),
+    ])
+    .where((eb) => eb('expenses.amount', '>=', 25))
+    .groupBy('expenses.category')
+    .orderBy('total', 'desc')
+    .execute();
+  return rows;
+}

@@ -30,3 +30,18 @@ export async function monthlyAverage() {
     .getRawMany();
   return rows;
 }
+
+// TypeORM :param markers bound from a LITERAL parameters object are
+// spliced at scan time (r16) — dynamic binds stay loud.
+export async function bigCategoryTotals() {
+  const rows = await dataSource
+    .createQueryBuilder()
+    .from('expenses', 'e')
+    .select('e.category', 'category')
+    .addSelect('SUM(e.amount)', 'total')
+    .where('e.amount >= :minAmount', { minAmount: 25 })
+    .groupBy('e.category')
+    .orderBy('total', 'DESC')
+    .getRawMany();
+  return rows;
+}

@@ -26,15 +26,19 @@ def scan():
 
 def test_django_sites_found(scan):
     locs = sorted(q.location for q in scan.queries)
-    assert len(locs) == 4
+    assert len(locs) == 6
     # values(...).annotate(Sum/Count) chain
-    assert any(l.startswith("analytics/views.py:L15-") for l in locs), locs
+    assert any(l.startswith("analytics/views.py:L16-") for l in locs), locs
     # .aggregate(...) one-shot
     assert any(l.startswith("analytics/views.py:L25-") for l in locs), locs
     # raw cursor SQL
     assert any(l.startswith("analytics/views.py:L33-") for l in locs), locs
     # filtered rollup (r15b)
-    assert any(l.startswith("analytics/views.py:L47-") for l in locs), locs
+    assert any(l.startswith("analytics/views.py:L46-") for l in locs), locs
+    # flat Q tree + text lookup (r16)
+    assert any(l.startswith("analytics/views.py:L58-") for l in locs), locs
+    # exclude on a nullable column (r16)
+    assert any(l.startswith("analytics/views.py:L72-") for l in locs), locs
 
 
 def test_single_row_lookup_not_reported(scan):
@@ -50,7 +54,7 @@ def test_models_file_contributes_nothing(scan):
 def test_django_emission_fails_loudly_without_model_context(scan):
     """Found-or-loud: without the repo's model bindings the QuerySet
     sites refuse emission with the Django-specific reason."""
-    for prefix in ("analytics/views.py:L15-", "analytics/views.py:L25-"):
+    for prefix in ("analytics/views.py:L16-", "analytics/views.py:L25-"):
         q = next(x for x in scan.queries if x.location.startswith(prefix))
         with pytest.raises(ValueError, match="Django ORM site"):
             build_method_specs(
@@ -83,7 +87,7 @@ def test_django_sites_emit_with_visible_model(scan):
     (``class Expense(models.Model)`` in analytics/models.py, default
     ``analytics_expense`` naming) — both QuerySet sites derive raw SQL
     through the same spec machinery as kysely/knex/typeorm."""
-    (s,) = _specs_with_repo(scan, "analytics/views.py:L15-")
+    (s,) = _specs_with_repo(scan, "analytics/views.py:L16-")
     assert s.orm == "django"
     assert s.pg_sql == (
         "SELECT category, SUM(amount) AS total, COUNT(id) AS n "
@@ -136,7 +140,7 @@ def test_django_emitted_arms_row_equal(scan, planted):
     from tests.conftest import SF_SMOKE
 
     eng = Engine(SF_SMOKE, spark=planted)
-    for prefix in ("analytics/views.py:L15-", "analytics/views.py:L25-"):
+    for prefix in ("analytics/views.py:L16-", "analytics/views.py:L25-"):
         (s,) = _specs_with_repo(scan, prefix)
         got = eng.sql(
             s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse"
@@ -195,13 +199,13 @@ def test_django_filtered_rollup_emits_and_roundtrips(scan, planted):
     from clickhouse_build_spark.engine import Engine
     from tests.conftest import SF_SMOKE
 
-    (s,) = _specs_with_repo(scan, "analytics/views.py:L47-")
+    (s,) = _specs_with_repo(scan, "analytics/views.py:L46-")
     assert s.orm == "django"
     assert s.pg_sql == (
         "SELECT category, SUM(amount) AS total, COUNT(id) AS n "
         "FROM analytics_expense "
         "WHERE 1=1 AND category IN ('Food', 'Travel') AND amount >= 5 "
-        "AND NOT (amount >= 240) "
+        "AND NOT ((amount >= 240 AND amount IS NOT NULL)) "
         "GROUP BY category ORDER BY category ASC"
     )
     eng = Engine(SF_SMOKE, spark=planted)
@@ -239,7 +243,32 @@ def test_django_filter_loud_shapes():
 
     mt = {"Expense": "analytics_expense"}
     for bad, why in [
-        ("Expense.objects.filter(Q(a=1)).aggregate(n=Count('id'))", "Q objects"),
+        # r16: flat Q trees translate; negation / nesting / groups and
+        # Q inside exclude still need the real expression tree
+        (
+            "Expense.objects.filter(~Q(a=1)).aggregate(n=Count('id'))",
+            "untranslatable Django Q expression",
+        ),
+        (
+            "Expense.objects.filter(Q(Q(a=1) | Q(b=2)))"
+            ".aggregate(n=Count('id'))",
+            "untranslatable Django filter argument",
+        ),
+        (
+            "Expense.objects.filter((Q(a=1) | Q(b=2)) & Q(c=3))"
+            ".aggregate(n=Count('id'))",
+            "untranslatable Django Q expression",
+        ),
+        (
+            "Expense.objects.exclude(Q(a=1) | Q(b=2))"
+            ".aggregate(n=Count('id'))",
+            "Q expressions inside .exclude()",
+        ),
+        (
+            "Expense.objects.filter(Q(a=1) |)"
+            ".aggregate(n=Count('id'))",
+            "ends on an operator",
+        ),
         (
             "Expense.objects.filter(workspace__slug='x')"
             ".aggregate(n=Count('id'))",
@@ -251,9 +280,14 @@ def test_django_filter_loud_shapes():
             "literals only",
         ),
         (
-            "Expense.objects.filter(name__icontains='a')"
+            "Expense.objects.filter(name__regex='^a')"
             ".aggregate(n=Count('id'))",
-            "relation traversals and text lookups",
+            "relation traversals and regex lookups",
+        ),
+        (
+            "Expense.objects.filter(name__icontains=prefix)"
+            ".aggregate(n=Count('id'))",
+            "text lookups need a quoted string literal",
         ),
         (
             "Expense.objects.filter(note__isnull=maybe)"
@@ -263,3 +297,112 @@ def test_django_filter_loud_shapes():
     ]:
         with pytest.raises(ValueError, match=__import__("re").escape(why)):
             parse_django(bad, mt)
+
+
+def test_django_having_shapes_stay_loud():
+    """ADVICE r15 (medium): a .filter()/.exclude() AFTER .annotate()
+    — or one referencing an annotate alias — compiles to HAVING in
+    Django; emitting it into the WHERE arm would reference an
+    aggregate alias in WHERE. Refuses at translate time."""
+    from clickhouse_build_spark.code_emitter import parse_django
+
+    mt = {"Expense": "analytics_expense"}
+    with pytest.raises(ValueError, match="compiles to HAVING"):
+        parse_django(
+            "Expense.objects.values('category')"
+            ".annotate(n=Count('id')).filter(n__gt=1)",
+            mt,
+        )
+    with pytest.raises(ValueError, match="compiles to HAVING"):
+        parse_django(
+            "Expense.objects.values('category')"
+            ".annotate(n=Count('id')).exclude(n=0)",
+            mt,
+        )
+
+
+def test_django_q_tree_and_text_lookup_roundtrip(scan, planted):
+    """r16 (VERDICT #2): flat Q trees of literal lookups and the
+    __icontains-family text lookups translate; the emitted arms
+    row-equal on the planted corpus and match a direct DataFrame
+    computation of the QuerySet semantics."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_build_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    (s,) = _specs_with_repo(scan, "analytics/views.py:L58-")
+    assert s.orm == "django"
+    assert s.pg_sql == (
+        "SELECT category, SUM(amount) AS total, COUNT(id) AS n "
+        "FROM analytics_expense "
+        "WHERE 1=1 AND (category ILIKE '%foo%' OR amount >= 200) "
+        "AND amount < 240 "
+        "GROUP BY category ORDER BY category ASC"
+    )
+    eng = Engine(SF_SMOKE, spark=planted)
+    got = eng.sql(s.ch_sql, dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql, dialect="postgres").collect()
+    ref = (
+        planted.table("analytics_expense")
+        .filter(
+            (
+                F.lower(F.col("category")).contains("foo")
+                | (F.col("amount") >= 200)
+            )
+            & (F.col("amount") < 240)
+        )
+        .groupBy("category")
+        .agg(F.sum("amount").alias("total"), F.count("id").alias("n"))
+        .orderBy("category")
+        .collect()
+    )
+    assert len(got) == len(want) == len(ref) > 0
+    for g, w, r in zip(got, want, ref):
+        assert g["category"] == w["category"] == r["category"]
+        assert g["n"] == w["n"] == r["n"]
+        assert g["total"] == pytest.approx(w["total"], rel=1e-9)
+        assert g["total"] == pytest.approx(r["total"], rel=1e-9)
+
+
+def test_django_exclude_keeps_null_rows(scan, planted):
+    """r16 (VERDICT nit #2): Django's negated filters add per-leaf IS
+    NOT NULL guards (sql/query.py build_filter), so
+    .exclude(category='Food') KEEPS rows whose category is NULL —
+    plain SQL NOT(category='Food') would drop them. The planted corpus
+    carries NULL categories; the NULL group must appear in the
+    result on BOTH emitted arms."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_build_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    (s,) = _specs_with_repo(scan, "analytics/views.py:L72-")
+    assert s.orm == "django"
+    assert s.pg_sql == (
+        "SELECT category, SUM(amount) AS total, COUNT(id) AS n "
+        "FROM analytics_expense "
+        "WHERE 1=1 AND NOT ((category = 'Food' AND category IS NOT NULL)) "
+        "GROUP BY category ORDER BY category ASC"
+    )
+    eng = Engine(SF_SMOKE, spark=planted)
+    got = eng.sql(s.ch_sql, dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql, dialect="postgres").collect()
+    ref = (
+        planted.table("analytics_expense")
+        .filter((F.col("category") != "Food") | F.col("category").isNull())
+        .groupBy("category")
+        .agg(F.sum("amount").alias("total"), F.count("id").alias("n"))
+        .orderBy("category")
+        .collect()
+    )
+    # the QuerySet keeps the NULL-category group
+    assert any(r["category"] is None for r in ref)
+    assert len(got) == len(want) == len(ref) > 0
+    cats = lambda rows: [r["category"] for r in rows]  # noqa: E731
+    assert cats(got) == cats(want) == cats(ref)
+    assert None in cats(got) and "Food" not in cats(got)
+    for g, w, r in zip(got, want, ref):
+        assert g["n"] == w["n"] == r["n"]
+        assert g["total"] == pytest.approx(w["total"], rel=1e-9)
+        assert g["total"] == pytest.approx(r["total"], rel=1e-9)

@@ -55,19 +55,22 @@ def _spec_for(scan, loc_prefix):
     }
 
 
-def test_scanner_finds_all_eight_sites(scan):
+def test_scanner_finds_all_eleven_sites(scan):
     locs = sorted(q.location for q in scan.queries)
     prefixes = [
         "db/views.sql:L1-",          # CREATE VIEW ... GROUP BY
         "db/views.sql:L18-",         # saved reporting query
         "lib/legacy.ts:L5-",         # knex chain
+        "lib/legacy.ts:L14-",        # knex object-where (r16)
         "lib/reporting.ts:L6-",      # kysely chain
+        "lib/reporting.ts:L23-",     # kysely callback-where (r16)
         "services/insights.ts:L5-",  # inline prisma groupBy
         "services/insights.ts:L23-",  # opts-object groupBy
         "services/metrics.ts:L7-",   # typeorm .from('expenses') chain
         "services/metrics.ts:L24-",  # typeorm repository chain (r14)
+        "services/metrics.ts:L37-",  # typeorm :param binds (r16)
     ]
-    assert len(locs) == 8
+    assert len(locs) == 11
     for want in prefixes:
         matches = [l for l in locs if l.startswith(want)]
         assert len(matches) == 1, (want, locs)
@@ -258,7 +261,7 @@ def test_builder_filters_never_silently_dropped():
         (
             "const r = await db.selectFrom('expenses')"
             ".select(['category']).where(eb => dynamicCond)",
-            "kysely .where shape",
+            "kysely .where callback",
         ),
         (
             "return knex('expenses').sum('amount as total')"
@@ -354,9 +357,9 @@ def test_typeorm_invisible_entity_stays_loud(tmp_path):
 
 
 def test_typeorm_untranslatable_shapes_fail_loudly():
-    # .where() with a bind-params object stays loud (r15b translates
-    # only literal parameter-free condition strings)
-    with pytest.raises(ValueError, match="parameters object"):
+    # r16: a LITERAL bind object now splices at scan time; a DYNAMIC
+    # bind (identifier value or a params variable) stays loud
+    with pytest.raises(ValueError, match="untranslatable builder literal"):
         build_method_specs(
             [
                 {
@@ -364,7 +367,31 @@ def test_typeorm_untranslatable_shapes_fail_loudly():
                     "location": "x:L1",
                     "code": "const r = await ds.createQueryBuilder()"
                     ".from('expenses', 'e').select('COUNT(*)', 'n')"
-                    ".where('e.status = :s', { s: 'paid' })",
+                    ".where('e.status = :s', { s: reqStatus })",
+                }
+            ]
+        )
+    with pytest.raises(ValueError, match="must be a literal object"):
+        build_method_specs(
+            [
+                {
+                    "description": "x",
+                    "location": "x:L1",
+                    "code": "const r = await ds.createQueryBuilder()"
+                    ".from('expenses', 'e').select('COUNT(*)', 'n')"
+                    ".where('e.status = :s', params)",
+                }
+            ]
+        )
+    with pytest.raises(ValueError, match="no literal binding"):
+        build_method_specs(
+            [
+                {
+                    "description": "x",
+                    "location": "x:L1",
+                    "code": "const r = await ds.createQueryBuilder()"
+                    ".from('expenses', 'e').select('COUNT(*)', 'n')"
+                    ".where('e.status = :s AND e.kind = :k', { s: 'paid' })",
                 }
             ]
         )
@@ -446,3 +473,46 @@ def test_chain_args_never_silently_dropped():
             build_method_specs(
                 [{"description": "x", "location": "x:L1", "code": code}]
             )
+
+
+def test_kysely_callback_where_roundtrips(scan, planted):
+    """r16 (VERDICT #1): the single-expression literal callback
+    .where((eb) => eb('col','op',val)) translates into the WHERE 1=1
+    arm; CH arm row-equals PG arm on the planted corpus."""
+    (s,) = build_method_specs([_spec_for(scan, "lib/reporting.ts:L23")])
+    assert s.orm == "kysely"
+    assert "WHERE 1=1 AND expenses.amount >= 25" in s.pg_sql
+    eng = _engine(planted)
+    got = eng.sql(s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql.replace("${whereClause}", ""), dialect="postgres").collect()
+    _rows_equal(got, want)
+    assert len(got) == 4 and got[0]["total"] >= got[-1]["total"]
+
+
+def test_knex_object_where_roundtrips(scan, planted):
+    """r16 (VERDICT #1): the flat object form .where({col: val})
+    translates as AND of equalities."""
+    (s,) = build_method_specs([_spec_for(scan, "lib/legacy.ts:L14")])
+    assert s.orm == "knex"
+    assert "WHERE 1=1 AND category = 'Food'" in s.pg_sql
+    eng = _engine(planted)
+    got = eng.sql(s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql.replace("${whereClause}", ""), dialect="postgres").collect()
+    _rows_equal(got, want)
+    days = [r["day"] for r in got]
+    assert len(days) > 10 and days == sorted(days)
+
+
+def test_typeorm_param_binds_roundtrip(scan, planted):
+    """r16 (VERDICT #7): :param markers bound from a LITERAL
+    parameters object splice at scan time — the same bind-time
+    expansion run_pg_sql(params=...) does."""
+    (s,) = build_method_specs([_spec_for(scan, "services/metrics.ts:L37")])
+    assert s.orm == "typeorm"
+    assert "WHERE 1=1 AND (e.amount >= 25)" in s.pg_sql
+    assert ":minAmount" not in s.pg_sql
+    eng = _engine(planted)
+    got = eng.sql(s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse").collect()
+    want = eng.sql(s.pg_sql.replace("${whereClause}", ""), dialect="postgres").collect()
+    _rows_equal(got, want)
+    assert len(got) == 4 and got[0]["total"] >= got[-1]["total"]
