@@ -3232,10 +3232,12 @@ def _pg_jsonb_contains(lhs: str, rhs_literal: str) -> str:
 def _parse_jsonpath(path: str):
     """Parse the bounded SQL/JSONPath subset the app-query shapes use
     into step tuples: ``('member', key)``, ``('index', n)``,
-    ``('wild',)``, ``('filter', pred)``. Predicates are
+    ``('index_last', k)`` (``[last - k]``, r16), ``('slice', lo, hi)``
+    (``[a to b]`` inclusive, bounds int or last-k, r16), ``('wild',)``,
+    ``('filter', pred)``. Predicates are
     ``('or'|'and', [..])``, ``('not', p)``, ``('exists', relsteps)``
     or ``('cmp', relsteps, op, kind, value)``. Anything outside the
-    subset (strict mode, ``.**``, ``last``, slices, item methods other
+    subset (strict mode, ``.**``, multi-subscripts, item methods other
     than terminal ``.double()``/``.size()``/``.type()``) is a loud
     translate-time failure — never a silent wrong answer. Lax-mode
     semantics (the PG default) are compiled: wildcard unwraps arrays
@@ -3316,13 +3318,45 @@ def _parse_jsonpath(path: str):
                 i += mm.end()
                 continue
             mm = re.match(r"\[\s*(\d+)\s*\]", s[i:])
-            if mm is None:
+            if mm is not None:
+                steps.append(("index", int(mm.group(1))))
+                i += mm.end()
+                continue
+            # r16 (VERDICT #4): [last], [last - k], and inclusive
+            # slices [a to b] with int or last-k bounds. Multi-
+            # subscripts ([1, 3]) stay loud.
+            mm = re.match(r"\[\s*([^\]]*?)\s*\]", s[i:])
+            inner = mm.group(1) if mm is not None else ""
+
+            def _bound(txt: str):
+                bm = re.fullmatch(r"last(?:\s*-\s*(\d+))?", txt)
+                if bm is not None:
+                    return ("last", int(bm.group(1) or 0))
+                bm = re.fullmatch(r"\d+", txt)
+                if bm is not None:
+                    return ("abs", int(txt))
+                raise ValueError(
+                    f"unsupported jsonpath subscript bound {txt!r} "
+                    "(int, 'last', or 'last - k' only)"
+                )
+
+            if mm is None or "," in inner:
                 raise ValueError(
                     f"unsupported jsonpath subscript at {s[i:]!r} "
-                    "(only [N] and [*] are translated — no 'last', "
-                    "ranges, or multi-subscripts)"
+                    "([N], [*], [last], [last - k], and [a to b] are "
+                    "translated — no multi-subscripts)"
                 )
-            steps.append(("index", int(mm.group(1))))
+            tom = re.fullmatch(r"(.+?)\s+to\s+(.+)", inner)
+            if tom is not None:
+                steps.append(
+                    ("slice", _bound(tom.group(1)), _bound(tom.group(2)))
+                )
+            else:
+                b = _bound(inner)
+                if b[0] == "abs":
+                    steps.append(("index", b[1]))
+                else:
+                    steps.append(("index_last", b[1]))
             i += mm.end()
         elif s[i] == "?":
             mm = re.match(r"\?\s*\(", s[i:])
@@ -4076,6 +4110,50 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
             seq = (
                 f"filter(transform({seq}, {a} -> {elem}), "
                 f"{b} -> {b} IS NOT NULL)"
+            )
+        elif kind == "index_last":
+            # [last - k] (r16, VERDICT #4): 1-based element size-k;
+            # underflow (k >= size) drops the item (lax out-of-range);
+            # lax auto-wrap makes [last] on a scalar the scalar itself.
+            k = steps[i][1]
+            i += 1
+            a, b = v(), v()
+            arr = f"try_cast({a} AS ARRAY<VARIANT>)"
+            elem = (
+                f"IF({arr} IS NOT NULL, IF(size({arr}) > {k}, "
+                f"try_element_at({arr}, size({arr}) - {k}), NULL), "
+                + (f"{a})" if k == 0 else "NULL)")
+            )
+            seq = (
+                f"filter(transform({seq}, {a} -> {elem}), "
+                f"{b} -> {b} IS NOT NULL)"
+            )
+        elif kind == "slice":
+            # [a to b] inclusive (r16, VERDICT #4): lax auto-wraps
+            # non-arrays, clips to the array bounds, and yields empty
+            # (never an error) when the resolved range is invalid.
+            lo, hi = steps[i][1], steps[i][2]
+            i += 1
+            u, x = v(), v()
+            seq = (
+                f"transform({seq}, {u} -> "
+                f"coalesce(try_cast({u} AS ARRAY<VARIANT>), array({u})))"
+            )
+
+            def _bsql(bnd: tuple) -> str:
+                if bnd[0] == "abs":
+                    return str(bnd[1])
+                return f"size({x}) - 1 - {bnd[1]}"
+
+            # PG lax CLAMPS the bounds (jsonpath_exec.c: from=max(0),
+            # to=min(size-1)) and yields empty when from > to
+            lo0 = f"greatest({_bsql(lo)}, 0)"
+            hi0 = f"least({_bsql(hi)}, size({x}) - 1)"
+            seq = (
+                f"flatten(transform({seq}, {x} -> "
+                f"IF({hi0} >= {lo0}, "
+                f"slice({x}, ({lo0}) + 1, ({hi0}) - ({lo0}) + 1), "
+                f"slice({x}, 1, 0))))"
             )
         elif kind == "wild":
             i += 1

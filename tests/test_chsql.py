@@ -3031,6 +3031,47 @@ def test_pg_jsonb_mutation_loud_failures():
         P("SELECT j #- p FROM t")
 
 
+def test_pg_jsonpath_last_and_slices(spark):
+    """r16 (VERDICT #4): ``[last]``, ``[last - k]``, and inclusive
+    ``[a to b]`` slices compile over the ARRAY<VARIANT> sequence with
+    PG's lax semantics — auto-wrap of non-arrays, bound CLAMPING
+    (jsonpath_exec.c: from=max(0), to=min(size-1)), empty on an
+    inverted resolved range, and member steps composing after a
+    slice."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    def col(expr):
+        rows = run_pg_sql(
+            spark, f"SELECT id, {expr} AS r FROM {_JP_DOCS} ORDER BY id"
+        ).collect()
+        return [r["r"] for r in rows]
+
+    assert col("jsonb_path_query_first(j, '$.items[last].v')") == [
+        "60", "70", None, None, None]
+    assert col("jsonb_path_query_first(j, '$.tags[last - 1]')") == [
+        '"x"', None, None, None, None]
+    # lax auto-wrap: [last] over the non-array meta object
+    assert col("jsonb_path_query_first(j, '$.meta[last].k')") == [
+        "10", "99", "null", None, None]
+    assert col("jsonb_path_query_array(j, '$.tags[0 to 1]')") == [
+        '["x","y"]', "[]", '["x"]', "[]", None]
+    # clamped from-below and member-after-slice composition
+    assert col("jsonb_path_query_array(j, '$.items[last - 5 to last].v')") == [
+        "[5,60]", "[70]", "[]", "[]", None]
+    assert col("jsonb_path_query_array(j, '$.items[0 to last - 1].v')") == [
+        "[5]", "[]", "[]", "[]", None]
+    # inverted range is empty, never an error
+    assert col("jsonb_path_query_array(j, '$.tags[1 to 0]')") == [
+        "[]", "[]", "[]", "[]", None]
+    # slice composes with a trailing filter predicate
+    rows = run_pg_sql(
+        spark,
+        "SELECT id FROM " + _JP_DOCS + " WHERE jsonb_path_exists(j, "
+        "'$.items[last - 1 to last] ? (@.v >= 60)') ORDER BY id",
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+
+
 def test_pg_jsonb_digit_path_dispatch(spark):
     """r16 (ADVICE): a digit segment in a text[] mutation path is
     UNTYPED in PG — it addresses an object KEY when that step's
@@ -3114,8 +3155,14 @@ def test_pg_jsonb_path_loud_failures():
         P("SELECT jsonb_path_query_first(j, '$.a.ceiling()') FROM t")
     with pytest.raises(ValueError, match="final step"):
         P("SELECT jsonb_path_query_first(j, '$.a.size().double()') FROM t")
-    with pytest.raises(ValueError, match="subscript"):
-        P("SELECT jsonb_path_exists(j, '$.a[last]') FROM t")
+    # r16: [last] / [last - k] / [a to b] now TRANSLATE; multi-
+    # subscripts and non-literal bounds stay loud
+    with pytest.raises(ValueError, match="multi-subscripts"):
+        P("SELECT jsonb_path_exists(j, '$.a[1, 3]') FROM t")
+    with pytest.raises(ValueError, match="subscript bound"):
+        P("SELECT jsonb_path_exists(j, '$.a[last + 1]') FROM t")
+    with pytest.raises(ValueError, match="subscript bound"):
+        P("SELECT jsonb_path_exists(j, '$.a[$n to last]') FROM t")
     with pytest.raises(ValueError, match="string literal"):
         P("SELECT jsonb_path_exists(j, p) FROM t")
     with pytest.raises(ValueError, match="2-argument"):
