@@ -31,75 +31,73 @@ from clickhouse_build_spark.plans import retrieval  # noqa: E402,F401
 from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-15 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) this round's
-# new rows (pg_dialect_jsonb_mutation — the jsonb_set/insert/delete
-# family; doc_simhash_clusters — the linear-output simhash summary);
-# (b) ALL 26 rows whose newest driver evidence is r11 — the full
-# leftover cohort, now cleared (VERDICT r14 #8); (c)
-# doc_simhash_dup_pairs (r12 evidence, but its builder CHANGED this
-# round — the pair_cap guard — so it re-earns driver evidence); (d) 21
-# of the remaining 49 r12-evidence rows, alphabetical. After this
-# window lands, NO registry row's newest driver evidence predates r12.
-# The r12-evidence rows that did not fit should lead the r16 rotation
-# (alphabetical from doc_oov_rate). Zero overlap with the r14 window.
+# iteration order. Round-16 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) the two rows
+# whose BUILDERS changed this round (pg_dialect_jsonb_dynamic grew the
+# [last]/[a to b] columns; pg_dialect_jsonb_mutation's '{tags,1}' path
+# now compiles the digit-dispatch CASE) — changed rows re-earn driver
+# evidence even when that overlaps the r15 window; (b) ALL 28 rows
+# whose newest driver evidence is r12 — the full leftover cohort
+# (VERDICT r15 #6); (c) 20 of the 50 r13-evidence rows, alphabetical.
+# After this window lands, no UNCHANGED registry row's newest driver
+# evidence predates r13. The 30 r13-evidence rows that did not fit
+# lead the r17 rotation (alphabetical from emb_knn_cosine).
 # Every out-of-window row is still re-verified by the local
 # full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) new in r15 (never driver-evidenced rows lead) —
+    # — (a) builders changed in r16 —
+    "pg_dialect_jsonb_dynamic",
     "pg_dialect_jsonb_mutation",
-    "doc_simhash_clusters",
-    # — (b) the r11-evidence leftover cohort (26 rows) —
-    "doc_hybrid_rrf_topk",
-    "doc_incremental_dedup",
-    "doc_lang_id",
-    "doc_minhash_lsh_dedup",
-    "doc_near_dup_jaccard",
-    "doc_pack_sequences",
-    "doc_quality_classifier_model",
-    "doc_quality_scores",
-    "doc_simhash",
-    "doc_span_scrubbed",
-    "doc_split_counts",
-    "doc_top_bigrams",
-    "doc_top_tokens",
-    "emb_ann_ivf_trained_topk",
-    "emb_ann_lsh_topk",
-    "emb_fuzzy_dedup_keepers",
-    "emb_lsh_bucketed_cosine_pairs",
-    "emb_near_dup_cosine",
-    "emb_pq_adc_topk",
-    "emb_pq_codes",
-    "event_value_histogram",
-    "events_tumbling_10min",
-    "list_filtered",
-    "media_adpcm_chunks",
-    "media_mdct_chunks",
-    "stats_total",
-    # — (c) changed this round (pair_cap guard) —
-    "doc_simhash_dup_pairs",
-    # — (d) r12 evidence, alphabetical (21 of 49) —
-    "approx_distinct_and_percentiles",
-    "big_spender_segments_having",
-    "cdc_incremental_rollup",
-    "ch_dialect_algebraic_states",
-    "ch_dialect_any_join",
-    "ch_dialect_array_join_tokens",
-    "ch_dialect_fill_corr",
-    "ch_dialect_final_latest",
-    "ch_dialect_funnel",
-    "ch_dialect_funnel_strict",
-    "ch_dialect_limit_with_ties",
-    "ch_dialect_monthly_stats",
-    "ch_dialect_prewhere_totals",
-    "ch_dialect_seq_count_timed",
-    "ch_dialect_seq_exact",
-    "ch_dialect_seq_timed",
-    "corpus_perplexity_bands",
-    "curated_training_corpus",
-    "doc_chunk_text",
-    "doc_contamination_screen",
-    "doc_lm_bigram_model",
+    # — (b) the r12-evidence leftover cohort (28 rows) —
+    "doc_lm_perplexity",
+    "doc_oov_rate",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_repetition_stats",
+    "doc_stratified_sample",
+    "doc_temperature_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "media_pframe_frames",
+    "media_video_frame_sample",
+    "orders_zorder_profile",
+    "part_attributes_unpivot",
+    "pg_dialect_distinct_on",
+    "pg_dialect_json_props",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "running_customer_revenue",
+    "signup_purchase_funnel",
+    "stats_by_category",
+    "stats_by_month_pg_shape",
+    "top_customers_by_revenue",
+    # — (c) r13 evidence, alphabetical (20 of 50) —
+    "cdc_latest_event_per_user",
+    "ch_dialect_dictget",
+    "ch_dialect_json_props",
+    "ch_dialect_rollup_stats",
+    "ch_dialect_status_profile",
+    "ch_dialect_token_arrays",
+    "ch_dialect_topk_intervals",
+    "ch_dialect_url_report",
+    "customer_latest_order_argmax",
+    "customer_order_gaps",
+    "customers_except_returners",
+    "doc_bpe_token_counts",
+    "doc_token_histogram",
+    "doc_winnow_fingerprints",
+    "emb_ann_ivf_topk",
+    "emb_ann_kmeans_topk",
+    "emb_ann_lsh_topk_batch",
+    "emb_ivfpq_topk",
+    "emb_kmeans_assign",
+    "emb_kmeans_centroids",
 ]
 
 
