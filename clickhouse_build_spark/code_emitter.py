@@ -221,6 +221,7 @@ _KYSELY_METHODS = {
 _KNEX_METHODS = {
     "select", "where", "count", "sum", "avg", "min", "max",
     "groupBy", "orderBy", "limit", "raw",
+    "whereIn", "whereNotIn", "whereNull", "whereNotNull",
 }
 
 
@@ -467,13 +468,21 @@ def _builder_wheres(code: str, kind: str) -> list[str]:
             op = "="
         elif len(args) == 3:
             col, op_raw, lit = args
-            om = re.fullmatch(r"\s*['\"]([=<>!]{1,2})['\"]\s*", op_raw)
-            if om is None or om.group(1) not in _JS_OPS:
+            om = re.fullmatch(
+                r"\s*['\"]([=<>!]{1,2}|in|not\s+in|is|is\s+not)['\"]\s*",
+                op_raw,
+                re.IGNORECASE,
+            )
+            if om is None or (
+                re.fullmatch(r"[=<>!]{1,2}", om.group(1))
+                and om.group(1) not in _JS_OPS
+            ):
                 raise ValueError(
                     f"untranslatable {kind} .where operator: "
                     f"{op_raw!r}"
                 )
-            op = "!=" if om.group(1) == "<>" else om.group(1)
+            op = " ".join(om.group(1).lower().split())
+            op = "!=" if op == "<>" else op
         else:
             raise ValueError(
                 f"untranslatable {kind} .where shape (literal "
@@ -485,8 +494,42 @@ def _builder_wheres(code: str, kind: str) -> list[str]:
             raise ValueError(
                 f"untranslatable {kind} .where column: {col!r}"
             )
-        conds.append(f"{cm.group(1)} {op} {_js_literal_sql(lit)}")
+        if op in ("in", "not in"):
+            conds.append(
+                f"{cm.group(1)} {op.upper()} "
+                f"({_js_array_literal_sql(lit, kind)})"
+            )
+        elif op in ("is", "is not"):
+            if lit.strip() != "null":
+                raise ValueError(
+                    f"{kind} .where '{op}' translates only against a "
+                    f"null literal: {lit[:60]!r}"
+                )
+            conds.append(
+                f"{cm.group(1)} IS NULL" if op == "is" else
+                f"{cm.group(1)} IS NOT NULL"
+            )
+        else:
+            conds.append(f"{cm.group(1)} {op} {_js_literal_sql(lit)}")
     return conds
+
+
+def _js_array_literal_sql(lit: str, kind: str) -> str:
+    """A JS array literal ``['a', 1]`` → comma-joined SQL literals
+    (the IN-list body); loud on spreads / non-literal elements."""
+    am = re.fullmatch(r"\s*\[(.*)\]\s*", lit, re.DOTALL)
+    if am is None:
+        raise ValueError(
+            f"{kind} IN-list must be a literal array: {lit[:60]!r}"
+        )
+    lits = [
+        _js_literal_sql(x)
+        for x in _split_top_commas(am.group(1))
+        if x.strip()
+    ]
+    if not lits:
+        raise ValueError(f"{kind} IN-list is empty: {lit[:60]!r}")
+    return ", ".join(lits)
 
 
 def _where_arm(conds: list[str]) -> str:
@@ -621,7 +664,10 @@ def parse_knex(code: str) -> str | None:
     Supported: ``knex('t')``, ``.select(...)`` of quoted columns and
     ``knex.raw("...")`` fragments, ``.count/.sum/.avg/.min/.max('col
     [as alias]')``, ``.groupBy/.orderBy('col'[, 'desc'])``,
-    ``.limit(n)``. Loud on anything else."""
+    ``.limit(n)``, literal ``.where`` forms (3-arg / 2-arg / object,
+    r15b-r16), and the dedicated ``.whereIn/.whereNotIn('col',
+    [literals])`` + ``.whereNull/.whereNotNull('col')`` methods (r16).
+    Loud on anything else."""
     m = re.search(r"\bknex\(\s*['\"](\w+)['\"]\s*\)", code)
     if m is None:
         return None
@@ -632,6 +678,34 @@ def parse_knex(code: str) -> str | None:
         )
     _reject_unknown_chain_methods(code, _KNEX_METHODS, "knex")
     wheres = _builder_wheres(code, "knex")
+    # knex's dedicated null/IN where methods (r16)
+    n_wnull = 0
+    for nm in re.finditer(
+        r"\.\s*(whereNull|whereNotNull)\(\s*['\"]([\w.]+)['\"]\s*\)", code
+    ):
+        wheres.append(
+            f"{nm.group(2)} IS NULL" if nm.group(1) == "whereNull"
+            else f"{nm.group(2)} IS NOT NULL"
+        )
+        n_wnull += 1
+    n_win = 0
+    for im_ in re.finditer(r"\.\s*(whereIn|whereNotIn)\s*\(", code):
+        body = _balanced_args(code, im_.end() - 1)
+        iargs = _split_top_commas(body)
+        icm = (
+            re.fullmatch(r"\s*['\"]([\w.]+)['\"]\s*", iargs[0])
+            if len(iargs) == 2
+            else None
+        )
+        if icm is None:
+            raise ValueError(
+                f"untranslatable knex .{im_.group(1)} shape (literal "
+                f"('col', [values]) only): {body[:60]!r}"
+            )
+        inlist = _js_array_literal_sql(iargs[1], "knex")
+        neg = "NOT IN" if im_.group(1) == "whereNotIn" else "IN"
+        wheres.append(f"{icm.group(1)} {neg} ({inlist})")
+        n_win += 1
     table = m.group(1)
     sels = []
     sm = re.search(r"\.select\(\s*(.*?)\s*\)\s*[\n.;]", code, re.DOTALL)
@@ -680,7 +754,9 @@ def parse_knex(code: str) -> str | None:
         {
             "select": 1 if sm else 0,
             "count|sum|avg|min|max": n_aggs,
-            "where|andWhere": len(wheres),
+            "where|andWhere": len(wheres) - n_wnull - n_win,
+            "whereNull|whereNotNull": n_wnull,
+            "whereIn|whereNotIn": n_win,
             "groupBy": len(group),
             "orderBy": len(order),
             "limit": 1 if lm else 0,

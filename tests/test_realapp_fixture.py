@@ -516,3 +516,56 @@ def test_typeorm_param_binds_roundtrip(scan, planted):
     want = eng.sql(s.pg_sql.replace("${whereClause}", ""), dialect="postgres").collect()
     _rows_equal(got, want)
     assert len(got) == 4 and got[0]["total"] >= got[-1]["total"]
+
+def test_builder_in_and_null_where_forms():
+    """r16: knex .whereIn/.whereNotIn/.whereNull/.whereNotNull and the
+    kysely/knex 'in'/'is' operators translate for literal arguments;
+    dynamic lists, empty lists, and non-null 'is' operands stay loud."""
+    from clickhouse_build_spark.code_emitter import parse_knex, parse_kysely
+
+    sql = parse_knex(
+        "return knex('expenses').sum('amount as total')"
+        ".whereIn('category', ['Food', 'Travel'])"
+        ".whereNotIn('status', ['void'])"
+        ".whereNull('deleted_at').whereNotNull('category')"
+        ".groupBy('category')"
+    )
+    assert "category IN ('Food', 'Travel')" in sql
+    assert "status NOT IN ('void')" in sql
+    assert "deleted_at IS NULL" in sql and "category IS NOT NULL" in sql
+    sql2 = parse_kysely(
+        "const r = await db.selectFrom('expenses').select(['category'])"
+        ".where('category', 'in', ['Food', 'Travel'])"
+        ".where((eb) => eb('deleted_at', 'is', null))"
+        ".where('note', 'is not', null).groupBy('category')"
+    )
+    assert "category IN ('Food', 'Travel')" in sql2
+    assert "deleted_at IS NULL" in sql2 and "note IS NOT NULL" in sql2
+    for bad, why in [
+        (
+            "return knex('expenses').sum('a as t').whereIn('cat', cats)",
+            "literal array",
+        ),
+        (
+            "return knex('expenses').sum('a as t').whereIn('cat', [])",
+            "IN-list is empty",
+        ),
+        (
+            "return knex('expenses').sum('a as t').whereNull(col)",
+            r"1 \.whereNull",
+        ),
+        (
+            "const r = await db.selectFrom('t').select(['a'])"
+            ".where('a', 'is', 0)",
+            "only against a null literal",
+        ),
+        (
+            "const r = await db.selectFrom('t').select(['a'])"
+            ".where('a', 'like', 'x')",
+            "where operator",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            build_method_specs(
+                [{"description": "x", "location": "x:L1", "code": bad}]
+            )
