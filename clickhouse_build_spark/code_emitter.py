@@ -1248,12 +1248,20 @@ def parse_django(
     :func:`clickhouse_build_spark.scanner.collect_model_tables`
     (``Meta.db_table`` or Django's default ``<app>_<model>`` naming).
 
+    A ``.filter()`` AFTER ``.annotate()`` — Django's HAVING (the
+    dedup idiom ``.values('a').annotate(n=Count('id'))
+    .filter(n__gt=1)``) — EMITS a real HAVING clause with each
+    annotate alias expanded to its aggregate expression (PG forbids
+    output aliases in HAVING); simple lookups on aliases or grouped
+    columns only (r16, ADVICE r15).
+
     NOT supported (loud): an invisible model class (no binding to
     derive the table from), F expressions, ``~Q`` / nested Q /
     parenthesized Q groups / Q inside ``.exclude()`` (they need the
-    real expression tree), ``.filter()/.exclude()`` AFTER
-    ``.annotate()`` or referencing an annotate alias (Django compiles
-    those to HAVING — ADVICE r15), relation-traversal or regex
+    real expression tree), ``.exclude()`` after ``.annotate()``
+    (negated HAVING needs per-leaf NULL guards over aggregates),
+    an annotate-alias reference BEFORE ``.annotate()`` (Django raises
+    FieldError), relation-traversal or regex
     lookups (``workspace__slug`` — they need the model graph),
     non-literal filter values,
     ``.distinct/...`` (the kysely/knex never-silently-drop contract),
@@ -1339,30 +1347,59 @@ def parse_django(
             sels.append(
                 f"{_DJANGO_FN[fm.group(2)]}({fm.group(3)}) AS {fm.group(1)}"
             )
-    aliases = {s.rsplit(" AS ", 1)[1] for s in sels}
-    # ADVICE r15 (medium): Django compiles a .filter()/.exclude()
-    # placed AFTER .annotate() — or one referencing an annotate
-    # alias — into HAVING, not WHERE (the dedup idiom
-    # .values('a').annotate(n=Count('id')).filter(n__gt=1)). Emitting
-    # those conditions into the WHERE arm would reference an aggregate
-    # alias in WHERE: broken or wrongly-filtered SQL at app runtime.
-    # Refuse at translate time instead.
+    alias_expr = {
+        s.rsplit(" AS ", 1)[1]: s.rsplit(" AS ", 1)[0] for s in sels
+    }
+    aliases = set(alias_expr)
+    # ADVICE r15 (medium): Django compiles a .filter() placed AFTER
+    # .annotate() into HAVING, not WHERE (the dedup idiom
+    # .values('a').annotate(n=Count('id')).filter(n__gt=1)). r16
+    # EMITS that as a real HAVING clause — PG forbids output aliases
+    # in HAVING, so each alias expands to its aggregate expression.
+    # .exclude() after .annotate() stays loud (Django's negation adds
+    # per-leaf NULL guards whose aggregate-NULL semantics need the
+    # model), as does referencing an alias BEFORE .annotate() (Django
+    # itself raises FieldError there).
     ann_m = re.search(r"\.\s*annotate\s*\(", code)
     wheres: list[str] = []
+    havings: list[str] = []
     for fpos, fkind, fargs in filter_calls:
         if ann_m is not None and fpos > ann_m.start():
-            raise ValueError(
-                "Django .filter()/.exclude() after .annotate() "
-                "compiles to HAVING, not WHERE — not translatable "
-                f"into the WHERE splice arm: {code[:120]!r}"
-            )
+            if fkind == "exclude":
+                raise ValueError(
+                    "Django .exclude() after .annotate() compiles to "
+                    "a negated HAVING with per-leaf NULL guards — "
+                    f"not translatable: {code[:120]!r}"
+                )
+            conds, _flds = _django_filter_conds(fargs)
+            for sql_c, f, lk in conds:
+                if f is None or lk in _DJANGO_TEXT_LOOKUPS:
+                    raise ValueError(
+                        "Django HAVING filter translates simple "
+                        "lookups on annotate aliases or grouped "
+                        f"columns only: {fargs[:60]!r}"
+                    )
+                if f in aliases:
+                    sql_c = re.sub(
+                        rf"^{re.escape(f)}\b",
+                        alias_expr[f].replace("\\", "\\\\"),
+                        sql_c,
+                    )
+                elif f not in group_cols:
+                    raise ValueError(
+                        "Django filter after .annotate() references "
+                        f"{f!r}, which is neither an annotate alias "
+                        f"nor a grouped column: {code[:120]!r}"
+                    )
+                havings.append(sql_c)
+            continue
         conds, flds = _django_filter_conds(fargs)
         hit = flds & aliases
         if hit:
             raise ValueError(
                 "Django filter condition references annotate "
-                f"alias(es) {sorted(hit)} — that filter compiles to "
-                f"HAVING, not WHERE; not translatable: {code[:120]!r}"
+                f"alias(es) {sorted(hit)} before .annotate() — Django "
+                f"raises FieldError on this chain: {code[:120]!r}"
             )
         if fkind == "exclude":
             # Django's negated filters add an IS NOT NULL guard per
@@ -1431,6 +1468,8 @@ def parse_django(
         f" {where_sql}"
         f" GROUP BY {', '.join(group_cols)}"
     )
+    if havings:
+        sql += f" HAVING {' AND '.join(havings)}"
     if order:
         sql += f" ORDER BY {', '.join(order)}"
     return sql

@@ -76,3 +76,14 @@ def non_food_breakdown(request):
         .order_by("category")
     )
     return list(stats)
+
+
+def repeated_categories(request):
+    # the dedup idiom: filter AFTER annotate compiles to HAVING
+    stats = (
+        Expense.objects.values("category")
+        .annotate(n=Count("id"), total=Sum("amount"))
+        .filter(n__gt=37)
+        .order_by("category")
+    )
+    return list(stats)

@@ -26,7 +26,7 @@ def scan():
 
 def test_django_sites_found(scan):
     locs = sorted(q.location for q in scan.queries)
-    assert len(locs) == 6
+    assert len(locs) == 7
     # values(...).annotate(Sum/Count) chain
     assert any(l.startswith("analytics/views.py:L16-") for l in locs), locs
     # .aggregate(...) one-shot
@@ -39,6 +39,8 @@ def test_django_sites_found(scan):
     assert any(l.startswith("analytics/views.py:L58-") for l in locs), locs
     # exclude on a nullable column (r16)
     assert any(l.startswith("analytics/views.py:L72-") for l in locs), locs
+    # filter-after-annotate dedup idiom -> HAVING (r16)
+    assert any(l.startswith("analytics/views.py:L83-") for l in locs), locs
 
 
 def test_single_row_lookup_not_reported(scan):
@@ -299,26 +301,92 @@ def test_django_filter_loud_shapes():
             parse_django(bad, mt)
 
 
-def test_django_having_shapes_stay_loud():
-    """ADVICE r15 (medium): a .filter()/.exclude() AFTER .annotate()
-    — or one referencing an annotate alias — compiles to HAVING in
-    Django; emitting it into the WHERE arm would reference an
-    aggregate alias in WHERE. Refuses at translate time."""
+def test_django_having_emission_and_loud_shapes():
+    """ADVICE r15 (medium), upgraded r16: a .filter() AFTER
+    .annotate() — Django's HAVING — now EMITS a real HAVING clause
+    with each annotate alias expanded to its aggregate expression (PG
+    forbids output aliases in HAVING). .exclude()-after-annotate, a
+    non-alias/non-grouped field, Q trees in HAVING, and alias
+    references BEFORE .annotate() stay loud — the WHERE arm never
+    silently receives an aggregate-alias condition."""
     from clickhouse_build_spark.code_emitter import parse_django
 
     mt = {"Expense": "analytics_expense"}
-    with pytest.raises(ValueError, match="compiles to HAVING"):
-        parse_django(
-            "Expense.objects.values('category')"
-            ".annotate(n=Count('id')).filter(n__gt=1)",
-            mt,
-        )
-    with pytest.raises(ValueError, match="compiles to HAVING"):
-        parse_django(
+    sql = parse_django(
+        "Expense.objects.values('category')"
+        ".annotate(n=Count('id')).filter(n__gt=1)",
+        mt,
+    )
+    assert sql.endswith("GROUP BY category HAVING COUNT(id) > 1")
+    assert "WHERE 1=1" not in sql  # splice point stays for DateFilter
+    sql = parse_django(
+        "Expense.objects.filter(amount__gte=5).values('category')"
+        ".annotate(n=Count('id')).filter(n__gte=2, category='Food')",
+        mt,
+    )
+    assert "WHERE 1=1 AND amount >= 5" in sql
+    assert sql.endswith("HAVING COUNT(id) >= 2 AND category = 'Food'")
+    for bad, why in [
+        (
             "Expense.objects.values('category')"
             ".annotate(n=Count('id')).exclude(n=0)",
-            mt,
-        )
+            "negated HAVING",
+        ),
+        (
+            "Expense.objects.values('category')"
+            ".annotate(n=Count('id')).filter(x__gt=1)",
+            "neither an annotate alias nor a grouped column",
+        ),
+        (
+            "Expense.objects.values('category')"
+            ".annotate(n=Count('id')).filter(Q(n=1) | Q(category='x'))",
+            "simple lookups on annotate aliases",
+        ),
+        (
+            "Expense.objects.filter(n__gt=1).values('category')"
+            ".annotate(n=Count('id'))",
+            "FieldError",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=__import__("re").escape(why)):
+            parse_django(bad, mt)
+
+
+def test_django_having_roundtrips(scan, planted):
+    """The dedup-idiom fixture view round-trips CH == PG and matches
+    a direct DataFrame computation of the HAVING semantics."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_build_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    (s,) = _specs_with_repo(scan, "analytics/views.py:L83-")
+    assert s.orm == "django"
+    assert s.pg_sql.endswith(
+        "GROUP BY category HAVING COUNT(id) > 37 ORDER BY category ASC"
+    )
+    eng = Engine(SF_SMOKE, spark=planted)
+    got = eng.sql(
+        s.ch_sql.replace("${whereClause}", ""), dialect="clickhouse"
+    ).collect()
+    want = eng.sql(
+        s.pg_sql.replace("${whereClause}", ""), dialect="postgres"
+    ).collect()
+    ref = (
+        planted.table("analytics_expense")
+        .groupBy("category")
+        .agg(F.count("id").alias("n"), F.sum("amount").alias("total"))
+        .filter(F.col("n") > 37)
+        .orderBy("category")
+        .collect()
+    )
+    assert 0 < len(ref) < 4  # HAVING actually filters some group out
+    assert len(got) == len(want) == len(ref)
+    for g, w, r in zip(got, want, ref):
+        assert g["category"] == w["category"] == r["category"]
+        assert g["n"] == w["n"] == r["n"]
+        assert g["total"] == pytest.approx(w["total"], rel=1e-9)
+        assert g["total"] == pytest.approx(r["total"], rel=1e-9)
 
 
 def test_django_q_tree_and_text_lookup_roundtrip(scan, planted):
