@@ -326,7 +326,10 @@ def doc_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate bound BY CONSTRUCTION (every doc cloned 10×) and its
     # quadratic output is already tag-adjudicated; a raised cap there
     # is an operator decision on record, never a silent default.
-    cap = int(os.environ.get("CHB_SIMHASH_PAIR_CAP", SIMHASH_PAIR_CAP))
+    # int(float(...)) so the operator can write the raise the natural
+    # way ("2e9") — int("2e9") is a ValueError (r16: an sf1 bench run
+    # failed exactly here)
+    cap = int(float(os.environ.get("CHB_SIMHASH_PAIR_CAP", SIMHASH_PAIR_CAP)))
     pairs = simhash_dup_pairs(
         sig,
         "doc_id",

@@ -304,3 +304,17 @@ def test_simhash_clusters_and_pair_cap(spark):
         few, "doc_id", max_hamming=5, pair_cap=10**6
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_pair_cap_env_accepts_scientific(spark, monkeypatch):
+    """r16: the refusal message names the raise as CHB_SIMHASH_PAIR_CAP
+    and operators write it the natural way ('2e9') — the env parse
+    must accept scientific notation (int('2e9') is a ValueError; an
+    sf1 bench run failed exactly here)."""
+    from clickhouse_build_spark.plans.registry import REGISTRY
+
+    monkeypatch.setenv("CHB_SIMHASH_PAIR_CAP", "2e9")
+    df = REGISTRY["doc_simhash_dup_pairs"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() >= 0
