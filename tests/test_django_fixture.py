@@ -474,3 +474,27 @@ def test_django_exclude_keeps_null_rows(scan, planted):
         assert g["n"] == w["n"] == r["n"]
         assert g["total"] == pytest.approx(w["total"], rel=1e-9)
         assert g["total"] == pytest.approx(r["total"], rel=1e-9)
+
+
+def test_django_q_tree_precedence_pins():
+    """Python's `&`-over-`|` precedence must map 1:1 onto SQL's
+    AND-over-OR — pinned both directions, plus multi-kwarg leaves
+    parenthesizing and text lookups inside Q leaves."""
+    from clickhouse_build_spark.code_emitter import parse_django
+
+    mt = {"Expense": "analytics_expense"}
+
+    def where(q):
+        sql = parse_django(
+            f"Expense.objects.filter({q})"
+            ".values('category').annotate(n=Count('id'))",
+            mt,
+        )
+        return sql.split("WHERE 1=1 AND ", 1)[1].split(" GROUP BY")[0]
+
+    assert where("Q(a=1) | Q(b=2) & Q(c=3)") == "(a = 1 OR b = 2 AND c = 3)"
+    assert where("Q(a=1) & Q(b=2) | Q(c=3)") == "(a = 1 AND b = 2 OR c = 3)"
+    assert where("Q(a=1, b=2) | Q(c=3)") == "((a = 1 AND b = 2) OR c = 3)"
+    assert where("Q(name__istartswith='ab%') | Q(a__in=[1, 2])") == (
+        "(name ILIKE 'ab\\%%' OR a IN (1, 2))"
+    )
