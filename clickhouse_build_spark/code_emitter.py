@@ -542,6 +542,32 @@ def _where_arm(conds: list[str]) -> str:
     return "${whereClause}"
 
 
+
+def _group_by_cols(code: str, kind: str) -> tuple[list[str], int]:
+    """``.groupBy(...)`` columns across the vararg ``('a', 'b')`` and
+    array ``(['a', 'b'])`` spellings (r16) → (columns, n_calls). Loud
+    on any non-literal item."""
+    cols: list[str] = []
+    n = 0
+    for gm in re.finditer(r"\.\s*groupBy\s*\(", code):
+        n += 1
+        body = _balanced_args(code, gm.end() - 1).strip()
+        am = re.fullmatch(r"\[(.*)\]", body, re.DOTALL)
+        if am is not None:
+            body = am.group(1)
+        for it in _split_top_commas(body):
+            it = it.strip()
+            if not it:
+                continue
+            qm = re.fullmatch(r"['\"]([\w.]+)['\"]", it)
+            if qm is None:
+                raise ValueError(
+                    f"untranslatable {kind} .groupBy item: {it[:60]!r}"
+                )
+            cols.append(qm.group(1))
+    return cols, n
+
+
 def parse_kysely(code: str) -> str | None:
     """kysely builder chain → raw PG SQL with the ``${whereClause}``
     splice point (r13 — the real-app fixture's chain shape). Returns
@@ -621,10 +647,7 @@ def parse_kysely(code: str) -> str | None:
             )
             continue
         raise ValueError(f"untranslatable kysely select item: {it!r}")
-    group = [
-        gm.group(1)
-        for gm in re.finditer(r"\.groupBy\(\s*['\"]([\w.]+)['\"]\s*\)", code)
-    ]
+    group, n_group_calls = _group_by_cols(code, "kysely")
     order = [
         f"{om.group(1)} {(om.group(2) or 'asc').upper()}"
         for om in re.finditer(
@@ -640,7 +663,7 @@ def parse_kysely(code: str) -> str | None:
             "innerJoin|leftJoin|rightJoin|fullJoin": len(joins),
             "select": 1,
             "where|andWhere": len(wheres),
-            "groupBy": len(group),
+            "groupBy": n_group_calls,
             "orderBy": len(order),
             "limit": 1 if lm else 0,
         },
@@ -736,10 +759,7 @@ def parse_knex(code: str) -> str | None:
         raise ValueError(
             f"knex chain without a translatable projection: {code[:120]!r}"
         )
-    group = [
-        gm.group(1)
-        for gm in re.finditer(r"\.groupBy\(\s*['\"]([\w.]+)['\"]\s*\)", code)
-    ]
+    group, n_group_calls = _group_by_cols(code, "knex")
     order = [
         f"{om.group(1)} {(om.group(2) or 'asc').upper()}"
         for om in re.finditer(
@@ -757,7 +777,7 @@ def parse_knex(code: str) -> str | None:
             "where|andWhere": len(wheres) - n_wnull - n_win,
             "whereNull|whereNotNull": n_wnull,
             "whereIn|whereNotIn": n_win,
-            "groupBy": len(group),
+            "groupBy": n_group_calls,
             "orderBy": len(order),
             "limit": 1 if lm else 0,
         },

@@ -569,3 +569,20 @@ def test_builder_in_and_null_where_forms():
             build_method_specs(
                 [{"description": "x", "location": "x:L1", "code": bad}]
             )
+
+
+def test_builder_multi_column_group_by():
+    """r16: the vararg ('a', 'b') and array (['a', 'b']) groupBy
+    spellings translate on kysely and knex; non-literal items loud."""
+    from clickhouse_build_spark.code_emitter import parse_knex, parse_kysely
+
+    assert parse_kysely(
+        "const r = await db.selectFrom('expenses')"
+        ".select(['category', 'region']).groupBy(['category', 'region'])"
+    ).endswith("GROUP BY category, region")
+    assert parse_knex(
+        "return knex('expenses').sum('amount as total')"
+        ".groupBy('category', 'region')"
+    ).endswith("GROUP BY category, region")
+    with pytest.raises(ValueError, match="groupBy item"):
+        parse_knex("return knex('t').sum('a as x').groupBy(col)")
