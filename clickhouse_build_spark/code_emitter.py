@@ -1495,6 +1495,77 @@ def parse_django(
     return sql
 
 
+_DRIZZLE_CMP = {
+    "eq": "=", "ne": "!=", "gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
+}
+
+
+def _drizzle_cond_sql(expr: str, table_obj: str) -> str:
+    """A drizzle condition expression — ``eq(expenses.category,
+    'Food')``, ``and(...)``/``or(...)`` combinators, ``isNull``/
+    ``isNotNull``, ``inArray`` — → SQL (r16: these were previously
+    DROPPED silently, the one never-silently-drop hole in the spec
+    parsers). Loud on sql`` templates, cross-object references, and
+    non-literal values."""
+    expr = expr.strip()
+    m = re.fullmatch(
+        r"(eq|ne|gt|gte|lt|lte)\(\s*(\w+)\.(\w+)\s*,\s*(.+)\)",
+        expr,
+        re.DOTALL,
+    )
+    if m:
+        if m.group(2) != table_obj:
+            raise ValueError(
+                f"drizzle where references {m.group(2)!r}, not the "
+                f".from({table_obj}) object: {expr[:80]!r}"
+            )
+        return (
+            f"{m.group(3)} {_DRIZZLE_CMP[m.group(1)]} "
+            f"{_js_literal_sql(m.group(4))}"
+        )
+    m = re.fullmatch(r"(and|or)\((.*)\)", expr, re.DOTALL)
+    if m:
+        parts = [
+            _drizzle_cond_sql(p, table_obj)
+            for p in _split_top_commas(m.group(2))
+            if p.strip()
+        ]
+        if not parts:
+            raise ValueError(f"empty drizzle {m.group(1)}(): {expr[:80]!r}")
+        joined = (" AND " if m.group(1) == "and" else " OR ").join(parts)
+        return f"({joined})" if len(parts) > 1 else parts[0]
+    m = re.fullmatch(r"(isNull|isNotNull)\(\s*(\w+)\.(\w+)\s*\)", expr)
+    if m:
+        if m.group(2) != table_obj:
+            raise ValueError(
+                f"drizzle where references {m.group(2)!r}, not the "
+                f".from({table_obj}) object: {expr[:80]!r}"
+            )
+        return (
+            f"{m.group(3)} IS NULL" if m.group(1) == "isNull"
+            else f"{m.group(3)} IS NOT NULL"
+        )
+    m = re.fullmatch(
+        r"inArray\(\s*(\w+)\.(\w+)\s*,\s*(\[.*\])\s*\)", expr, re.DOTALL
+    )
+    if m:
+        if m.group(1) != table_obj:
+            raise ValueError(
+                f"drizzle where references {m.group(1)!r}, not the "
+                f".from({table_obj}) object: {expr[:80]!r}"
+            )
+        return (
+            f"{m.group(2)} IN "
+            f"({_js_array_literal_sql(m.group(3), 'drizzle')})"
+        )
+    raise ValueError(
+        "untranslatable drizzle where expression (literal eq/ne/gt/"
+        "gte/lt/lte, and/or, isNull/isNotNull, inArray only — sql`` "
+        f"templates and dynamic values stay runtime concerns): "
+        f"{expr[:80]!r}"
+    )
+
+
 def parse_drizzle(code: str) -> dict | None:
     """``db.select({...}).from(expenses)...`` → canonical spec."""
     m = re.search(r"db\s*\.\s*select\(\{", code)
@@ -1580,11 +1651,32 @@ def parse_drizzle(code: str) -> dict | None:
             )
         order = (target, direction)
     lm = re.search(r"\.limit\((\d+)\)", code)
+    # .where(...) conditions (r16): previously these never parsed AND
+    # never refused — the silent-drop hole. Two shapes are the golden
+    # corpus's own runtime DateFilter (route.ts builds whereCondition
+    # from the date params and the emitted strategy re-injects it
+    # through the splice): a BARE IDENTIFIER and the
+    # `conds.length > 0 ? and(...conds) : undefined` ternary — those
+    # map to ${whereClause}, not a drop. Literal condition
+    # expressions translate into the WHERE arm; anything else raises.
+    fobj = re.search(r"\.from\(\s*(\w+)\s*\)", code)
+    table_obj = fobj.group(1) if fobj else "expenses"
+    wheres = []
+    for wm_ in re.finditer(r"\.\s*where\s*\(", code):
+        body = _balanced_args(code, wm_.end() - 1).strip()
+        if re.fullmatch(r"\w+", body) or re.fullmatch(
+            r"(\w+)\.length\s*>\s*0\s*\?\s*and\(\s*\.\.\.\1\s*\)"
+            r"\s*:\s*undefined",
+            body,
+        ):
+            continue
+        wheres.append(_drizzle_cond_sql(body, table_obj))
     return {
         "fields": fields,
         "group": group,
         "order": order,
         "limit": int(lm.group(1)) if lm else None,
+        "wheres": wheres,
         "orm": "drizzle",
     }
 
@@ -1642,7 +1734,9 @@ def _spec_sql(spec: dict, table: str, dialect: str) -> str:
         f"{f[i]} as {f[0]}" if f[i] != f[0] else f[0]
         for f in spec["fields"]
     )
-    sql = f"SELECT {sels} FROM {table} ${{whereClause}}"
+    sql = f"SELECT {sels} FROM {table} " + _where_arm(
+        spec.get("wheres") or []
+    )
     if spec["group"]:
         sql += f" GROUP BY {spec['group']}"
     if spec["order"]:

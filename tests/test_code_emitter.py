@@ -278,3 +278,42 @@ def test_orm_apps_emit_and_roundtrip(app, engine):
             key=key,
         )
         assert got == want and len(got) > 0, (site["method"], ch_q)
+
+
+def test_drizzle_where_translates_or_refuses():
+    """r16: drizzle .where() previously neither parsed nor refused —
+    the one silent-drop hole in the spec parsers. The golden corpus's
+    runtime-DateFilter shapes (bare identifier; the
+    `conds.length > 0 ? and(...conds) : undefined` ternary) keep the
+    ${whereClause} splice; literal eq/and/or/isNull/inArray
+    expressions translate into the WHERE 1=1 arm; sql`` templates,
+    dynamic values, and cross-object references raise."""
+    from clickhouse_build_spark.code_emitter import _spec_sql, parse_drizzle
+
+    def pg(code):
+        return _spec_sql(parse_drizzle(code), "expenses", "pg")
+
+    head = "const r = await db.select({ n: count() }).from(expenses)"
+    assert "${whereClause}" in pg(head + ".where(whereCondition);")
+    assert "${whereClause}" in pg(
+        head + ".where(conditions.length > 0 ? and(...conditions)"
+        " : undefined);"
+    )
+    assert "WHERE 1=1 AND (category = 'Food' AND amount > 10)" in pg(
+        head + ".where(and(eq(expenses.category, 'Food'),"
+        " gt(expenses.amount, 10)));"
+    )
+    assert "WHERE 1=1 AND category IN ('Food', 'Travel')" in pg(
+        head + ".where(inArray(expenses.category, ['Food', 'Travel']));"
+    )
+    assert "WHERE 1=1 AND note IS NOT NULL" in pg(
+        head + ".where(isNotNull(expenses.note));"
+    )
+    for bad, why in [
+        (".where(sql`amount > ${min}`)", "untranslatable drizzle where"),
+        (".where(eq(expenses.category, cat))", "builder literal"),
+        (".where(eq(users.id, 1))", "not the .from"),
+        (".where(or())", "empty drizzle or"),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            parse_drizzle(head + bad + ";")
