@@ -3264,6 +3264,14 @@ def _parse_jsonpath(path: str):
             i += 1
             continue
         if s[i] == ".":
+            wm = re.match(r"\.\s*\*(?!\*)", s[i:])
+            if wm is not None:
+                # r16: the .* member wildcard (all values of each
+                # object; lax auto-unwraps arrays first, non-objects
+                # drop). .** (recursive descent) stays loud.
+                steps.append(("wildmember",))
+                i += wm.end()
+                continue
             mm = re.match(r"\.\s*([A-Za-z_]\w*)", s[i:])
             if mm is None:
                 qm = re.match(r'\.\s*"((?:[^"\\]|\\.)*)"', s[i:])
@@ -3280,7 +3288,8 @@ def _parse_jsonpath(path: str):
             if mm is None:
                 raise ValueError(
                     f"unsupported jsonpath member step at {s[i:]!r} "
-                    "(.* and .** are outside the translated subset)"
+                    "(.** recursive descent is outside the translated "
+                    "subset)"
                 )
             name = mm.group(1)
             if name.lower() in ("type", "size", "double", "ceiling",
@@ -4154,6 +4163,24 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
                 f"IF({hi0} >= {lo0}, "
                 f"slice({x}, ({lo0}) + 1, ({hi0}) - ({lo0}) + 1), "
                 f"slice({x}, 1, 0))))"
+            )
+        elif kind == "wildmember":
+            # .* (r16): lax auto-unwraps arrays, then every object's
+            # VALUES; non-objects drop. Value order follows Spark's
+            # variant→map cast (document order) — PG orders jsonb keys
+            # canonically, so cross-engine consumers must not hash
+            # multi-key value ORDER (the standing jsonb-order rule).
+            i += 1
+            u, a = v(), v()
+            seq = (
+                f"flatten(transform({seq}, {u} -> "
+                f"coalesce(try_cast({u} AS ARRAY<VARIANT>), array({u}))))"
+            )
+            m_ = f"try_cast({a} AS MAP<STRING, VARIANT>)"
+            seq = (
+                f"flatten(transform({seq}, {a} -> "
+                f"CASE WHEN {m_} IS NOT NULL THEN map_values({m_}) "
+                f"ELSE slice(array({a}), 1, 0) END))"
             )
         elif kind == "wild":
             i += 1

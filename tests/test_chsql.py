@@ -3072,6 +3072,37 @@ def test_pg_jsonpath_last_and_slices(spark):
     assert [r["id"] for r in rows] == [1, 2]
 
 
+def test_pg_jsonpath_member_wildcard(spark):
+    """r16: the ``.*`` member wildcard — lax auto-unwraps arrays,
+    yields every object's VALUES, drops non-objects; ``.**`` stays
+    loud. Value order is Spark's document order (multi-key order is
+    off the cross-engine contract, the standing jsonb-order rule)."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    docs = """VALUES
+      (1, '{"a":1,"b":"x"}'), (2, '[{"a":1},{"b":2}]'), (3, '[1,2]'),
+      (4, '"s"'), (5, NULL) AS t(id, j)"""
+
+    def col(expr):
+        rows = run_pg_sql(
+            spark, f"SELECT id, {expr} AS r FROM {docs} ORDER BY id"
+        ).collect()
+        return [r["r"] for r in rows]
+
+    assert col("jsonb_path_query_array(j, '$.*')") == [
+        '[1,"x"]', "[1,2]", "[]", "[]", None]
+    assert col("jsonb_path_exists(j, '$.* ? (@ == 1)')") == [
+        True, True, False, False, None]
+    # member after wildcard: scalar values drop the .a step
+    assert col("jsonb_path_query_array(j, '$.*.a')") == [
+        "[]", "[]", "[]", "[]", None]
+    with pytest.raises(ValueError, match="recursive descent"):
+        P("SELECT jsonb_path_query(j, '$.**.a') FROM t")
+
+
 def test_pg_jsonb_digit_path_dispatch(spark):
     """r16 (ADVICE): a digit segment in a text[] mutation path is
     UNTYPED in PG — it addresses an object KEY when that step's
