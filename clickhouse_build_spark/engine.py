@@ -81,9 +81,15 @@ class Engine:
                 return meta
             text = translate_ch_sql(text)
         elif dialect == "postgres":
-            from clickhouse_build_spark.functions.chsql import translate_pg_sql
+            from clickhouse_build_spark.functions.chsql import (
+                _pg_column_types,
+                translate_pg_sql,
+            )
 
-            text = translate_pg_sql(text)
+            coltypes = (
+                _pg_column_types(self.spark, text) if "/" in text else None
+            )
+            text = translate_pg_sql(text, column_types=coltypes)
         elif dialect != "spark":
             raise ValueError(f"unknown dialect {dialect!r}")
         if isinstance(params, (list, tuple)):

