@@ -2840,6 +2840,67 @@ def test_pg_datetime_div_runtime(spark):
     assert [(r["h"], r["m"]) for r in rows] == [(3, 7), (4, 9)]
 
 
+def test_pg_json_agg_family(spark):
+    """r17 (VERDICT r16 "What's missing" #2): json_agg / jsonb_agg →
+    to_json over struct-wrapped collect_list (the wrapper keeps SQL
+    NULL elements PG renders as JSON null), in-call ORDER BY applied
+    via array_sort (DESC = reverse), FILTER spliced onto the inner
+    aggregate, and nullif('[]') restoring PG's NULL-for-zero-rows.
+    Unordered json_agg is canonicalized by sorting on the element
+    itself (documented: PG's input order is plan-dependent).
+    row_to_json maps a relation alias to to_json(struct(alias.*)) and
+    an anonymous ROW(...) to PG's own f1..fn field names."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    assert P("SELECT json_agg(v ORDER BY k) FROM t") == (
+        "SELECT nullif(to_json(transform(array_sort(collect_list("
+        "named_struct('o1', k, 'v', v))), __ja -> __ja.v)), '[]') "
+        "FROM t"
+    )
+    assert "reverse(" in P("SELECT json_agg(v ORDER BY k DESC) FROM t")
+    assert P("SELECT row_to_json(t) FROM t") == (
+        "SELECT to_json(struct(t.*)) FROM t"
+    )
+    assert P("SELECT row_to_json(ROW(a, b)) FROM t") == (
+        "SELECT to_json(named_struct('f1', a, 'f2', b)) FROM t"
+    )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        P("SELECT json_agg(DISTINCT v) FROM t")
+    with pytest.raises(ValueError, match="mixed ASC/DESC"):
+        P("SELECT json_agg(v ORDER BY a ASC, b DESC) FROM t")
+    with pytest.raises(ValueError, match="relation alias"):
+        P("SELECT row_to_json(f(x)) FROM t")
+
+    rows = run_pg_sql(
+        spark,
+        """
+        SELECT g, json_agg(v ORDER BY k) AS ja,
+               jsonb_agg(v) AS jb,
+               json_agg(v ORDER BY k DESC) AS jd,
+               json_agg(v ORDER BY k) FILTER (WHERE v IS NOT NULL)
+                 AS jf,
+               json_agg(v) FILTER (WHERE v = 'none') AS jempty
+        FROM VALUES (1, 2, 'b'), (1, 1, 'a'), (1, 3, NULL),
+                    (2, 1, 'z') AS t(g, k, v)
+        GROUP BY g ORDER BY g
+        """,
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, '["a","b",null]', '[null,"a","b"]', '[null,"b","a"]',
+         '["a","b"]', None),
+        (2, '["z"]', '["z"]', '["z"]', '["z"]', None),
+    ]
+    r2 = run_pg_sql(
+        spark,
+        "SELECT row_to_json(t) AS rj, row_to_json(ROW(1, 'x')) AS ar "
+        "FROM (SELECT 5 AS a, 'q' AS b) t",
+    ).first()
+    assert tuple(r2) == ('{"a":5,"b":"q"}', '{"f1":1,"f2":"x"}')
+
+
 def test_pg_jsonb_each_srf(spark):
     """r13c: jsonb_each_text / jsonb_each as FROM-position SRFs — the
     PG implicit-lateral comma form rewrites to JOIN LATERAL explode
