@@ -3231,6 +3231,14 @@ def _pg_jsonb_contains(lhs: str, rhs_literal: str) -> str:
     return "coalesce((" + " AND ".join(conds) + "), false)"
 
 
+# Maximum compiled depth for jsonpath .** recursive descent (r17):
+# each level is one nested flatten/transform layer, so the expansion
+# is a fixed-depth union over the VARIANT reader. Bare .** guards the
+# bound with a runtime raise_error; explicit deeper ranges are loud at
+# translate time.
+_JP_DESC_MAX = 3
+
+
 def _parse_jsonpath(path: str):
     """Parse the bounded SQL/JSONPath subset the app-query shapes use
     into step tuples: ``('member', key)``, ``('index', n)``,
@@ -3266,6 +3274,47 @@ def _parse_jsonpath(path: str):
             i += 1
             continue
         if s[i] == ".":
+            dm = re.match(
+                r"\.\s*\*\*(?:\s*\{\s*([^}]*?)\s*\})?", s[i:]
+            )
+            if dm is not None:
+                # r17 (VERDICT r16 #9): .** recursive descent,
+                # bounded. .**{n} / .**{a to b} compile exactly for
+                # bounds <= _JP_DESC_MAX; bare .** compiles the
+                # 0.._JP_DESC_MAX expansion with a RUNTIME raise_error
+                # guard when deeper structure exists — never a silent
+                # truncation. 'last' bounds stay loud (unbounded).
+                spec = dm.group(1)
+                if spec is None:
+                    steps.append(("descend", 0, _JP_DESC_MAX, True))
+                else:
+                    bm = re.fullmatch(
+                        r"(\d+)(?:\s+to\s+(\d+))?", spec
+                    )
+                    if bm is None:
+                        raise ValueError(
+                            f"unsupported jsonpath .** level spec "
+                            f"{{{spec}}} (a literal level or 'a to b' "
+                            "range only — 'last' is unbounded)"
+                        )
+                    lo_, hi_ = int(bm.group(1)), int(
+                        bm.group(2) or bm.group(1)
+                    )
+                    if hi_ < lo_:
+                        raise ValueError(
+                            f"jsonpath .**{{{spec}}}: empty level "
+                            "range"
+                        )
+                    if hi_ > _JP_DESC_MAX:
+                        raise ValueError(
+                            f"jsonpath .**{{{spec}}} exceeds the "
+                            f"translated depth bound "
+                            f"({_JP_DESC_MAX}) — deeper recursive "
+                            "descent has no bounded compile"
+                        )
+                    steps.append(("descend", lo_, hi_, False))
+                i += dm.end()
+                continue
             wm = re.match(r"\.\s*\*(?!\*)", s[i:])
             if wm is not None:
                 # r16: the .* member wildcard (all values of each
@@ -4166,6 +4215,52 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
                 f"slice({x}, ({lo0}) + 1, ({hi0}) - ({lo0}) + 1), "
                 f"slice({x}, 1, 0))))"
             )
+        elif kind == "descend":
+            # .** (r17, VERDICT r16 #9): depth-first preorder over
+            # self + contained values (array elements and object
+            # values), as PG's extension defines it — compiled as a
+            # fixed-depth union of nested flatten/transform layers.
+            # Level-range forms select the in-range levels exactly;
+            # bare .** raises AT RUNTIME when structure deeper than
+            # the compiled bound exists (found-or-loud: deeper
+            # documents can never be silently truncated). Child order
+            # for objects follows Spark's variant→map cast (document
+            # order) — the standing jsonb-order rule applies.
+            _, lo_lv, hi_lv, guarded = steps[i]
+            i += 1
+
+            def _kids(a: str) -> str:
+                arr = f"try_cast({a} AS ARRAY<VARIANT>)"
+                mp = f"try_cast({a} AS MAP<STRING, VARIANT>)"
+                return (
+                    f"CASE WHEN {arr} IS NOT NULL THEN {arr} "
+                    f"WHEN {mp} IS NOT NULL THEN map_values({mp}) "
+                    f"ELSE slice(array({a}), 1, 0) END"
+                )
+
+            def _desc(var: str, depth: int) -> str:
+                if depth == hi_lv:
+                    if guarded:
+                        return (
+                            f"IF(size({_kids(var)}) > 0, "
+                            f"raise_error('jsonpath .** found "
+                            f"structure deeper than the compiled "
+                            f"bound ({hi_lv}) — use an explicit "
+                            f".**{{a to b}} level range'), "
+                            f"array({var}))"
+                        )
+                    return f"array({var})"
+                sub = v()
+                subtree = (
+                    f"flatten(transform({_kids(var)}, "
+                    f"{sub} -> {_desc(sub, depth + 1)}))"
+                )
+                if depth >= lo_lv:
+                    return f"concat(array({var}), {subtree})"
+                return subtree
+
+            u = v()
+            seq = f"flatten(transform({seq}, {u} -> {_desc(u, 0)}))"
         elif kind == "wildmember":
             # .* (r16): lax auto-unwraps arrays, then every object's
             # VALUES; non-objects drop. Value order follows Spark's

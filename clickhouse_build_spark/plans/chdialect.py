@@ -1850,3 +1850,63 @@ def pg_dialect_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.pri
         """,
     )
+
+
+@query(
+    "pg_dialect_jsonb_descend",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k_desc,
+           CAST(count(*) * 7 AS BIGINT) AS n_desc,
+           CAST(count(*) * 4 AS BIGINT) AS n_mid
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("dialect", "postgres-sql", "json", "jsonpath"),
+)
+def pg_dialect_jsonb_descend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonpath ``.**`` recursive descent, bounded (r17, VERDICT r16
+    #9): each event's props are lifted into a nested document
+    (``{"meta":{"k":<k>,"tags":[1,2]},"s":"x"}``) and traversed with
+    ``$.**.k`` (find the key at any depth), bare ``$.**`` (full
+    preorder — compiled as a fixed-depth union over the VARIANT
+    reader with a runtime raise_error guard past the bound), and the
+    explicit ``$.**{1 to 2}`` level range. The oracle re-derives the
+    sums independently: ``sum_k_desc`` from DuckDB's direct
+    ``$.k`` extraction (proving the descent finds exactly the planted
+    keys) and the traversal counts from the document's known shape
+    (7 nodes at levels 0-3, 4 at levels 1-2, per row).
+
+    Scale: translate-time constant expansion — one scan + one grouped
+    aggregate; the descent is nested flatten/transform codegen, depth
+    bounded at compile time."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        WITH enriched AS (
+          SELECT event_type,
+                 '{"meta":{"k":' || (props ->> 'k')
+                   || ',"tags":[1,2]},"s":"x"}' AS j
+          FROM events
+          WHERE (props ->> 'k') IS NOT NULL
+        )
+        SELECT event_type,
+               count(*)::int8 AS n,
+               sum(jsonb_path_query_first(j, '$.**.k')::int8)::int8
+                 AS sum_k_desc,
+               sum(jsonb_array_length(
+                 jsonb_path_query_array(j, '$.**'))::int8)::int8
+                 AS n_desc,
+               sum(jsonb_array_length(
+                 jsonb_path_query_array(j, '$.**{1 to 2}'))::int8)::int8
+                 AS n_mid
+        FROM enriched
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )

@@ -2901,6 +2901,55 @@ def test_pg_json_agg_family(spark):
     assert tuple(r2) == ('{"a":5,"b":"q"}', '{"f1":1,"f2":"x"}')
 
 
+def test_pg_jsonpath_recursive_descent(spark):
+    """r17 (VERDICT r16 #9): jsonpath .** compiles a bounded
+    depth-first preorder union over the VARIANT reader — self plus
+    contained values, exactly PG's extension order. .**{n} and
+    .**{a to b} select levels exactly; bare .** raises AT RUNTIME
+    when structure deeper than the compiled bound (3) exists, and
+    'last'/too-deep ranges refuse at translate time — a deep document
+    can never be silently truncated."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    doc = '{"meta":{"k":5,"tags":[1,2]},"s":"x"}'
+
+    def q(path):
+        return run_pg_sql(
+            spark,
+            f"SELECT jsonb_path_query_array('{doc}', '{path}') AS a",
+        ).first()["a"]
+
+    assert q("$.**") == (
+        '[{"meta":{"k":5,"tags":[1,2]},"s":"x"},'
+        '{"k":5,"tags":[1,2]},5,[1,2],1,2,"x"]'
+    )
+    assert q("$.**.k") == "[5]"
+    assert q("$.**{1}") == '[{"k":5,"tags":[1,2]},"x"]'
+    assert q("$.**{1 to 2}") == '[{"k":5,"tags":[1,2]},5,[1,2],"x"]'
+    assert q("$.**{3}") == "[1,2]"
+    # runtime loudness: depth-4 structure under a bare .**
+    with pytest.raises(Exception, match="deeper than the compiled"):
+        run_pg_sql(
+            spark,
+            """SELECT jsonb_path_query_array(
+                 '{"d":{"e":{"f":{"g":1}}}}', '$.**') AS a""",
+        ).first()
+    # ...but an explicit in-bound range over the same document works
+    r = run_pg_sql(
+        spark,
+        """SELECT jsonb_path_query_array(
+             '{"d":{"e":{"f":{"g":1}}}}', '$.**{2 to 3}') AS a""",
+    ).first()
+    assert r["a"] == '[{"f":{"g":1}},{"g":1}]'
+    with pytest.raises(ValueError, match="level spec"):
+        P("SELECT jsonb_path_query_array(j, '$.**{0 to last}') FROM t")
+    with pytest.raises(ValueError, match="depth bound"):
+        P("SELECT jsonb_path_query_array(j, '$.**{5}') FROM t")
+
+
 def test_pg_jsonb_each_srf(spark):
     """r13c: jsonb_each_text / jsonb_each as FROM-position SRFs — the
     PG implicit-lateral comma form rewrites to JOIN LATERAL explode
