@@ -31,73 +31,74 @@ from clickhouse_build_spark.plans import retrieval  # noqa: E402,F401
 from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# iteration order. Round-16 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) the two rows
-# whose BUILDERS changed this round (pg_dialect_jsonb_dynamic grew the
-# [last]/[a to b] columns; pg_dialect_jsonb_mutation's '{tags,1}' path
-# now compiles the digit-dispatch CASE) — changed rows re-earn driver
-# evidence even when that overlaps the r15 window; (b) ALL 28 rows
-# whose newest driver evidence is r12 — the full leftover cohort
-# (VERDICT r15 #6); (c) 20 of the 50 r13-evidence rows, alphabetical.
-# After this window lands, no UNCHANGED registry row's newest driver
-# evidence predates r13. The 30 r13-evidence rows that did not fit
-# lead the r17 rotation (alphabetical from emb_knn_cosine).
+# iteration order. Round-17 ranking — stale-evidence rotation is POLICY
+# (r03 lesson: data can change under a green row): (a) the three NEW
+# r17 rows (pg_dialect_datetime_format, pg_dialect_json_agg,
+# pg_dialect_jsonb_descend); (b) ALL 30 rows whose newest driver
+# evidence is r13 — the full leftover cohort (VERDICT r16 #6);
+# (c) 17 of the 49 r14-evidence rows, alphabetical. After this window
+# lands, no UNCHANGED registry row's newest driver evidence predates
+# r14. The 32 r14-evidence rows that did not fit lead the r18 rotation
+# (alphabetical from doc_dup_span_stats).
 # Every out-of-window row is still re-verified by the local
 # full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
-    # — (a) builders changed in r16 —
-    "pg_dialect_jsonb_dynamic",
-    "pg_dialect_jsonb_mutation",
-    # — (b) the r12-evidence leftover cohort (28 rows) —
-    "doc_lm_perplexity",
-    "doc_oov_rate",
-    "doc_pii_scrub",
-    "doc_quality_classifier",
-    "doc_repetition_stats",
-    "doc_stratified_sample",
-    "doc_temperature_sample",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "media_pframe_frames",
-    "media_video_frame_sample",
-    "orders_zorder_profile",
-    "part_attributes_unpivot",
-    "pg_dialect_distinct_on",
-    "pg_dialect_json_props",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "running_customer_revenue",
-    "signup_purchase_funnel",
-    "stats_by_category",
-    "stats_by_month_pg_shape",
-    "top_customers_by_revenue",
-    # — (c) r13 evidence, alphabetical (20 of 50) —
-    "cdc_latest_event_per_user",
-    "ch_dialect_dictget",
-    "ch_dialect_json_props",
-    "ch_dialect_rollup_stats",
-    "ch_dialect_status_profile",
-    "ch_dialect_token_arrays",
-    "ch_dialect_topk_intervals",
-    "ch_dialect_url_report",
-    "customer_latest_order_argmax",
-    "customer_order_gaps",
-    "customers_except_returners",
-    "doc_bpe_token_counts",
-    "doc_token_histogram",
-    "doc_winnow_fingerprints",
-    "emb_ann_ivf_topk",
-    "emb_ann_kmeans_topk",
-    "emb_ann_lsh_topk_batch",
-    "emb_ivfpq_topk",
-    "emb_kmeans_assign",
-    "emb_kmeans_centroids",
+    # — (a) NEW rows this round (r17): the PG scalar-fidelity rollup
+    # (to_char / dow / integer div), the json_agg result-assembly
+    # family, and the bounded .** recursive descent —
+    "pg_dialect_datetime_format",
+    "pg_dialect_json_agg",
+    "pg_dialect_jsonb_descend",
+    # — (b) the 30 r13-evidence rows (the full leftover cohort,
+    # VERDICT r16 #6) —
+    "emb_knn_cosine",
+    "emb_label_centroids",
+    "emb_normalize_quantize",
+    "events_daily_with_fill",
+    "events_top3_users_limit_by",
+    "events_uniq_state_merge",
+    "nation_account_union",
+    "nation_customer_supplier_balance",
+    "orders_mergetree_layout_profile",
+    "orders_sample_band",
+    "pg_dialect_jsonb_ops",
+    "pg_dialect_jsonb_paths",
+    "pg_dialect_percentiles",
+    "pg_dialect_series_fill",
+    "pg_dialect_string_agg",
+    "q11_major_revenue_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q20_bulk_part_suppliers",
+    "q2_min_cost_supplier",
+    "q4_priority_order_check",
+    "q7_nation_trade_flows",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "returned_and_urgent_intersect",
+    "status_priority_cube",
+    "status_priority_grouping_sets",
+    "status_priority_rollup",
+    "urgent_order_customers_semi",
+    # — (c) r14 evidence, alphabetical (17 of 49) —
+    "build_dedup_artifacts",
+    "build_ivfpq_index",
+    "build_media_corpus",
+    "build_quality_model",
+    "ch_dialect_asof_join",
+    "ch_dialect_mv_rollup",
+    "ch_dialect_retention",
+    "ch_dialect_sample_limit_by",
+    "clean_corpus",
+    "corpus_quality_filter",
+    "customer_order_span",
+    "customers_without_orders",
+    "distinct_counts",
+    "doc_bm25_topk",
+    "doc_dedup_cluster_sizes",
+    "doc_dsir_importance",
+    "doc_dsir_sample",
 ]
 
 
