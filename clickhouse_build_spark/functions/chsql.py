@@ -5125,6 +5125,92 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
         )
         text = text[: hit.start()] + repl + text[tail_start:]
 
+    # PG array_agg (r17, same NULL contract as json_agg): Spark's
+    # array_agg/collect_list DROPS NULL elements where PG keeps them —
+    # the struct wrapper preserves every row; ORDER BY/FILTER handled
+    # as in json_agg; the empty array maps back to PG's NULL through
+    # a single-evaluation 1-element-array lambda. Unordered calls
+    # canonicalize by element sort (documented).
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"\barray_agg\s*\(", text, re.IGNORECASE):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        op = hit.end() - 1
+        _, close = _parse_args(text, op)
+        body = text[op + 1 : close]
+        if re.match(r"(?is)^\s*DISTINCT\b", body):
+            raise ValueError(
+                "array_agg(DISTINCT ...) is not supported — PG keeps "
+                "one NULL while collect_list drops them; refusing "
+                "rather than silently diverging"
+            )
+        ob = None
+        for om in re.finditer(r"\bORDER\s+BY\b", body, re.IGNORECASE):
+            blits = _literal_spans(body)
+            if any(a <= om.start() < b for a, b in blits):
+                continue
+            if body[: om.start()].count("(") == body[: om.start()].count(
+                ")"
+            ):
+                ob = om
+                break
+        if ob is not None:
+            elem = body[: ob.start()].strip()
+            items = [
+                it.strip() for it in _split_depth0(body[ob.end() :])
+            ]
+            dirs = set()
+            keys = []
+            for it in items:
+                dm = re.search(r"(?i)\s+(ASC|DESC)\s*$", it)
+                if dm:
+                    dirs.add(dm.group(1).upper())
+                    keys.append(it[: dm.start()].strip())
+                else:
+                    dirs.add("ASC")
+                    keys.append(it)
+            if len(dirs) > 1:
+                raise ValueError(
+                    "array_agg ORDER BY with mixed ASC/DESC "
+                    "directions is not supported (a single array_sort "
+                    "cannot express it)"
+                )
+            desc = dirs == {"DESC"}
+        else:
+            elem = body.strip()
+            keys = [elem]
+            desc = False
+        fields = ", ".join(
+            f"'o{i + 1}', {k}" for i, k in enumerate(keys)
+        )
+        tail_start = close + 1
+        filt = ""
+        fmm = re.match(r"\s*FILTER\s*\(", text[close + 1 :], re.IGNORECASE)
+        if fmm:
+            fop = close + 1 + fmm.end() - 1
+            _, fclose = _parse_args(text, fop)
+            filt = " " + text[close + 1 : fclose + 1].strip()
+            tail_start = fclose + 1
+        sorted_arr = (
+            f"array_sort(collect_list(named_struct({fields}, "
+            f"'v', {elem})){filt})"
+        )
+        if desc:
+            sorted_arr = f"reverse({sorted_arr})"
+        va, vb = "__aa1", "__aa2"
+        repl = (
+            f"try_element_at(transform(array(transform({sorted_arr}, "
+            f"{va} -> {va}.v)), {vb} -> "
+            f"IF(size({vb}) = 0, NULL, {vb})), 1)"
+        )
+        text = text[: hit.start()] + repl + text[tail_start:]
+
     # PG row_to_json(rec): a bare relation alias → to_json(struct
     # (alias.*)); an anonymous ROW(a, b) → named_struct with PG's own
     # f1..fn field names. Anything else (expressions, nested calls)
@@ -6223,6 +6309,177 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
             repl = f"(weekday({expr}) + 1)"
         text = text[: hit.start()] + repl + text[close + 1 :]
 
+    # Scalar-fidelity batch 2 (r17, same silent-divergence class as
+    # to_char/dow/div — each verified against a live Spark 4.1):
+    # log(x) is BASE 10 in PG but natural log in Spark → log10;
+    # 2-arg log(b, x) agrees and passes through.
+    pos0 = 0
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"\blog\s*\(", text[pos0:], re.IGNORECASE):
+            if any(a <= pos0 + mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        h0 = pos0 + hit.start()
+        args, close = _parse_args(text, pos0 + hit.end() - 1)
+        if len(args) == 1:
+            repl = f"log10({args[0]})"
+            text = text[:h0] + repl + text[close + 1 :]
+            pos0 = h0 + len(repl)
+        else:
+            pos0 = close + 1
+
+    # PG '^' is POWER (left-assoc); Spark '^' is bitwise XOR — a
+    # silent wrong value on every exponentiation. Infix detection as
+    # in the ~ pass: an operand must end right before it.
+    while True:
+        lits = _literal_spans(text)
+        pos = None
+        for mm in re.finditer(r"\^", text):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            j = mm.start() - 1
+            while j >= 0 and text[j].isspace():
+                j -= 1
+            if j < 0 or not (text[j].isalnum() or text[j] in ")'_\""):
+                continue
+            pos = mm
+            break
+        if pos is None:
+            break
+        start = _cast_operand_start(text, pos.start())
+        lhs = text[start : pos.start()].rstrip()
+        rhs_end = _pg_operand_end(text, pos.end())
+        rhs = text[pos.end() : rhs_end].strip()
+        text = (
+            text[:start] + f"power({lhs}, {rhs})" + text[rhs_end:]
+        )
+
+    # PG left/right accept NEGATIVE counts (drop from the other end);
+    # Spark returns '' — rewritten to one substring that matches PG
+    # for every sign (positive unchanged, negative drops, overflow
+    # clamps to the full/empty string).
+    pos0 = 0
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\b(left|right)\s*\(", text[pos0:], re.IGNORECASE
+        ):
+            if any(a <= pos0 + mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        h0 = pos0 + hit.start()
+        args, close = _parse_args(text, pos0 + hit.end() - 1)
+        if len(args) != 2:
+            pos0 = close + 1
+            continue
+        s_, n_ = args
+        if hit.group(1).lower() == "left":
+            repl = (
+                f"substring({s_}, 1, IF(({n_}) >= 0, ({n_}), "
+                f"greatest(length({s_}) + ({n_}), 0)))"
+            )
+        else:
+            repl = (
+                f"substring({s_}, IF(({n_}) >= 0, "
+                f"greatest(length({s_}) - ({n_}) + 1, 1), "
+                f"(-({n_})) + 1))"
+            )
+        text = text[:h0] + repl + text[close + 1 :]
+        pos0 = h0 + len(repl)
+
+    # PG trunc(x) truncates toward zero; Spark's trunc is DATE
+    # truncation and rejects one numeric argument. The 2-arg numeric
+    # form stays loud (Spark would silently date-truncate it).
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"\btrunc\s*\(", text, re.IGNORECASE):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        args, close = _parse_args(text, hit.end() - 1)
+        if len(args) != 1:
+            raise ValueError(
+                "PG trunc(x, n) is not translatable (Spark's 2-arg "
+                "trunc is date truncation — a silent reinterpretation;"
+                " use round() or an explicit cast)"
+            )
+        x_ = args[0]
+        repl = f"IF(({x_}) >= 0, floor({x_}), ceil({x_}))"
+        text = text[: hit.start()] + repl + text[close + 1 :]
+
+    # strpos(s, sub) → instr (same order, 1-based, 0 when absent).
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"\bstrpos\s*\(", text, re.IGNORECASE):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        args, close = _parse_args(text, hit.end() - 1)
+        if len(args) != 2:
+            raise ValueError("strpos takes exactly two arguments")
+        text = (
+            text[: hit.start()]
+            + f"instr({args[0]}, {args[1]})"
+            + text[close + 1 :]
+        )
+
+    # to_date / to_timestamp with a format: the parse-direction twin
+    # of the to_char fix — Spark's pattern language is JDK-style, so
+    # the PG template translates token-by-token (unknown tokens and
+    # dynamic formats loud). 1-arg forms pass through.
+    pos0 = 0
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bto_(date|timestamp)\s*\(", text[pos0:], re.IGNORECASE
+        ):
+            if any(a <= pos0 + mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        h0 = pos0 + hit.start()
+        args, close = _parse_args(text, pos0 + hit.end() - 1)
+        if len(args) == 1:
+            pos0 = close + 1
+            continue
+        if len(args) != 2:
+            raise ValueError(
+                f"to_{hit.group(1).lower()} takes one or two arguments"
+            )
+        pat_arg = args[1].strip()
+        if not (pat_arg.startswith("'") and pat_arg.endswith("'")):
+            raise ValueError(
+                f"to_{hit.group(1).lower()} needs a string-literal "
+                "format — PG and Spark pattern languages differ, so a "
+                "dynamic format cannot be translated"
+            )
+        jdk = _pg_tochar_pattern(pat_arg[1:-1].replace("''", "'"))
+        repl = (
+            f"to_{hit.group(1).lower()}({args[0]}, '{jdk}')"
+        )
+        text = text[:h0] + repl + text[close + 1 :]
+        pos0 = h0 + len(repl)
+
     # PG regex-match operators: expr ~ pat → RLIKE; ~* prepends (?i)
     # inside the (required-literal) pattern; !~ / !~* negate. The
     # infix form is disambiguated from any prefix use of '~' by
@@ -6301,6 +6558,67 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
             + f"CAST({operand} AS {spark_type})"
             + text[j + m.end() :]
         )
+
+    # date - date (r17): PG yields INTEGER days; Spark yields an
+    # INTERVAL — a silent type+value change wherever the difference
+    # feeds arithmetic. Rewritten to datediff ONLY when BOTH operands
+    # are PROVEN dates (DATE literals, current_date, CAST(... AS
+    # DATE), or catalog columns of date type); anything else passes
+    # through untouched ('-' is overwhelmingly numeric and cannot
+    # refuse on unprovable operands).
+    def _is_date_operand(e: str) -> bool:
+        e = e.strip()
+        if re.match(r"(?i)^DATE\s*'", e):
+            return True
+        if re.fullmatch(r"(?i)current_date(\s*\(\s*\))?", e):
+            return True
+        if re.match(r"(?i)^cast\s*\(", e) and re.search(
+            r"(?i)\sAS\s+DATE\s*\)\s*$", e
+        ):
+            return True
+        if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", e):
+            dt = (column_types or {}).get(e.split(".")[-1].lower())
+            return dt == "date"
+        return False
+
+    offset = 0
+    while True:
+        lits = _literal_spans(text)
+        pos = -1
+        j = text.find("-", offset)
+        while j >= 0:
+            if not any(a <= j < b for a, b in lits):
+                k = j - 1
+                while k >= 0 and text[k].isspace():
+                    k -= 1
+                if k >= 0 and (text[k].isalnum() or text[k] in ")'\"_]"):
+                    pos = j
+                    break
+            j = text.find("-", j + 1)
+        if pos < 0:
+            break
+        lhs_start = _cast_operand_start(text, pos)
+        # a DATE/TIMESTAMP keyword-literal: include the keyword
+        if text[lhs_start : lhs_start + 1] == "'":
+            km = re.search(
+                r"(?i)\b(date|timestamp)\s*$", text[:lhs_start]
+            )
+            if km is not None:
+                lhs_start = km.start(1)
+        lhs = text[lhs_start:pos].rstrip()
+        rhs_end = _pg_operand_end(text, pos + 1)
+        rhs = text[pos + 1 : rhs_end].strip()
+        if re.fullmatch(r"(?i)date|timestamp", rhs):
+            nm = re.match(r"\s*'", text[rhs_end:])
+            if nm is not None:
+                rhs_end = _scan_string(text, rhs_end + nm.end() - 1)
+                rhs = text[pos + 1 : rhs_end].strip()
+        if _is_date_operand(lhs) and _is_date_operand(rhs):
+            repl = f"datediff({lhs}, {rhs})"
+            text = text[:lhs_start] + repl + text[rhs_end:]
+            offset = lhs_start + len(repl)
+        else:
+            offset = pos + 1
 
     # '/' fidelity (r17, VERDICT r16 #3) — PG TRUNCATES division on
     # integer types (7/2 = 3) while Spark's '/' is always fractional.

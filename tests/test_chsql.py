@@ -2680,6 +2680,14 @@ def test_pg_translator_identity_on_plain_sql():
         "SELECT extract(isodow FROM d) FROM t",
         "SELECT date_part('dow', d) FROM t",
         "SELECT a / b FROM t",  # Spark '/' never truncates
+        # r17 batch 2
+        "SELECT log(x) FROM t",  # PG base-10, Spark natural
+        "SELECT a ^ b FROM t",  # PG power, Spark XOR
+        "SELECT left(s, n) FROM t",  # PG negative n drops from end
+        "SELECT right(s, n) FROM t",
+        "SELECT trunc(x) FROM t",  # Spark trunc is date-only
+        "SELECT to_date(s, 'DD') FROM t",  # JDK parse patterns
+        "SELECT array_agg(v) FROM t",  # collect_list drops NULLs
     ]
     for q in denylist:
         try:
@@ -2808,6 +2816,80 @@ def test_pg_integer_division_translation():
         P("SELECT u / b FROM t", column_types=ct)
     with pytest.raises(ValueError, match="unprovable operand type"):
         P("SELECT a / v FROM t", column_types=ct)
+
+
+def test_pg_scalar_fidelity_batch2(spark):
+    """r17 batch 2 — the same silent-divergence class as
+    to_char/dow/div, each verified against live Spark: log(x) is
+    base-10 in PG but NATURAL log in Spark (→ log10; 2-arg log
+    agrees); '^' is power in PG but bitwise XOR in Spark (→ power,
+    left-assoc); left/right accept negative counts in PG (drop from
+    the other end) where Spark returns '' (→ sign-safe substring);
+    trunc(x) is numeric in PG but date-only in Spark (1-arg →
+    floor/ceil toward zero, 2-arg loud); strpos → instr;
+    to_date/to_timestamp formats are JDK-style in Spark (→ the same
+    token translation as to_char); array_agg drops SQL NULLs in
+    Spark where PG keeps them (→ struct-wrapped collect_list, PG's
+    NULL on empty); date - date is INTEGER days in PG but an
+    INTERVAL in Spark (→ datediff when both operands are PROVEN
+    dates; numeric '-' untouched)."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    assert P("SELECT log(100) AS v") == "SELECT log10(100) AS v"
+    assert P("SELECT log(2, 8) AS v") == "SELECT log(2, 8) AS v"
+    assert P("SELECT 2 ^ 3 AS v") == "SELECT power(2, 3) AS v"
+    assert P("SELECT a ^ b ^ 2 FROM t") == (
+        "SELECT power(power(a, b), 2) FROM t"
+    )
+    assert P("SELECT strpos(s, 'b') FROM t") == (
+        "SELECT instr(s, 'b') FROM t"
+    )
+    assert P("SELECT to_date('2024-03-05', 'YYYY-MM-DD') AS v") == (
+        "SELECT to_date('2024-03-05', 'yyyy-MM-dd') AS v"
+    )
+    assert P(
+        "SELECT d1 - d2 AS days FROM t",
+        column_types={"d1": "date", "d2": "date"},
+    ) == "SELECT datediff(d1, d2) AS days FROM t"
+    assert P(
+        "SELECT a - b FROM t", column_types={"a": "int", "b": "int"}
+    ) == "SELECT a - b FROM t"
+    assert P(
+        "SELECT d1 - DATE '2024-01-01' FROM t",
+        column_types={"d1": "date"},
+    ) == "SELECT datediff(d1, DATE '2024-01-01') FROM t"
+    with pytest.raises(ValueError, match="trunc"):
+        P("SELECT trunc(x, 2) FROM t")
+    with pytest.raises(ValueError, match="literal format"):
+        P("SELECT to_date(s, fmt) FROM t")
+    with pytest.raises(ValueError, match="DISTINCT"):
+        P("SELECT array_agg(DISTINCT v) FROM t")
+
+    r = run_pg_sql(
+        spark,
+        "SELECT log(100) AS lg, 2 ^ 3 AS pw, "
+        "left('abcde', -2) AS lneg, right('abcde', -2) AS rneg, "
+        "left('abcde', 2) AS lpos, right('abcde', 2) AS rpos, "
+        "left('abc', 9) AS lover, "
+        "trunc(-4.7) AS tr, strpos('abc', 'c') AS sp, "
+        "to_date('05 Mar 2024', 'DD Mon YYYY') AS td, "
+        "DATE '2024-03-05' - DATE '2024-03-01' AS dd",
+    ).first()
+    assert r["lg"] == 2.0 and r["pw"] == 8.0
+    assert (r["lneg"], r["rneg"]) == ("abc", "cde")
+    assert (r["lpos"], r["rpos"], r["lover"]) == ("ab", "de", "abc")
+    assert float(r["tr"]) == -4.0 and r["sp"] == 3
+    assert str(r["td"]) == "2024-03-05" and r["dd"] == 4
+    r2 = run_pg_sql(
+        spark,
+        "SELECT array_agg(v ORDER BY k) AS aa, "
+        "array_agg(v) FILTER (WHERE v = 'none') AS aempty "
+        "FROM VALUES (2, 'b'), (1, 'a'), (3, NULL) AS t(k, v)",
+    ).first()
+    assert r2["aa"] == ["a", "b", None] and r2["aempty"] is None
 
 
 def test_pg_datetime_div_runtime(spark):
@@ -3378,8 +3460,10 @@ def test_pg_jsonpath_member_wildcard(spark):
     # member after wildcard: scalar values drop the .a step
     assert col("jsonb_path_query_array(j, '$.*.a')") == [
         "[]", "[]", "[]", "[]", None]
-    with pytest.raises(ValueError, match="recursive descent"):
-        P("SELECT jsonb_path_query(j, '$.**.a') FROM t")
+    # r17: .** now translates (bounded preorder union) — the loud
+    # surface moved to unbounded/too-deep level ranges
+    # (test_pg_jsonpath_recursive_descent)
+    assert "flatten" in P("SELECT jsonb_path_query(j, '$.**.a') FROM t")
 
 
 def test_pg_jsonb_digit_path_dispatch(spark):
@@ -3437,8 +3521,11 @@ def test_pg_jsonb_path_loud_failures():
 
     with pytest.raises(ValueError, match="strict"):
         P("SELECT jsonb_path_exists(j, 'strict $.a') FROM t")
-    with pytest.raises(ValueError, match="outside the translated subset"):
-        P("SELECT jsonb_path_exists(j, '$.a.**.b') FROM t")
+    # r17: .** now translates (bounded — see
+    # test_pg_jsonpath_recursive_descent); unbounded level ranges are
+    # the remaining loud surface
+    with pytest.raises(ValueError, match="level spec"):
+        P("SELECT jsonb_path_exists(j, '$.a.**{1 to last}.b') FROM t")
     # like_regex with a literal pattern now TRANSLATES (r15); flags,
     # non-string patterns, and PG's un-doubled-backslash error stay loud
     assert "RLIKE 'x'" in P(
