@@ -28,6 +28,19 @@ Known semantic deltas (documented, not hidden):
 - ``quantile`` maps to ``percentile_approx`` (both approximate,
   different algorithms); ``quantileExact`` / ``medianExact`` are exact
   on both.
+- ``round`` on FLOAT inputs: CH rounds half to even (banker's), Spark
+  half away from zero — they differ only at exact .5 midpoints of
+  float values (CH's Decimal rounding already matches Spark).
+  ``roundBankers`` translates exactly (``rint``) for callers who need
+  CH's float midpoint behavior (r17).
+- CH's bare ``length``/``substring``/``reverse`` operate on BYTES for
+  String inputs; the Spark twins are CHARACTER-based — identical on
+  ASCII, divergent on multi-byte text. The UTF-8 spellings
+  (``lengthUTF8``/``substringUTF8``/``reverseUTF8``) map exactly to
+  Spark's character semantics; byte-accurate raw-spelling twins would
+  need encode/decode round-trips that cannot reproduce CH's invalid-
+  UTF-8 outputs, so the raw spellings keep character semantics
+  (documented here, r17).
 """
 
 from __future__ import annotations

@@ -2818,6 +2818,33 @@ def test_pg_integer_division_translation():
         P("SELECT a / v FROM t", column_types=ct)
 
 
+def test_ch_documented_midpoint_and_byte_deltas(spark):
+    """r17: the CH arm's two REMAINING pass-through deltas are
+    documented in the module contract (not silent): `round` on floats
+    is banker's in CH vs half-away-from-zero in Spark (midpoints
+    only — roundBankers/bround is the exact spelling), and the bare
+    length/substring/reverse byte semantics on CH String inputs keep
+    Spark's character semantics (the UTF-8 spellings map exactly).
+    This test pins the documented behaviors so a regression in either
+    direction is caught."""
+    from clickhouse_build_spark.functions.chsql import run_ch_sql
+
+    r = run_ch_sql(
+        spark,
+        "SELECT roundBankers(2.5) AS rb25, roundBankers(3.5) AS rb35, "
+        "roundBankers(2.345, 2) AS rb2, round(2.5) AS r25, "
+        "lengthUTF8('héllo') AS lu, length('héllo') AS lraw",
+    ).first()
+    assert float(r["rb25"]) == 2.0 and float(r["rb35"]) == 4.0
+    assert float(r["rb2"]) == 2.34
+    # documented delta: Spark round is half-away-from-zero (CH float
+    # round would give 2)
+    assert float(r["r25"]) == 3.0
+    # documented delta: both spellings are CHARACTER counts here (CH
+    # length('héllo') would be 6 bytes)
+    assert r["lu"] == 5 and r["lraw"] == 5
+
+
 def test_pg_scalar_fidelity_batch2(spark):
     """r17 batch 2 — the same silent-divergence class as
     to_char/dow/div, each verified against live Spark: log(x) is
