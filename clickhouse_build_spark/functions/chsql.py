@@ -3274,12 +3274,12 @@ def _parse_jsonpath(path: str):
     m = re.match(r"^(?:(lax|strict)\s+)?\$", s, re.IGNORECASE)
     if m is None:
         raise ValueError(f"jsonpath must start with '$': {path!r}")
-    if m.group(1) and m.group(1).lower() == "strict":
-        raise ValueError(
-            "strict jsonpath mode is not supported (lax is the PG "
-            "default; strict's error-raising semantics have no "
-            "translate-time equivalent)"
-        )
+    # r17: strict mode compiles too — the error-raising semantics map
+    # onto RUNTIME raise_error branches (structural mismatches raise
+    # exactly where PG's executor would; filter predicates stay
+    # error-suppressing, as PG defines them in BOTH modes). The parse
+    # returns (strict, steps).
+    strict = bool(m.group(1)) and m.group(1).lower() == "strict"
     i = m.end()
     steps: list = []
     while i < len(s):
@@ -3455,7 +3455,7 @@ def _parse_jsonpath(path: str):
             i = j + 1
         else:
             raise ValueError(f"unsupported jsonpath syntax at {s[i:]!r}")
-    return steps
+    return strict, steps
 
 
 def _parse_jsonpath_pred(src: str, root: str):
@@ -4138,26 +4138,56 @@ def _jsonb_concat_sql(operand: str, rhs, raw: str, ctr) -> str:
     )
 
 
-def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
+def _jsonpath_seq_sql(
+    operand: str, steps: list, ctr, strict: bool = False
+) -> str:
     """Compile parsed jsonpath steps over a jsonb-text ``operand``
-    into one Spark SQL expression producing the lax-mode result
-    sequence as ``ARRAY<VARIANT>`` — entirely codegen built-ins
-    (parse_json / try_variant_get / filter / transform / flatten),
-    no UDF. ``ctr`` supplies fresh lambda-variable suffixes so
-    multiple calls in one statement never shadow."""
+    into one Spark SQL expression producing the result sequence as
+    ``ARRAY<VARIANT>`` — entirely codegen built-ins (parse_json /
+    try_variant_get / filter / transform / flatten), no UDF. ``ctr``
+    supplies fresh lambda-variable suffixes so multiple calls in one
+    statement never shadow. ``strict=True`` (r17) compiles PG's
+    strict mode: no lax auto-unwrap/auto-wrap, and every structural
+    mismatch (member on a non-object, missing member, subscript on a
+    non-array, out-of-bounds subscript, non-convertible .double())
+    becomes a RUNTIME raise_error exactly where PG's executor raises;
+    filter predicates stay error-suppressing in both modes (PG's own
+    rule)."""
     def v() -> str:
         return f"__jp{next(ctr)}"
+
+    def _err(msg: str) -> str:
+        return f"raise_error('{msg}')"
 
     w = v()
     seq = f"filter(array(try_parse_json({operand})), {w} -> {w} IS NOT NULL)"
 
     # Consecutive member steps (no wildcard/filter/index in between)
     # compose into ONE JsonPath so the common $.a.b.c shape is a
-    # single try_variant_get per item, not a transform chain.
+    # single try_variant_get per item, not a transform chain. Strict
+    # mode compiles each member individually — it must distinguish
+    # "not an object" from "member missing" (different PG errors) and
+    # from a JSON-null VALUE (kept; variant null is not SQL NULL).
     i = 0
     while i < len(steps):
         kind = steps[i][0]
-        if kind == "member":
+        if kind == "member" and strict:
+            key = steps[i][1].replace("\\", "\\\\").replace("'", "\\'")
+            i += 1
+            a = v()
+            mp = f"try_cast({a} AS MAP<STRING, VARIANT>)"
+            elem = (
+                f"CASE WHEN {mp} IS NULL THEN "
+                + _err(
+                    "strict jsonpath: member accessor can only be "
+                    "applied to an object"
+                )
+                + f" WHEN NOT map_contains_key({mp}, '{key}') THEN "
+                + _err(f'strict jsonpath: member "{key}" not found')
+                + f" ELSE element_at({mp}, '{key}') END"
+            )
+            seq = f"transform({seq}, {a} -> {elem})"
+        elif kind == "member":
             parts = []
             while i < len(steps) and steps[i][0] == "member":
                 parts.append(_json_path_part(steps[i][1], None))
@@ -4174,6 +4204,22 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
             i += 1
             a, b = v(), v()
             arr = f"try_cast({a} AS ARRAY<VARIANT>)"
+            if strict:
+                elem = (
+                    f"CASE WHEN {arr} IS NULL THEN "
+                    + _err(
+                        "strict jsonpath: array accessor can only be "
+                        "applied to an array"
+                    )
+                    + f" WHEN size({arr}) <= {nidx} THEN "
+                    + _err(
+                        "strict jsonpath: array subscript is out of "
+                        "bounds"
+                    )
+                    + f" ELSE try_element_at({arr}, {nidx + 1}) END"
+                )
+                seq = f"transform({seq}, {a} -> {elem})"
+                continue
             # lax mode auto-wraps a non-array for subscripting: $[0]
             # over a scalar yields the scalar itself.
             elem = (
@@ -4192,6 +4238,23 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
             i += 1
             a, b = v(), v()
             arr = f"try_cast({a} AS ARRAY<VARIANT>)"
+            if strict:
+                elem = (
+                    f"CASE WHEN {arr} IS NULL THEN "
+                    + _err(
+                        "strict jsonpath: array accessor can only be "
+                        "applied to an array"
+                    )
+                    + f" WHEN size({arr}) <= {k} THEN "
+                    + _err(
+                        "strict jsonpath: array subscript is out of "
+                        "bounds"
+                    )
+                    + f" ELSE try_element_at({arr}, size({arr}) - {k})"
+                    " END"
+                )
+                seq = f"transform({seq}, {a} -> {elem})"
+                continue
             elem = (
                 f"IF({arr} IS NOT NULL, IF(size({arr}) > {k}, "
                 f"try_element_at({arr}, size({arr}) - {k}), NULL), "
@@ -4208,26 +4271,54 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
             lo, hi = steps[i][1], steps[i][2]
             i += 1
             u, x = v(), v()
-            seq = (
-                f"transform({seq}, {u} -> "
-                f"coalesce(try_cast({u} AS ARRAY<VARIANT>), array({u})))"
-            )
+            if strict:
+                seq = (
+                    f"transform({seq}, {u} -> "
+                    f"CASE WHEN try_cast({u} AS ARRAY<VARIANT>) IS "
+                    f"NULL THEN "
+                    + _err(
+                        "strict jsonpath: array accessor can only be "
+                        "applied to an array"
+                    )
+                    + f" ELSE try_cast({u} AS ARRAY<VARIANT>) END)"
+                )
+            else:
+                seq = (
+                    f"transform({seq}, {u} -> "
+                    f"coalesce(try_cast({u} AS ARRAY<VARIANT>), array({u})))"
+                )
 
             def _bsql(bnd: tuple) -> str:
                 if bnd[0] == "abs":
                     return str(bnd[1])
                 return f"size({x}) - 1 - {bnd[1]}"
 
-            # PG lax CLAMPS the bounds (jsonpath_exec.c: from=max(0),
-            # to=min(size-1)) and yields empty when from > to
-            lo0 = f"greatest({_bsql(lo)}, 0)"
-            hi0 = f"least({_bsql(hi)}, size({x}) - 1)"
-            seq = (
-                f"flatten(transform({seq}, {x} -> "
-                f"IF({hi0} >= {lo0}, "
-                f"slice({x}, ({lo0}) + 1, ({hi0}) - ({lo0}) + 1), "
-                f"slice({x}, 1, 0))))"
-            )
+            if strict:
+                # PG strict RAISES when a resolved bound leaves the
+                # array or the range inverts (jsonpath_exec.c)
+                lo0, hi0 = _bsql(lo), _bsql(hi)
+                seq = (
+                    f"flatten(transform({seq}, {x} -> "
+                    f"CASE WHEN ({lo0}) < 0 OR ({hi0}) >= size({x}) "
+                    f"OR ({lo0}) > ({hi0}) THEN "
+                    + _err(
+                        "strict jsonpath: array subscript is out of "
+                        "bounds"
+                    )
+                    + f" ELSE slice({x}, ({lo0}) + 1, "
+                    f"({hi0}) - ({lo0}) + 1) END))"
+                )
+            else:
+                # PG lax CLAMPS the bounds (jsonpath_exec.c:
+                # from=max(0), to=min(size-1)), empty when from > to
+                lo0 = f"greatest({_bsql(lo)}, 0)"
+                hi0 = f"least({_bsql(hi)}, size({x}) - 1)"
+                seq = (
+                    f"flatten(transform({seq}, {x} -> "
+                    f"IF({hi0} >= {lo0}, "
+                    f"slice({x}, ({lo0}) + 1, ({hi0}) - ({lo0}) + 1), "
+                    f"slice({x}, 1, 0))))"
+                )
         elif kind == "descend":
             # .** (r17, VERDICT r16 #9): depth-first preorder over
             # self + contained values (array elements and object
@@ -4282,25 +4373,55 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
             # multi-key value ORDER (the standing jsonb-order rule).
             i += 1
             u, a = v(), v()
-            seq = (
-                f"flatten(transform({seq}, {u} -> "
-                f"coalesce(try_cast({u} AS ARRAY<VARIANT>), array({u}))))"
-            )
             m_ = f"try_cast({a} AS MAP<STRING, VARIANT>)"
-            seq = (
-                f"flatten(transform({seq}, {a} -> "
-                f"CASE WHEN {m_} IS NOT NULL THEN map_values({m_}) "
-                f"ELSE slice(array({a}), 1, 0) END))"
-            )
+            if strict:
+                # strict .*: the item must BE an object — no array
+                # unwrap, non-objects raise
+                seq = (
+                    f"flatten(transform({seq}, {a} -> "
+                    f"CASE WHEN {m_} IS NOT NULL THEN map_values({m_}) "
+                    f"ELSE "
+                    + _err(
+                        "strict jsonpath: wildcard member accessor "
+                        "can only be applied to an object"
+                    )
+                    + " END))"
+                )
+            else:
+                seq = (
+                    f"flatten(transform({seq}, {u} -> "
+                    f"coalesce(try_cast({u} AS ARRAY<VARIANT>), "
+                    f"array({u}))))"
+                )
+                seq = (
+                    f"flatten(transform({seq}, {a} -> "
+                    f"CASE WHEN {m_} IS NOT NULL THEN map_values({m_}) "
+                    f"ELSE slice(array({a}), 1, 0) END))"
+                )
         elif kind == "wild":
             i += 1
             a = v()
-            # lax [*]: arrays unwrap to their elements (JSON nulls kept,
-            # exactly PG), non-arrays auto-wrap to a singleton.
-            seq = (
-                f"flatten(transform({seq}, {a} -> "
-                f"coalesce(try_cast({a} AS ARRAY<VARIANT>), array({a}))))"
-            )
+            if strict:
+                # strict [*]: the item must BE an array
+                seq = (
+                    f"flatten(transform({seq}, {a} -> "
+                    f"CASE WHEN try_cast({a} AS ARRAY<VARIANT>) IS "
+                    f"NULL THEN "
+                    + _err(
+                        "strict jsonpath: wildcard array accessor "
+                        "can only be applied to an array"
+                    )
+                    + f" ELSE try_cast({a} AS ARRAY<VARIANT>) END))"
+                )
+            else:
+                # lax [*]: arrays unwrap to their elements (JSON nulls
+                # kept, exactly PG), non-arrays auto-wrap to a
+                # singleton.
+                seq = (
+                    f"flatten(transform({seq}, {a} -> "
+                    f"coalesce(try_cast({a} AS ARRAY<VARIANT>), "
+                    f"array({a}))))"
+                )
         elif kind == "method":
             # terminal .double()/.size()/.type() (r15, VERDICT #4):
             # each stays a VARIANT so downstream to_json/consumer
@@ -4309,7 +4430,21 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
             name = steps[i][1]
             i += 1
             a, b = v(), v()
-            if name == "double":
+            if name == "double" and strict:
+                # strict .double(): no array unwrap; a non-convertible
+                # item RAISES (PG: "argument of jsonpath item method
+                # .double() is not a valid representation...")
+                conv = (
+                    f"CASE WHEN try_cast({a} AS DOUBLE) IS NULL THEN "
+                    + _err(
+                        "strict jsonpath: .double() argument is not "
+                        "convertible to a double value"
+                    )
+                    + f" ELSE try_parse_json(cast(try_cast({a} AS "
+                    f"DOUBLE) AS STRING)) END"
+                )
+                seq = f"transform({seq}, {a} -> {conv})"
+            elif name == "double":
                 # PG lax mode unwraps arrays before applying .double();
                 # non-convertible items DROP (PG raises — documented
                 # deviation, see _parse_jsonpath).
@@ -4328,11 +4463,24 @@ def _jsonpath_seq_sql(operand: str, steps: list, ctr) -> str:
                     f"{b} -> {b} IS NOT NULL)"
                 )
             elif name == "size":
-                # array → length; anything else → 1 (PG lax .size())
-                conv = (
-                    f"try_parse_json(cast(coalesce(size(try_cast({a} "
-                    f"AS ARRAY<VARIANT>)), 1) AS STRING))"
-                )
+                # array → length; anything else → 1 in lax, an ERROR
+                # in strict (PG .size() requires an array there)
+                if strict:
+                    conv = (
+                        f"CASE WHEN try_cast({a} AS ARRAY<VARIANT>) "
+                        f"IS NULL THEN "
+                        + _err(
+                            "strict jsonpath: .size() can only be "
+                            "applied to an array"
+                        )
+                        + f" ELSE try_parse_json(cast(size(try_cast("
+                        f"{a} AS ARRAY<VARIANT>)) AS STRING)) END"
+                    )
+                else:
+                    conv = (
+                        f"try_parse_json(cast(coalesce(size(try_cast({a} "
+                        f"AS ARRAY<VARIANT>)), 1) AS STRING))"
+                    )
                 seq = f"transform({seq}, {a} -> {conv})"
             else:  # type — first-char dispatch on the JSON text
                 tj = f"to_json({a})"
@@ -5966,8 +6114,10 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
             ptxt = re.sub(r"^\s*lax\s+", "", path_text)
             if re.match(r"^\s*strict\b", ptxt):
                 raise ValueError(
-                    "strict jsonpath mode is not supported (lax is "
-                    "the PG default)"
+                    "strict jsonb_path_match is not supported — its "
+                    "predicate NULL-vs-error semantics differ from "
+                    "the sequence family (jsonb_path_query/exists/"
+                    "query_array compile strict mode, r17)"
                 )
             pred = _parse_jsonpath_pred(ptxt.strip(), "$")
             rv = f"__jp{next(_jp_ctr)}r"
@@ -5978,8 +6128,10 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
                 f"({operand})), {rv} -> {pred_sql}), 1)"
             )
         else:
-            steps = _parse_jsonpath(path_text)
-            seq = _jsonpath_seq_sql(operand, steps, _jp_ctr)
+            strict_mode, steps = _parse_jsonpath(path_text)
+            seq = _jsonpath_seq_sql(
+                operand, steps, _jp_ctr, strict=strict_mode
+            )
             if fn == "exists":
                 repl = (
                     f"(CASE WHEN ({operand}) IS NULL THEN NULL "

@@ -32,23 +32,24 @@ from clickhouse_build_spark.plans import dsir  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. Round-17 ranking — stale-evidence rotation is POLICY
-# (r03 lesson: data can change under a green row): (a) the three NEW
+# (r03 lesson: data can change under a green row): (a) the four NEW
 # r17 rows (pg_dialect_datetime_format, pg_dialect_json_agg,
-# pg_dialect_jsonb_descend); (b) ALL 30 rows whose newest driver
+# pg_dialect_jsonb_descend, pg_dialect_jsonb_strict); (b) ALL 30 rows whose newest driver
 # evidence is r13 — the full leftover cohort (VERDICT r16 #6);
-# (c) 17 of the 49 r14-evidence rows, alphabetical. After this window
+# (c) 16 of the 49 r14-evidence rows, alphabetical. After this window
 # lands, no UNCHANGED registry row's newest driver evidence predates
-# r14. The 32 r14-evidence rows that did not fit lead the r18 rotation
-# (alphabetical from doc_dup_span_stats).
+# r14. The 33 r14-evidence rows that did not fit lead the r18 rotation
+# (alphabetical from doc_dsir_sample).
 # Every out-of-window row is still re-verified by the local
 # full-registry sf0.01 oracle gate each round.
 _DRIVER_WINDOW_PRIORITY = [
     # — (a) NEW rows this round (r17): the PG scalar-fidelity rollup
     # (to_char / dow / integer div), the json_agg result-assembly
-    # family, and the bounded .** recursive descent —
+    # family, the bounded .** recursive descent, and strict mode —
     "pg_dialect_datetime_format",
     "pg_dialect_json_agg",
     "pg_dialect_jsonb_descend",
+    "pg_dialect_jsonb_strict",
     # — (b) the 30 r13-evidence rows (the full leftover cohort,
     # VERDICT r16 #6) —
     "emb_knn_cosine",
@@ -81,7 +82,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "status_priority_grouping_sets",
     "status_priority_rollup",
     "urgent_order_customers_semi",
-    # — (c) r14 evidence, alphabetical (17 of 49) —
+    # — (c) r14 evidence, alphabetical (16 of 49) —
     "build_dedup_artifacts",
     "build_ivfpq_index",
     "build_media_corpus",
@@ -98,7 +99,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_bm25_topk",
     "doc_dedup_cluster_sizes",
     "doc_dsir_importance",
-    "doc_dsir_sample",
 ]
 
 

@@ -1910,3 +1910,65 @@ def pg_dialect_jsonb_descend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """,
     )
+
+
+@query(
+    "pg_dialect_jsonb_strict",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           CAST(count(*) * 2 AS BIGINT) AS n_tags,
+           '"a"' AS first_tag,
+           CAST(count(*) AS BIGINT) AS n_exists
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("dialect", "postgres-sql", "json", "jsonpath"),
+)
+def pg_dialect_jsonb_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT jsonpath mode (r17 — closing the jsonpath family's last
+    documented-loud surface): each event's props are lifted into
+    ``{"meta":{"k":<k>},"tags":["a","b"]}`` and read back with strict
+    paths — ``strict $.meta.k`` (member chain with no lax tolerance),
+    ``strict $.tags[*]`` (wildcard requires a real array),
+    ``strict $.tags[0]`` (bounds-checked subscript), and a strict
+    ``jsonb_path_exists`` probe. Strict mode compiles every
+    structural mismatch to a RUNTIME raise_error exactly where PG's
+    executor raises — this row proves the non-error path returns
+    values identical to direct extraction (the error paths are pinned
+    in tests/test_chsql.py::test_pg_jsonpath_strict_mode).
+
+    Scale: translate-time compilation, one scan + one grouped
+    aggregate, all codegen built-ins."""
+    load_tables(spark, sf_dir)
+    return run_pg_sql(
+        spark,
+        """
+        WITH enriched AS (
+          SELECT event_type,
+                 '{"meta":{"k":' || (props ->> 'k')
+                   || '},"tags":["a","b"]}' AS j
+          FROM events
+          WHERE (props ->> 'k') IS NOT NULL
+        )
+        SELECT event_type,
+               count(*)::int8 AS n,
+               sum(jsonb_path_query_first(j, 'strict $.meta.k')::int8
+                 )::int8 AS sum_k,
+               sum(jsonb_array_length(
+                 jsonb_path_query_array(j, 'strict $.tags[*]'))::int8
+                 )::int8 AS n_tags,
+               min(jsonb_path_query_first(j, 'strict $.tags[0]'))
+                 AS first_tag,
+               (count(*) FILTER (WHERE
+                 jsonb_path_exists(j, 'strict $.meta.k')))::int8
+                 AS n_exists
+        FROM enriched
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )

@@ -3059,6 +3059,56 @@ def test_pg_jsonpath_recursive_descent(spark):
         P("SELECT jsonb_path_query_array(j, '$.**{5}') FROM t")
 
 
+def test_pg_jsonpath_strict_mode(spark):
+    """r17: strict jsonpath compiles for the sequence family — no lax
+    auto-unwrap/auto-wrap, and every structural mismatch raises AT
+    RUNTIME exactly where PG's executor raises (member on
+    non-object, missing member, subscript/wildcard/size on
+    non-array, out-of-bounds subscript or slice, non-convertible
+    .double()). JSON null VALUES are kept (variant null is not SQL
+    NULL); filter predicates stay error-suppressing in both modes
+    (PG's own rule)."""
+    import pytest as _pt
+
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    doc = '{"a": {"b": [1, 2, 3]}, "s": "x", "n": null}'
+
+    def q(path):
+        return run_pg_sql(
+            spark,
+            f"SELECT jsonb_path_query_array('{doc}', '{path}') AS r",
+        ).first()["r"]
+
+    assert q("strict $.a.b") == "[[1,2,3]]"
+    assert q("strict $.n") == "[null]"  # null VALUE, not missing
+    assert q("strict $.a.b[0]") == "[1]"
+    assert q("strict $.a.b[*]") == "[1,2,3]"
+    assert q("strict $.a.*") == "[[1,2,3]]"
+    assert q("strict $.a.b[0 to 1]") == "[1,2]"
+    assert q("strict $.a.b[last]") == "[3]"
+    # variant number rendering matches the lax arm ('1', not '1.0')
+    assert q("strict $.a.b[0].double()") == "[1]"
+    assert q("strict $.a.b.size()") == "[3]"
+    assert q("strict $.a.b[*] ? (@ > 1)") == "[2,3]"
+    for path, msg in [
+        ("strict $.missing", "not found"),
+        ("strict $.s.k", "applied to an object"),
+        ("strict $.a.b[9]", "out of bounds"),
+        ("strict $.a[0]", "applied to an array"),
+        ("strict $.s[*]", "wildcard array accessor"),
+        ("strict $.s.*", "wildcard member accessor"),
+        ("strict $.a.b[1 to 9]", "out of bounds"),
+        ("strict $.s.double()", "not convertible"),
+        ("strict $.s.size()", "applied to an array"),
+    ]:
+        with _pt.raises(Exception, match=msg):
+            q(path)
+    # lax is untouched: the same mismatches drop instead of raising
+    assert q("$.missing") == "[]"
+    assert q("$.s[*]") == '["x"]'
+
+
 def test_pg_jsonb_each_srf(spark):
     """r13c: jsonb_each_text / jsonb_each as FROM-position SRFs — the
     PG implicit-lateral comma form rewrites to JOIN LATERAL explode
@@ -3546,8 +3596,14 @@ def test_pg_jsonb_path_loud_failures():
     """Outside-the-subset jsonpath shapes fail at translate time."""
     from clickhouse_build_spark.functions.chsql import translate_pg_sql as P
 
-    with pytest.raises(ValueError, match="strict"):
-        P("SELECT jsonb_path_exists(j, 'strict $.a') FROM t")
+    # r17: strict mode COMPILES for the sequence family (see
+    # test_pg_jsonpath_strict_mode); jsonb_path_match keeps the
+    # refusal (different predicate NULL-vs-error semantics)
+    assert "raise_error" in P(
+        "SELECT jsonb_path_exists(j, 'strict $.a') FROM t"
+    )
+    with pytest.raises(ValueError, match="strict jsonb_path_match"):
+        P("SELECT jsonb_path_match(j, 'strict $.a == 1') FROM t")
     # r17: .** now translates (bounded — see
     # test_pg_jsonpath_recursive_descent); unbounded level ranges are
     # the remaining loud surface
