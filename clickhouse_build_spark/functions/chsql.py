@@ -5286,6 +5286,51 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
         )
         text = text[: hit.start()] + repl + text[tail_start:]
 
+    # PG json_object_agg / jsonb_object_agg (r17): key/value pairs →
+    # to_json over map_from_entries of a SORTED collect_list (keys
+    # canonicalized by sort — PG jsonb orders keys canonically too,
+    # though by its length-then-bytewise rule; json_object_agg's raw
+    # insertion order is plan-dependent under parallelism, so the
+    # sorted form is the documented contract). Keys cast to STRING
+    # (PG requires text keys), NULL values kept, NULL keys and
+    # duplicate keys fail LOUDLY at runtime (Spark's map dedup policy
+    # — PG jsonb would keep the last duplicate; never silent),
+    # zero-row groups → PG's NULL via nullif('{}').
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bjsonb?_object_agg\s*\(", text, re.IGNORECASE
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        op = hit.end() - 1
+        args, close = _parse_args(text, op)
+        if len(args) != 2:
+            raise ValueError(
+                "json_object_agg takes exactly two arguments "
+                "(key, value)"
+            )
+        k_, v_ = args
+        tail_start = close + 1
+        filt = ""
+        fmm = re.match(r"\s*FILTER\s*\(", text[close + 1 :], re.IGNORECASE)
+        if fmm:
+            fop = close + 1 + fmm.end() - 1
+            _, fclose = _parse_args(text, fop)
+            filt = " " + text[close + 1 : fclose + 1].strip()
+            tail_start = fclose + 1
+        repl = (
+            f"nullif(to_json(map_from_entries(array_sort("
+            f"collect_list(named_struct('k', CAST(({k_}) AS STRING), "
+            f"'v', {v_})){filt}))), '{{}}')"
+        )
+        text = text[: hit.start()] + repl + text[tail_start:]
+
     # PG array_agg (r17, same NULL contract as json_agg): Spark's
     # array_agg/collect_list DROPS NULL elements where PG keeps them —
     # the struct wrapper preserves every row; ORDER BY/FILTER handled
@@ -6604,6 +6649,86 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
             + f"instr({args[0]}, {args[1]})"
             + text[close + 1 :]
         )
+
+    # PG array<->string converters (r17): string_to_array with a
+    # LITERAL delimiter → split over a \Q..\E-quoted pattern (Spark's
+    # split takes a regex); PG's edges map exactly — empty delimiter
+    # yields the whole string as one element, a NULL literal
+    # delimiter splits per character. Dynamic delimiters and the
+    # 3-arg null-string form stay loud. array_to_string →
+    # array_join (same skip-NULLs / null-string contract);
+    # regexp_split_to_array → split (Java-vs-POSIX regex caveat as
+    # documented for '~').
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\bstring_to_array\s*\(", text, re.IGNORECASE
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        args, close = _parse_args(text, hit.end() - 1)
+        if len(args) != 2:
+            raise ValueError(
+                "string_to_array: only the 2-argument form is "
+                "translatable (the null-string argument is not)"
+            )
+        s_, d_ = args[0], args[1].strip()
+        if d_.upper() == "NULL":
+            repl = f"split({s_}, '')"  # PG NULL delim = per character
+        elif d_.startswith("'") and d_.endswith("'"):
+            dval = d_[1:-1].replace("''", "'")
+            if dval == "":
+                repl = f"array({s_})"  # PG '' delim = whole string
+            elif "\\E" in dval:
+                raise ValueError(
+                    r"string_to_array delimiter containing \E cannot "
+                    "be regex-quoted faithfully"
+                )
+            else:
+                esc = dval.replace("\\", "\\\\").replace("'", "''")
+                repl = f"split({s_}, '\\\\Q{esc}\\\\E')"
+        else:
+            raise ValueError(
+                "string_to_array needs a literal delimiter (Spark's "
+                "split takes a regex — a dynamic delimiter cannot be "
+                "quoted at translate time)"
+            )
+        text = text[: hit.start()] + repl + text[close + 1 :]
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\b(array_to_string|regexp_split_to_array)\s*\(",
+            text,
+            re.IGNORECASE,
+        ):
+            if any(a <= mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        args, close = _parse_args(text, hit.end() - 1)
+        fn = hit.group(1).lower()
+        if fn == "array_to_string":
+            if len(args) not in (2, 3):
+                raise ValueError(
+                    "array_to_string takes 2 or 3 arguments"
+                )
+            repl = f"array_join({', '.join(args)})"
+        else:
+            if len(args) != 2:
+                raise ValueError(
+                    "regexp_split_to_array: flags are not "
+                    "translatable (2-argument form only)"
+                )
+            repl = f"split({args[0]}, {args[1]})"
+        text = text[: hit.start()] + repl + text[close + 1 :]
 
     # to_date / to_timestamp with a format: the parse-direction twin
     # of the to_char fix — Spark's pattern language is JDK-style, so

@@ -3059,6 +3059,57 @@ def test_pg_jsonpath_recursive_descent(spark):
         P("SELECT jsonb_path_query_array(j, '$.**{5}') FROM t")
 
 
+def test_pg_object_agg_and_array_converters(spark):
+    """r17: json_object_agg/jsonb_object_agg → to_json over
+    map_from_entries of a key-sorted collect_list (NULL values kept,
+    duplicate/NULL keys fail loudly via Spark's map policy, zero-row
+    groups → PG's NULL); string_to_array maps PG's edges exactly
+    (empty delimiter → whole string, NULL delimiter → per-character,
+    literal delimiters regex-quoted); array_to_string → array_join
+    (same skip-NULLs/null-string contract); regexp_split_to_array →
+    split."""
+    from clickhouse_build_spark.functions.chsql import (
+        run_pg_sql,
+        translate_pg_sql as P,
+    )
+
+    r = run_pg_sql(
+        spark,
+        "SELECT string_to_array('a,b,,c', ',') AS sa, "
+        "string_to_array('abc', NULL) AS perchar, "
+        "string_to_array('abc', '') AS whole, "
+        "string_to_array('a.b', '.') AS dotsep, "
+        "array_to_string(array('a', NULL, 'b'), '-') AS ats, "
+        "array_to_string(array('a', NULL, 'b'), '-', 'X') AS ats3, "
+        "regexp_split_to_array('a1b22c', '[0-9]+') AS rsa",
+    ).first()
+    assert r["sa"] == ["a", "b", "", "c"]
+    assert r["perchar"] == ["a", "b", "c"]
+    assert r["whole"] == ["abc"] and r["dotsep"] == ["a", "b"]
+    assert r["ats"] == "a-b" and r["ats3"] == "a-X-b"
+    assert r["rsa"] == ["a", "b", "c"]
+    rows = run_pg_sql(
+        spark,
+        "SELECT g, json_object_agg(k, v) AS oa, "
+        "jsonb_object_agg(k, v) FILTER (WHERE v IS NOT NULL) AS oaf, "
+        "json_object_agg(k, v) FILTER (WHERE g = 99) AS oempty "
+        "FROM VALUES (1, 'b', 2), (1, 'a', 1), (1, 'c', NULL), "
+        "(2, 'z', 9) AS t(g, k, v) GROUP BY g ORDER BY g",
+    ).collect()
+    assert [tuple(r_) for r_ in rows] == [
+        (1, '{"a":1,"b":2,"c":null}', '{"a":1,"b":2}', None),
+        (2, '{"z":9}', '{"z":9}', None),
+    ]
+    with pytest.raises(ValueError, match="literal delimiter"):
+        P("SELECT string_to_array(s, d) FROM t")
+    with pytest.raises(ValueError, match="2-argument form"):
+        P("SELECT string_to_array(s, ',', 'N') FROM t")
+    with pytest.raises(ValueError, match="flags"):
+        P("SELECT regexp_split_to_array(s, p, 'i') FROM t")
+    with pytest.raises(ValueError, match="two arguments"):
+        P("SELECT json_object_agg(k) FROM t")
+
+
 def test_pg_jsonpath_strict_mode(spark):
     """r17: strict jsonpath compiles for the sequence family — no lax
     auto-unwrap/auto-wrap, and every structural mismatch raises AT
