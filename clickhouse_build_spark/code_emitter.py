@@ -219,8 +219,8 @@ _KYSELY_METHODS = {
     "count", "sum", "avg", "min", "max", "as",
 }
 _KNEX_METHODS = {
-    "select", "where", "count", "sum", "avg", "min", "max",
-    "groupBy", "orderBy", "limit", "raw",
+    "select", "where", "andWhere", "orWhere", "count", "sum", "avg",
+    "min", "max", "groupBy", "orderBy", "limit", "raw",
     "whereIn", "whereNotIn", "whereNull", "whereNotNull",
 }
 
@@ -374,17 +374,30 @@ def _raise_unbound(name: str, cond: str) -> str:
     )
 
 
-def _builder_wheres(code: str, kind: str) -> list[str]:
-    """Translate ``.where/.andWhere(...)`` calls with LITERAL
+def _builder_wheres(code: str, kind: str) -> tuple[list[str], int, bool]:
+    """Translate ``.where/.andWhere/.orWhere(...)`` calls with LITERAL
     arguments into SQL conditions (r15b — the same found-or-loud
     upgrade Django's filter got; r16 adds the kysely single-expression
     callback form ``(eb) => eb('col','op',val)``, the knex object form
-    ``{a: 1}``, and TypeORM ``'col = :v', {v: 1}`` literal binds).
-    Returns one condition per call; raises on any call outside the
-    literal subset (multi-expression callbacks, dynamic binds) — the
-    count backstop in each parser keeps a missed call loud."""
-    conds = []
-    for wm in re.finditer(r"\.\s*(?:where|andWhere)\s*\(", code):
+    ``{a: 1}``, and TypeORM ``'col = :v', {v: 1}`` literal binds; r17
+    adds ``.orWhere`` for knex/TypeORM — the chain folds positionally
+    into OR-split AND-groups, knex's own left-to-right boolean, and
+    returns as ONE parenthesized condition).
+    Returns ``(conds, n_calls, has_or)``; raises on any call outside
+    the literal subset (multi-expression callbacks, dynamic binds) —
+    the count backstop in each parser keeps a missed call loud."""
+    conds: list[str] = []
+    ors: list[bool] = []
+    n_calls = 0
+    for wm in re.finditer(r"\.\s*(where|andWhere|orWhere)\s*\(", code):
+        is_or = wm.group(1) == "orWhere"
+        if is_or and kind == "kysely":
+            raise ValueError(
+                "kysely has no .orWhere — compose with "
+                "(eb) => eb.or([...]) instead"
+            )
+        n_calls += 1
+        ors.append(is_or)
         body = _balanced_args(code, wm.end() - 1)
         if kind == "kysely":
             cb = re.match(r"\s*\(?\s*(\w+)\s*\)?\s*=>\s*", body)
@@ -463,7 +476,24 @@ def _builder_wheres(code: str, kind: str) -> list[str]:
             )
             continue
         conds.append(_js_where_cond(args, kind))
-    return conds
+    assert len(ors) == len(conds)
+    has_or = any(ors)
+    if not has_or:
+        return conds, n_calls, False
+    # fold positionally: OR starts a new group; AND binds tighter on
+    # both sides, so the unparenthesized inner join preserves knex's
+    # left-to-right boolean exactly
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    for is_or, c in zip(ors, conds):
+        if is_or and cur:
+            groups.append(cur)
+            cur = [c]
+        else:
+            cur.append(c)
+    groups.append(cur)
+    folded = " OR ".join(" AND ".join(g) for g in groups)
+    return [f"({folded})"], n_calls, True
 
 
 def _js_where_cond(args: list[str], kind: str) -> str:
@@ -642,7 +672,7 @@ def parse_kysely(code: str) -> str | None:
             f"emitted faithfully: {code[:120]!r}"
         )
     _reject_unknown_chain_methods(code, _KYSELY_METHODS, "kysely")
-    wheres = _builder_wheres(code, "kysely")
+    wheres, n_wcalls, _ = _builder_wheres(code, "kysely")
     table = m.group(1)
     joins = []
     for jm in re.finditer(
@@ -713,7 +743,7 @@ def parse_kysely(code: str) -> str | None:
         {
             "innerJoin|leftJoin|rightJoin|fullJoin": len(joins),
             "select": 1,
-            "where|andWhere": len(wheres),
+            "where|andWhere|orWhere": n_wcalls,
             "groupBy": n_group_calls,
             "orderBy": len(order),
             "limit": 1 if lm else 0,
@@ -751,8 +781,20 @@ def parse_knex(code: str) -> str | None:
             f"may be completed elsewhere: {code[:120]!r}"
         )
     _reject_unknown_chain_methods(code, _KNEX_METHODS, "knex")
-    wheres = _builder_wheres(code, "knex")
-    # knex's dedicated null/IN where methods (r16)
+    wheres, n_wcalls, has_or = _builder_wheres(code, "knex")
+    # knex's dedicated null/IN where methods (r16). With .orWhere in
+    # the chain their POSITION changes the boolean (knex appends each
+    # clause left-to-right: .where(A).orWhere(B).whereIn(..) is
+    # A OR (B AND in)) — the fold below appends them as a trailing
+    # AND, so the combination refuses rather than regrouping silently.
+    if has_or and re.search(
+        r"\.\s*(whereIn|whereNotIn|whereNull|whereNotNull)\s*\(", code
+    ):
+        raise ValueError(
+            "knex .orWhere mixed with whereIn/whereNull-family calls "
+            "is not translatable (their position changes the boolean "
+            f"grouping): {code[:120]!r}"
+        )
     n_wnull = 0
     for nm in re.finditer(
         r"\.\s*(whereNull|whereNotNull)\(\s*['\"]([\w.]+)['\"]\s*\)", code
@@ -825,7 +867,7 @@ def parse_knex(code: str) -> str | None:
         {
             "select": 1 if sm else 0,
             "count|sum|avg|min|max": n_aggs,
-            "where|andWhere": len(wheres) - n_wnull - n_win,
+            "where|andWhere|orWhere": n_wcalls,
             "whereNull|whereNotNull": n_wnull,
             "whereIn|whereNotIn": n_win,
             "groupBy": n_group_calls,
@@ -846,7 +888,7 @@ def parse_knex(code: str) -> str | None:
 
 _TYPEORM_METHODS = {
     "createQueryBuilder", "from", "select", "addSelect",
-    "where", "andWhere",
+    "where", "andWhere", "orWhere",
     "innerJoin", "leftJoin",
     "groupBy", "addGroupBy", "orderBy", "addOrderBy",
     "limit", "take", "getRawMany", "getRawOne",
@@ -898,7 +940,7 @@ def parse_typeorm(code: str, table_hint: str | None = None) -> str | None:
             f"emitted faithfully: {code[:120]!r}"
         )
     _reject_unknown_chain_methods(code, _TYPEORM_METHODS, "typeorm")
-    wheres = _builder_wheres(code, "typeorm")
+    wheres, n_wcalls, _ = _builder_wheres(code, "typeorm")
     fm = re.search(
         r"\.from\(\s*['\"](\w+)['\"]\s*(?:,\s*['\"](\w+)['\"]\s*)?\)", code
     )
@@ -988,7 +1030,7 @@ def parse_typeorm(code: str, table_hint: str | None = None) -> str | None:
             "select|addSelect": n_sel_calls,
             "groupBy|addGroupBy": len(group),
             "orderBy|addOrderBy": len(order),
-            "where|andWhere": len(wheres),
+            "where|andWhere|orWhere": n_wcalls,
             "limit|take": 1 if lm else 0,
             "from": 1 if fm is not None else 0,
         },

@@ -339,22 +339,34 @@ def test_kysely_eb_compositions():
     stay loud."""
     from clickhouse_build_spark.code_emitter import _builder_wheres
 
-    conds = _builder_wheres(
+    conds, n, _ = _builder_wheres(
         ".where((eb) => eb.and([eb('category', '=', 'Food'), "
         "eb.or([eb('amount', '>', 100), eb('note', 'is', null)])]))",
         "kysely",
     )
     assert conds == [
         "(category = 'Food' AND (amount > 100 OR note IS NULL))"
-    ]
+    ] and n == 1
     assert _builder_wheres(
         ".where((eb) => eb.not(eb('status', '=', 'void')))", "kysely"
-    ) == ["NOT (status = 'void')"]
+    )[0] == ["NOT (status = 'void')"]
     # quote-aware paren matching (VERDICT r16 nit): a ')' inside a
     # string literal no longer miscounts into a false refusal
     assert _builder_wheres(
         ".where((eb) => eb('c', '=', 'a)b'))", "kysely"
-    ) == ["c = 'a)b'"]
+    )[0] == ["c = 'a)b'"]
+    # r17: knex/TypeORM .orWhere folds positionally into OR-split
+    # AND-groups (knex's left-to-right boolean); kysely refuses it
+    assert _builder_wheres(
+        ".where('a', '=', 1).orWhere('b', '=', 2)"
+        ".andWhere('c', '>', 3)",
+        "knex",
+    ) == (["(a = 1 OR b = 2 AND c > 3)"], 3, True)
+    with pytest.raises(ValueError, match="kysely has no .orWhere"):
+        _builder_wheres(
+            ".where((eb) => eb('a', '=', 1)).orWhere('b', '=', 2)",
+            "kysely",
+        )
     for bad, why in [
         (".where((eb) => eb.and(conds))", "literal array"),
         (".where((eb) => eb.and([]))", "empty array"),
