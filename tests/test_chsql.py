@@ -2845,6 +2845,49 @@ def test_ch_documented_midpoint_and_byte_deltas(spark):
     assert r["lu"] == 5 and r["lraw"] == 5
 
 
+def test_pg_dow_intdiv_property(spark):
+    """r17 property pin (VERDICT r16 #1 done-condition): PG's dow and
+    truncating-division CONTRACTS verified against Python-computed
+    ground truth over a planted range — 14 consecutive dates cover
+    every weekday twice (dow = 0=Sunday, isodow = 1=Monday..7=Sunday)
+    and a sign-crossing dividend/divisor grid covers truncation
+    toward zero (PG -7/2 = -3, never floor's -4)."""
+    import datetime as _dt
+    import math
+
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    base = _dt.date(2024, 3, 3)  # a Sunday
+    rows = run_pg_sql(
+        spark,
+        "SELECT n, extract(dow FROM DATE '2024-03-03' + n) AS dow, "
+        "extract(isodow FROM DATE '2024-03-03' + n) AS iso "
+        "FROM (SELECT explode(sequence(0, 13)) AS n) ORDER BY n",
+    ).collect()
+    for r in rows:
+        d = base + _dt.timedelta(days=r["n"])
+        py_iso = d.isoweekday()  # 1=Monday..7=Sunday
+        assert r["iso"] == py_iso, d
+        assert r["dow"] == py_iso % 7, d  # PG dow: 0=Sunday
+
+    pairs = [
+        (a, b)
+        for a in (-9, -7, -1, 0, 1, 7, 9, 100)
+        for b in (-4, -2, -1, 1, 2, 4)
+    ]
+    spark.createDataFrame(pairs, "a int, b int").createOrReplaceTempView(
+        "pg_divgrid"
+    )
+    rows = run_pg_sql(
+        spark,
+        "SELECT a, b, a / b AS q FROM pg_divgrid ORDER BY a, b",
+    ).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        want = math.trunc(r["a"] / r["b"]) if r["b"] else None
+        assert r["q"] == want, (r["a"], r["b"], r["q"], want)
+
+
 def test_pg_scalar_fidelity_batch2(spark):
     """r17 batch 2 — the same silent-divergence class as
     to_char/dow/div, each verified against live Spark: log(x) is
