@@ -5828,6 +5828,32 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
                 "parallel-array unnest(a, b, ...) is not translatable — "
                 "zip the arrays explicitly"
             )
+        om = re.match(
+            r"\s*WITH\s+ORDINALITY\s*(?:AS\s+(\w+)\s*\(\s*(\w+)\s*,"
+            r"\s*(\w+)\s*\))?",
+            text[close + 1 :],
+            re.IGNORECASE,
+        )
+        if om is not None:
+            # r17: WITH ORDINALITY → inline over an index-carrying
+            # transform (the lambda's second parameter is Spark's
+            # 0-based element index; PG ordinality is 1-based). The
+            # aliased form binds the PG column names through the
+            # struct fields; the bare form keeps PG's default
+            # `unnest`/`ordinality` names.
+            if om.group(1):
+                t_, xc, ic = om.group(1), om.group(2), om.group(3)
+            else:
+                t_, xc, ic = "__uo", "unnest", "ordinality"
+            repl = (
+                f"inline(transform({args[0]}, (__uv, __ui) -> "
+                f"struct(__uv AS {xc}, __ui + 1 AS {ic}))) AS {t_} "
+            )
+            text = (
+                text[: mm.start()] + repl
+                + text[close + 1 + om.end() :]
+            )
+            continue
         text = text[: mm.start()] + f"explode({args[0]})" + text[close + 1 :]
 
     # jsonb containment: lhs @> 'literal'[::jsonb] — expanded to a
@@ -6374,7 +6400,7 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
             r",\s*LATERAL\b|\bCROSS\s+JOIN\s+LATERAL\b"
             # PG's implicit-lateral SRF in FROM: `, jsonb_each_text(j)`
             # (already rewritten to explode by the SRF pass above)
-            r"|,(?=\s*explode\s*\()",
+            r"|,(?=\s*(?:explode|inline)\s*\()",
             text,
             re.IGNORECASE,
         ):

@@ -3102,6 +3102,34 @@ def test_pg_jsonpath_recursive_descent(spark):
         P("SELECT jsonb_path_query_array(j, '$.**{5}') FROM t")
 
 
+def test_pg_unnest_with_ordinality(spark):
+    """r17: ``unnest(arr) WITH ORDINALITY [AS t(x, i)]`` → Spark's
+    ``inline`` over an index-carrying transform (the lambda's second
+    parameter is the 0-based element index; PG ordinality is
+    1-based). The aliased form binds PG's column names through the
+    struct fields; the bare form keeps PG's default
+    ``unnest``/``ordinality`` names."""
+    from clickhouse_build_spark.functions.chsql import run_pg_sql
+
+    r = run_pg_sql(
+        spark,
+        """SELECT g, t.x, t.i
+           FROM VALUES (1, array('a','b','c')) AS d(g, arr),
+                unnest(arr) WITH ORDINALITY AS t(x, i)
+           ORDER BY t.i""",
+    ).collect()
+    assert [tuple(x) for x in r] == [
+        (1, "a", 1), (1, "b", 2), (1, "c", 3)]
+    r2 = run_pg_sql(
+        spark,
+        """SELECT g, unnest, ordinality
+           FROM VALUES (1, array('p','q')) AS d(g, arr),
+                unnest(arr) WITH ORDINALITY
+           ORDER BY ordinality""",
+    ).collect()
+    assert [tuple(x) for x in r2] == [(1, "p", 1), (1, "q", 2)]
+
+
 def test_pg_object_agg_and_array_converters(spark):
     """r17: json_object_agg/jsonb_object_agg → to_json over
     map_from_entries of a key-sorted collect_list (NULL values kept,
