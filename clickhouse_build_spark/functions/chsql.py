@@ -6656,6 +6656,32 @@ def translate_pg_sql(text: str, params=None, column_types=None) -> str:
         repl = f"IF(({x_}) >= 0, floor({x_}), ceil({x_}))"
         text = text[: hit.start()] + repl + text[close + 1 :]
 
+    # 2-arg ltrim/rtrim: PG is (string, chars) but Spark is
+    # (trimStr, string) — REVERSED (verified: ltrim('xxabcxx','x')
+    # returns '' through Spark, 'abcxx' in PG). Swap at translate
+    # time; the 1-arg forms and btrim agree and pass through.
+    pos0 = 0
+    while True:
+        lits = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(
+            r"\b([lr]trim)\s*\(", text[pos0:], re.IGNORECASE
+        ):
+            if any(a <= pos0 + mm.start() < b for a, b in lits):
+                continue
+            hit = mm
+            break
+        if hit is None:
+            break
+        h0 = pos0 + hit.start()
+        args, close = _parse_args(text, pos0 + hit.end() - 1)
+        if len(args) == 2:
+            repl = f"{hit.group(1).lower()}({args[1]}, {args[0]})"
+            text = text[:h0] + repl + text[close + 1 :]
+            pos0 = h0 + len(repl)
+        else:
+            pos0 = close + 1
+
     # strpos(s, sub) → instr (same order, 1-based, 0 when absent).
     while True:
         lits = _literal_spans(text)

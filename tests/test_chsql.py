@@ -2688,6 +2688,8 @@ def test_pg_translator_identity_on_plain_sql():
         "SELECT trunc(x) FROM t",  # Spark trunc is date-only
         "SELECT to_date(s, 'DD') FROM t",  # JDK parse patterns
         "SELECT array_agg(v) FROM t",  # collect_list drops NULLs
+        "SELECT ltrim(s, 'x') FROM t",  # Spark 2-arg order reversed
+        "SELECT rtrim(s, 'x') FROM t",
     ]
     for q in denylist:
         try:
@@ -2953,6 +2955,14 @@ def test_pg_scalar_fidelity_batch2(spark):
     assert (r["lpos"], r["rpos"], r["lover"]) == ("ab", "de", "abc")
     assert float(r["tr"]) == -4.0 and r["sp"] == 3
     assert str(r["td"]) == "2024-03-05" and r["dd"] == 4
+    r3 = run_pg_sql(
+        spark,
+        "SELECT ltrim('xxabcxx', 'x') AS lt, rtrim('xxabcxx', 'x') "
+        "AS rt, btrim('xxabcxx', 'x') AS bt, ltrim('  a ') AS l1",
+    ).first()
+    # PG 2-arg ltrim/rtrim are (string, chars); Spark's are REVERSED
+    # (trimStr, string) — the swap restores PG's values
+    assert tuple(r3) == ("abcxx", "xxabc", "abc", "a ")
     r2 = run_pg_sql(
         spark,
         "SELECT array_agg(v ORDER BY k) AS aa, "
