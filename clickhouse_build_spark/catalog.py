@@ -229,6 +229,78 @@ def _check_sane_events_ts(
 # part/customer grow with SF; AQE decides those at runtime.
 ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
 
+# ---------------------------------------------------- scan fan-out (r17)
+#
+# Parquet splits at ROW-GROUP boundaries: a table written as one (or a
+# few) row groups scans as one (or a few) tasks no matter how many
+# cores the session has, and every narrow expression downstream of the
+# scan — jsonb VARIANT rebuilds, per-shingle md5, vector math — then
+# runs single-threaded while the rest of the machine idles (guide §2.5
+# input skew / §6 split sizing; measured: the heaviest dialect rows at
+# sf0.1 were wall-bounded by exactly this). The fix is a round-robin
+# repartition to the session's core count immediately after the scan —
+# but ONLY when the input's own layout cannot feed the cores AND the
+# table is small enough that the extra exchange is trivially cheap.
+# Both conditions are derived from the parquet footer at plan-build
+# time, so the rule is scale-adaptive rather than tuned to local mode:
+# at production scale every table has >= cores row groups and the rule
+# is a structural no-op (zero added exchanges); it only fires on
+# layouts where a single task would otherwise own the whole scan.
+#
+# Which tables: only the payload/extension tables (events.props jsonb,
+# documents.text, embeddings vectors) — their consumers run VARIANT
+# rebuilds / per-shingle md5 / vector folds costing far more per row
+# than the fan-out exchange. The narrow numeric fact/dim tables
+# (TPC-H) aggregate near the scan floor already; measured at sf0.1 the
+# exchange COSTS them more than it buys (q1 +0.5 s, q6 +0.2 s,
+# customers_except_returners +0.35 s vs jsonb_mutation −8 s,
+# near_dup_jaccard −7 s), so they stay on the un-fanned plan. A static
+# catalog annotation like ALWAYS_BROADCAST, env-overridable.
+#
+# SPARK_GRAFT_SCAN_FANOUT=off disables it (the pre-r17 plans);
+# SPARK_GRAFT_FANOUT_TABLES / _MIN_BYTES / _MAX_MB_PER_CORE tune it.
+FANOUT_TABLES: frozenset[str] = frozenset(
+    t.strip()
+    for t in os.environ.get(
+        "SPARK_GRAFT_FANOUT_TABLES", "events,documents,embeddings"
+    ).split(",")
+    if t.strip()
+)
+_FANOUT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(256 * 1024))
+)
+_FANOUT_MAX_BYTES_PER_CORE = int(
+    float(os.environ.get("SPARK_GRAFT_FANOUT_MAX_MB_PER_CORE", "32"))
+    * 1024 * 1024
+)
+# (path, mtime, size) -> row-group count; footer metadata only, cached
+# so per-query Catalog rebuilds don't re-read footers.
+_RG_COUNT_CACHE: dict[tuple[str, float, int], int] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(total_bytes, row_groups) for a parquet file or directory."""
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    total = sum(os.path.getsize(f) for f in files)
+    key_f = files[0] if files else path
+    st = os.stat(key_f)
+    key = (path, st.st_mtime, total)
+    if key not in _RG_COUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        _RG_COUNT_CACHE[key] = sum(
+            pq.ParquetFile(f).metadata.num_row_groups for f in files
+        )
+    return total, _RG_COUNT_CACHE[key]
+
 
 @dataclass
 class Catalog:
@@ -268,8 +340,34 @@ class Catalog:
                 df = _post_read_nanos(df, nanos_cols)
             else:
                 df = self.spark.read.schema(declared).parquet(self.path(table))
+            n = self._fanout_partitions(table)
+            if n:
+                df = df.repartition(n)
             self._frames[table] = df
         return self._frames[table]
+
+    def _fanout_partitions(self, table: str) -> int:
+        """Round-robin fan-out width for a scan the parquet layout
+        cannot parallelize itself — see the module comment. 0 = leave
+        the scan alone (the production-scale case)."""
+        if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "auto") == "off":
+            return 0
+        if table not in FANOUT_TABLES:
+            return 0
+        cores = self.spark.sparkContext.defaultParallelism
+        if cores <= 1:
+            return 0
+        try:
+            total, row_groups = _parquet_layout(self.path(table))
+        except OSError:
+            return 0
+        if total < _FANOUT_MIN_BYTES:
+            return 0  # broadcast-sized dims; a 1-task scan is free
+        if total > cores * _FANOUT_MAX_BYTES_PER_CORE:
+            return 0  # exchange no longer trivially cheap vs the scan
+        if row_groups >= cores:
+            return 0  # the layout already feeds every core
+        return cores
 
     def register_all(self) -> "Catalog":
         for table in TABLE_NAMES:
