@@ -3932,7 +3932,7 @@ def _jsonb_mutation_sql(
             )
             body = (
                 f"CASE WHEN {rm_} IS NULL OR {ia} IS NULL THEN {orig} "
-                f"ELSE to_json({_jsonb_obj_set(rm_, a, f'try_parse_json(to_json({new_inner}))', ctr)}) END"
+                f"ELSE to_json({_jsonb_obj_set(rm_, a, f'to_variant_object({new_inner})', ctr)}) END"
             )
             return wrap(body)
         im = f"try_cast({inner} AS MAP<STRING, VARIANT>)"
@@ -3942,7 +3942,7 @@ def _jsonb_mutation_sql(
             else f"WHEN NOT map_contains_key({im}, {_sql_str(b)}) "
             f"THEN {orig} "
         )
-        new_inner = f"try_parse_json(to_json({_jsonb_obj_set(im, b, val, ctr)}))"
+        new_inner = f"to_variant_object({_jsonb_obj_set(im, b, val, ctr)})"
         body = (
             f"CASE WHEN {rm_} IS NULL OR {im} IS NULL THEN {orig} "
             f"{guard}ELSE "
@@ -3980,8 +3980,7 @@ def _jsonb_mutation_sql(
             inner = f"try_variant_get({r}, {_sql_str('$' + _json_path_part(a, None))}, 'variant')"
             im = f"try_cast({inner} AS MAP<STRING, VARIANT>)"
             new_inner = (
-                f"try_parse_json(to_json("
-                f"{_jsonb_obj_set(im, b, val, ctr)}))"
+                f"to_variant_object({_jsonb_obj_set(im, b, val, ctr)})"
             )
             body = (
                 f"CASE WHEN {rm_} IS NULL OR {im} IS NULL OR "
@@ -3995,7 +3994,7 @@ def _jsonb_mutation_sql(
         new_inner = _jsonb_arr_insert(ia, b + 1 if after else b, val)
         body = (
             f"CASE WHEN {rm_} IS NULL OR {ia} IS NULL THEN {orig} ELSE "
-            f"to_json({_jsonb_obj_set(rm_, a, f'try_parse_json(to_json({new_inner}))', ctr)}) END"
+            f"to_json({_jsonb_obj_set(rm_, a, f'to_variant_object({new_inner})', ctr)}) END"
         )
         return wrap(body)
     if kind == "del_key":
@@ -4030,7 +4029,7 @@ def _jsonb_mutation_sql(
     inner = f"try_variant_get({r}, {_sql_str('$' + _json_path_part(a, None))}, 'variant')"
     if isinstance(b, int):
         ia = f"try_cast({inner} AS ARRAY<VARIANT>)"
-        new_inner = f"try_parse_json(to_json({_jsonb_arr_delete(ia, b)}))"
+        new_inner = f"to_variant_object({_jsonb_arr_delete(ia, b)})"
         body = (
             f"CASE WHEN {rm_} IS NULL OR {ia} IS NULL THEN {orig} ELSE "
             f"to_json({_jsonb_obj_set(rm_, a, new_inner, ctr)}) END"
@@ -4040,8 +4039,8 @@ def _jsonb_mutation_sql(
     a1 = f"__mu{next(ctr)}k"
     a2 = f"__mu{next(ctr)}v"
     new_inner = (
-        f"try_parse_json(to_json(map_filter({im}, ({a1}, {a2}) -> "
-        f"{a1} != {_sql_str(b)})))"
+        f"to_variant_object(map_filter({im}, ({a1}, {a2}) -> "
+        f"{a1} != {_sql_str(b)}))"
     )
     body = (
         f"CASE WHEN {rm_} IS NULL OR {im} IS NULL THEN {orig} ELSE "

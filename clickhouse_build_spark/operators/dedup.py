@@ -166,6 +166,74 @@ def minhash_signatures(
     )
 
 
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, __s: array of word-n-gram shingles) — the array-form twin
+    of :func:`word_shingles` (same construction, no explode). The
+    token-count filter must run BEFORE the sequence is built: Spark's
+    ``sequence(1, 0)`` DESCENDS, so a short document would otherwise
+    feed ``slice`` a zero start and error."""
+    w = F.split(F.col(text_col), " ")
+    return (
+        df.select(id_col, w.alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, n)),
+            ).alias("__s"),
+        )
+    )
+
+
+def _digest_lambda(g: int):
+    # Factory, NOT a defaulted lambda: a 2-arg lambda in F.transform is
+    # interpreted as (element, index) and the index silently overwrites
+    # the default (found the hard way in the r17 micro-bench).
+    return lambda x: F.md5(F.concat(F.lit(f"{g}:"), x))
+
+
+def _carve_lambda(o: int):
+    return lambda d: F.conv(F.substring(d, 1 + 8 * o, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signatures_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(id, text) → (id, sig) with NO explode and NO shuffle (r17,
+    guide §2.4): the shingle set, the 4 md5 digest arrays and the 16
+    per-component minima are per-row array expressions, so the whole
+    signature stage stays in the scan stage — the row-based
+    :func:`minhash_signatures` shuffles |shingle| rows to group them
+    back per document, pure cost at any scale. Component values are
+    IDENTICAL (same digest carve, min over the same multiset;
+    duplicate shingles cannot change a min, mirroring the
+    ``distinct=False`` composition every caller used).
+    """
+    base = _shingled(df, id_col, text_col, shingle_n)
+    n_groups = (num_perm + 3) // 4
+    dig = base.select(
+        id_col,
+        *[
+            F.transform("__s", _digest_lambda(g)).alias(f"__d{g}")
+            for g in range(n_groups)
+        ],
+    )
+    comps = []
+    for s in range(num_perm):
+        g, o = divmod(s, 4)
+        comps.append(F.array_min(F.transform(f"__d{g}", _carve_lambda(o))))
+    return dig.select(id_col, F.array(*comps).alias("sig"))
+
+
 def lsh_band_keys(
     signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -263,8 +331,10 @@ def minhash_lsh_pairs(
     band → bucket-join → estimate → threshold. Shingles stay
     non-distinct — min() is duplicate-invariant, so the dedup shuffle
     the Jaccard/SimHash paths need is pure cost here."""
-    sh = word_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
-    sig = minhash_signatures(sh, id_col, num_perm=bands * rows_per_band)
+    sig = minhash_signatures_text(
+        df, id_col, text_col, shingle_n=shingle_n,
+        num_perm=bands * rows_per_band,
+    )
     return lsh_candidate_pairs(
         sig, id_col, bands, rows_per_band, max_bucket=max_bucket
     ).filter(F.col("est_jaccard") >= threshold)
@@ -291,24 +361,42 @@ def simhash(
     stops meaning "near-duplicate". All codegen — the per-bit vote is
     ``(hash >> j) & 1`` arithmetic, aggregated with map-side partial
     sums (``bits`` longs per doc on the shuffle).
+
+    r17 note — array form, no shuffle: the distinct shingle set, the
+    per-feature hash and all ``bits`` vote folds are per-row array
+    expressions (``array_distinct`` over the shingle array ==
+    word_shingles' DISTINCT (doc, shingle) rows), so the whole
+    signature is computed in the scan stage; the previous explode +
+    32-sum groupBy shuffled |distinct shingles| rows per doc to
+    reassemble what one row already held. Votes and bits are
+    value-identical (same ±1 fold over the same set).
     """
-    tokens = word_shingles(df, id_col, text_col, n=shingle_n).withColumn(
-        "__h", portable_hash(F.col("shingle"), "sim")
+    hs = _shingled(df, id_col, text_col, shingle_n).select(
+        id_col,
+        F.transform(
+            F.array_distinct("__s"), lambda x: portable_hash(x, "sim")
+        ).alias("__h"),
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__v{j}")
-        for j in range(bits)
-    ]
-    per_doc = tokens.groupBy(id_col).agg(*votes)
     sig = None
     for j in range(bits):
-        bit = F.when(F.col(f"__v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+        vote = F.aggregate(
+            "__h", F.lit(0).cast("long"), _vote_lambda(j)
+        )
+        bit = F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = bit if sig is None else sig + bit
-    return per_doc.select(id_col, sig.alias("simhash"))
+    return hs.select(id_col, sig.alias("simhash"))
+
+
+def _vote_lambda(j: int):
+    def merge(acc: Column, h: Column) -> Column:
+        return acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long"))
+
+    return merge
 
 
 def simhash_dup_pairs(

@@ -9,14 +9,17 @@ story also needs the OTHER path — training on the full corpus when the
 sample is not representative (heavy tails, many tiny clusters). This
 module is that path: each Lloyd iteration is
 
-- **assign**: explode vectors to (vec_id, d, qv) rows once, broadcast
-  the ≤k×D centroid table, one grouped integer sum per (vec_id,
-  cluster) for the squared-L2 distance, then an argmin via
-  ``min(struct(dist, cluster))`` — ties break to the smaller cluster
-  id, deterministically;
-- **update**: join assignments back to the exploded rows and take the
-  floored per-(cluster, d) mean — a cluster that loses every member
-  simply vanishes (documented Lloyd behavior, identical both engines).
+- **assign**: broadcast the ≤k centroid ARRAYS as one collected row;
+  each vector row computes its k integer squared-L2 distances and the
+  argmin inline (``array_min`` over (dist, cluster) structs — ties
+  break to the smaller cluster id, deterministically, exactly like the
+  previous ``min(struct(...))`` grouped form). No explode, no join, no
+  shuffle (r17 — the earlier n×D explode + per-dimension join built an
+  n×D×k intermediate and shuffled twice per iteration);
+- **update**: posexplode the assigned vectors and take the floored
+  per-(cluster, d) mean — one map-side-combined k×D shuffle; a cluster
+  that loses every member simply vanishes (documented Lloyd behavior,
+  identical both engines).
 
 **Fixed-point exactness**: coordinates are integerized once
 (``floor(x*1e6+0.5)``, exact on float-valued doubles), so distances
@@ -32,12 +35,11 @@ analogue; this is part of the driver-mandated similarity-search
 surface (SURVEY.md §2 extension), the distributed twin of the sampled
 IVF trainer at ``operators/similarity.py``.
 
-Scale (100 TB): the exploded frame is n×D rows (narrow integers); each
-iteration shuffles (a) partial integer distance sums over an n×k key
-space with map-side combine and (b) partial coordinate sums over a
-k×D key space — both combine map-side, so reducers see partials, not
-rows. The centroid table is ≤k×D integers and broadcasts; iteration
-count is a fixed constant. Nothing is ever collected to the driver.
+Scale (100 TB): the quantized frame is n rows of D-long arrays; per
+iteration the ONLY shuffle is the k×D coordinate-sum update, and it
+combines map-side, so reducers see partials, not rows. The centroid
+table is ≤k×D integers riding in one broadcast row; iteration count is
+a fixed constant. Nothing is ever collected to the driver.
 """
 
 from __future__ import annotations
@@ -112,61 +114,96 @@ def _kmeans_cte(iters: int) -> str:
     return ",".join(parts)
 
 
-def _qd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _qv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q: array<long>) — the quantized vector, one row per
+    vector (r17: was an n×D exploded frame; the array form keeps every
+    per-vector computation in the scan stage)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    ex = emb.select(
+    return emb.select(
         "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
-    )
-    return ex.select(
-        "vec_id",
-        (F.col("pos") + 1).alias("d"),
-        F.expr(_qv_sql("x")).alias("qv"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * KM_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
     )
 
 
-def _init_centroids(spark: SparkSession, sf_dir: str, qd: DataFrame) -> DataFrame:
+def _init_centroid_arrays(
+    spark: SparkSession, sf_dir: str, qv: DataFrame
+) -> DataFrame:
+    """(cluster, cq: array<long>) — the first KM_K vectors by id."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     seeds = emb.select("vec_id").orderBy("vec_id").limit(KM_K)
     w = Window.orderBy("vec_id")
     seeds = seeds.select(
         "vec_id", (F.row_number().over(w) - 1).cast("long").alias("cluster")
     )
-    return qd.join(F.broadcast(seeds), "vec_id").select(
-        "cluster", "d", F.col("qv").alias("cq")
+    return qv.join(F.broadcast(seeds), "vec_id").select(
+        "cluster", F.col("q").alias("cq")
     )
 
 
-def _lloyd_step(qd: DataFrame, cent: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One Lloyd iteration: (assignments, new centroids)."""
-    dist = (
-        qd.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "cluster")
-        .agg(
-            F.sum(
-                (F.col("qv") - F.col("cq")) * (F.col("qv") - F.col("cq"))
-            ).alias("dist")
+def _lloyd_step(qv: DataFrame, centa: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd iteration over array rows: (assignments carrying the
+    vector, new centroid arrays).
+
+    r17 shape (guide §2.4 remove shuffles): the previous form exploded
+    vectors to n×D rows, broadcast-joined the k×D centroid rows by
+    dimension (an n×D×k intermediate) and needed THREE keyed
+    reassemblies per iteration (distance groupBy, argmin groupBy,
+    update join by vec_id). Here the ≤k centroid ARRAYS ride in as one
+    broadcast row, each vector computes every integer distance and its
+    argmin inline (``array_min`` over (dist, cluster) structs — the
+    identical lexicographic tie-break as ``min(struct(...))``), and the
+    only shuffle left per iteration is the k×D map-side-combined
+    centroid update. Distances are the same left-to-right integer sums,
+    so assignments, distances and centroids are bit-identical."""
+    one = centa.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "cq"))).alias(
+            "__cents"
         )
     )
-    assign = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster")).alias("s"))
-        .select(
-            "vec_id",
-            F.col("s.cluster").alias("cluster"),
-            F.col("s.dist").alias("dist"),
-        )
+    assign = qv.crossJoin(F.broadcast(one)).select(
+        "vec_id",
+        "q",
+        F.array_min(
+            F.transform(
+                F.col("__cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"), c["cq"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id",
+        "q",
+        F.col("s.cluster").alias("cluster"),
+        F.col("s.dist").alias("dist"),
     )
-    newcent = (
-        qd.join(assign.select("vec_id", "cluster"), "vec_id")
-        .groupBy("cluster", "d")
+    centd = (
+        assign.select("cluster", F.posexplode("q").alias("pos", "qv"))
+        .groupBy("cluster", (F.col("pos") + 1).alias("d"))
         .agg(
             F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
             .cast("long")
             .alias("cq")
         )
     )
-    return assign, newcent
+    newcenta = (
+        centd.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("__s"))
+        .select(
+            "cluster", F.transform("__s", lambda x: x["cq"]).alias("cq")
+        )
+    )
+    return assign, newcenta
 
 
 _KM_STATE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
@@ -176,22 +213,36 @@ def shared_kmeans(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(final assignments, final centroids) after ``KM_ITERS`` Lloyd
-    iterations, built once per (session, sf_dir). The exploded frame
-    and each iteration's centroid table persist so the two registered
-    queries and any downstream consumer share one training run."""
+    iterations, built once per (session, sf_dir). The quantized-vector
+    frame and each iteration's centroid arrays persist so the two
+    registered queries and any downstream consumer share one training
+    run. Returned centroids keep the (cluster, d, cq) row schema the
+    consumers and the oracle CTEs expect."""
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> tuple[DataFrame, DataFrame]:
         from pyspark import StorageLevel
 
-        qd = _qd(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-        cent = _init_centroids(spark, sf_dir, qd)
+        qv = _qv(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        centa = _init_centroid_arrays(spark, sf_dir, qv)
         assign = None
         for _ in range(KM_ITERS):
-            cent.persist(StorageLevel.MEMORY_AND_DISK)
-            assign, cent = _lloyd_step(qd, cent)
-        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
-        assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+            centa.persist(StorageLevel.MEMORY_AND_DISK)
+            assign, centa = _lloyd_step(qv, centa)
+        cent = (
+            centa.select(
+                "cluster", F.posexplode("cq").alias("__pos", "__cq")
+            )
+            .select(
+                "cluster",
+                (F.col("__pos") + 1).alias("d"),
+                F.col("__cq").alias("cq"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        assign = assign.select("vec_id", "cluster", "dist").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         return assign, cent
 
     key = (spark.sparkContext.applicationId, sf_dir)

@@ -39,8 +39,7 @@ from pyspark.sql import types as T
 from clickhouse_build_spark.catalog import SCHEMAS, load_tables
 from clickhouse_build_spark.operators.dedup import (
     lsh_band_keys,
-    minhash_signatures,
-    word_shingles,
+    minhash_signatures_text,
 )
 from clickhouse_build_spark.plans.dedup import (
     BANDS,
@@ -69,10 +68,8 @@ def build_signature_store(
     docs = load_tables(spark, sf_dir)["documents"].filter(
         ~_is_new(F.col("doc_id"))
     )
-    sig = minhash_signatures(
-        word_shingles(docs, "doc_id", "text", n=3, distinct=False),
-        "doc_id",
-        num_perm=NUM_PERM,
+    sig = minhash_signatures_text(
+        docs, "doc_id", "text", shingle_n=3, num_perm=NUM_PERM
     )
     sig.write.mode("overwrite").parquet(f"{store_dir}/signatures")
     bands = lsh_band_keys(
@@ -110,10 +107,8 @@ def classify_batch(
     """One micro-batch of documents → (doc_id, verdict, ref_doc_id),
     the exact decision ``doc_incremental_dedup`` makes batch-side:
     exact beats near, near reports the lowest-id reference match."""
-    sig_new = minhash_signatures(
-        word_shingles(batch, "doc_id", "text", n=3, distinct=False),
-        "doc_id",
-        num_perm=NUM_PERM,
+    sig_new = minhash_signatures_text(
+        batch, "doc_id", "text", shingle_n=3, num_perm=NUM_PERM
     )
     bands_new = lsh_band_keys(sig_new, "doc_id", BANDS, ROWS_PER_BAND).select(
         F.col("doc_id").alias("new_id"), "band", "key"

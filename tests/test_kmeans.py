@@ -12,9 +12,9 @@ from pyspark.sql import functions as F
 from clickhouse_build_spark.plans.kmeans import (
     KM_ITERS,
     KM_K,
-    _init_centroids,
+    _init_centroid_arrays,
     _lloyd_step,
-    _qd,
+    _qv,
     emb_kmeans_assign,
     emb_kmeans_centroids,
 )
@@ -44,18 +44,13 @@ def test_assignment_is_argmin_against_prior_centroids(spark, trained):
     iteration-(N-1) centroids it was computed against — re-derived
     here with integer numpy on the same quantized coordinates."""
     _, assign = trained
-    qd = _qd(spark, SF_SMOKE)
-    cent = _init_centroids(spark, SF_SMOKE, qd)
+    qv = _qv(spark, SF_SMOKE)
+    centa = _init_centroid_arrays(spark, SF_SMOKE, qv)
     for _ in range(KM_ITERS - 1):
-        _, cent = _lloyd_step(qd, cent)
+        _, centa = _lloyd_step(qv, centa)
 
-    dim = max(r.d for r in cent.collect())
-    C = {}
-    for r in cent.collect():
-        C.setdefault(r.cluster, np.zeros(dim, dtype=np.int64))[r.d - 1] = r.cq
-    V: dict[int, np.ndarray] = {}
-    for r in qd.collect():
-        V.setdefault(r.vec_id, np.zeros(dim, dtype=np.int64))[r.d - 1] = r.qv
+    C = {r.cluster: np.array(r.cq, dtype=np.int64) for r in centa.collect()}
+    V = {r.vec_id: np.array(r.q, dtype=np.int64) for r in qv.collect()}
 
     cids = sorted(C)
     for r in assign:
@@ -67,11 +62,11 @@ def test_assignment_is_argmin_against_prior_centroids(spark, trained):
 def test_objective_non_increasing(spark):
     """Lloyd's objective never increases; the x1e6 fixed-point floor
     perturbs means by <1 unit in ~5e5, so allow that relative slack."""
-    qd = _qd(spark, SF_SMOKE)
-    cent = _init_centroids(spark, SF_SMOKE, qd)
+    qv = _qv(spark, SF_SMOKE)
+    centa = _init_centroid_arrays(spark, SF_SMOKE, qv)
     prev = None
     for _ in range(KM_ITERS):
-        assign, cent = _lloyd_step(qd, cent)
+        assign, centa = _lloyd_step(qv, centa)
         total = assign.agg(F.sum("dist")).first()[0]
         if prev is not None:
             assert total <= prev * 1.000001, (total, prev)
