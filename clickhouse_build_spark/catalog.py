@@ -380,6 +380,34 @@ class Catalog:
         return self.load(table)
 
 
+# (applicationId, sf_dir, table-file mtimes) -> registered Catalog.
+# Re-registering the same ten parquet views costs ~0.23 s of py4j
+# round trips (relation + temp-view calls), and every one of the 182
+# registered builders calls load_tables — ~40 s of a full bench spent
+# rebuilding identical plans (r17, guide §1 measure-first). The cache
+# holds lazy DataFrames only (no data, no results); the mtime key
+# drops it the moment any table file changes under the directory.
+_CATALOG_CACHE: dict[tuple, Catalog] = {}
+
+
+def _table_state(sf_dir: str) -> tuple:
+    state = []
+    for t in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            state.append((t, st.st_mtime_ns, st.st_size))
+        except OSError:
+            state.append((t, None, None))
+    return tuple(state)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> Catalog:
     """One-call convenience used by every registered query builder."""
-    return Catalog(spark, sf_dir).register_all()
+    key = (spark.sparkContext.applicationId, sf_dir, _table_state(sf_dir))
+    cat = _CATALOG_CACHE.get(key)
+    if cat is None or cat.spark is not spark:
+        cat = Catalog(spark, sf_dir).register_all()
+        _CATALOG_CACHE.clear()  # one live entry per process is plenty
+        _CATALOG_CACHE[key] = cat
+    return cat

@@ -1408,7 +1408,14 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         path = _ivfpq_export_dir(sf_dir)
         _publish_atomic(
-            lambda staging: codes.write.mode("overwrite")
+            # Cluster by the partition key before the partitioned write
+            # (guide §6 output sizing): partitionBy alone makes every
+            # input task write a file per cell it happens to hold, so a
+            # fanned-out encode stage would shatter each cell into
+            # task-count shards; one hash shuffle on ``cell`` keeps the
+            # export at one well-sized file per cell at any scale.
+            lambda staging: codes.repartition("cell")
+            .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(staging),
             path,
@@ -1477,9 +1484,9 @@ def append_to_ivfpq_index(
         F.lit(fp).cast("long").alias("fp_corpus"),
     ).localCheckpoint(eager=True)
     appended = codes.count()
-    codes.write.mode("append").partitionBy("cell").parquet(
-        _ivfpq_export_dir(sf_dir)
-    )
+    codes.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(_ivfpq_export_dir(sf_dir))
     return appended
 
 
@@ -1773,7 +1780,9 @@ def shared_ivfpq_probes(
             hashlib.md5(sf_dir.encode()).hexdigest()[:12],
         )
         _publish_atomic(
-            lambda staging: probes.write.mode("overwrite")
+            # same pre-write cell clustering as the index export
+            lambda staging: probes.repartition("cell")
+            .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(staging),
             path,
