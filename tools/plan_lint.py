@@ -72,6 +72,11 @@ ALLOWED_NLJ = {
     "emb_ann_lsh_topk",
     "emb_ann_lsh_topk_batch",
     "emb_ivfpq_topk",
+    # r17: the Lloyd trainer broadcasts its <=k centroid ARRAYS as ONE
+    # collected row per iteration (global aggregate — structurally
+    # bounded below); the two training-output rows inherit that shape.
+    "emb_kmeans_assign",
+    "emb_kmeans_centroids",
     "emb_knn_cosine",
     "emb_pq_adc_topk",
     "emb_pq_codes",
