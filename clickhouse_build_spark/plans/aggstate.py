@@ -97,17 +97,18 @@ def events_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_tables(spark, sf_dir)["events"]
     merged = merge_uniq_states(daily_uniq_states(ev))
-    direct = ev.groupBy("event_type").agg(
+    # direct sketch + exact anchor share the grouping key, so one
+    # aggregate computes both (r17, guide §2): one events pass and one
+    # join instead of two of each. Values are unchanged — the same
+    # hll_sketch_agg and count(DISTINCT) over the same rows.
+    direct_exact = ev.groupBy("event_type").agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
-        ).alias("direct_users")
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")
+        ).alias("direct_users"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     return (
-        merged.join(direct, "event_type")
-        .join(exact, "event_type")
+        merged.join(direct_exact, "event_type")
         .select(
             "event_type",
             "n_partials",
