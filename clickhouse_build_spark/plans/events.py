@@ -286,28 +286,27 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention matrix: users grouped by first-seen week, counted in
     every week they were active (offset 0 = the cohort's own week).
 
-    Scale: two user-keyed aggregates + one user-keyed join — one
-    logical shuffle partitioning throughout; the output is
-    |weeks|² rows regardless of event volume.
+    Scale: one events pass — distinct (user, week), then the cohort
+    week as a window MIN over the user's weeks (the week of the first
+    event IS the min active week: the window start is monotone in ts),
+    then the |weeks|²-row rollup. r17 (guide §2.4): this replaces a
+    second user-keyed aggregate + join — one fewer scan and shuffle;
+    same rows (the join matched each (user, week) to its single cohort
+    row, exactly what the window min annotates).
     """
     ev = load_tables(spark, sf_dir)["events"]
-    firsts = (
-        ev.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"))
-        .select(
-            "user_id",
-            # startTime 4 days: epoch (Thu) -> 2024-01-01 (Mon) alignment,
-            # matching the oracle's time_bucket origin
-            F.window("first_ts", "7 days", startTime="4 days").start.cast("date").alias("cohort_week"),
-        )
-    )
-    activity = ev.select(
+    weekly = ev.select(
         "user_id",
+        # startTime 4 days: epoch (Thu) -> 2024-01-01 (Mon) alignment,
+        # matching the oracle's time_bucket origin
         F.window("ts", "7 days", startTime="4 days").start.cast("date").alias("active_week"),
     ).distinct()
+    weekly = weekly.withColumn(
+        "cohort_week",
+        F.min("active_week").over(Window.partitionBy("user_id")),
+    )
     return (
-        firsts.join(activity, "user_id")
-        .groupBy(
+        weekly.groupBy(
             "cohort_week",
             (F.datediff("active_week", "cohort_week") / 7)
             .cast("long")

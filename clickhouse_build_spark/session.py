@@ -41,6 +41,7 @@ _ENGINE_CONF = {
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
         "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"
     ),
+    "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
