@@ -330,9 +330,20 @@ def minhash_lsh_pairs(
     """End-to-end MinHash+LSH near-dup pairs: shingle → minhash →
     band → bucket-join → estimate → threshold. Shingles stay
     non-distinct — min() is duplicate-invariant, so the dedup shuffle
-    the Jaccard/SimHash paths need is pure cost here."""
-    sig = minhash_signatures_text(
-        df, id_col, text_col, shingle_n=shingle_n,
+    the Jaccard/SimHash paths need is pure cost here.
+
+    The signature stage is the explode+groupBy form, NOT the per-row
+    :func:`minhash_signatures_text` kernel: this plan consumes the
+    signature frame THREE times (both banded self-join sides plus the
+    est_jaccard re-join), and the groupBy's exchange is the reuse point
+    that makes the per-shingle md5 work run ONCE. The shuffle-free
+    kernel recomputes it per consumer — measured 1.5× slower at sf0.1
+    and 3.8× slower at 50× rows (ladder rung 5: 27.7 s vs 7.3 s,
+    identical pair checksums). Single-consumer contexts (the streaming
+    admission gate) keep the per-row kernel."""
+    sig = minhash_signatures(
+        word_shingles(df, id_col, text_col, n=shingle_n, distinct=False),
+        id_col,
         num_perm=bands * rows_per_band,
     )
     return lsh_candidate_pairs(

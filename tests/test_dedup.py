@@ -318,3 +318,28 @@ def test_simhash_pair_cap_env_accepts_scientific(spark, monkeypatch):
         spark, "/root/testdata/sf0.001"
     )
     assert df.count() >= 0
+
+
+def test_minhash_kernel_forms_agree(corpus):
+    """The explode+groupBy signatures (batch LSH path) and the per-row
+    array-expression kernel (streaming admission path) must stay
+    value-identical — the contract that lets minhash_lsh_pairs pick the
+    multi-consumer-friendly explode form while streaming keeps the
+    shuffle-free one (r17)."""
+    from clickhouse_build_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_text,
+    )
+
+    per_row = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures_text(corpus, "doc_id", "text").collect()
+    }
+    exploded = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(
+            word_shingles(corpus, "doc_id", "text", n=3, distinct=False),
+            "doc_id",
+        ).collect()
+    }
+    assert per_row == exploded and len(per_row) == 4
