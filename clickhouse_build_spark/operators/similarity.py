@@ -432,6 +432,7 @@ def ivf_assign_kernel(
     id_col: str = "vec_id",
     vec_col: str = "e",
     exclude: DataFrame | None = None,
+    top2: bool = False,
 ) -> DataFrame:
     """Bulk coarse assignment via a vectorized Arrow kernel — one BLAS
     gemm (``X @ C.T``) + argmax per batch against the broadcast
@@ -455,6 +456,13 @@ def ivf_assign_kernel(
     data-pass-bounded. ``exclude`` (id, cell) masks one cell per
     vector before the argmax (the rank-2 pass): it joins onto the
     n-row vector frame, never the scored space.
+
+    ``top2`` (r17) additionally emits ``cell2`` — the runner-up cell —
+    from the SAME score matrix: mask the winning column, argmax again.
+    That is arithmetic-for-arithmetic the rank-2 ``exclude`` pass
+    (identical S, identical first-max tiebreak), so the index build can
+    hand the probe builder its rank-2 assignment for free instead of
+    the probe build re-reading and re-scoring every vector.
     """
     import numpy as np
     import pandas as pd
@@ -511,7 +519,11 @@ def ivf_assign_kernel(
                         )
                     S[np.flatnonzero(mask), pos] = -np.inf
             out = pdf[in_cols].copy()
-            out["cell"] = cells_a[np.argmax(S, axis=1)]
+            am = np.argmax(S, axis=1)
+            out["cell"] = cells_a[am]
+            if top2:
+                S[np.arange(len(am)), am] = -np.inf
+                out["cell2"] = cells_a[np.argmax(S, axis=1)]
             yield out
 
     from pyspark.sql import types as T
@@ -520,6 +532,7 @@ def ivf_assign_kernel(
     schema = T.StructType(
         [T.StructField(f.name, f.dataType, f.nullable) for f in vectors.schema.fields]
         + [T.StructField("cell", T.LongType())]
+        + ([T.StructField("cell2", T.LongType())] if top2 else [])
     )
     return df.mapInPandas(kern, schema)
 

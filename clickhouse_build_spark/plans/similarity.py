@@ -1003,6 +1003,11 @@ IVFPQ_RECALL_FLOOR = 0.5
 
 _PQ_BOOKS: dict[tuple[str, str], object] = {}
 _IVFPQ_INDEX: dict[tuple[str, str], str] = {}  # at-rest parquet dirs
+# Rank-2 coarse assignment handoff from the index build to the probe
+# build (r17): keyed (applicationId, sf_dir); populated ONLY when this
+# session ran the index encode (a warm at-rest index skips the build
+# and the probe path falls back to its exclusion kernel).
+_IVFPQ_RANK2: dict[tuple[str, str], DataFrame] = {}
 
 # At-rest root for the IVFPQ index exports (r08; hardened r09 per
 # ADVICE). The oracle SQL is a STATIC string, so the index must land at
@@ -1232,6 +1237,7 @@ def _ivfpq_encode(
     spark: SparkSession,
     sf_dir: str,
     vectors: DataFrame,
+    top2: bool = False,
 ) -> DataFrame:
     """Encode a (vec_id, e) frame against the corpus's TRAINED
     artifacts (coarse centroids + residual codebooks) → (vec_id, cell,
@@ -1241,7 +1247,12 @@ def _ivfpq_encode(
     trained tensors. Coarse assignment happens here (one vectorized
     kernel pass over the input frame, ADVICE r14: no caller has a
     precomputed assignment to share at encode time — the index IS
-    what first materializes rank 1)."""
+    what first materializes rank 1).
+
+    ``top2`` (r17): ride the runner-up coarse cell (``cell2``) through
+    the encode output — computed for free from the assignment kernel's
+    existing score matrix, so the index build can hand the probe
+    builder its rank-2 pass (see :func:`shared_ivfpq_probes`)."""
     import numpy as np
     import pandas as pd
 
@@ -1250,10 +1261,11 @@ def _ivfpq_encode(
     )
     books = shared_pq_codebooks(spark, sf_dir)
     unit = _normalize(vectors)
-    assigned = ivf_assign_kernel(unit, cent)
+    assigned = ivf_assign_kernel(unit, cent, top2=top2)
     res = assigned.join(F.broadcast(cent), "cell").select(
         "vec_id",
         "cell",
+        *(["cell2"] if top2 else []),
         F.zip_with("e", "ce", lambda x, y: x - y).alias("res"),
     )
     bc = spark.sparkContext.broadcast(np.asarray(books, dtype=np.float64))
@@ -1268,6 +1280,8 @@ def _ivfpq_encode(
                 "vec_id": pdf["vec_id"].values,
                 "cell": pdf["cell"].values,
             }
+            if top2:
+                out["cell2"] = pdf["cell2"].values
             codes = [
                 np.empty(len(pdf), dtype=np.int32) for _ in range(PQ_M)
             ]
@@ -1283,8 +1297,10 @@ def _ivfpq_encode(
                 out[f"c{s}"] = codes[s]
             yield pd.DataFrame(out)
 
-    schema = "vec_id long, cell long, " + ", ".join(
-        f"c{s} int" for s in range(PQ_M)
+    schema = (
+        "vec_id long, cell long, "
+        + ("cell2 long, " if top2 else "")
+        + ", ".join(f"c{s} int" for s in range(PQ_M))
     )
     return res.mapInPandas(encode, schema)
 
@@ -1387,11 +1403,23 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_build_spark.plans.artifacts import session_artifact
 
     def build() -> str:
-        codes = _ivfpq_encode(spark, sf_dir, _vectors(spark, sf_dir))
-        if shared_subcell_centroids(spark, sf_dir) is not None:
-            # the codes feed two branches (subcell scoring + the final
-            # write) — freeze them so the encode kernel runs once
-            codes = codes.localCheckpoint(eager=True)
+        codes = _ivfpq_encode(
+            spark, sf_dir, _vectors(spark, sf_dir), top2=True
+        )
+        # The codes feed up to three branches (subcell scoring, the
+        # final write, and the rank-2 probe handoff below) — freeze
+        # them so the encode kernel runs once.
+        codes = codes.localCheckpoint(eager=True)
+        # r17: the encode kernel's score matrix yields the runner-up
+        # coarse cell for free; stash it for shared_ivfpq_probes so a
+        # same-session probe build skips re-reading and re-scoring the
+        # whole corpus (bit-identical to its exclusion-kernel pass —
+        # same S, same masked argmax). Session-scoped lazy plan over
+        # the checkpoint: no result caching across processes.
+        _IVFPQ_RANK2[
+            (spark.sparkContext.applicationId, sf_dir)
+        ] = codes.select("vec_id", F.col("cell2").alias("cell"))
+        codes = codes.drop("cell2")
         codes = _with_subcell(spark, sf_dir, codes)
         # Corpus discriminators stamped onto every row (one tiny agg +
         # collect of a single 2-column row): the static-SQL oracle globs
@@ -1726,17 +1754,34 @@ def shared_ivfpq_probes(
                 "vec_id", "cell", "subcell",
                 F.lit(1).alias("probe_rank"),
             )
-            r2 = ivf_assign_kernel(
-                unit, cent, exclude=idx.select("vec_id", "cell")
-            ).select(
-                "vec_id", "cell", F.lit(2).alias("probe_rank")
+            # r17: when THIS session built the index, its encode pass
+            # already produced the runner-up cell from the same score
+            # matrix (bit-identical to the exclusion kernel — same S,
+            # same masked first-max argmax); consume the handoff and
+            # skip re-reading + re-scoring the corpus. A warm at-rest
+            # index leaves no handoff → the exclusion pass runs as
+            # before.
+            r2_pre = _IVFPQ_RANK2.get(
+                (spark.sparkContext.applicationId, sf_dir)
             )
+            if r2_pre is not None:
+                r2 = r2_pre.select(
+                    "vec_id", "cell", F.lit(2).alias("probe_rank")
+                )
+            else:
+                r2 = ivf_assign_kernel(
+                    unit, cent, exclude=idx.select("vec_id", "cell")
+                ).select(
+                    "vec_id", "cell", F.lit(2).alias("probe_rank")
+                )
             if subcent is None:
                 rank2 = r2.withColumn("subcell", F.lit(0).cast("long"))
             else:
-                # freeze the n narrow rank-2 rows: they feed both the
-                # subcell scoring and the final join
-                r2 = r2.localCheckpoint(eager=True)
+                if r2_pre is None:
+                    # freeze the n narrow rank-2 rows: they feed both
+                    # the subcell scoring and the final join (the
+                    # handoff frame is already checkpoint-backed)
+                    r2 = r2.localCheckpoint(eager=True)
                 sub = subcell_assign(r2.join(unit, "vec_id"), subcent)
                 rank2 = r2.join(sub, ["vec_id", "cell"])
             probes = rank1.unionByName(
