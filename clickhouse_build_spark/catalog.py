@@ -257,13 +257,36 @@ ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
 # near_dup_jaccard −7 s), so they stay on the un-fanned plan. A static
 # catalog annotation like ALWAYS_BROADCAST, env-overridable.
 #
+# r18 (VERDICT r17 #1): blanket table-scoped fan-out is CONSUMER-scoped
+# cost — the r17 rule fanned `events` for every consumer, and the ~25
+# cheap windowed/sequence aggregates over events paid a
+# RoundRobinPartitioning exchange a 0.5 s query never amortizes
+# (driver-verified: signup_purchase_funnel ×1.97 slower vs r16,
+# weekly_retention_cohorts ×1.50, user_sessions_30min ×1.23; ~10
+# events rows ran FASTER on 8 cores than 32). `events` therefore moved
+# from the blanket list to the OPT-IN list: its default scan plan is
+# the un-fanned r16 shape, and only the measured heavy per-row
+# consumers (the jsonb VARIANT-rebuild family) request the wide scan
+# per plan via Catalog.wide()/wide_views(). `documents`/`embeddings`
+# stay blanket — their consumer population is dominated by per-token
+# md5 / vector-fold work where the r17 A/Bs showed 2-5× wins and the
+# driver record shows no regressed row.
+#
 # SPARK_GRAFT_SCAN_FANOUT=off disables it (the pre-r17 plans);
-# SPARK_GRAFT_FANOUT_TABLES / _MIN_BYTES / _MAX_MB_PER_CORE tune it.
+# SPARK_GRAFT_FANOUT_TABLES / _WIDE_TABLES / _MIN_BYTES /
+# _MAX_MB_PER_CORE tune it.
 FANOUT_TABLES: frozenset[str] = frozenset(
     t.strip()
     for t in os.environ.get(
-        "SPARK_GRAFT_FANOUT_TABLES", "events,documents,embeddings"
+        "SPARK_GRAFT_FANOUT_TABLES", "documents,embeddings"
     ).split(",")
+    if t.strip()
+)
+# Tables whose fan-out is per-consumer opt-in (Catalog.wide()) rather
+# than blanket: cheap consumers keep the plain scan.
+FANOUT_WIDE_TABLES: frozenset[str] = frozenset(
+    t.strip()
+    for t in os.environ.get("SPARK_GRAFT_FANOUT_WIDE_TABLES", "events").split(",")
     if t.strip()
 )
 _FANOUT_MIN_BYTES = int(
@@ -273,29 +296,40 @@ _FANOUT_MAX_BYTES_PER_CORE = int(
     float(os.environ.get("SPARK_GRAFT_FANOUT_MAX_MB_PER_CORE", "32"))
     * 1024 * 1024
 )
-# (path, mtime, size) -> row-group count; footer metadata only, cached
-# so per-query Catalog rebuilds don't re-read footers.
-_RG_COUNT_CACHE: dict[tuple[str, float, int], int] = {}
+# per-part-file (relpath, mtime_ns, size) state -> row-group count;
+# footer metadata only, cached so per-query Catalog rebuilds don't
+# re-read footers. Keyed on EVERY part file's state (ADVICE r17: a
+# same-size in-place rewrite of any part must invalidate) and capped.
+_RG_COUNT_CACHE: dict[tuple, int] = {}
+_RG_COUNT_CACHE_MAX = 64
+
+
+def _part_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
 
 
 def _parquet_layout(path: str) -> tuple[int, int]:
     """(total_bytes, row_groups) for a parquet file or directory."""
-    if os.path.isfile(path):
-        files = [path]
-    else:
-        files = [
-            os.path.join(r, f)
-            for r, _, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-    total = sum(os.path.getsize(f) for f in files)
-    key_f = files[0] if files else path
-    st = os.stat(key_f)
-    key = (path, st.st_mtime, total)
+    files = _part_files(path)
+    state = tuple(
+        (f, st.st_mtime_ns, st.st_size)
+        for f in files
+        for st in (os.stat(f),)
+    )
+    total = sum(s[2] for s in state)
+    key = (path, state)
     if key not in _RG_COUNT_CACHE:
         import pyarrow.parquet as pq
 
+        if len(_RG_COUNT_CACHE) >= _RG_COUNT_CACHE_MAX:
+            _RG_COUNT_CACHE.clear()
         _RG_COUNT_CACHE[key] = sum(
             pq.ParquetFile(f).metadata.num_row_groups for f in files
         )
@@ -315,6 +349,7 @@ class Catalog:
     sf_dir: str
     table_mappings: dict[str, str] = field(default_factory=dict)
     _frames: dict[str, DataFrame] = field(default_factory=dict, init=False)
+    _wide_frames: dict[str, DataFrame] = field(default_factory=dict, init=False)
 
     def path(self, table: str) -> str:
         return os.path.join(self.sf_dir, f"{table}.parquet")
@@ -346,20 +381,64 @@ class Catalog:
             self._frames[table] = df
         return self._frames[table]
 
-    def _fanout_partitions(self, table: str) -> int:
+    def wide(self, table: str) -> DataFrame:
+        """The fanned variant of ``table`` for heavy per-row consumers
+        (VARIANT rebuilds, per-shingle hashing) — identical rows, plus
+        the round-robin fan-out when the footer shows the layout cannot
+        feed the cores itself. For blanket FANOUT_TABLES (or when the
+        fan-out conditions don't fire) this IS ``load(table)``."""
+        if table not in self._wide_frames:
+            df = self.load(table)
+            n = self._fanout_partitions(table, opt_in=True)
+            # blanket tables are already fanned inside load()
+            if n and table not in FANOUT_TABLES:
+                df = df.repartition(n)
+            self._wide_frames[table] = df
+        return self._wide_frames[table]
+
+    def wide_views(self, *tables: str):
+        """Context manager: temporarily point the registered temp views
+        at the wide frames so a SQL-compiled heavy consumer resolves
+        against the fanned scan; the plain views are restored on exit
+        (spark.sql analyzes eagerly, so the returned DataFrame keeps
+        the wide plan)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            swapped = []
+            try:
+                for t in tables:
+                    target = self.table_mappings.get(t, t)
+                    self.wide(t).createOrReplaceTempView(target)
+                    swapped.append((t, target))
+                yield self
+            finally:
+                for t, target in swapped:
+                    self.load(t).createOrReplaceTempView(target)
+
+        return _cm()
+
+    def _fanout_partitions(self, table: str, opt_in: bool = False) -> int:
         """Round-robin fan-out width for a scan the parquet layout
         cannot parallelize itself — see the module comment. 0 = leave
-        the scan alone (the production-scale case)."""
+        the scan alone (the production-scale case). ``opt_in`` extends
+        eligibility to the per-consumer FANOUT_WIDE_TABLES."""
         if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "auto") == "off":
             return 0
-        if table not in FANOUT_TABLES:
+        if table not in FANOUT_TABLES and not (
+            opt_in and table in FANOUT_WIDE_TABLES
+        ):
             return 0
         cores = self.spark.sparkContext.defaultParallelism
         if cores <= 1:
             return 0
         try:
             total, row_groups = _parquet_layout(self.path(table))
-        except OSError:
+        except (OSError, ValueError):
+            # pyarrow raises ArrowInvalid (a ValueError) on truncated/
+            # corrupt part files — fall back to no fan-out and let the
+            # real read path surface the error (ADVICE r17)
             return 0
         if total < _FANOUT_MIN_BYTES:
             return 0  # broadcast-sized dims; a 1-task scan is free
@@ -395,8 +474,23 @@ def _table_state(sf_dir: str) -> tuple:
     for t in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         try:
-            st = os.stat(p)
-            state.append((t, st.st_mtime_ns, st.st_size))
+            if os.path.isdir(p):
+                # directory-backed: fold every part file's state so an
+                # in-place part rewrite invalidates (ADVICE r17 — the
+                # dir's own mtime/size don't change on such a write)
+                parts = _part_files(p)
+                sts = [os.stat(f) for f in parts]
+                state.append(
+                    (
+                        t,
+                        max((s.st_mtime_ns for s in sts), default=0),
+                        sum(s.st_size for s in sts),
+                        len(parts),
+                    )
+                )
+            else:
+                st = os.stat(p)
+                state.append((t, st.st_mtime_ns, st.st_size))
         except OSError:
             state.append((t, None, None))
     return tuple(state)

@@ -276,10 +276,12 @@ def ch_dialect_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — no Python, one partial-aggregated shuffle on the 10-value
     key space.
     """
-    load_tables(spark, sf_dir)
-    return run_ch_sql(
-        spark,
-        """
+    # three JSON parses per row: opt in to the wide events scan
+    # (catalog.py consumer-scoped fan-out, r18)
+    with load_tables(spark, sf_dir).wide_views("events"):
+        return run_ch_sql(
+            spark,
+            """
         SELECT modulo(JSONExtractInt(props, 'k'), 10) AS k_mod,
                count() AS cnt,
                sum(toInt64(JSONHas(props, 'k'))) AS has_k,
@@ -1336,8 +1338,10 @@ def pg_dialect_jsonb_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar parse_json. Key-order note: terminal ``->`` of a
     MULTI-KEY object renders with engine-specific key order (PG jsonb
     itself reorders keys) — hashed outputs pin scalars only."""
-    load_tables(spark, sf_dir)
-    return run_pg_sql(
+    # heavy per-row VARIANT rebuild: opt in to the wide events scan
+    # (catalog.py consumer-scoped fan-out, r18)
+    with load_tables(spark, sf_dir).wide_views("events"):
+        return run_pg_sql(
         spark,
         """
         WITH enriched AS (
@@ -1395,8 +1399,10 @@ def pg_dialect_jsonb_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: codegen'd expressions over one scan + one grouped
     aggregate; parse_json is columnar."""
-    load_tables(spark, sf_dir)
-    return run_pg_sql(
+    # heavy per-row VARIANT rebuild: opt in to the wide events scan
+    # (catalog.py consumer-scoped fan-out, r18)
+    with load_tables(spark, sf_dir).wide_views("events"):
+        return run_pg_sql(
         spark,
         """
         WITH enriched AS (
@@ -1564,8 +1570,10 @@ def pg_dialect_jsonb_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     PG (src/prompts/scanner.py query-surface contract); here they
     execute on Spark.
     """
-    load_tables(spark, sf_dir)
-    return run_pg_sql(
+    # heavy per-row VARIANT rebuild: opt in to the wide events scan
+    # (catalog.py consumer-scoped fan-out, r18)
+    with load_tables(spark, sf_dir).wide_views("events"):
+        return run_pg_sql(
         spark,
         """
         WITH enriched AS (
@@ -1683,8 +1691,10 @@ def pg_dialect_jsonb_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     UPDATE ... SET col = jsonb_set(...) statements verbatim to PG
     (src/prompts/scanner.py query-surface contract); here the same
     expressions evaluate on Spark."""
-    load_tables(spark, sf_dir)
-    return run_pg_sql(
+    # heavy per-row VARIANT rebuild: opt in to the wide events scan
+    # (catalog.py consumer-scoped fan-out, r18)
+    with load_tables(spark, sf_dir).wide_views("events"):
+        return run_pg_sql(
         spark,
         """
         WITH enriched AS (
@@ -1884,8 +1894,10 @@ def pg_dialect_jsonb_descend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: translate-time constant expansion — one scan + one grouped
     aggregate; the descent is nested flatten/transform codegen, depth
     bounded at compile time."""
-    load_tables(spark, sf_dir)
-    return run_pg_sql(
+    # heavy per-row VARIANT rebuild: opt in to the wide events scan
+    # (catalog.py consumer-scoped fan-out, r18)
+    with load_tables(spark, sf_dir).wide_views("events"):
+        return run_pg_sql(
         spark,
         """
         WITH enriched AS (
@@ -1944,8 +1956,10 @@ def pg_dialect_jsonb_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: translate-time compilation, one scan + one grouped
     aggregate, all codegen built-ins."""
-    load_tables(spark, sf_dir)
-    return run_pg_sql(
+    # heavy per-row VARIANT rebuild: opt in to the wide events scan
+    # (catalog.py consumer-scoped fan-out, r18)
+    with load_tables(spark, sf_dir).wide_views("events"):
+        return run_pg_sql(
         spark,
         """
         WITH enriched AS (

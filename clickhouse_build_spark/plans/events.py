@@ -95,9 +95,10 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props: extract a JSON field and aggregate it.
 
     The events table stores ``props`` as a JSON string (FIXTURES.md §2);
-    ``get_json_object`` stays JVM-side (no Python).
+    ``get_json_object`` stays JVM-side (no Python). Per-row JSON parse:
+    wide events scan (catalog.py consumer-scoped fan-out, r18).
     """
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = load_tables(spark, sf_dir).wide("events")
     return (
         ev.groupBy("event_type")
         .agg(

@@ -1416,9 +1416,15 @@ def shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # whole corpus (bit-identical to its exclusion-kernel pass —
         # same S, same masked argmax). Session-scoped lazy plan over
         # the checkpoint: no result caching across processes.
-        _IVFPQ_RANK2[
-            (spark.sparkContext.applicationId, sf_dir)
-        ] = codes.select("vec_id", F.col("cell2").alias("cell"))
+        app_id = spark.sparkContext.applicationId
+        # evict stale-session entries (ADVICE r17): a long-lived
+        # process that recreates SparkSessions must not leak
+        # checkpoint-backed frames of dead sessions
+        for k in [k for k in _IVFPQ_RANK2 if k[0] != app_id]:
+            del _IVFPQ_RANK2[k]
+        _IVFPQ_RANK2[(app_id, sf_dir)] = codes.select(
+            "vec_id", F.col("cell2").alias("cell")
+        )
         codes = codes.drop("cell2")
         codes = _with_subcell(spark, sf_dir, codes)
         # Corpus discriminators stamped onto every row (one tiny agg +

@@ -668,8 +668,9 @@ def events_props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props as a typed MapType: ``from_json`` to
     map<string,string>, then map_keys/map_contains_key — the
     map-column surface (SURVEY §1.2 notes MapType enters via event
-    props). Stays JVM-side."""
-    ev = load_tables(spark, sf_dir)["events"]
+    props). Stays JVM-side. Per-row from_json parse: wide events scan
+    (catalog.py consumer-scoped fan-out, r18)."""
+    ev = load_tables(spark, sf_dir).wide("events")
     m = F.from_json("props", "map<string,string>")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
