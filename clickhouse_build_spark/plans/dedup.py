@@ -687,21 +687,34 @@ def doc_emb_semantic_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the candidate pair list is tiny relative to the corpus, so
     the two embedding joins are hash joins keyed on vec_id against the
     (bucketable) embeddings table; vectors never join vectors."""
-    from clickhouse_build_spark.operators.similarity import cosine
+    from clickhouse_build_spark.operators.similarity import dot
     from clickhouse_build_spark.plans.similarity import NEAR_DUP_COS
 
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     pairs = shared_minhash_pairs(spark, sf_dir)
-    cos = cosine(F.col("ea"), F.col("eb"))
+    # per-vector norms attached once (r18) — cos below is the identical
+    # dot/(sqrt(dot)·sqrt(dot)) float tree, evaluated with the ‖·‖
+    # folds hoisted out of the two per-pair uses (round + the
+    # ≥-threshold flag); values bit-for-bit unchanged
+    nrm = F.sqrt(dot(F.col("e"), F.col("e")))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.join(
-            emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea")),
+            emb.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("e").alias("ea"),
+                nrm.alias("__na"),
+            ),
             "id_a",
         )
         .join(
-            emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb")),
+            emb.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("e").alias("eb"),
+                nrm.alias("__nb"),
+            ),
             "id_b",
         )
         .select(

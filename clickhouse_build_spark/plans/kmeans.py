@@ -143,7 +143,9 @@ def _init_centroid_arrays(
     )
 
 
-def _lloyd_step(qv: DataFrame, centa: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _lloyd_step(
+    qv: DataFrame, centa: DataFrame, dim: int
+) -> tuple[DataFrame, DataFrame]:
     """One Lloyd iteration over array rows: (assignments carrying the
     vector, new centroid arrays).
 
@@ -155,9 +157,20 @@ def _lloyd_step(qv: DataFrame, centa: DataFrame) -> tuple[DataFrame, DataFrame]:
     broadcast row, each vector computes every integer distance and its
     argmin inline (``array_min`` over (dist, cluster) structs — the
     identical lexicographic tie-break as ``min(struct(...))``), and the
-    only shuffle left per iteration is the k×D map-side-combined
-    centroid update. Distances are the same left-to-right integer sums,
-    so assignments, distances and centroids are bit-identical."""
+    only shuffle left per iteration is the map-side-combined centroid
+    update. Distances are the same left-to-right integer sums, so
+    assignments, distances and centroids are bit-identical.
+
+    r18 (guide §2.4 again): the update itself was still TWO exchanges —
+    posexplode to n×D (cluster, d, qv) rows, groupBy (cluster, d), then
+    a second groupBy (cluster) to collect the arrays back. With the
+    dimension known (``dim``, read once from the corpus), one
+    groupBy (cluster) computes every per-dimension integer sum as a
+    column (map-side partials of D longs per cluster — identical bytes
+    on the wire) and rebuilds the array inline: 2 exchanges → 1 per
+    iteration and no n×D row blow-up. Each sum aggregates the same
+    longs, integer addition is order-free, and the mean stays
+    ``floor(CAST(sum AS DOUBLE) / count)`` — bit-identical centroids."""
     one = centa.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("cluster", "cq"))).alias(
             "__cents"
@@ -187,21 +200,19 @@ def _lloyd_step(qv: DataFrame, centa: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("s.cluster").alias("cluster"),
         F.col("s.dist").alias("dist"),
     )
-    centd = (
-        assign.select("cluster", F.posexplode("q").alias("pos", "qv"))
-        .groupBy("cluster", (F.col("pos") + 1).alias("d"))
-        .agg(
-            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cq")
-        )
+    sums = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.col("q")[i]).alias(f"__s{i}") for i in range(dim)],
     )
-    newcenta = (
-        centd.groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("__s"))
-        .select(
-            "cluster", F.transform("__s", lambda x: x["cq"]).alias("cq")
-        )
+    newcenta = sums.select(
+        "cluster",
+        F.array(
+            *[
+                F.floor(F.col(f"__s{i}").cast("double") / F.col("__n"))
+                .cast("long")
+                for i in range(dim)
+            ]
+        ).alias("cq"),
     )
     return assign, newcenta
 
@@ -224,11 +235,14 @@ def shared_kmeans(
         from pyspark import StorageLevel
 
         qv = _qv(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        # D once from the corpus (one metadata-cheap first-row read);
+        # feeds the single-shuffle column-wise centroid update
+        dim = len(qv.select("q").head()[0])
         centa = _init_centroid_arrays(spark, sf_dir, qv)
         assign = None
         for _ in range(KM_ITERS):
             centa.persist(StorageLevel.MEMORY_AND_DISK)
-            assign, centa = _lloyd_step(qv, centa)
+            assign, centa = _lloyd_step(qv, centa, dim)
         cent = (
             centa.select(
                 "cluster", F.posexplode("cq").alias("__pos", "__cq")

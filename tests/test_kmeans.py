@@ -45,9 +45,10 @@ def test_assignment_is_argmin_against_prior_centroids(spark, trained):
     here with integer numpy on the same quantized coordinates."""
     _, assign = trained
     qv = _qv(spark, SF_SMOKE)
+    dim = len(qv.select("q").head()[0])
     centa = _init_centroid_arrays(spark, SF_SMOKE, qv)
     for _ in range(KM_ITERS - 1):
-        _, centa = _lloyd_step(qv, centa)
+        _, centa = _lloyd_step(qv, centa, dim)
 
     C = {r.cluster: np.array(r.cq, dtype=np.int64) for r in centa.collect()}
     V = {r.vec_id: np.array(r.q, dtype=np.int64) for r in qv.collect()}
@@ -59,14 +60,38 @@ def test_assignment_is_argmin_against_prior_centroids(spark, trained):
         assert (best[1], best[0]) == (r.cluster, r.dist), r.vec_id
 
 
+def test_columnwise_update_matches_numpy_mean(spark):
+    """r18: the centroid update is ONE column-wise groupBy (no
+    posexplode / second collect shuffle) — pin its output against the
+    definitional floor-of-integer-mean computed in numpy from the same
+    iteration's assignments."""
+    qv = _qv(spark, SF_SMOKE)
+    dim = len(qv.select("q").head()[0])
+    centa = _init_centroid_arrays(spark, SF_SMOKE, qv)
+    assign, newcenta = _lloyd_step(qv, centa, dim)
+    A = assign.select("vec_id", "cluster", "q").collect()
+    by_cluster: dict[int, list[np.ndarray]] = {}
+    for r in A:
+        by_cluster.setdefault(r.cluster, []).append(
+            np.array(r.q, dtype=np.int64)
+        )
+    got = {r.cluster: list(r.cq) for r in newcenta.collect()}
+    assert set(got) == set(by_cluster)
+    for c, vecs in by_cluster.items():
+        s = np.sum(vecs, axis=0, dtype=np.int64)
+        exp = np.floor(s.astype(np.float64) / len(vecs)).astype(np.int64)
+        assert got[c] == exp.tolist(), c
+
+
 def test_objective_non_increasing(spark):
     """Lloyd's objective never increases; the x1e6 fixed-point floor
     perturbs means by <1 unit in ~5e5, so allow that relative slack."""
     qv = _qv(spark, SF_SMOKE)
+    dim = len(qv.select("q").head()[0])
     centa = _init_centroid_arrays(spark, SF_SMOKE, qv)
     prev = None
     for _ in range(KM_ITERS):
-        assign, centa = _lloyd_step(qv, centa)
+        assign, centa = _lloyd_step(qv, centa, dim)
         total = assign.agg(F.sum("dist")).first()[0]
         if prev is not None:
             assert total <= prev * 1.000001, (total, prev)
