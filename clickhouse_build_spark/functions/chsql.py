@@ -1194,8 +1194,19 @@ def _window_funnel(p: list[str], v: list[str]) -> str:
         entry_elems.append(
             f"IF(NOT ({none}), named_struct('t', r.t, 'i', 0), NULL)"
         )
+    # r18 (guide §2.3 aggregate less): rows matching NO condition
+    # produce zero (t, i) entries, so collecting them only inflates the
+    # per-group array the interpreted fold walks — skip them at the
+    # partial-aggregation side via collect_list's NULL-skip. Under
+    # strict_order those rows ARE the interrupter entries and must be
+    # kept. NULL conds behave exactly as before: a NULL guard drops the
+    # row here, and a NULL m{i} produced no entry in the old form.
+    row_struct = f"struct({fields})"
+    if not strict_order:
+        anym = " OR ".join(f"({c})" for c in conds)
+        row_struct = f"CASE WHEN {anym} THEN {row_struct} END"
     entries = (
-        f"array_sort(flatten(transform(collect_list(struct({fields})), "
+        f"array_sort(flatten(transform(collect_list({row_struct}), "
         f"r -> filter(array({', '.join(entry_elems)}), e -> e IS NOT NULL))))"
     )
 
@@ -1348,13 +1359,25 @@ def _parse_seq_pattern(
         ]
         + [f"({c}) AS m{i + 1}" for i, c in enumerate(conds)]
     )
-    return steps, constraints, fields
+    # r18 (guide §2.3 aggregate less): every sequence fold is a no-op
+    # on an event matching NO step-referenced condition (greedy
+    # advance, achieved-set and min/max-frontier transitions all key on
+    # x.m{step}), so those rows are dropped at the partial-aggregation
+    # side via collect_list's NULL-skip instead of riding through the
+    # sort + interpreted fold. NULL conds drop here exactly as they
+    # never transitioned before.
+    anym = " OR ".join(f"({conds[s - 1]})" for s in sorted(set(steps)))
+    entries = (
+        f"array_sort(collect_list("
+        f"CASE WHEN {anym} THEN struct({fields}) END))"
+    )
+    return steps, constraints, entries
 
 
 def _sequence_count_timed(
     steps: list[int],
     constraints: list[tuple[str, int] | None],
-    fields: str,
+    entries: str,
 ) -> str:
     """Time-constrained ``sequenceCount``: the exact MAXIMUM number of
     sequential non-overlapping chains (chain i+1 starts strictly after
@@ -1381,7 +1404,7 @@ def _sequence_count_timed(
     elems = _set_fold_elems(steps, constraints, arr)
     empty = f"array_repeat(CAST(array() AS ARRAY<BIGINT>), {k})"
     return (
-        f"aggregate(array_sort(collect_list(struct({fields}))), "
+        f"aggregate({entries}, "
         f"named_struct('s', {empty}, 'c', 0), "
         f"(acc, x) -> IF({complete}, "
         f"named_struct('s', {empty}, 'c', acc.c + 1), "
@@ -1398,13 +1421,13 @@ def _sequence_count(p: list[str], v: list[str]) -> str:
     O(n) fold with state (progress, count) is exact. Patterns with
     ``(?t op N)`` time constraints (r12b) dispatch to the achieved-set
     DP with reset-on-completion (``_sequence_count_timed``)."""
-    steps, constraints, fields = _parse_seq_pattern(p, v)
+    steps, constraints, entries = _parse_seq_pattern(p, v)
     if any(c is not None for c in constraints):
         if len(steps) < 2:
             raise ValueError(
                 "sequence time constraint must bind two steps"
             )
-        return _sequence_count_timed(steps, constraints, fields)
+        return _sequence_count_timed(steps, constraints, entries)
     k = len(steps)
     adv = " ".join(
         f"WHEN acc.p = {j} AND x.m{steps[j]} THEN "
@@ -1414,7 +1437,7 @@ def _sequence_count(p: list[str], v: list[str]) -> str:
     newp = f"(CASE {adv} ELSE acc.p END)"
     newc = f"(acc.c + IF(acc.p = {k - 1} AND x.m{steps[k - 1]}, 1, 0))"
     return (
-        f"aggregate(array_sort(collect_list(struct({fields}))), "
+        f"aggregate({entries}, "
         f"named_struct('p', 0, 'c', 0), "
         f"(acc, x) -> named_struct('p', {newp}, 'c', {newc}), "
         f"acc -> acc.c)"
@@ -1470,7 +1493,7 @@ def _set_fold_elems(
 def _sequence_match_set_fold(
     steps: list[int],
     constraints: list[tuple[str, int] | None],
-    fields: str,
+    entries: str,
 ) -> str:
     """Exact sequenceMatch fold for patterns with a ``(?t==N)``
     constraint: level j keeps the DEDUPLICATED array of timestamps at
@@ -1479,7 +1502,7 @@ def _sequence_match_set_fold(
     k = len(steps)
     elems = _set_fold_elems(steps, constraints, "acc")
     return (
-        f"IF(aggregate(array_sort(collect_list(struct({fields}))), "
+        f"IF(aggregate({entries}, "
         f"array_repeat(CAST(array() AS ARRAY<BIGINT>), {k}), "
         f"(acc, x) -> array({', '.join(elems)}), "
         f"acc -> size(element_at(acc, {k})) > 0), 1, 0)"
@@ -1508,10 +1531,10 @@ def _sequence_match(p: list[str], v: list[str]) -> str:
     equality-membership test with ``array_contains``. State is
     O(distinct matched timestamps) per group instead of O(1) — still
     bounded by the group the plan already collects."""
-    steps, constraints, fields = _parse_seq_pattern(p, v)
+    steps, constraints, entries = _parse_seq_pattern(p, v)
     k = len(steps)
     if any(c is not None and c[0] == "==" for c in constraints):
-        return _sequence_match_set_fold(steps, constraints, fields)
+        return _sequence_match_set_fold(steps, constraints, entries)
     if not any(c is not None for c in constraints):
         elems = [f"(element_at(acc, 1) OR x.m{steps[0]})"] + [
             f"(element_at(acc, {j + 1}) OR "
@@ -1520,7 +1543,7 @@ def _sequence_match(p: list[str], v: list[str]) -> str:
         ]
         return (
             f"IF(element_at(aggregate("
-            f"array_sort(collect_list(struct({fields}))), "
+            f"{entries}, "
             f"array_repeat(false, {k}), "
             f"(acc, x) -> array({', '.join(elems)})), {k}), 1, 0)"
         )
@@ -1565,7 +1588,7 @@ def _sequence_match(p: list[str], v: list[str]) -> str:
         f"'mx', array({', '.join(mx_elems)}))"
     )
     return (
-        f"IF(aggregate(array_sort(collect_list(struct({fields}))), "
+        f"IF(aggregate({entries}, "
         f"{init}, (acc, x) -> {step}, "
         f"acc -> element_at(acc.mx, {k}) > {LO}), 1, 0)"
     )
@@ -4333,12 +4356,19 @@ def _jsonpath_seq_sql(
             i += 1
 
             def _kids(a: str) -> str:
+                # r18 (VERDICT r17 #5 let-binding): coalesce evaluates
+                # its branches lazily and once, so each variant cast
+                # runs one time per node instead of twice in the CASE's
+                # WHEN+THEN (the descend runs this per node per level —
+                # the hottest interpreted path of the jsonb family).
+                # Value-identical: array → itself, object → its values,
+                # scalar → empty (map_values(NULL) is NULL, slice of a
+                # 1-element array with len 0 is the non-null empty).
                 arr = f"try_cast({a} AS ARRAY<VARIANT>)"
                 mp = f"try_cast({a} AS MAP<STRING, VARIANT>)"
                 return (
-                    f"CASE WHEN {arr} IS NOT NULL THEN {arr} "
-                    f"WHEN {mp} IS NOT NULL THEN map_values({mp}) "
-                    f"ELSE slice(array({a}), 1, 0) END"
+                    f"coalesce({arr}, map_values({mp}), "
+                    f"slice(array({a}), 1, 0))"
                 )
 
             def _desc(var: str, depth: int) -> str:
@@ -4392,10 +4422,14 @@ def _jsonpath_seq_sql(
                     f"coalesce(try_cast({u} AS ARRAY<VARIANT>), "
                     f"array({u}))))"
                 )
+                # r18: coalesce evaluates the map cast once (lazy),
+                # replacing the CASE's WHEN+THEN double cast —
+                # map_values(NULL) is NULL, so non-objects fall to the
+                # same non-null empty as before
                 seq = (
                     f"flatten(transform({seq}, {a} -> "
-                    f"CASE WHEN {m_} IS NOT NULL THEN map_values({m_}) "
-                    f"ELSE slice(array({a}), 1, 0) END))"
+                    f"coalesce(map_values({m_}), "
+                    f"slice(array({a}), 1, 0))))"
                 )
         elif kind == "wild":
             i += 1
