@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import enum
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -230,7 +231,11 @@ class Replicator:
         """
         path = self._target_path(mapping)
         has_op = OP_COLUMN in changes.columns
-        batch = self._bucketed(changes)
+        # Materialize the batch once (r18): the batch frame feeds the
+        # touched-bucket probe, the merge union and (conformed) the
+        # empty-state rollup path — without the checkpoint each of
+        # those re-scans the change feed's source.
+        batch = self._bucketed(changes).localCheckpoint(eager=True)
 
         touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
         self.assumptions.append(
@@ -293,21 +298,36 @@ class Replicator:
         # horizon passes.
 
         # Materialize the merge BEFORE clearing the touched buckets (the
-        # merge reads them), then swap: clear + append. Clearing
-        # explicitly — rather than dynamic partition overwrite — also
-        # covers the case where deletes empty a bucket entirely (dynamic
-        # overwrite would silently leave the stale partition in place).
-        merged = merged.localCheckpoint(eager=True)
+        # merge reads them) — r18: as a STAGED bucketed parquet write
+        # (one job) whose partition directories are renamed into place
+        # after the clear, instead of an eager localCheckpoint followed
+        # by a second full write job. The swap still covers the case
+        # where deletes empty a bucket entirely (the cleared directory
+        # simply stays absent), and the staging sibling lives OUTSIDE
+        # the table path so readers never see half a merge.
+        stage = path + ".staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            merged.repartition("bucket")
+            .sortWithinPartitions(*self.key_cols, self.version_col)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(stage)
+        )
         rollup_delta = None
         if self.rollup is not None:
             # IVM delta over the touched buckets: what the merged rows
             # contribute minus what the pre-merge rows contributed.
             # Checkpointed NOW — the old side reads parquet files the
-            # clear below deletes.
+            # clear below deletes; the new side reads the staged merge
+            # back (a file read, not a recompute).
+            staged_merged = self.spark.read.schema(merged.schema).parquet(
+                stage
+            )
             old_part = self._rollup_agg(
                 state if has_data else batch.filter(F.lit(False))
             )
-            new_part = self._rollup_agg(merged)
+            new_part = self._rollup_agg(staged_merged)
             g = self.rollup.group_cols
             val_cols = [c for c in ("n_rows", "sum_cents") if c in new_part.columns]
             o = old_part.select(
@@ -335,13 +355,7 @@ class Replicator:
             )
         self._persist_schema(merged, path)
         _clear_buckets(path, touched)
-        (
-            merged.repartition("bucket")
-            .sortWithinPartitions(*self.key_cols, self.version_col)
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(path)
-        )
+        _adopt_partition_dirs(stage, path, "bucket=")
         if rollup_delta is not None:
             self._apply_rollup_delta(rollup_delta, path)
         return path
@@ -377,7 +391,11 @@ class Replicator:
     def _apply_rollup_delta(self, delta: DataFrame, path: str) -> None:
         """Merge a (group → ±n_rows, ±sum_cents) delta into the at-rest
         rollup: read ONLY the group-buckets the delta touches, add, drop
-        emptied groups, rewrite those buckets — O(touched groups)."""
+        emptied groups, rewrite those buckets — O(touched groups).
+
+        r18: the rewrite is a staged write + directory rename (one job)
+        instead of an eager checkpoint followed by a second write job —
+        same swap discipline as the base-table merge."""
         rpath = path + ROLLUP_SUFFIX
         spec = self.rollup
         delta_b = self._rollup_gbucketed(delta)
@@ -401,16 +419,18 @@ class Replicator:
             merged_roll.groupBy(*spec.group_cols, "gbucket")
             .agg(*[F.sum(c).cast("long").alias(c) for c in val_cols])
             .filter(F.col("n_rows") > 0)
-            .localCheckpoint(eager=True)
+        )
+        rstage = rpath + ".staging"
+        shutil.rmtree(rstage, ignore_errors=True)
+        (
+            merged_roll.repartition("gbucket")
+            .write.mode("overwrite")
+            .partitionBy("gbucket")
+            .parquet(rstage)
         )
         self._persist_schema(merged_roll, rpath)
         _clear_gbuckets(rpath, touched_g)
-        (
-            merged_roll.repartition("gbucket")
-            .write.mode("append")
-            .partitionBy("gbucket")
-            .parquet(rpath)
-        )
+        _adopt_partition_dirs(rstage, rpath, "gbucket=")
 
     def read_rollup(self, mapping: TableMapping) -> DataFrame:
         """Reader view of the maintained rollup: (group_cols…, n_rows
@@ -477,9 +497,22 @@ class Replicator:
             json.dump(df.schema.jsonValue(), f)
 
 
-def _clear_gbuckets(path: str, gbuckets: list[int]) -> None:
-    import shutil
+def _adopt_partition_dirs(stage: str, path: str, prefix: str) -> None:
+    """Move a staged write's partition directories into the live table
+    (the touched partitions were cleared just before) — a metadata-scale
+    swap, the local twin of a Hive partition swap / Iceberg overwrite
+    commit. The staging scaffold (e.g. _SUCCESS) is discarded."""
+    os.makedirs(path, exist_ok=True)
+    if os.path.isdir(stage):
+        for d in os.listdir(stage):
+            if d.startswith(prefix):
+                target = os.path.join(path, d)
+                shutil.rmtree(target, ignore_errors=True)
+                os.rename(os.path.join(stage, d), target)
+    shutil.rmtree(stage, ignore_errors=True)
 
+
+def _clear_gbuckets(path: str, gbuckets: list[int]) -> None:
     for b in gbuckets:
         d = os.path.join(path, f"gbucket={b}")
         if os.path.isdir(d):
